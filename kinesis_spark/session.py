@@ -1,0 +1,46 @@
+"""SparkSession factory tuned for the driver harness (local[32], 128 GiB)
+but configured the way a 1000-executor cluster run would be: AQE on
+(runtime coalesce + skew-join handling), Arrow for any Pandas exchange,
+explicit shuffle-partition sizing, and a realistic broadcast threshold so
+dimension tables (region/nation/supplier/part at these SFs) broadcast
+instead of shuffling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "kinesis_spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    Every knob here is a public Spark conf; nothing is harness-specific:
+
+    - AQE + skew join + partition coalescing: lets the runtime re-plan
+      shuffles at 100 TB where static planning guesses wrong.
+    - ``spark.sql.shuffle.partitions``: sized to cores locally; on a real
+      cluster this is overridden by AQE coalescing anyway.
+    - Arrow enabled: all Pandas-UDF paths are vectorized batch transfers.
+    - Broadcast threshold 64 MB: TPC-H dims broadcast; fact-fact joins shuffle.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
