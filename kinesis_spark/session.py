@@ -27,6 +27,16 @@ def get_spark(app_name: str = "kinesis_spark", master: str | None = None) -> Spa
     - Arrow enabled: all Pandas-UDF paths are vectorized batch transfers.
     - Broadcast threshold 64 MB: TPC-H dims broadcast; fact-fact joins shuffle.
     """
+    # Executor Python workers inherit PYTHONPATH (not the driver's sys.path
+    # mutations); put the repo root there so closures that reference this
+    # package by module unpickle on workers. Must happen before JVM start.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)

@@ -1,0 +1,184 @@
+"""Streaming ingest: source → chunk → tag → batch → put, as a streaming query.
+
+Design for scale: all row transforms (chunking, key tagging) are DataFrame
+expressions executed by the JVM; Python only runs at the sink boundary
+(one client per partition per micro-batch, like one boto3 client per task).
+Records never pass through the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from kinesis_spark.ingest.chunker import chunk_column
+from kinesis_spark.ingest.limits import (
+    PUT_RECORDS_LIMIT,
+    PUT_RECORDS_SIZE_LIMIT,
+    RECORD_SIZE_LIMIT,
+)
+
+
+def build_rate_source(
+    spark: SparkSession,
+    rows_per_second: int = 100,
+    payload_bytes: int = 1024,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Bench generator parity: N payloads/s of fixed size
+    (reference bench/main.go:24-29 — 1024 B every 10 ms).
+
+    ``num_partitions`` sizes source parallelism to the offered load — at
+    100 rows/s a handful of partitions beats the default (= cluster cores),
+    which would pay per-task overhead for near-empty partitions.
+    """
+    reader = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second)
+    if num_partitions is not None:
+        reader = reader.option("numPartitions", num_partitions)
+    return (
+        reader.load()
+        .select(
+            F.col("timestamp"),
+            F.expr(f"cast(repeat('x', {payload_bytes}) as binary)").alias("data"),
+        )
+    )
+
+
+@dataclass
+class IngestMetrics:
+    """Driver-side mirror of the sink accumulators (first-class drop metric)."""
+
+    batches: int = 0
+    records_put: int = 0
+    bytes_put: int = 0
+    rows_dropped: int = 0
+    bytes_dropped: int = 0
+    put_calls: int = 0
+    errors: list[str] = field(default_factory=list)
+
+
+def start_ingest_query(
+    source: DataFrame,
+    client_factory: Callable[[], object],
+    stream_name: str,
+    partition_key: str,
+    *,
+    record_size_limit: int = RECORD_SIZE_LIMIT,
+    put_records_limit: int = PUT_RECORDS_LIMIT,
+    put_records_size_limit: int = PUT_RECORDS_SIZE_LIMIT,
+    trigger_seconds: float = 1.0,
+    max_bytes_per_batch: int | None = None,
+    checkpoint_dir: str | None = None,
+    query_name: str = "kinesis_ingest",
+) -> tuple[StreamingQuery, IngestMetrics]:
+    """Run the reference pipeline as a streaming query.
+
+    ``max_bytes_per_batch`` is the load-shed valve: a micro-batch over
+    budget has its excess rows dropped *and counted* (reference drops are
+    silent; ours are metrics — SURVEY.md §4 quirk 4). ``None`` disables
+    shedding (pure backpressure, Spark's native mode).
+
+    ``client_factory`` must be picklable (it is called inside each
+    partition task — e.g. ``lambda: boto3.client("kinesis")`` in real use,
+    a file-spool fake in tests).
+    """
+    spark = source.sparkSession
+    sc = spark.sparkContext
+    acc_rows_dropped = sc.accumulator(0)
+    acc_bytes_dropped = sc.accumulator(0)
+    acc_records = sc.accumulator(0)
+    acc_bytes = sc.accumulator(0)
+    acc_calls = sc.accumulator(0)
+    metrics = IngestMetrics()
+
+    chunk_size = record_size_limit - len(partition_key.encode())
+    if chunk_size <= 0:
+        raise ValueError("record_size_limit must exceed partition key length")
+
+    rec_limit = put_records_limit
+    size_limit = put_records_size_limit
+    pk = partition_key
+    sname = stream_name
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        metrics.batches += 1
+        df = batch_df.select(F.col("data").cast("binary").alias("data"))
+        df = df.withColumn("nbytes", F.length("data"))
+
+        if max_bytes_per_batch is not None:
+            # Admission control: cumulative-bytes watermark over the batch.
+            # A running sum per partition would admit unevenly; a global
+            # row_number is a single-partition sort — fine at micro-batch
+            # sizes (a batch is ~seconds of data), and the admitted set is
+            # deterministic.
+            from pyspark.sql.window import Window
+
+            w = Window.orderBy(F.monotonically_increasing_id())
+            df = df.withColumn("cum_bytes", F.sum("nbytes").over(w))
+            admitted = df.filter(F.col("cum_bytes") <= max_bytes_per_batch)
+            shed = df.filter(F.col("cum_bytes") > max_bytes_per_batch)
+            shed_agg = shed.agg(
+                F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("nbytes"), F.lit(0)).alias("b")
+            ).collect()[0]
+            if shed_agg["n"]:
+                acc_rows_dropped.add(int(shed_agg["n"]))
+                acc_bytes_dropped.add(int(shed_agg["b"]))
+            df = admitted.drop("cum_bytes")
+
+        chunks = df.select(
+            F.posexplode(chunk_column(F.col("data"), F.lit(chunk_size))).alias(
+                "idx", "chunk"
+            )
+        )
+
+        def put_partition(rows) -> None:
+            # Self-contained closure: no module-level references, so it
+            # unpickles on workers regardless of their PYTHONPATH.
+            from collections import namedtuple
+
+            Rec = namedtuple("Rec", ["partition_key", "data"])
+            client = client_factory()
+            batch: list = []
+            batch_bytes = 0
+            key_len = len(pk.encode())
+
+            def flush() -> None:
+                nonlocal batch, batch_bytes
+                if batch:
+                    client.put_records(sname, batch)
+                    acc_calls.add(1)
+                    acc_records.add(len(batch))
+                    acc_bytes.add(sum(len(r.data) for r in batch))
+                    batch, batch_bytes = [], 0
+
+            for row in rows:
+                data = bytes(row.chunk)
+                rsize = key_len + len(data)
+                if batch and (
+                    len(batch) >= rec_limit or batch_bytes + rsize > size_limit
+                ):
+                    flush()
+                batch.append(Rec(pk, data))
+                batch_bytes += rsize
+            flush()
+
+        chunks.foreachPartition(put_partition)
+        # surface accumulator values driver-side after the batch completes
+        metrics.rows_dropped = acc_rows_dropped.value
+        metrics.bytes_dropped = acc_bytes_dropped.value
+        metrics.records_put = acc_records.value
+        metrics.bytes_put = acc_bytes.value
+        metrics.put_calls = acc_calls.value
+
+    writer = (
+        source.writeStream.queryName(query_name)
+        .foreachBatch(process_batch)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start(), metrics

@@ -1,0 +1,121 @@
+"""Streaming ingest tests — EP3 soak analog (bench/main.go) and the
+load-shed valve. Kept short (a few trigger periods each) for CI stability.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+import uuid
+
+import pytest
+
+from kinesis_spark.streaming.ingest import build_rate_source, start_ingest_query
+
+SPOOL = "/tmp/kinesis_spark_spool"
+
+
+class SpoolClient:
+    """put_records fake usable inside executor tasks: appends JSON lines."""
+
+    def __init__(self, spool_dir: str):
+        self.spool_dir = spool_dir
+
+    def put_records(self, stream_name, records):
+        os.makedirs(self.spool_dir, exist_ok=True)
+        path = os.path.join(self.spool_dir, f"{uuid.uuid4().hex}.jsonl")
+        with open(path, "w") as f:
+            for r in records:
+                f.write(
+                    json.dumps(
+                        {
+                            "stream": stream_name,
+                            "pk": r.partition_key,
+                            "n": len(r.data),
+                        }
+                    )
+                    + "\n"
+                )
+        return [{} for _ in records]
+
+
+def _read_spool(spool_dir):
+    out = []
+    for p in glob.glob(f"{spool_dir}/*.jsonl"):
+        with open(p) as f:
+            out.extend(json.loads(line) for line in f)
+    return out
+
+
+def _run_query(spark, spool_dir, **kwargs):
+    src = build_rate_source(spark, rows_per_second=100, payload_bytes=1024, num_partitions=2)
+    query, metrics = start_ingest_query(
+        src,
+        client_factory=lambda: SpoolClient(spool_dir),
+        stream_name="bench-stream",
+        partition_key="pk",
+        trigger_seconds=0.5,
+        **kwargs,
+    )
+    deadline = time.time() + 45
+    try:
+        while time.time() < deadline and metrics.batches < 4:
+            time.sleep(0.25)
+        assert metrics.batches >= 4, f"only {metrics.batches} batches ran"
+    finally:
+        query.stop()
+    return metrics
+
+
+@pytest.mark.streaming
+def test_soak_no_drops(spark, tmp_path):
+    """Reference bench parity: 100 KiB/s offered load, zero drops tolerated
+    (bench/main.go:18-29 — Dropped → log.Fatal)."""
+    spool = str(tmp_path / "spool")
+    metrics = _run_query(spark, spool)
+    assert metrics.rows_dropped == 0
+    assert metrics.records_put > 0
+    entries = _read_spool(spool)
+    assert entries, "no PutRecords calls reached the spool"
+    assert {e["stream"] for e in entries} == {"bench-stream"}
+    assert {e["pk"] for e in entries} == {"pk"}
+    assert {e["n"] for e in entries} == {1024}  # 1 chunk per 1024-B payload
+
+
+@pytest.mark.streaming
+def test_shed_when_over_budget(spark, tmp_path):
+    """Load-shed valve: tiny per-batch byte budget → drops counted, never
+    silent (SURVEY.md §4 quirk 4)."""
+    spool = str(tmp_path / "spool")
+    metrics = _run_query(spark, spool, max_bytes_per_batch=2048)
+    assert metrics.rows_dropped > 0
+    assert metrics.bytes_dropped >= metrics.rows_dropped * 1024
+    # admitted rows still flowed to the sink
+    assert metrics.records_put > 0
+
+
+@pytest.mark.streaming
+def test_chunking_in_stream(spark, tmp_path):
+    """Payloads above the record limit are chunked executor-side."""
+    spool = str(tmp_path / "spool")
+    src = build_rate_source(spark, rows_per_second=20, payload_bytes=1000, num_partitions=2)
+    query, metrics = start_ingest_query(
+        src,
+        client_factory=lambda: SpoolClient(spool),
+        stream_name="s",
+        partition_key="key",  # chunk_size = 300 - 3 = 297
+        record_size_limit=300,
+        trigger_seconds=0.5,
+    )
+    deadline = time.time() + 20
+    try:
+        while time.time() < deadline and metrics.records_put == 0:
+            time.sleep(0.25)
+    finally:
+        query.stop()
+    entries = _read_spool(spool)
+    assert entries
+    sizes = sorted({e["n"] for e in entries})
+    assert sizes == [109, 297], sizes  # 1000 = 3*297 + 109
