@@ -1,1 +1,158 @@
-"""Placeholder — filled in as operators land."""
+"""Aggregation operators beyond plain groupBy (SURVEY.md §2B): distinct
+aggregates, rollup/cube/grouping sets, conditional aggregation, pivot.
+
+Scale: grouping keys are low-cardinality (status/priority/flag) → partial
+aggregation collapses map-side; COUNT(DISTINCT) expands to a two-phase
+aggregate Catalyst plans automatically (no driver collect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_spark.io import load_table
+from kinesis_spark.queries import register
+
+
+def _dec(col: str, prec: int = 12, scale: int = 2):
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+@register(
+    "a1_distinct_counts",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       COUNT(DISTINCT c_nationkey) AS n_nations,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+FROM customer
+GROUP BY c_mktsegment
+""",
+    tags=("aggregate", "distinct"),
+)
+def a1_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+    )
+
+
+@register(
+    "a2_rollup_order_status",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""",
+    tags=("aggregate", "rollup"),
+)
+def a2_rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals: (status, priority) → (status) → ()."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+    )
+
+
+@register(
+    "a3_cube_lineitem_flags",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+""",
+    tags=("aggregate", "cube"),
+)
+def a3_cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations of the two flags."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(_dec("l_quantity")).cast("double").alias("total_qty"),
+    )
+
+
+@register(
+    "a4_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""",
+    tags=("aggregate", "grouping-sets"),
+)
+def a4_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via SQL (the DataFrame API has no direct
+    grouping-sets call; SQL is the idiomatic Spark surface for it)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("a4_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM a4_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "a5_conditional_agg",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
+       CAST(SUM(CASE WHEN l_discount > 0.05
+                     THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         AS discounted_revenue
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("aggregate", "conditional"),
+)
+def a5_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    zero = F.lit(0).cast("decimal(12,2)")
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("l_quantity") > 25, 1).otherwise(0)).alias("n_large"),
+        F.sum(
+            F.when(F.col("l_discount") > 0.05, _dec("l_extendedprice")).otherwise(zero)
+        )
+        .cast("double")
+        .alias("discounted_revenue"),
+    )
+
+
+@register(
+    "a6_pivot_event_types",
+    oracle="""
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events
+GROUP BY user_id
+""",
+    tags=("aggregate", "pivot"),
+)
+def a6_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (never let pivot scan for distinct
+    values at scale — that's an extra job over the whole table)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
+        .fillna(0, subset=["click", "error", "purchase", "signup", "view"])
+    )

@@ -1,1 +1,219 @@
-"""Placeholder — filled in as operators land."""
+"""Join-shape operators (SURVEY.md §2B): outer, anti, range (inequality),
+and as-of. The as-of join uses the scalable union+window formulation — one
+shuffle, no pairwise blowup — rather than a join+filter+rank over all
+candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kinesis_spark.io import load_table
+from kinesis_spark.queries import register
+
+
+@register(
+    "j1_left_outer_order_counts",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       COUNT(o.o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))),
+                     CAST(0 AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+""",
+    tags=("join", "outer"),
+)
+def j1_left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (count = 0).
+
+    Scale note: aggregate orders BEFORE the join — the join input shrinks
+    from |orders| to |customers|, and the join key is then unique on both
+    sides.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("_spent"),
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce(F.col("_n"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("_spent"), zero).cast("double").alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "j2_anti_inactive_customers",
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+)
+""",
+    tags=("join", "anti"),
+)
+def j2_anti_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS): customers with no orders since 2000."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "j3_range_join_price_bands",
+    oracle="""
+WITH bands(band_name, lo, hi) AS (
+  VALUES ('budget', 0.0, 500.0),
+         ('mid', 500.0, 1500.0),
+         ('premium', 1500.0, 100000000.0)
+)
+SELECT b.band_name, COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p.p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM part p
+JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+GROUP BY b.band_name
+""",
+    tags=("join", "range"),
+)
+def j3_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inequality (range) join against a tiny banding dim — broadcast
+    nested loop, the right physical plan for a 3-row band table."""
+    p = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 500.0), ("mid", 500.0, 1500.0), ("premium", 1500.0, 1e8)],
+        "band_name string, lo double, hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+@register(
+    "j4_asof_click_before_purchase",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       p.ts AS purchase_ts,
+       c.event_id AS click_id,
+       c.ts AS click_ts
+FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'purchase') p
+ASOF LEFT JOIN
+     (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    tags=("join", "asof"),
+)
+def j4_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the most recent click at-or-before it.
+
+    Scalable formulation: union clicks+purchases, sort once per user, and
+    carry the last click forward with last(ignorenulls) — O(n log n) within
+    each user partition, one shuffle total, versus the naive join+rank
+    which materializes every (purchase, earlier-click) pair.
+
+    (user_id, ts) pairs are unique in the fixture, so the as-of pick is
+    deterministic; ties would be broken by the marker ordering (clicks
+    sort before the purchase at equal ts, matching ASOF's >= semantics).
+    """
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("marker"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(None).cast("timestamp").alias("purchase_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("marker"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "marker")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.select(
+            "user_id",
+            "marker",
+            "purchase_id",
+            "purchase_ts",
+            F.last("click_id", ignorenulls=True).over(w).alias("click_id"),
+            F.last("click_ts", ignorenulls=True).over(w).alias("click_ts"),
+        )
+        .filter(F.col("marker") == 1)
+        .select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+    )
+
+
+@register(
+    "j5_full_outer_nation_activity",
+    oracle="""
+SELECT COALESCE(co.c_nationkey, so.s_nationkey) AS nationkey,
+       COALESCE(co.n_customers, 0) AS n_customers,
+       COALESCE(so.n_suppliers, 0) AS n_suppliers
+FROM (SELECT c_nationkey, COUNT(*) AS n_customers FROM customer
+      WHERE c_acctbal > 9500 GROUP BY c_nationkey) co
+FULL OUTER JOIN
+     (SELECT s_nationkey, COUNT(*) AS n_suppliers FROM supplier
+      WHERE s_acctbal > 5000 GROUP BY s_nationkey) so
+ON co.c_nationkey = so.s_nationkey
+""",
+    tags=("join", "full-outer"),
+)
+def j5_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9500)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full_outer").select(
+        F.coalesce(c.c_nationkey, s.s_nationkey).alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )

@@ -1,1 +1,165 @@
-"""Placeholder — filled in as operators land."""
+"""Scalar-function operators (SURVEY.md §2B: string / date / math / array /
+map / json). Everything is a built-in ``pyspark.sql.functions`` expression —
+JVM-side, whole-stage-codegen'd; no Python in the row path.
+
+Determinism notes: transcendental functions (ln/exp/trig) are NOT
+guaranteed bit-identical across libm implementations, so these queries
+stick to correctly-rounded IEEE ops (sqrt, rounding, abs, exact int math).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_spark.io import load_table
+from kinesis_spark.queries import register
+
+
+@register(
+    "sc1_string_funcs",
+    oracle="""
+SELECT p_partkey,
+       UPPER(p_brand) AS brand_upper,
+       CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS BIGINT) AS brand_num,
+       LENGTH(p_name) AS name_len,
+       SUBSTRING(p_type, 1, 4) AS type_prefix,
+       CONCAT(p_brand, '/', p_type) AS brand_type,
+       REPLACE(p_type, 'ECONOMY', 'ECO') AS type_short,
+       CAST(CASE WHEN p_name LIKE '%red%' THEN 1 ELSE 0 END AS BIGINT) AS has_red
+FROM part
+WHERE p_partkey <= 500
+""",
+    tags=("scalar", "string"),
+)
+def sc1_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.regexp_extract("p_brand", r"Brand#([0-9]+)", 1).cast("bigint").alias("brand_num"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.substring("p_type", 1, 4).alias("type_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_type", "ECONOMY", "ECO").alias("type_short"),
+        F.when(F.col("p_name").like("%red%"), 1).otherwise(0).cast("bigint").alias("has_red"),
+    )
+
+
+@register(
+    "sc2_date_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+       CAST(MONTH(o_orderdate) AS BIGINT) AS order_month,
+       CAST(QUARTER(o_orderdate) AS BIGINT) AS order_quarter,
+       CAST(DAY(o_orderdate) AS BIGINT) AS order_day,
+       DATE_TRUNC('month', o_orderdate) AS month_start,
+       o_orderdate + INTERVAL 90 DAY AS due_date,
+       DATE_DIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_start
+FROM orders
+WHERE o_orderkey <= 1000
+""",
+    tags=("scalar", "date"),
+)
+def sc2_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.quarter("o_orderdate").cast("bigint").alias("order_quarter"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("bigint")
+        .alias("days_since_epoch_start"),
+    )
+
+
+@register(
+    "sc3_math_funcs",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice, 1) AS price_rounded,
+       CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+       CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+       ABS(l_extendedprice - 1000.0) AS dist_from_1000,
+       SQRT(l_quantity) AS qty_sqrt,
+       CAST(POWER(l_quantity, 2) AS DOUBLE) AS qty_sq,
+       CAST(l_orderkey % 7 AS BIGINT) AS key_mod
+FROM lineitem
+WHERE l_orderkey <= 600
+""",
+    tags=("scalar", "math"),
+)
+def sc3_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 600)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_rounded"),
+        F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+        F.abs(F.col("l_extendedprice") - 1000.0).alias("dist_from_1000"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.pow("l_quantity", 2).cast("double").alias("qty_sq"),
+        (F.col("l_orderkey") % 7).cast("bigint").alias("key_mod"),
+    )
+
+
+@register(
+    "sc4_array_funcs",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       CAST(embedding[1] AS DOUBLE) AS first_component,
+       CAST(list_max(embedding) AS DOUBLE) AS max_component,
+       CAST(list_min(embedding) AS DOUBLE) AS min_component,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive
+FROM embeddings
+WHERE vec_id <= 100
+""",
+    tags=("scalar", "array"),
+)
+def sc4_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops over embedding vectors — all codegen'd, no UDF."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") <= 100)
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_component"),
+        F.array_max("embedding").cast("double").alias("max_component"),
+        F.array_min("embedding").cast("double").alias("min_component"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("bigint").alias("n_positive"),
+    )
+
+
+@register(
+    "sc5_json_funcs",
+    oracle="""
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS prop_k_mod,
+       CAST(CASE WHEN json_extract_string(props, '$.missing') IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS missing_is_null
+FROM events
+WHERE event_id <= 2000
+""",
+    tags=("scalar", "json"),
+)
+def sc5_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props string column."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.select(
+        "event_id",
+        "event_type",
+        k.alias("prop_k"),
+        (k % 10).alias("prop_k_mod"),
+        F.when(F.get_json_object("props", "$.missing").isNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("missing_is_null"),
+    )

@@ -1,1 +1,98 @@
-"""Placeholder — filled in as operators land."""
+"""Set operations (SURVEY.md §2B): union / intersect / except, distinct
+and multiset (ALL) variants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_spark.io import load_table
+from kinesis_spark.queries import register
+
+
+def _custkeys_in_year(spark, sf_dir, year: int) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+    ).select("o_custkey")
+
+
+@register(
+    "s1_union_segments",
+    oracle="""
+SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 9000
+""",
+    tags=("setop", "union"),
+)
+def s1_union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two overlapping customer selections."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_mktsegment")
+    b = c.filter(F.col("c_acctbal") > 9000).select("c_custkey", "c_mktsegment")
+    return a.union(b).distinct()
+
+
+@register(
+    "s2_intersect_repeat_buyers",
+    oracle="""
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+""",
+    tags=("setop", "intersect"),
+)
+def s2_intersect_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers active in both 1996 and 1997."""
+    return _custkeys_in_year(spark, sf_dir, 1996).intersect(
+        _custkeys_in_year(spark, sf_dir, 1997)
+    )
+
+
+@register(
+    "s3_except_churned",
+    oracle="""
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+EXCEPT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+""",
+    tags=("setop", "except"),
+)
+def s3_except_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers active in 1996 but not 1997 (distinct EXCEPT)."""
+    return _custkeys_in_year(spark, sf_dir, 1996).subtract(
+        _custkeys_in_year(spark, sf_dir, 1997)
+    )
+
+
+@register(
+    "s4_union_all_order_events",
+    oracle="""
+SELECT o_custkey AS entity_id, 'order' AS kind FROM orders
+WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+UNION ALL
+SELECT user_id AS entity_id, 'event' AS kind FROM events
+WHERE event_type = 'purchase'
+""",
+    tags=("setop", "union-all"),
+)
+def s4_union_all_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset UNION ALL across heterogeneous sources (unionByName)."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("entity_id"), F.lit("order").alias("kind"))
+    )
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("entity_id"), F.lit("event").alias("kind"))
+    )
+    return o.unionByName(e)

@@ -52,6 +52,12 @@ def compare(spark_df, oracle_df: pd.DataFrame, name: str = "") -> None:
     )
     assert len(got) == len(want), f"{name}: row count spark={len(got)} oracle={len(want)}"
     for c in got.columns:
+        gk, wk = got[c].dtype.kind, want[c].dtype.kind
+        assert gk == wk, (
+            f"{name}.{c}: dtype kind mismatch spark={got[c].dtype} oracle={want[c].dtype} "
+            "(align widths: e.g. DuckDB SUM(int)→HUGEINT vs Spark BIGINT)"
+        )
+    for c in got.columns:
         g, w = got[c], want[c]
         if pd.api.types.is_float_dtype(g):
             ok = (
