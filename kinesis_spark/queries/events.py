@@ -1,1 +1,234 @@
-"""Placeholder — filled in as operators land."""
+"""Event-stream analytics in batch form (SURVEY.md §2B streaming row):
+tumbling/sliding windows, sessionization (gaps-and-islands), daily JSON
+rollups. The same transforms run on ``readStream`` DataFrames — windowing
+and sessionization here are expressed with watermark-compatible column ops
+(see tests/test_streaming_events.py for the streaming drive).
+
+Window buckets are computed with field-based (naive) datetime math —
+``date_trunc`` + minute arithmetic — identical in any session timezone,
+rather than ``F.window()`` whose epoch alignment renders differently
+across timezones.
+
+Scale: every query groups on (bucket, type) or (user, session) — partial
+aggregation + single shuffle; sessionization shuffles once on user_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kinesis_spark.io import load_table
+from kinesis_spark.queries import register
+
+
+def _dec_value():
+    return F.col("value").cast("decimal(18,6)")
+
+
+def _bucket5(col: str = "ts"):
+    # 5-minute tumbling bucket, field-based: trunc to hour + 5-min floor
+    return F.expr(
+        f"date_trunc('hour', {col}) + make_dt_interval(0, 0, (minute({col}) div 5) * 5, 0)"
+    )
+
+
+@register(
+    "e1_daily_type_rollup",
+    oracle="""
+SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("events", "aggregate", "json"),
+)
+def e1_daily_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec_value()).cast("double").alias("total_value"),
+            F.sum(F.get_json_object("props", "$.k").cast("bigint"))
+            .cast("bigint")
+            .alias("total_k"),
+        )
+    )
+
+
+@register(
+    "e2_tumbling_window_counts",
+    oracle="""
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+         + to_minutes((minute(CAST(ts AS TIMESTAMP))//5)*5) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+WHERE ts < TIMESTAMP '2024-01-03'
+GROUP BY 1, 2
+""",
+    tags=("events", "window-tumbling"),
+)
+def e2_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling windows (streaming shape: groupBy(window(ts)))."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-03").cast("timestamp")
+    )
+    return (
+        e.groupBy(_bucket5().alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec_value()).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "e3_sliding_window_counts",
+    oracle="""
+WITH b AS (
+  SELECT event_type, value,
+         date_trunc('hour', CAST(ts AS TIMESTAMP))
+           + to_minutes((minute(CAST(ts AS TIMESTAMP))//10)*10) AS b0
+  FROM events
+  WHERE ts < TIMESTAMP '2024-01-02'
+)
+SELECT window_start, event_type, COUNT(*) AS n_events
+FROM (
+  SELECT event_type, value, unnest([b0, b0 - INTERVAL 10 MINUTE]) AS window_start
+  FROM b
+)
+GROUP BY 1, 2
+""",
+    tags=("events", "window-sliding"),
+)
+def e3_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-minute windows sliding every 10: each event lands in 2 windows
+    (explode of the 2 candidate starts — how Spark's window() works
+    physically, but timezone-stable)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-02").cast("timestamp")
+    )
+    b0 = F.expr(
+        "date_trunc('hour', ts) + make_dt_interval(0, 0, (minute(ts) div 10) * 10, 0)"
+    )
+    return (
+        e.select(
+            "event_type",
+            F.explode(
+                F.array(b0, b0 - F.expr("INTERVAL 10 MINUTES"))
+            ).alias("window_start"),
+        )
+        .groupBy("window_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "e4_sessionization",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER w)
+                   > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_s
+FROM sessions
+GROUP BY user_id, session_seq
+""",
+    tags=("events", "session"),
+)
+def e4_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap (gaps-and-islands).
+
+    Batch analog of session_window(ts, '30 minutes'); one shuffle on
+    user_id, sessions assembled with two window passes + a groupBy on the
+    same key (no extra shuffle — same partitioning reused).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    prev_ts = F.lag("ts").over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            prev_ts.isNull()
+            | (F.unix_micros("ts") - F.unix_micros(prev_ts) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.withColumn(
+        "session_seq", F.sum("new_session").over(wcum).cast("bigint")
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        # integer `div` (not `/`): float division + cast could land a hair
+        # under an exact integer quotient
+        F.expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000").alias(
+            "duration_s"
+        ),
+    )
+
+
+@register(
+    "e5_user_activity_profile",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_type) AS n_types,
+       MIN(CAST(ts AS TIMESTAMP)) AS first_seen,
+       MAX(CAST(ts AS TIMESTAMP)) AS last_seen,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+""",
+    tags=("events", "aggregate"),
+)
+def e5_user_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_errors"),
+        F.sum(_dec_value()).cast("double").alias("total_value"),
+    )

@@ -1,1 +1,257 @@
-"""Placeholder — filled in as operators land."""
+"""Similarity search over the ``embeddings`` table (BASELINE north star).
+
+Three tiers:
+- sim1: brute-force cosine top-k — the correctness baseline. Cosine is a
+  sequential double fold (bit-identical to DuckDB's
+  list_cosine_similarity, verified); ranking uses the ROUNDED cosine +
+  vec_id so the order is stable across engines and implementations.
+- sim2: sign-LSH bucketed ANN — the scale path: bucket = sign bits of the
+  first 8 components; candidates only join within a bucket (equi-join).
+  At 100 TB this is the shape that avoids the all-pairs shuffle.
+- sim3: per-label centroids via exact DECIMAL component sums — the
+  building block for IVF-style coarse quantization.
+- sim4: the same top-k as sim1 computed with an Arrow-batched Pandas UDF
+  (numpy BLAS) — the vectorized fast path; shares sim1's oracle because
+  ranking is on the rounded cosine.
+
+Query set = first 10 vec_ids; k = 5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kinesis_spark.io import load_table
+from kinesis_spark.queries import register
+
+N_QUERIES = 10
+TOP_K = 5
+
+_TOPK_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+  FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id
+)
+SELECT query_id, match_id, cos_sim, rank
+FROM (
+  SELECT query_id, match_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, match_id) AS BIGINT) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+def _cosine(va, vb):
+    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    na = F.sqrt(F.aggregate(F.transform(va, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    nb = F.sqrt(F.aggregate(F.transform(vb, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    return F.round(dot / (na * nb), 6)
+
+
+def _doubled(df):
+    return df.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+
+@register("sim1_topk_cosine", oracle=_TOPK_ORACLE, tags=("similarity", "topk"))
+def sim1_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (tiny) query set against the
+    corpus — one narrow pass over the corpus, per-query top-k via window."""
+    e = _doubled(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("match_id"), F.col("v").alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "match_id",
+            _cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+@register(
+    "sim2_lsh_bucketed_ann",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_aggregate(list_transform(range(1, 9),
+             i -> CASE WHEN embedding[CAST(i AS INT)] >= 0 THEN '1' ELSE '0' END),
+             'string_agg', '') AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS match_id, q.bucket,
+         ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+  FROM e q JOIN e c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, match_id, bucket, cos_sim, rank
+FROM (
+  SELECT query_id, match_id, bucket, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, match_id) AS BIGINT) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+""",
+    tags=("similarity", "ann", "lsh"),
+)
+def sim2_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN: candidates share the 8-bit sign bucket of their first
+    components (a fixed, deterministic hyperplane set). Recall is partial —
+    that's the ANN trade — but the candidate join is an equi-join on an
+    8-char key instead of an all-pairs product."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = F.concat(
+        *[
+            F.when(F.element_at("embedding", i) >= 0, "1").otherwise("0")
+            for i in range(1, 9)
+        ]
+    )
+    ed = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        bucket.alias("bucket"),
+    )
+    q = ed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    c = ed.select(F.col("vec_id").alias("match_id"), F.col("v").alias("cv"),
+                  F.col("bucket").alias("cbucket"))
+    scored = (
+        q.join(c, (F.col("bucket") == F.col("cbucket"))
+               & (F.col("match_id") != F.col("query_id")))
+        .select("query_id", "match_id", "bucket",
+                _cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+@register(
+    "sim3_label_centroids",
+    oracle="""
+SELECT label, idx,
+       CAST(SUM(CAST(FLOOR(CAST(comp AS DOUBLE) * 1073741824.0) AS DECIMAL(38,0)))
+            AS DOUBLE) / 1073741824.0 / COUNT(*) AS mean_component,
+       COUNT(*) AS n_vecs
+FROM (
+  SELECT label, CAST(i AS BIGINT) AS idx, embedding[CAST(i AS INT)] AS comp
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+)
+GROUP BY label, idx
+""",
+    tags=("similarity", "centroid"),
+)
+def sim3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components (IVF coarse-quantizer building block).
+
+    Determinism: components are quantized to exact integers with
+    ``floor(comp * 2^30)`` (scaling by a power of two and floor are both
+    exact double ops — identical in every engine, unlike double→DECIMAL
+    casts which round representation ties differently), summed exactly as
+    DECIMAL(38,0), then divided back. Centroid error ≤ 2^-30 per element.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("idx0", "comp")
+    ).select(
+        "label",
+        (F.col("idx0") + 1).cast("bigint").alias("idx"),
+        F.floor(F.col("comp").cast("double") * F.lit(1073741824.0))
+        .cast("decimal(38,0)")
+        .alias("qcomp"),
+    )
+    return exploded.groupBy("label", "idx").agg(
+        (
+            F.sum("qcomp").cast("double") / F.lit(1073741824.0) / F.count(F.lit(1))
+        ).alias("mean_component"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+@register("sim4_topk_pandas", oracle=_TOPK_ORACLE, tags=("similarity", "pandas-udf"))
+def sim4_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same top-k as sim1, computed with an Arrow-batched Pandas UDF
+    (numpy matmul) — the vectorized fast path for wide fan-outs. BLAS
+    accumulation order differs from a sequential fold, but ranking on the
+    6-dp-rounded cosine keeps results identical.
+
+    The query matrix is tiny (k vectors) and rides into the closure; the
+    corpus streams through mapInPandas partition-parallel — no driver
+    collect of the corpus, no all-pairs shuffle.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q_rows = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # k×64 floats — a broadcast-sized side input, not a corpus collect
+    q_ids = [int(r.vec_id) for r in q_rows]
+    q_mat = [[float(x) for x in r.embedding] for r in q_rows]
+    top_k = TOP_K
+
+    def score_partition(batches):
+        # self-contained closure (no module refs) → unpickles anywhere
+        import numpy as np
+        import pandas as pd
+
+        qm = np.asarray(q_mat, dtype=np.float64)
+        qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        qid_arr = np.asarray(q_ids)
+        for batch in batches:
+            if not len(batch):
+                continue
+            ids = batch["vec_id"].to_numpy()
+            cm = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
+            )
+            cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = qn @ cn.T  # (k, batch)
+            k, n = sims.shape
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(qid_arr, n),
+                    "match_id": np.tile(ids, k),
+                    "cos_sim": np.round(sims.ravel(), 6),
+                }
+            )
+            out = out[out.query_id != out.match_id]
+            # per-batch prune: keep top_k per query to shrink the shuffle
+            out = (
+                out.sort_values(["query_id", "cos_sim", "match_id"],
+                                ascending=[True, False, True])
+                .groupby("query_id", sort=False)
+                .head(top_k)
+            )
+            yield out
+
+    scored = e.select("vec_id", "embedding").mapInPandas(
+        score_partition,
+        schema="query_id long, match_id long, cos_sim double",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+    )

@@ -1,1 +1,229 @@
-"""Placeholder — filled in as operators land."""
+"""Text-analysis operators over ``documents`` (BASELINE north star:
+token counting, quality scoring, language-ID heuristic, fingerprinting).
+
+All pure column expressions (split/transform/aggregate) — no Python UDFs,
+so the hot path is JVM-vectorized and scales linearly with documents;
+every query is a narrow map + one aggregate at most.
+
+Determinism: token/char counts are exact ints; ratios are single
+int/int double divisions (correctly rounded, identical cross-engine);
+weighted scores combine exact doubles with a fixed operation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_spark.io import load_table
+from kinesis_spark.queries import register
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+@register(
+    "t1_token_stats",
+    oracle="""
+SELECT doc_id, lang, source,
+       CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+       LENGTH(text) AS n_chars,
+       CAST(len(list_distinct(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+         AS n_unique_tokens,
+       CAST(list_sum(list_transform(regexp_split_to_array(text, '\\s+'),
+                                    t -> LENGTH(t))) AS BIGINT) AS total_token_chars
+FROM documents
+""",
+    tags=("text", "tokens"),
+)
+def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + uniqueness profile per document."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", r"\s+")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+        )
+        .cast("bigint")
+        .alias("total_token_chars"),
+    )
+
+
+@register(
+    "t2_quality_score",
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id, lang,
+         LENGTH(text) AS n_chars,
+         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                   t -> list_contains({list(STOPWORDS)!r}, t))) AS BIGINT) AS n_stop,
+         LENGTH(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+         CAST(len(list_distinct(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+           AS n_unique
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, n_tokens,
+       CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+       CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+       CAST(n_unique AS DOUBLE) / n_tokens AS ttr,
+       0.4 * (CAST(n_stop AS DOUBLE) / n_tokens)
+         + 0.4 * (CAST(n_unique AS DOUBLE) / n_tokens)
+         + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS quality_score
+FROM f
+""",
+    tags=("text", "quality"),
+)
+def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: stopword density + type-token ratio +
+    length prior (the usual pre-training corpus filters)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks).cast("bigint")
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+        "bigint"
+    )
+    n_chars = F.length("text").cast("bigint")
+    n_punct = F.length(F.regexp_replace("text", r"[^.!?,;:]", "")).cast("bigint")
+    n_unique = F.size(F.array_distinct(toks)).cast("bigint")
+    stop_ratio = n_stop.cast("double") / n_tokens
+    punct_ratio = n_punct.cast("double") / n_chars
+    ttr = n_unique.cast("double") / n_tokens
+    return d.select(
+        "doc_id",
+        "lang",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        ttr.alias("ttr"),
+        (
+            F.lit(0.4) * stop_ratio
+            + F.lit(0.4) * ttr
+            + F.lit(0.2) * F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0))
+        ).alias("quality_score"),
+    )
+
+
+@register(
+    "t3_lang_id",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                   t -> list_contains(['the','a','of'], t))) AS BIGINT) AS s_en,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                   t -> list_contains(['der','die','das','und'], t))) AS BIGINT) AS s_de,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                   t -> list_contains(['el','los','las','y'], t))) AS BIGINT) AS s_es,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                   t -> list_contains(['le','les','et','une'], t))) AS BIGINT) AS s_fr
+  FROM documents
+)
+SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
+       CASE
+         WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+         WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+         WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+         WHEN s_fr > 0 THEN 'fr'
+         ELSE 'unknown'
+       END AS predicted_lang
+FROM scored
+""",
+    tags=("text", "langid"),
+)
+def t3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID (n-gram-heuristic family). The fixture
+    corpus shares one vocabulary across langs, so prediction quality is
+    data-limited — the operator semantics (deterministic argmax with fixed
+    tie order) are what's exercised."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", r"\s+")
+
+    def marker_count(words: list[str]):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("bigint")
+
+    s_en = marker_count(["the", "a", "of"])
+    s_de = marker_count(["der", "die", "das", "und"])
+    s_es = marker_count(["el", "los", "las", "y"])
+    s_fr = marker_count(["le", "les", "et", "une"])
+    pred = (
+        F.when((s_en >= s_de) & (s_en >= s_es) & (s_en >= s_fr) & (s_en > 0), "en")
+        .when((s_de >= s_es) & (s_de >= s_fr) & (s_de > 0), "de")
+        .when((s_es >= s_fr) & (s_es > 0), "es")
+        .when(s_fr > 0, "fr")
+        .otherwise("unknown")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        s_en.alias("s_en"),
+        s_de.alias("s_de"),
+        s_es.alias("s_es"),
+        s_fr.alias("s_fr"),
+        pred.alias("predicted_lang"),
+    )
+
+
+@register(
+    "t4_char_bigrams",
+    oracle="""
+SELECT bigram, COUNT(*) AS n
+FROM (
+  SELECT unnest(list_transform(range(1, LENGTH(text)),
+                               i -> substring(text, CAST(i AS INT), 2))) AS bigram
+  FROM documents
+  WHERE LENGTH(text) >= 2
+)
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+""",
+    tags=("text", "ngram"),
+)
+def t4_char_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level character-bigram profile, top 20 (explode + count —
+    partial aggregation collapses the per-partition bigram counts before
+    the shuffle)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("text") - 1),
+        lambda i: F.substring(F.col("text"), i, F.lit(2)),
+    )
+    return (
+        d.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+@register(
+    "t5_doc_fingerprint",
+    oracle="""
+SELECT doc_id,
+       list_min(list_transform(range(1, LENGTH(text) - 6),
+                               i -> md5(substring(text, CAST(i AS INT), 8))))
+         AS fingerprint
+FROM documents
+WHERE LENGTH(text) >= 8
+""",
+    tags=("text", "fingerprint"),
+)
+def t5_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: min hash over all char-8-gram
+    md5s (rolling-hash family, deterministic across engines)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("text") - 7),
+        lambda i: F.md5(F.substring(F.col("text"), i, F.lit(8))),
+    )
+    return d.select("doc_id", F.array_min(grams).alias("fingerprint"))
