@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the
+reference soak analog (bench/main.go: 100 KiB/s offered load, zero drops
+tolerated), and prints ONE JSON line:
+
+  {"metric": "suite_seconds", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1,
+   "ingest": {"kib_per_s": ..., "rows_dropped": ...}}
+
+Each query is materialized with the noop sink (full execution, no driver
+materialization cost). Results are wall-clock per query, cold cache.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from kinesis_spark.queries import get_registry  # noqa: E402
+from kinesis_spark.session import get_spark  # noqa: E402
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    # warm the JVM / parquet footers so the first query isn't charged for it
+    from kinesis_spark.io import load_table
+
+    for t in ("lineitem", "orders", "documents", "embeddings", "events"):
+        load_table(spark, sf_dir, t).count()
+    times: dict[str, float] = {}
+    for name, q in sorted(get_registry().items()):
+        t0 = time.monotonic()
+        try:
+            materialize(q.spark_fn(spark, sf_dir))
+            times[name] = round(time.monotonic() - t0, 3)
+        except Exception as exc:  # keep the suite going; report the failure
+            times[name] = -1.0
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+    return times
+
+
+def bench_ingest_soak(spark, seconds: float = 6.0) -> dict:
+    """Reference bench parity (bench/main.go:24-29): 100 × 1 KiB rows/s
+    through the 1 s-trigger streaming pipeline; drops must stay 0."""
+    from kinesis_spark.streaming.ingest import build_rate_source, start_ingest_query
+
+    class NullClient:
+        def put_records(self, stream_name, records):
+            return [{} for _ in records]
+
+    src = build_rate_source(spark, rows_per_second=100, payload_bytes=1024,
+                            num_partitions=2)
+    query, metrics = start_ingest_query(
+        src,
+        client_factory=lambda: NullClient(),
+        stream_name="bench",
+        partition_key="pk",
+        trigger_seconds=1.0,
+        query_name="bench_soak",
+    )
+    # measure steady-state: clock from the first completed batch so JVM/
+    # stream warmup doesn't dilute the rate
+    t0 = time.monotonic()
+    first_bytes = first_t = None
+    try:
+        while time.monotonic() - t0 < seconds + 4:
+            time.sleep(0.25)
+            if first_bytes is None and metrics.bytes_put > 0:
+                first_bytes, first_t = metrics.bytes_put, time.monotonic()
+            if first_t is not None and time.monotonic() - first_t >= seconds:
+                break
+    finally:
+        query.stop()
+    if first_t is None:
+        return {"kib_per_s": 0.0, "records_put": 0, "rows_dropped": 0,
+                "put_calls": 0, "seconds": 0.0}
+    elapsed = time.monotonic() - first_t
+    return {
+        "kib_per_s": round((metrics.bytes_put - first_bytes) / 1024.0 / elapsed, 1),
+        "records_put": metrics.records_put,
+        "rows_dropped": metrics.rows_dropped,
+        "put_calls": metrics.put_calls,
+        "seconds": round(elapsed, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("kinesis_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.monotonic()
+    queries = bench_queries(spark, sf_dir)
+    ingest = bench_ingest_soak(spark)
+    total = round(time.monotonic() - t0, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "ingest": ingest,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -146,7 +146,21 @@ def d3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(
         F.size(F.split("text", r"\s+")) >= 3
     )
-    sigs = d.select("doc_id", *_minhash_sig_spark(_shingles()))
+    # Explode shingles, hash each once per seed, min-agg per doc. The
+    # Generate (explode) node is a projection barrier, so the regex
+    # tokenization runs exactly once per document — expressing the 8
+    # minhashes as sibling array expressions lets CollapseProject inline
+    # the shingle expression 8× (~100 s at sf0.1; ~3 s this way). The
+    # groupBy shuffles only (doc_id, 8×32-B hash) partial mins.
+    exploded = d.select(
+        "doc_id", F.explode(_shingles()).alias("s")
+    )
+    sigs = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{seed}#"), F.col("s")))).alias(f"mh{seed}")
+            for seed in range(N_HASHES)
+        ]
+    )
     band_key = F.explode(
         F.array(
             *[
