@@ -25,6 +25,9 @@ from kinesis_spark.queries import register
 
 N_HASHES = 8  # minhash signature length
 BAND_ROWS = 2  # rows per LSH band → 4 bands
+SIM_BITS = 60  # simhash width: 15 md5 hex chars → fits signed int64 exactly
+SIM_BAND_BITS = 15  # 4 bands of 15 bits for simhash LSH
+SIM_HAMMING_MAX = 8  # near-dup threshold on 60-bit signatures
 
 
 def _shingles(col="text", k: int = 3):
@@ -234,6 +237,137 @@ def d4_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             jac.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.05)
+    )
+
+
+def _simhash_sums_sql() -> str:
+    """Per-bit signed vote sums over term-frequency-weighted token hashes."""
+    return ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIM_BITS)
+    )
+
+
+_SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM toks WHERE tok <> ''
+),
+votes AS (
+  SELECT doc_id, {_simhash_sums_sql()}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id,
+       {" + ".join(f"(CASE WHEN s{j} > 0 THEN CAST(1 AS BIGINT) << {j} ELSE 0 END)" for j in range(SIM_BITS))}
+         AS simhash
+FROM votes
+"""
+
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → 60-bit SimHash. One explode + one groupBy; the 60 vote
+    sums partial-aggregate map-side, so the shuffle carries only
+    (doc_id, 60 longs) per doc regardless of document size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+    votes = toks.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(SIM_BITS)
+        ]
+    )
+    simhash = None
+    for j in range(SIM_BITS):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1).cast("bigint") * (1 << j)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        simhash = bit if simhash is None else simhash + bit
+    return votes.select("doc_id", simhash.alias("simhash"))
+
+
+@register(
+    "d6_simhash_signature",
+    oracle=_SIMHASH_ORACLE,
+    tags=("dedup", "simhash"),
+)
+def d6_simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(60-bit) per document: per-bit majority vote over md5 token
+    hashes, term-frequency weighted. Bit-identical across engines because
+    the hash, the vote, and the bit assembly are all exact integer math."""
+    return _simhash_df(spark, sf_dir)
+
+
+@register(
+    "d7_simhash_pairs",
+    oracle=f"""
+WITH sigs AS ({_SIMHASH_ORACLE}),
+bands AS (
+  SELECT doc_id, simhash, b.band_idx,
+         (simhash >> (b.band_idx * {SIM_BAND_BITS})) & {(1 << SIM_BAND_BITS) - 1} AS band_val
+  FROM sigs, (SELECT unnest(range({SIM_BITS // SIM_BAND_BITS})) AS band_idx) b
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIM_HAMMING_MAX}
+""",
+    tags=("dedup", "simhash", "lsh"),
+)
+def d7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via banded LSH: 60-bit signatures split into
+    4×15-bit bands; docs sharing any band become candidates (equi-join on
+    (band_idx, band_val) — never all-pairs), then exact Hamming distance
+    filters to ≤ {SIM_HAMMING_MAX}. At 100 TB the band join shuffles only
+    (doc_id, simhash, 2 ints) rows."""
+    sigs = _simhash_df(spark, sf_dir)
+    n_bands = SIM_BITS // SIM_BAND_BITS
+    mask = (1 << SIM_BAND_BITS) - 1
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright("simhash", b * SIM_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("bigint")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIM_HAMMING_MAX)
+        .distinct()
     )
 
 
