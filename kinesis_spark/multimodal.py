@@ -1,0 +1,161 @@
+"""Multimodal column support: image/audio/video payloads as opaque
+``binary`` columns with typed metadata, processed by Arrow-batched
+Pandas UDFs (``mapInPandas``).
+
+The reference (remind101/kinesis) treats every payload as an opaque
+``[]byte`` (kinesis/kinesis.go:199,213) — this module is the analytics
+extension of that byte-oriented model: payloads stay binary end-to-end;
+Spark never deserializes them JVM-side, and per-payload compute runs in
+vectorized Arrow batches, never row-at-a-time Python.
+
+Scale design:
+- Payloads are never collected to the driver; ``mapInPandas`` streams
+  Arrow batches partition-parallel.
+- Metadata (modality, codec, declared dims) travels in narrow typed
+  columns so filters on it are Catalyst-pushable without touching bytes.
+- Real codecs (PIL / ffmpeg / soundfile) are NOT in this container:
+  ``decode_media`` raises ``NotImplementedError`` unless
+  ``fake=True``, which substitutes a deterministic header-parse fake so
+  the Spark-side plumbing (schema, batching, partitioning) is fully
+  testable. The fake derives every output field from payload bytes
+  alone, so a SQL oracle can replay it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MODALITIES = ("image", "audio", "video")
+
+#: Schema of a multimodal media table: opaque payload + typed metadata.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+#: Output schema of decode_media / the decode mapInPandas stage.
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("checksum", T.StringType()),
+    ]
+)
+
+
+def media_table(documents: DataFrame) -> DataFrame:
+    """Derive a deterministic media table from ``documents``: the UTF-8
+    bytes of ``text`` become the opaque payload; modality round-robins
+    on doc_id. (The driver fixtures carry no real media blobs; at
+    production scale this is ``spark.read.format('binaryFile')`` or a
+    parquet table with a true binary column — same schema either way.)
+    """
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(*[F.lit(m) for m in MODALITIES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.octet_length(F.encode("text", "UTF-8")).cast("bigint").alias("n_bytes"),
+    )
+
+
+def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic header-parse 'decode': dims from the first payload
+    bytes, frame count from length, md5 checksum. Pure function of the
+    payload so DuckDB can replay it exactly."""
+    import hashlib
+
+    payloads = pdf["payload"]
+    first = payloads.map(lambda b: b[0] if len(b) > 0 else 0).astype("int64")
+    second = payloads.map(lambda b: b[1] if len(b) > 1 else 0).astype("int64")
+    n_bytes = payloads.map(len).astype("int64")
+    return pd.DataFrame(
+        {
+            "media_id": pdf["media_id"],
+            "modality": pdf["modality"],
+            "n_bytes": n_bytes,
+            "width": first + 1,
+            "height": second + 1,
+            "n_frames": n_bytes // 64 + 1,
+            "checksum": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
+        }
+    )
+
+
+def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode payloads to typed features via ``mapInPandas``.
+
+    Real decoding needs codec libraries not present in this container;
+    pass ``fake=True`` for the deterministic header-parse fake. The
+    Arrow plumbing — batch iteration, output schema, partition
+    parallelism — is identical in both paths.
+    """
+    if not fake:
+        def _real(_: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            raise NotImplementedError(
+                "real media decode requires PIL/ffmpeg/soundfile, which are "
+                "not installed; use decode_media(media, fake=True)"
+            )
+        return media.mapInPandas(_real, schema=DECODED_SCHEMA)
+
+    def _fake(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _fake_decode_batch(pdf)
+
+    return media.mapInPandas(_fake, schema=DECODED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 256, every_k: int = 4) -> DataFrame:
+    """Frame-sample: treat each payload as fixed-size frames and keep
+    every k-th frame, JVM-side (substring on binary — no Python). At
+    scale this is the cheap pre-filter before a real decoder sees data:
+    bytes shrink by ~1/k before any UDF runs."""
+    n_frames = F.ceil(F.col("n_bytes") / F.lit(frame_bytes)).cast("int")
+    frame_idx = F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx")
+    frames = media.select("media_id", "modality", "payload", frame_idx)
+    return (
+        frames.filter(F.col("frame_idx") % every_k == 0)
+        .select(
+            "media_id",
+            "modality",
+            F.col("frame_idx").cast("bigint").alias("frame_idx"),
+            F.substring(
+                "payload", F.col("frame_idx") * frame_bytes + 1, F.lit(frame_bytes)
+            ).alias("frame"),
+        )
+    )
+
+
+def nibble_histogram(media: DataFrame) -> DataFrame:
+    """Byte-content features without Python: 16-bin histogram over the
+    hex-nibble distribution of each payload, computed entirely JVM-side
+    (hex + length arithmetic stays inside whole-stage codegen)."""
+    hexed = media.select(
+        "media_id", "modality", "n_bytes", F.hex("payload").alias("hx")
+    )
+    bins = [
+        (
+            (
+                F.length("hx")
+                - F.length(F.replace(F.col("hx"), F.lit(format(i, "X")), F.lit("")))
+            ).cast("bigint")
+        ).alias(f"nib_{format(i, 'x')}")
+        for i in range(16)
+    ]
+    return hexed.select("media_id", "modality", "n_bytes", *bins)

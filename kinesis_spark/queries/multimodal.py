@@ -1,0 +1,146 @@
+"""Multimodal-column queries: opaque binary payloads + typed metadata,
+decode/frame-sample/feature-extract — the Spark surface of
+``kinesis_spark.multimodal``.
+
+The payloads are the UTF-8 bytes of ``documents.text`` (deterministic;
+the fixtures carry no real media). The fixture corpus is pure ASCII, so
+the DuckDB oracles replay byte-level semantics (slicing, md5, hex) over
+VARCHAR exactly — verified: octet_length(encode(text)) == length(text)
+for every row at every SF.
+
+Reference parity: the reference treats payloads as opaque bytes end to
+end (kinesis/kinesis.go:199,213); these queries are the analytics
+extension of that model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_spark.io import load_table
+from kinesis_spark.multimodal import (
+    decode_media,
+    media_table,
+    nibble_histogram,
+    sample_frames,
+)
+from kinesis_spark.queries import register
+
+_MODALITY_SQL = "(['image','audio','video'])[doc_id % 3 + 1]"
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_table(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "mm1_media_catalog",
+    oracle=f"""
+SELECT {_MODALITY_SQL} AS modality,
+       COUNT(*) AS n_media,
+       CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
+       CAST(MIN(length(text)) AS BIGINT) AS min_bytes,
+       CAST(MAX(length(text)) AS BIGINT) AS max_bytes
+FROM documents
+GROUP BY {_MODALITY_SQL}
+""",
+    tags=("multimodal", "metadata"),
+)
+def mm1_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog stats over typed metadata only — payload bytes are never
+    touched, so Catalyst prunes the binary column out of the scan."""
+    return _media(spark, sf_dir).groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("n_bytes").alias("min_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+    )
+
+
+@register(
+    "mm2_decode_features",
+    oracle=f"""
+SELECT doc_id AS media_id,
+       {_MODALITY_SQL} AS modality,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(ascii(substr(text, 1, 1)) + 1 AS BIGINT) AS width,
+       CAST(CASE WHEN length(text) > 1 THEN ascii(substr(text, 2, 1))
+                 ELSE 0 END + 1 AS BIGINT) AS height,
+       CAST(length(text) // 64 + 1 AS BIGINT) AS n_frames,
+       md5(text) AS checksum
+FROM documents
+""",
+    tags=("multimodal", "decode", "pandas_udf"),
+)
+def mm2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode stage over ``mapInPandas`` (deterministic header-parse
+    fake; real codecs are stubbed — see kinesis_spark.multimodal). The
+    oracle replays the fake byte-for-byte, proving the Arrow round-trip
+    (binary in, typed features out) is lossless."""
+    return decode_media(_media(spark, sf_dir), fake=True)
+
+
+@register(
+    "mm3_frame_sample",
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         (['image','audio','video'])[doc_id % 3 + 1] AS modality,
+         text, length(text) AS nb
+  FROM documents
+),
+f AS (
+  SELECT media_id, modality, text,
+         unnest(range(0, (nb + 255) // 256)) AS frame_idx
+  FROM m
+)
+SELECT media_id, modality, CAST(frame_idx AS BIGINT) AS frame_idx,
+       md5(substr(text, CAST(frame_idx * 256 + 1 AS INT), 256)) AS frame_md5,
+       CAST(length(substr(text, CAST(frame_idx * 256 + 1 AS INT), 256)) AS BIGINT)
+         AS frame_bytes
+FROM f
+WHERE frame_idx % 4 = 0
+""",
+    tags=("multimodal", "frames"),
+)
+def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling: payload → 256-byte frames, keep every 4th —
+    entirely JVM-side binary substring (no Python in the hot path); the
+    1/4 byte reduction happens before any decoder would run."""
+    frames = sample_frames(_media(spark, sf_dir), frame_bytes=256, every_k=4)
+    return frames.select(
+        "media_id",
+        "modality",
+        "frame_idx",
+        F.md5("frame").alias("frame_md5"),
+        F.octet_length("frame").cast("bigint").alias("frame_bytes"),
+    )
+
+
+_NIB_SQL = ", ".join(
+    f"CAST(length(hx) - length(replace(hx, '{format(i, 'X')}', '')) AS BIGINT)"
+    f" AS nib_{format(i, 'x')}"
+    for i in range(16)
+)
+
+
+@register(
+    "mm4_nibble_histogram",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id AS media_id,
+         (['image','audio','video'])[doc_id % 3 + 1] AS modality,
+         CAST(length(text) AS BIGINT) AS n_bytes,
+         hex(encode(text)) AS hx
+  FROM documents
+)
+SELECT media_id, modality, n_bytes, {_NIB_SQL}
+FROM h
+""",
+    tags=("multimodal", "features"),
+)
+def mm4_nibble_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-content feature extraction without Python: 16-bin hex-nibble
+    histogram per payload, all inside whole-stage codegen."""
+    return nibble_histogram(_media(spark, sf_dir))

@@ -1,0 +1,69 @@
+"""Multimodal library: binary payload plumbing (frame sampling, decode
+stub, Arrow round-trip) beyond the registry-level oracle checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_spark.io import load_table
+from kinesis_spark.multimodal import (
+    DECODED_SCHEMA,
+    decode_media,
+    media_table,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    return media_table(load_table(spark, sf_dir, "documents")).cache()
+
+
+def test_every_frame_reassembles_payload(spark, media):
+    """every_k=1 must partition the payload exactly: concatenating the
+    frames in order reproduces the original bytes."""
+    frames = sample_frames(media, frame_bytes=128, every_k=1)
+    rebuilt = (
+        frames.groupBy("media_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("frame_idx", F.hex("frame").alias("hx")))
+                    ),
+                    lambda s: s["hx"],
+                )
+            , "").alias("hx")
+        )
+    )
+    orig = media.select("media_id", F.hex("payload").alias("want"))
+    bad = (
+        rebuilt.join(orig, "media_id")
+        .filter(F.col("hx") != F.col("want"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_frame_sample_keeps_every_kth(media):
+    frames = sample_frames(media, frame_bytes=64, every_k=3)
+    assert frames.filter(F.col("frame_idx") % 3 != 0).count() == 0
+    # first frame always sampled → at least one frame per payload
+    assert frames.select("media_id").distinct().count() == media.count()
+
+
+def test_decode_real_path_is_stubbed(media):
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as exc_info:
+        decode_media(media, fake=False).limit(1).collect()
+    assert "NotImplementedError" in str(exc_info.value)
+
+
+def test_decode_fake_schema_and_determinism(media):
+    out = decode_media(media, fake=True)
+    assert out.schema == DECODED_SCHEMA
+    a = {r["media_id"]: r["checksum"] for r in out.collect()}
+    b = {r["media_id"]: r["checksum"] for r in decode_media(media, fake=True).collect()}
+    assert a == b and len(a) == media.count()
