@@ -1,0 +1,122 @@
+"""Event-time streaming analytics: every operator is checked by
+batch/streaming parity — the same transform function runs over the
+events table as a batch DataFrame and as a file-source stream drained
+with availableNow; results must agree."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_spark.io import load_table
+from kinesis_spark.streaming.analytics import (
+    dedup_within_watermark,
+    run_to_completion,
+    running_user_totals,
+    session_windows,
+    sliding_value_sum,
+    stream_events,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(sf_dir, tmp_path_factory):
+    """events.parquet alone in a directory (file-source requirement)."""
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def events_dir_with_dups(sf_dir, tmp_path_factory):
+    """The same events file twice → every event_id appears twice."""
+    d = tmp_path_factory.mktemp("events_dups")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-000.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-001.parquet")
+    return str(d)
+
+
+def _rows(df, cols):
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.select(*cols).collect())
+
+
+@pytest.mark.streaming
+def test_tumbling_parity(spark, sf_dir, events_dir):
+    batch = tumbling_counts(load_table(spark, sf_dir, "events"))
+    stream = run_to_completion(
+        tumbling_counts(stream_events(spark, events_dir)),
+        output_mode="complete",
+        query_name="t_tumbling",
+    )
+    cols = ["win_start", "win_end", "event_type", "n_events"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
+@pytest.mark.streaming
+def test_sliding_parity(spark, sf_dir, events_dir):
+    batch = sliding_value_sum(load_table(spark, sf_dir, "events"))
+    stream = run_to_completion(
+        sliding_value_sum(stream_events(spark, events_dir)),
+        output_mode="complete",
+        query_name="t_sliding",
+    )
+    cols = ["win_start", "win_end", "n_events", "sum_value"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
+@pytest.mark.streaming
+def test_session_parity(spark, sf_dir, events_dir):
+    batch = session_windows(load_table(spark, sf_dir, "events"))
+    stream = run_to_completion(
+        session_windows(stream_events(spark, events_dir)),
+        output_mode="complete",
+        query_name="t_session",
+    )
+    cols = ["user_id", "sess_start", "sess_end", "n_events"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
+@pytest.mark.streaming
+def test_dedup_within_watermark(spark, sf_dir, events_dir_with_dups):
+    """Doubled input → exactly the original events survive the
+    watermarked dedup (state keyed by event_id, bounded by watermark)."""
+    out = run_to_completion(
+        dedup_within_watermark(stream_events(spark, events_dir_with_dups)),
+        output_mode="append",
+        query_name="t_dedup",
+    )
+    n_orig = load_table(spark, sf_dir, "events").count()
+    assert out.count() == n_orig
+    assert out.select("event_id").distinct().count() == n_orig
+
+
+@pytest.mark.streaming
+def test_stateful_running_totals_parity(spark, sf_dir, events_dir):
+    """applyInPandasWithState running totals: after a full drain the
+    latest update per user equals the batch aggregate."""
+    stream = run_to_completion(
+        running_user_totals(stream_events(spark, events_dir, max_files_per_trigger=1)),
+        output_mode="update",
+        query_name="t_stateful",
+    )
+    # update mode may emit a row per micro-batch per user; keep the last
+    final = (
+        stream.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("tv"))
+        .collect()
+    )
+    batch = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert len(final) == len(batch)
+    for r in final:
+        n, t = batch[r["user_id"]]
+        assert r["n_events"] == n
+        assert r["tv"] == pytest.approx(t, rel=1e-9)
