@@ -32,9 +32,9 @@ def materialize(df) -> None:
 
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     # warm the JVM / parquet footers so the first query isn't charged for it
-    from kinesis_spark.io import load_table
+    from kinesis_spark.io import TABLES, load_table
 
-    for t in ("lineitem", "orders", "documents", "embeddings", "events"):
+    for t in TABLES:
         load_table(spark, sf_dir, t).count()
     times: dict[str, float] = {}
     for name, q in sorted(get_registry().items()):

@@ -30,9 +30,29 @@ SIM_BAND_BITS = 15  # 4 bands of 15 bits for simhash LSH
 SIM_HAMMING_MAX = 8  # near-dup threshold on 60-bit signatures
 
 
-def _shingles(col="text", k: int = 3):
-    """Distinct word-k-gram shingle array (sorted for determinism)."""
-    toks = F.split(col, r"\s+")
+def _tokens_barrier(d: DataFrame, min_words: int | None = None) -> DataFrame:
+    """doc_id + token array, with the regex split evaluated exactly once
+    per document.
+
+    The explode-of-one-element-array is a Generate node — a projection
+    barrier CollapseProject cannot cross — so downstream shingle lambdas
+    reference a bound array attribute instead of re-inlining the split
+    expression. Without the barrier, ``element_at(split(text), i+j)``
+    re-runs the regex once per element access inside ``transform`` (HOF
+    lambdas get no subexpression elimination): ~160 splits/doc, ~7 s at
+    sf0.1 vs ~1 s with the barrier.
+    """
+    out = d.select(
+        "doc_id", F.explode(F.array(F.split("text", r"\s+"))).alias("toks")
+    )
+    if min_words is not None:
+        out = out.filter(F.size("toks") >= min_words)
+    return out
+
+
+def _shingles_of(toks, k: int = 3):
+    """Distinct word-k-gram shingle array (sorted for determinism) from a
+    pre-tokenized array column (see _tokens_barrier)."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (k - 1)),
         lambda i: F.concat_ws(
@@ -146,17 +166,15 @@ def d3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = docs sharing at least one band. The join is an equi-join on
     band_key — no all-pairs blowup; at 100 TB the band join shuffles only
     (doc_id, 64-B key) pairs."""
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.size(F.split("text", r"\s+")) >= 3
-    )
-    # Explode shingles, hash each once per seed, min-agg per doc. The
-    # Generate (explode) node is a projection barrier, so the regex
-    # tokenization runs exactly once per document — expressing the 8
-    # minhashes as sibling array expressions lets CollapseProject inline
-    # the shingle expression 8× (~100 s at sf0.1; ~3 s this way). The
-    # groupBy shuffles only (doc_id, 8×32-B hash) partial mins.
-    exploded = d.select(
-        "doc_id", F.explode(_shingles()).alias("s")
+    tokd = _tokens_barrier(load_table(spark, sf_dir, "documents"), min_words=3)
+    # Explode shingles, hash each once per seed, min-agg per doc:
+    # tokenization runs once per document (barrier), each shingle is
+    # hashed 8× (vs the naive sibling-array form where CollapseProject
+    # inlines the whole shingle pipeline into each of the 8 minhash
+    # expressions — ~100 s at sf0.1; ~2 s this way). The groupBy
+    # shuffles only (doc_id, 8×32-B hash) partial mins.
+    exploded = tokd.select(
+        "doc_id", F.explode(_shingles_of(F.col("toks"))).alias("s")
     )
     sigs = exploded.groupBy("doc_id").agg(
         *[
@@ -214,10 +232,11 @@ def d4_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard on a bounded doc subset (the verification
     stage that follows LSH candidate generation; |A∪B| computed as
     |A|+|B|−|A∩B| since the shingle arrays are distinct)."""
-    d = load_table(spark, sf_dir, "documents").filter(
-        (F.size(F.split("text", r"\s+")) >= 3) & (F.col("doc_id") < 50)
+    tokd = _tokens_barrier(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50),
+        min_words=3,
     )
-    sh = d.select("doc_id", _shingles(k=2).alias("shingles"))
+    sh = tokd.select("doc_id", _shingles_of(F.col("toks"), k=2).alias("shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
     n_inter = F.size(
@@ -389,10 +408,19 @@ def d5_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     only formed within a block (at scale: block on a coarse quantization /
     cluster id, same shape). Cosine = sequential double fold — verified
     bit-identical to DuckDB's list_cosine_similarity."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    v = F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    # norm per ROW (2k evaluations), not per pair (200k at sf0.1): the
+    # projection sits below the self-join, so each side computes its norm
+    # once; only the dot-product fold runs per pair. Same fp result — the
+    # norm expression is identical, just evaluated earlier.
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", v)
+    e = e.withColumn(
+        "norm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+            )
+        ),
     )
     a = e.alias("a")
     b = e.alias("b")
@@ -401,17 +429,7 @@ def d5_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm_a = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("a.v"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        )
-    )
-    norm_b = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("b.v"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        )
-    )
-    cos = F.round(dot / (norm_a * norm_b), 6)
+    cos = F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6)
     return (
         a.join(
             b,

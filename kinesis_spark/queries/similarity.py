@@ -49,17 +49,25 @@ WHERE rank <= {TOP_K}
 """
 
 
-def _cosine(va, vb):
+def _norm(v):
+    return F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+
+
+def _cosine_pre(va, vb, na, nb):
+    """Cosine from precomputed per-ROW norms: only the dot-product fold
+    runs per pair (norms are evaluated once per row below the join —
+    same fp result, ~3× less interpreted-HOF work per pair)."""
     dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-    na = F.sqrt(F.aggregate(F.transform(va, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
-    nb = F.sqrt(F.aggregate(F.transform(vb, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
     return F.round(dot / (na * nb), 6)
 
 
 def _doubled(df):
-    return df.select(
+    d = df.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
+    return d.withColumn("norm", _norm(F.col("v")))
 
 
 @register("sim1_topk_cosine", oracle=_TOPK_ORACLE, tags=("similarity", "topk"))
@@ -68,15 +76,19 @@ def sim1_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — one narrow pass over the corpus, per-query top-k via window."""
     e = _doubled(load_table(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
     )
-    c = e.select(F.col("vec_id").alias("match_id"), F.col("v").alias("cv"))
+    c = e.select(F.col("vec_id").alias("match_id"), F.col("v").alias("cv"),
+                 F.col("norm").alias("cnorm"))
     scored = (
         c.join(F.broadcast(q), F.col("match_id") != F.col("query_id"))
         .select(
             "query_id",
             "match_id",
-            _cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+            _cosine_pre(
+                F.col("qv"), F.col("cv"), F.col("qnorm"), F.col("cnorm")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("match_id"))
@@ -129,17 +141,19 @@ def sim2_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         bucket.alias("bucket"),
-    )
+    ).withColumn("norm", _norm(F.col("v")))
     q = ed.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket",
+        F.col("norm").alias("qnorm"),
     )
     c = ed.select(F.col("vec_id").alias("match_id"), F.col("v").alias("cv"),
-                  F.col("bucket").alias("cbucket"))
+                  F.col("bucket").alias("cbucket"), F.col("norm").alias("cnorm"))
     scored = (
         q.join(c, (F.col("bucket") == F.col("cbucket"))
                & (F.col("match_id") != F.col("query_id")))
         .select("query_id", "match_id", "bucket",
-                _cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
+                _cosine_pre(F.col("qv"), F.col("cv"),
+                            F.col("qnorm"), F.col("cnorm")).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("match_id"))
     return (
