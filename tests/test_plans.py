@@ -1,0 +1,86 @@
+"""Physical-plan audits: the properties that matter at 100 TB —
+predicate pushdown into the parquet scan, column pruning, broadcast
+joins for dims, and two-phase (partial/final) aggregation — asserted on
+the actual executed plans so a regression is a test failure, not a
+silent 100× slowdown."""
+
+from __future__ import annotations
+
+import pytest
+
+from kinesis_spark.queries import get_registry
+
+REGISTRY = get_registry()
+
+
+@pytest.fixture(scope="module")
+def plan_of(spark, sf_dir):
+    def _plan(name: str) -> str:
+        import contextlib
+        import io
+
+        df = REGISTRY[name].spark_fn(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")  # untruncated scan details + codegen ids
+        return buf.getvalue()
+
+    return _plan
+
+
+def test_q6_filters_push_to_scan(plan_of):
+    plan = plan_of("q6_revenue_change")
+    assert "PushedFilters: [" in plan
+    # the range + quantity predicates reach the parquet reader
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity" in plan
+
+
+def test_q6_column_pruning(plan_of):
+    plan = plan_of("q6_revenue_change")
+    scan = plan[plan.index("ReadSchema") :]
+    # scan reads only the 4 needed columns of 11
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in scan
+    for col in ("l_orderkey", "l_partkey", "l_returnflag", "l_tax"):
+        assert col not in scan
+
+
+def test_q5_dims_broadcast(plan_of):
+    plan = plan_of("q5_local_supplier_volume")
+    # 6-way join: every dim side broadcast, only the fact-fact join shuffles
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_q1_partial_aggregation(plan_of):
+    plan = plan_of("q1_pricing_summary")
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    import re
+
+    # exactly one shuffle, and it carries agg buffers, not raw rows
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_d2_shuffles_hash_not_text(plan_of):
+    """Content-hash dedup's exchange must carry the 64-char hash, not
+    document bodies (the reason d2 exists next to d1)."""
+    plan = plan_of("d2_content_hash_dedup")
+    import re
+
+    parts = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert parts and all(p == "content_hash" for p in parts), parts
+    assert "partial_min" in plan
+
+
+def test_sim1_query_side_broadcast(plan_of):
+    plan = plan_of("sim1_topk_cosine")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_events_scan_prunes_props(plan_of):
+    """e2 aggregates only (ts, event_type): the wide props JSON column
+    must not be read."""
+    plan = plan_of("e2_tumbling_window_counts")
+    scan = plan[plan.index("ReadSchema") :]
+    assert "props" not in scan
