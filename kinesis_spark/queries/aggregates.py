@@ -156,3 +156,50 @@ def a6_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
         .fillna(0, subset=["click", "error", "purchase", "signup", "view"])
     )
+
+
+@register(
+    "a7_exact_percentiles",
+    oracle="""
+SELECT event_type,
+       quantile_cont("value", 0.25) AS p25,
+       quantile_cont("value", 0.50) AS p50,
+       quantile_cont("value", 0.90) AS p90,
+       quantile_cont("value", 0.99) AS p99
+FROM events
+GROUP BY event_type
+""",
+    tags=("aggregate", "percentile"),
+)
+def a7_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share linear interpolation on the sorted
+    values — verified bit-identical). Exact percentile sorts per group;
+    at 100 TB prefer a8's sketch unless exactness is required."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25D)").alias("p25"),
+        F.expr("percentile(value, 0.50D)").alias("p50"),
+        F.expr("percentile(value, 0.90D)").alias("p90"),
+        F.expr("percentile(value, 0.99D)").alias("p99"),
+    )
+
+
+@register(
+    "a8_sketch_aggregates",
+    oracle=None,  # sketch internals differ per engine; accuracy pinned in pytest
+    tags=("aggregate", "sketch", "approx"),
+)
+def a8_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates — the 100 TB path for distincts and
+    quantiles: HyperLogLog++ (``approx_count_distinct``) and the
+    Greenwald-Khanna/KLL-style ``percentile_approx``. Both are
+    mergeable, bounded-memory, one-pass — no per-group sort, no exact
+    distinct shuffle. tests/test_sketches.py pins their error bounds
+    against the exact answers."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -217,3 +217,40 @@ def j5_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame
         F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
         F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
     )
+
+
+@register(
+    "j6_salted_skew_join",
+    oracle="""
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e."value" AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+    tags=("join", "skew", "salt"),
+)
+def j6_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join for skewed keys, proven semantics-preserving by the
+    plain-join oracle: the fact side gets a salt from a uniform hash of
+    its row id, the dim side is replicated SALT times (explode of a
+    sequence), and the join runs on (key, salt) — a hot key's rows
+    spread over SALT reducers instead of one. At these SFs AQE's skew
+    handling suffices; this operator is the explicit variant for
+    1000-executor skew that AQE can't split (e.g. a single key bigger
+    than one executor's memory)."""
+    SALT = 8
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.hash("event_id"), F.lit(SALT))
+    )
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1)))
+    )
+    joined = e.join(
+        c, (e.user_id == c.c_custkey) & (e.salt == c.salt)
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+    )
