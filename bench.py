@@ -48,24 +48,31 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
-def bench_ingest_soak(spark, seconds: float = 6.0) -> dict:
-    """Reference bench parity (bench/main.go:24-29): 100 × 1 KiB rows/s
-    through the 1 s-trigger streaming pipeline; drops must stay 0."""
+def bench_ingest_soak(spark, seconds: float = 6.0, rows_per_second: int = 100,
+                      payload_bytes: int = 1024, num_partitions: int = 2,
+                      name: str = "bench_soak") -> dict:
+    """Reference bench parity (bench/main.go:24-29): N × payload rows/s
+    through the 1 s-trigger streaming pipeline; drops must stay 0.
+
+    Run twice: at the reference's offered load (100 KiB/s) and at the
+    reference's implied per-writer ceiling (~4 MiB/s, BASELINE.md) to
+    show pipeline headroom."""
     from kinesis_spark.streaming.ingest import build_rate_source, start_ingest_query
 
     class NullClient:
         def put_records(self, stream_name, records):
             return [{} for _ in records]
 
-    src = build_rate_source(spark, rows_per_second=100, payload_bytes=1024,
-                            num_partitions=2)
+    src = build_rate_source(spark, rows_per_second=rows_per_second,
+                            payload_bytes=payload_bytes,
+                            num_partitions=num_partitions)
     query, metrics = start_ingest_query(
         src,
         client_factory=lambda: NullClient(),
         stream_name="bench",
         partition_key="pk",
         trigger_seconds=1.0,
-        query_name="bench_soak",
+        query_name=name,
     )
     # measure steady-state: clock from the first completed batch so JVM/
     # stream warmup doesn't dilute the rate
@@ -101,6 +108,12 @@ def main() -> None:
     t0 = time.monotonic()
     queries = bench_queries(spark, sf_dir)
     ingest = bench_ingest_soak(spark)
+    # headroom: reference's implied per-writer ceiling (4 MiB buffer /
+    # 1 s flush, BASELINE.md) = 4 MiB/s offered as 512 × 8 KiB rows/s
+    headroom = bench_ingest_soak(
+        spark, rows_per_second=512, payload_bytes=8192, num_partitions=4,
+        name="bench_headroom",
+    )
     total = round(time.monotonic() - t0, 3)
     print(
         json.dumps(
@@ -111,6 +124,7 @@ def main() -> None:
                 "queries": queries,
                 "sf": sf,
                 "ingest": ingest,
+                "ingest_headroom": headroom,
             }
         )
     )
