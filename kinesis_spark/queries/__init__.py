@@ -58,6 +58,7 @@ def load_all_modules() -> None:
         events,
         ingest_ops,
         joins,
+        mllib_lsh,
         multimodal,
         scalars,
         setops,

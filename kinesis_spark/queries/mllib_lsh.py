@@ -1,0 +1,113 @@
+"""MLlib LSH variants of near-dup and ANN — the built-in Spark scale
+path next to the engine-portable implementations in dedup.py /
+similarity.py.
+
+These are registered WITHOUT oracles: MLlib's hash families are
+JVM-specific (seeded random projections / universal hashing), so no
+other engine can replay them bit-for-bit. The driver records a
+rows-only check; the semantic guarantees (recall vs the exact
+operators) are pinned in tests/test_mllib_lsh.py instead.
+
+Scale notes: ``approxSimilarityJoin`` explodes each row to its hash
+buckets and equi-joins on (band, bucket) — the same no-all-pairs shape
+as d3/d7/sim2, but with MLlib's tuned hash families and native vector
+ops instead of expression-level md5 folds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_spark.io import load_table
+from kinesis_spark.queries import register
+
+SEED = 42
+
+
+def _shingle_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → sparse HashingTF vectors over word 2-shingles (binary,
+    because MinHash is a set sketch)."""
+    from pyspark.ml.feature import HashingTF
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array(F.split("text", r"\s+"))).alias("toks")
+    ).filter(F.size("toks") >= 2)
+    sh = toks.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+            ),
+        ).alias("shingles"),
+    )
+    tf = HashingTF(inputCol="shingles", outputCol="features",
+                   numFeatures=1 << 18, binary=True)
+    return tf.transform(sh).select("doc_id", "features")
+
+
+@register(
+    "d8_minhash_lsh_mllib",
+    oracle=None,  # MLlib hash family is engine-specific; recall pinned in pytest
+    tags=("dedup", "minhash", "mllib"),
+)
+def d8_minhash_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MLlib MinHashLSH.approxSimilarityJoin at
+    Jaccard distance ≤ 0.6 over word-2-shingle sets."""
+    from pyspark.ml.feature import MinHashLSH
+
+    vecs = _shingle_vectors(spark, sf_dir)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes",
+                    numHashTables=8, seed=SEED)
+    model = mh.fit(vecs)
+    pairs = model.approxSimilarityJoin(vecs, vecs, 0.6, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )
+
+
+@register(
+    "sim5_brp_ann_mllib",
+    oracle=None,  # seeded random projections; recall pinned in pytest
+    tags=("similarity", "ann", "mllib"),
+)
+def sim5_brp_ann_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euclidean ANN via BucketedRandomProjectionLSH: approxSimilarityJoin
+    of the 10-query set against the corpus, then per-query top-5 by true
+    distance — the IVF-ish two-stage (coarse bucket, exact rerank)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        array_to_vector(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0,
+        numHashTables=4, seed=SEED,
+    )
+    model = brp.fit(e)
+    q = e.filter(F.col("vec_id") < 10)
+    joined = model.approxSimilarityJoin(q, e, float("inf"), distCol="dist")
+    scored = joined.filter(
+        F.col("datasetA.vec_id") != F.col("datasetB.vec_id")
+    ).select(
+        F.col("datasetA.vec_id").alias("query_id"),
+        F.col("datasetB.vec_id").alias("match_id"),
+        F.round("dist", 6).alias("dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+    )
