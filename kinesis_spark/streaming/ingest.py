@@ -58,6 +58,7 @@ class IngestMetrics:
     rows_dropped: int = 0
     bytes_dropped: int = 0
     put_calls: int = 0
+    records_retried: int = 0
     errors: list[str] = field(default_factory=list)
 
 
@@ -93,6 +94,7 @@ def start_ingest_query(
     acc_records = sc.accumulator(0)
     acc_bytes = sc.accumulator(0)
     acc_calls = sc.accumulator(0)
+    acc_retried = sc.accumulator(0)
     metrics = IngestMetrics()
 
     chunk_size = record_size_limit - len(partition_key.encode())
@@ -147,13 +149,35 @@ def start_ingest_query(
             key_len = len(pk.encode())
 
             def flush() -> None:
+                # At-least-once: re-put records whose response entry has
+                # ErrorCode set (the reference ignores PutRecordsOutput
+                # entirely — kinesis/kinesis.go:221,236; SURVEY §4 quirk 2).
                 nonlocal batch, batch_bytes
-                if batch:
-                    client.put_records(sname, batch)
+                if not batch:
+                    return
+                pending = batch
+                for _attempt in range(4):
+                    responses = client.put_records(sname, pending)
                     acc_calls.add(1)
-                    acc_records.add(len(batch))
-                    acc_bytes.add(sum(len(r.data) for r in batch))
-                    batch, batch_bytes = [], 0
+                    failed = [
+                        rec
+                        for rec, resp in zip(pending, responses or [])
+                        if isinstance(resp, dict) and resp.get("ErrorCode")
+                    ]
+                    ok = len(pending) - len(failed)
+                    acc_records.add(ok)
+                    acc_bytes.add(
+                        sum(len(r.data) for r in pending) - sum(len(r.data) for r in failed)
+                    )
+                    if not failed:
+                        batch, batch_bytes = [], 0
+                        return
+                    acc_retried.add(len(failed))
+                    pending = failed
+                raise RuntimeError(
+                    f"{len(pending)} records still failing after retries "
+                    f"on stream {sname!r}"
+                )
 
             for row in rows:
                 data = bytes(row.chunk)
@@ -173,6 +197,7 @@ def start_ingest_query(
         metrics.records_put = acc_records.value
         metrics.bytes_put = acc_bytes.value
         metrics.put_calls = acc_calls.value
+        metrics.records_retried = acc_retried.value
 
     writer = (
         source.writeStream.queryName(query_name)

@@ -119,3 +119,54 @@ def test_chunking_in_stream(spark, tmp_path):
     assert entries
     sizes = sorted({e["n"] for e in entries})
     assert sizes == [109, 297], sizes  # 1000 = 3*297 + 109
+
+
+class FlakyClient(SpoolClient):
+    """Fails every record on its first attempt (ErrorCode set), succeeds
+    on retry — exercises the at-least-once path per partition task."""
+
+    def __init__(self, spool_dir: str):
+        super().__init__(spool_dir)
+        self._seen: set = set()
+
+    def put_records(self, stream_name, records):
+        responses = []
+        fresh = []
+        for r in records:
+            key = (r.partition_key, bytes(r.data))
+            if key in self._seen:
+                fresh.append(r)
+                responses.append({})
+            else:
+                self._seen.add(key)
+                responses.append({"ErrorCode": "ProvisionedThroughputExceededException"})
+        if fresh:
+            super().put_records(stream_name, fresh)
+        return responses
+
+
+@pytest.mark.streaming
+def test_error_code_records_are_retried(spark, tmp_path):
+    """SURVEY.md §4 quirk 2 fix: the reference discards PutRecordsOutput;
+    our sink re-puts ErrorCode entries → at-least-once delivery."""
+    spool = str(tmp_path / "spool")
+    src = build_rate_source(spark, rows_per_second=50, payload_bytes=512,
+                            num_partitions=2)
+    query, metrics = start_ingest_query(
+        src,
+        client_factory=lambda: FlakyClient(spool),
+        stream_name="retry-stream",
+        partition_key="pk",
+        trigger_seconds=0.5,
+    )
+    deadline = time.time() + 30
+    try:
+        while time.time() < deadline and metrics.records_put < 20:
+            time.sleep(0.25)
+    finally:
+        query.stop()
+    assert metrics.records_retried > 0, "no retries happened"
+    assert metrics.records_put >= 20
+    entries = _read_spool(spool)
+    # every spooled record arrived exactly once despite first-try failures
+    assert len(entries) == metrics.records_put
