@@ -175,6 +175,46 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def click_purchase_join(
+    events: DataFrame, watermark: str = "1 hour", within_minutes: int = 30
+) -> DataFrame:
+    """Stream-stream inner join: each purchase paired with every click by
+    the same user in the preceding ``within_minutes``. Both sides carry
+    watermarks and the join has a time-range bound, so state eviction is
+    provable — without the bound, stream-stream join state grows forever.
+    Works identically on batch input (parity-tested)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {within_minutes} MINUTES"))
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+    )
+
+
 def run_to_completion(
     df: DataFrame,
     output_mode: str,

@@ -120,3 +120,18 @@ def test_stateful_running_totals_parity(spark, sf_dir, events_dir):
         n, t = batch[r["user_id"]]
         assert r["n_events"] == n
         assert r["tv"] == pytest.approx(t, rel=1e-9)
+
+
+@pytest.mark.streaming
+def test_stream_stream_join_parity(spark, sf_dir, events_dir):
+    from kinesis_spark.streaming.analytics import click_purchase_join
+
+    batch = click_purchase_join(load_table(spark, sf_dir, "events"))
+    stream = run_to_completion(
+        click_purchase_join(stream_events(spark, events_dir)),
+        output_mode="append",
+        query_name="t_ssjoin",
+    )
+    cols = ["user_id", "purchase_id", "purchase_ts", "click_id", "click_ts"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+    assert stream.count() > 0  # non-degenerate at this SF
