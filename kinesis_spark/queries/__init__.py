@@ -65,6 +65,7 @@ def load_all_modules() -> None:
         similarity,
         textstats,
         tpch,
+        udf_ops,
         windows,
     )
 

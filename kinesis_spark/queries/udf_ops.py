@@ -1,0 +1,127 @@
+"""User-defined function surface: Python UDTF (table function) and
+``applyInPandas`` grouped-map — the §2B UDF/UDAF/UDTF rows that aren't
+already covered by mapInPandas (sim4) and applyInPandasWithState
+(streaming).
+
+Both are deliberately deterministic pure functions of their inputs so
+the DuckDB oracle can replay them exactly — proving the Arrow/pickle
+round-trips are lossless, not just that the plumbing runs.
+
+Scale notes: UDTFs run row-at-a-time Python even with Arrow transfer —
+at 100 TB prefer explode over built-in expressions (i1/t4 style); the
+UDTF exists for the API surface and for logic that genuinely needs
+imperative Python. applyInPandas shuffles each group to one task:
+groups must fit in executor memory (here: documents per (lang, source),
+bounded); for unbounded groups use window functions instead.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kinesis_spark.io import load_table
+from kinesis_spark.queries import register
+
+
+CHUNK_WORDS = 8
+
+
+@register(
+    "u1_word_chunk_udtf",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+),
+i AS (
+  SELECT doc_id, toks,
+         unnest(range(1, CAST(ceil(len(toks) / {CHUNK_WORDS}.0) AS BIGINT) + 1)) AS ci
+  FROM t
+)
+SELECT doc_id,
+       CAST(ci AS BIGINT) AS chunk_idx,
+       array_to_string(
+         list_slice(toks, (ci - 1) * {CHUNK_WORDS} + 1,
+                    least(ci * {CHUNK_WORDS}, len(toks))), ' ') AS chunk_text,
+       CAST(least(ci * {CHUNK_WORDS}, len(toks)) - (ci - 1) * {CHUNK_WORDS} AS BIGINT)
+         AS n_words
+FROM i
+""",
+    tags=("udtf", "text"),
+)
+def u1_word_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF: one document row → N fixed-width word chunks via a
+    LATERAL table function (the text analogue of the ingest byte
+    chunker). The chunk rule (8 words, 1-based index, short tail) is
+    replayed exactly by the oracle."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx: bigint, chunk_text: string, n_words: bigint")
+    class ChunkWords:
+        def eval(self, text: str):
+            import re
+
+            toks = re.split(r"\s+", text)
+            for i in range(0, len(toks), CHUNK_WORDS):
+                chunk = toks[i : i + CHUNK_WORDS]
+                yield i // CHUNK_WORDS + 1, " ".join(chunk), len(chunk)
+
+    spark.udtf.register("chunk_words", ChunkWords)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_docs_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, s.chunk_idx, s.chunk_text, s.n_words "
+        "FROM _docs_udtf d, LATERAL chunk_words(d.text) s"
+    )
+
+
+_RANK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("rank_in_group", T.LongType()),
+        T.StructField("group_size", T.LongType()),
+        T.StructField("chars_vs_min", T.LongType()),
+    ]
+)
+
+
+def _rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Pure-pandas grouped map: deterministic rank by (n_chars, doc_id),
+    plus integer distance to the group minimum."""
+    out = pdf.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+    out["rank_in_group"] = range(1, len(out) + 1)
+    out["group_size"] = len(out)
+    out["chars_vs_min"] = out["n_chars"] - out["n_chars"].min()
+    return out[
+        ["doc_id", "lang", "source", "n_chars", "rank_in_group", "group_size",
+         "chars_vs_min"]
+    ]
+
+
+@register(
+    "u2_grouped_rank_pandas",
+    oracle="""
+SELECT doc_id, lang, source, n_chars,
+       CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
+                               ORDER BY n_chars, doc_id) AS BIGINT) AS rank_in_group,
+       CAST(COUNT(*) OVER (PARTITION BY lang, source) AS BIGINT) AS group_size,
+       CAST(n_chars - MIN(n_chars) OVER (PARTITION BY lang, source) AS BIGINT)
+         AS chars_vs_min
+FROM documents
+""",
+    tags=("udf", "applyInPandas", "window"),
+)
+def u2_grouped_rank_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInPandas`` grouped map computing per-(lang, source) ranks —
+    integer-only math so the window-function oracle matches bitwise.
+    (The same result is expressible with Window functions — see the
+    oracle; the point is exercising the grouped-map Arrow path against
+    a known-exact answer.)"""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return d.groupBy("lang", "source").applyInPandas(_rank_group, schema=_RANK_SCHEMA)
