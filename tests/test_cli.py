@@ -1,0 +1,74 @@
+"""CLI parity (reference main.go): pipe a file through the chunk/batch/
+put pipeline and verify every byte reaches the sink."""
+
+from __future__ import annotations
+
+import glob
+import io
+import json
+import os
+import subprocess
+import sys
+
+from kinesis_spark.__main__ import SpoolSink, main
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spooled(spool):
+    out = []
+    for p in glob.glob(f"{spool}/*.jsonl"):
+        with open(p) as f:
+            out.extend(json.loads(line) for line in f)
+    return out
+
+
+def test_main_pipes_all_bytes(tmp_path):
+    spool = str(tmp_path / "spool")
+    payload = b"x" * (100 * 1024)  # 100 KiB through the 4 MB buffer
+    rc = main(
+        ["mystream", "-p", "mykey", "--fake-sink", spool, "--flush-seconds", "9"],
+        stdin=io.BytesIO(payload),
+    )
+    assert rc == 0
+    entries = _spooled(spool)
+    assert sum(e["n"] for e in entries) == len(payload)
+    assert {e["stream"] for e in entries} == {"mystream"}
+    assert {e["pk"] for e in entries} == {"mykey"}
+
+
+def test_main_chunks_oversized_records(tmp_path):
+    spool = str(tmp_path / "spool")
+    # payload far above the 1 MiB record cap must be chunked
+    payload = os.urandom(3 * 1024 * 1024)
+    rc = main(
+        ["s", "-p", "k", "--fake-sink", spool, "--flush-seconds", "9"],
+        stdin=io.BytesIO(payload),
+    )
+    assert rc == 0
+    entries = _spooled(spool)
+    assert sum(e["n"] for e in entries) == len(payload)
+    assert max(e["n"] for e in entries) <= 1024 * 1024 - len(b"k")
+
+
+def test_cli_subprocess_end_to_end(tmp_path):
+    spool = str(tmp_path / "spool")
+    data = b"hello kinesis\n" * 1000
+    proc = subprocess.run(
+        [sys.executable, "-m", "kinesis_spark", "cli-stream", "-p", "pk",
+         "--fake-sink", spool],
+        input=data,
+        cwd=REPO,
+        capture_output=True,
+        timeout=60,
+    )
+    assert proc.returncode == 0, proc.stderr.decode()
+    entries = _spooled(spool)
+    assert sum(e["n"] for e in entries) == len(data)
+
+
+def test_cli_requires_partition_key():
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["stream-only"])
