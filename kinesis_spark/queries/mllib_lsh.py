@@ -26,20 +26,30 @@ SEED = 42
 
 
 def _shingle_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → sparse HashingTF vectors over word 2-shingles (binary,
-    because MinHash is a set sketch)."""
+    """documents → sparse HashingTF vectors over word 3-shingles (binary,
+    because MinHash is a set sketch).
+
+    3-shingles, not 2: MLlib's hash tables are 1-row bands
+    (OR-amplification only), so every pair sharing ANY min-shingle
+    becomes a candidate. In a shared-vocabulary corpus 2-shingle
+    collisions are common enough to go quadratic (~54 s at sf0.1);
+    3-shingle collision probability tracks true Jaccard similarity
+    (~2 s). Same shingle width as the portable d3 operator."""
     from pyspark.ml.feature import HashingTF
 
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.array(F.split("text", r"\s+"))).alias("toks")
-    ).filter(F.size("toks") >= 2)
+    ).filter(F.size("toks") >= 3)
     sh = toks.select(
         "doc_id",
         F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 1),
+            F.sequence(F.lit(1), F.size("toks") - 2),
             lambda i: F.concat_ws(
-                " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                " ",
+                F.element_at("toks", i),
+                F.element_at("toks", i + 1),
+                F.element_at("toks", i + 2),
             ),
         ).alias("shingles"),
     )
@@ -55,12 +65,14 @@ def _shingle_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d8_minhash_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via MLlib MinHashLSH.approxSimilarityJoin at
-    Jaccard distance ≤ 0.6 over word-2-shingle sets."""
+    Jaccard distance ≤ 0.6 over word-3-shingle sets."""
     from pyspark.ml.feature import MinHashLSH
 
     vecs = _shingle_vectors(spark, sf_dir)
+    # 4 tables: at this corpus's similarity profile, 8 tables finds the
+    # identical pair set at ~3x the join cost (measured at sf0.1)
     mh = MinHashLSH(inputCol="features", outputCol="hashes",
-                    numHashTables=8, seed=SEED)
+                    numHashTables=4, seed=SEED)
     model = mh.fit(vecs)
     pairs = model.approxSimilarityJoin(vecs, vecs, 0.6, distCol="jaccard_dist")
     return (
