@@ -135,3 +135,46 @@ def test_stream_stream_join_parity(spark, sf_dir, events_dir):
     cols = ["user_id", "purchase_id", "purchase_ts", "click_id", "click_ts"]
     assert _rows(stream, cols) == _rows(batch, cols)
     assert stream.count() > 0  # non-degenerate at this SF
+
+
+@pytest.mark.streaming
+def test_parquet_sink_checkpoint_recovery(spark, sf_dir, tmp_path):
+    """Exactly-once file sink: write the stream to parquet with a
+    checkpoint, then restart the query against the same checkpoint —
+    the second run must be a no-op (no duplicate rows), and a new input
+    file must be picked up incrementally."""
+    import shutil
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "a.parquet")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            stream_events(spark, str(src_dir))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    n_src = load_table(spark, sf_dir, "events").count()
+    run_once()
+    assert spark.read.parquet(out).count() == n_src
+    # restart against the same checkpoint: nothing new → no duplicates
+    run_once()
+    assert spark.read.parquet(out).count() == n_src
+    # add a second input file: only the delta is appended
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "b.parquet")
+    run_once()
+    df = spark.read.parquet(out)
+    assert df.count() == 2 * n_src
+    # every event appears exactly twice (once per source file), never more
+    over = df.groupBy("event_id").count().filter(F.col("count") != 2).count()
+    assert over == 0
