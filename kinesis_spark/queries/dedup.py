@@ -186,8 +186,8 @@ def d3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(
             *[
                 F.concat_ws("|", f"mh{2 * b}", f"mh{2 * b + 1}")
-                for b in range(N_HASHES // BAND_ROWS // 1)
-            ][: N_HASHES // BAND_ROWS]
+                for b in range(N_HASHES // BAND_ROWS)
+            ]
         )
     )
     bands = sigs.select("doc_id", band_key.alias("band_key"))
