@@ -48,6 +48,28 @@ def build_rate_source(
     )
 
 
+def build_text_source(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Line-framed text files as an ingest source (streaming EP1 parity:
+    the CLI pipes stdin in batch; a directory of text files is the
+    streaming equivalent — each line becomes one payload row).
+
+    Framing note (SURVEY.md §7c): the reference chunks an unframed byte
+    stream at arbitrary io.Copy boundaries; the text source frames on
+    newlines. Both re-chunk downstream at the record limit, so record
+    contents differ only when a line exceeds the chunk size.
+    """
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path).select(
+        F.encode(F.col("value"), "UTF-8").alias("data")
+    )
+
+
 @dataclass
 class IngestMetrics:
     """Driver-side mirror of the sink accumulators (first-class drop metric)."""

@@ -170,3 +170,33 @@ def test_error_code_records_are_retried(spark, tmp_path):
     entries = _read_spool(spool)
     # every spooled record arrived exactly once despite first-try failures
     assert len(entries) == metrics.records_put
+
+
+@pytest.mark.streaming
+def test_text_file_source_ingest(spark, tmp_path):
+    """Streaming EP1 parity: a directory of text files flows through
+    chunk -> tag -> batch -> put; every line's bytes arrive."""
+    from kinesis_spark.streaming.ingest import build_text_source
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    lines = [f"line-{i:04d}-" + "z" * 50 for i in range(200)]
+    (src_dir / "a.txt").write_text("\n".join(lines) + "\n")
+    spool = str(tmp_path / "spool")
+
+    src = build_text_source(spark, str(src_dir))
+    query, metrics = start_ingest_query(
+        src,
+        client_factory=lambda: SpoolClient(spool),
+        stream_name="txt",
+        partition_key="pk",
+        trigger_seconds=0.5,
+    )
+    deadline = time.time() + 30
+    try:
+        while time.time() < deadline and metrics.records_put < len(lines):
+            time.sleep(0.25)
+    finally:
+        query.stop()
+    entries = _read_spool(spool)
+    assert sum(e["n"] for e in entries) == sum(len(l) for l in lines)
