@@ -444,3 +444,105 @@ def d5_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= 0.3)
     )
+
+
+MAX_CC_ITERS = 20
+
+
+@register(
+    "d9_dedup_components",
+    oracle=f"""
+WITH RECURSIVE
+sigs AS (
+  SELECT doc_id,
+         {", ".join(_minhash_sig_sql(s) for s in range(N_HASHES))}
+  FROM documents
+  WHERE len(regexp_split_to_array(text, '\\s+')) >= 3
+),
+bands AS (
+  SELECT doc_id,
+         unnest([mh0 || '|' || mh1, mh2 || '|' || mh3,
+                 mh4 || '|' || mh5, mh6 || '|' || mh7]) AS band_key
+  FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(v, u) AS (
+  SELECT doc_id, doc_id FROM sigs
+  UNION
+  SELECT r.v, e.dst FROM reach r JOIN edges e ON r.u = e.src
+)
+SELECT v AS doc_id, MIN(u) AS component,
+       CAST(COUNT(*) AS BIGINT) AS component_size
+FROM reach
+GROUP BY v
+""",
+    tags=("dedup", "components", "iterative"),
+)
+def d9_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters: connected components over the MinHash-LSH
+    candidate graph (d3's pairs) via iterative min-label propagation —
+    the step that turns pairwise matches into dedup groups.
+
+    Each iteration is one join + one aggregation (label[v] :=
+    min(label[v], min over neighbors)); the driver loop only checks a
+    scalar convergence count, never touches row data, so the algorithm
+    is shuffle-bound and scales with the cluster. Candidate graphs from
+    near-dup detection have tiny diameters (duplicates of one document
+    form near-cliques), so convergence takes O(diameter) ≈ 2-4 rounds.
+    The oracle replays it with a recursive reachability CTE; component =
+    min doc_id reachable, component_size = |reachable set| (equal for
+    every member of a component, a cross-check that labels converged).
+    """
+    pairs = d3_minhash_lsh_pairs(spark, sf_dir)
+    # localCheckpoint (eager): materializes AND truncates lineage, so
+    # iteration N's plan doesn't replay iterations 0..N-1 (lineage growth
+    # is the classic iterative-DataFrame trap)
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .withColumnsRenamed({"doc_a": "src", "doc_b": "dst"})
+        .localCheckpoint()
+    )
+    vertices = _tokens_barrier(
+        load_table(spark, sf_dir, "documents"), min_words=3
+    ).select("doc_id")
+    labels = vertices.withColumn("component", F.col("doc_id")).localCheckpoint()
+    for _ in range(MAX_CC_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("component").alias("n_min"))
+        )
+        # carry the previous label through the join so convergence is a
+        # filter on THIS frame (no second join against the old labels)
+        stepped = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.dst, "left")
+            .select(
+                "doc_id",
+                F.col("component").alias("prev"),
+                F.least(
+                    F.col("component"), F.coalesce("n_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = stepped.filter(F.col("component") != F.col("prev")).count()
+        labels = stepped.drop("prev")
+        if changed == 0:
+            break
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("component_size")
+    )
+    return labels.join(F.broadcast(sizes), "component").select(
+        "doc_id", "component", "component_size"
+    )
