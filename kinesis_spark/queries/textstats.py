@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kinesis_spark.io import load_table
 from kinesis_spark.queries import register
@@ -227,3 +228,69 @@ def t5_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.md5(F.substring(F.col("text"), i, F.lit(8))),
     )
     return d.select("doc_id", F.array_min(grams).alias("fingerprint"))
+
+
+@register(
+    "t6_tfidf_top_terms",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+         CAST(df.df AS BIGINT) AS df,
+         CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))
+           AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, rnk
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term) AS BIGINT) AS rnk
+  FROM scored
+)
+WHERE rnk <= 3
+""",
+    tags=("text", "tfidf"),
+)
+def t6_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (linear idf = N/df — exact double
+    ratio of integer counts, so it's bit-identical across engines,
+    unlike log-idf whose libm varies).
+
+    Scale shape: tf is a (doc, term) aggregation; df is a vocabulary-
+    sized aggregate that BROADCASTS to the tf side (vocabulary << corpus
+    at any scale); per-doc top-k is a window partitioned by doc_id —
+    no global sort, no driver collection."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar; one job, not a crossJoin of a 1-row frame
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.distinct().groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("bigint").alias("tf"),
+        "df",
+        (
+            F.col("tf").cast("double")
+            * (F.lit(float(n_docs)) / F.col("df").cast("double"))
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+    )
