@@ -63,6 +63,7 @@ class Writer:
         put_records_limit: int = PUT_RECORDS_LIMIT,
         put_records_size_limit: int = PUT_RECORDS_SIZE_LIMIT,
         max_retries: int = 3,
+        throttle=None,  # RateLimiter: per-shard rate envelope (limits.py)
     ) -> None:
         key_len = len(partition_key.encode())
         if record_size_limit <= key_len:
@@ -77,6 +78,7 @@ class Writer:
         self.put_records_limit = put_records_limit
         self.put_records_size_limit = put_records_size_limit
         self.max_retries = max_retries
+        self.throttle = throttle
         # chunkSize = recordSizeLimit - len(partitionKey)
         # (kinesis/kinesis.go:201-205)
         self.chunk_size = record_size_limit - key_len
@@ -115,6 +117,8 @@ class Writer:
         return batches
 
     def _put_with_retry(self, batch: list[Record]) -> None:
+        if self.throttle is not None:
+            self.throttle.acquire(len(batch), sum(r.size for r in batch))
         pending = batch
         for _attempt in range(self.max_retries + 1):
             responses = self.client.put_records(self.stream_name, pending)

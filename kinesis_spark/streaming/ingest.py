@@ -95,6 +95,7 @@ def start_ingest_query(
     put_records_size_limit: int = PUT_RECORDS_SIZE_LIMIT,
     trigger_seconds: float = 1.0,
     max_bytes_per_batch: int | None = None,
+    shard_rate_limits: tuple[float, float] | None = None,
     checkpoint_dir: str | None = None,
     query_name: str = "kinesis_ingest",
 ) -> tuple[StreamingQuery, IngestMetrics]:
@@ -108,6 +109,11 @@ def start_ingest_query(
     ``client_factory`` must be picklable (it is called inside each
     partition task — e.g. ``lambda: boto3.client("kinesis")`` in real use,
     a file-spool fake in tests).
+
+    ``shard_rate_limits=(records_per_s, bytes_per_s)`` enables the
+    per-shard throttle (the reference's dead constants, SURVEY.md §1.3)
+    — one token bucket per partition task, matching one-writer-one-shard
+    under the fixed partition key.
     """
     spark = source.sparkSession
     sc = spark.sparkContext
@@ -166,6 +172,11 @@ def start_ingest_query(
 
             Rec = namedtuple("Rec", ["partition_key", "data"])
             client = client_factory()
+            limiter = None
+            if shard_rate_limits is not None:
+                from kinesis_spark.ingest.throttle import RateLimiter
+
+                limiter = RateLimiter(*shard_rate_limits)
             batch: list = []
             batch_bytes = 0
             key_len = len(pk.encode())
@@ -177,6 +188,8 @@ def start_ingest_query(
                 nonlocal batch, batch_bytes
                 if not batch:
                     return
+                if limiter is not None:
+                    limiter.acquire(len(batch), batch_bytes)
                 pending = batch
                 for _attempt in range(4):
                     responses = client.put_records(sname, pending)

@@ -200,3 +200,38 @@ def test_text_file_source_ingest(spark, tmp_path):
         query.stop()
     entries = _read_spool(spool)
     assert sum(e["n"] for e in entries) == sum(len(l) for l in lines)
+
+
+@pytest.mark.streaming
+def test_shard_rate_throttle_caps_put_rate(spark, tmp_path):
+    """Dead-constant enforcement (SURVEY.md §1.3): with a 50 records/s
+    shard limit against 100 offered rows/s, delivery is throttled."""
+    spool = str(tmp_path / "spool")
+    src = build_rate_source(spark, rows_per_second=100, payload_bytes=256,
+                            num_partitions=1)
+    query, metrics = start_ingest_query(
+        src,
+        client_factory=lambda: SpoolClient(spool),
+        stream_name="throttled",
+        partition_key="pk",
+        trigger_seconds=0.5,
+        shard_rate_limits=(50.0, 10**9),
+    )
+    import time as _t
+    t0 = _t.time()
+    first = first_t = None
+    try:
+        while _t.time() - t0 < 20:
+            _t.sleep(0.25)
+            if first is None and metrics.records_put > 0:
+                first, first_t = metrics.records_put, _t.time()
+            if first_t is not None and _t.time() - first_t >= 6:
+                break
+    finally:
+        query.stop()
+    assert first is not None, "nothing delivered"
+    elapsed = _t.time() - first_t
+    rate = (metrics.records_put - first) / elapsed
+    # well under the 100/s offered load; some slack over 50 for burst
+    assert rate <= 70, f"throttle ineffective: {rate:.0f} rec/s"
+    assert metrics.records_put > 0
