@@ -32,6 +32,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # native microsecond timestamps (oracle side mirrors this with
         # CAST(ts AS TIMESTAMP)).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Event-time functions (year/date_trunc/window) on TimestampType
+        # read the session timezone; the DuckDB oracle is timezone-naive.
+        # Pin UTC here so results don't depend on the caller's session
+        # config (the driver harness calls queries() with ITS session).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
