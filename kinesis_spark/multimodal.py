@@ -74,36 +74,19 @@ def media_table(documents: DataFrame) -> DataFrame:
     )
 
 
-def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Deterministic header-parse 'decode': dims from the first payload
-    bytes, frame count from length, md5 checksum. Pure function of the
-    payload so DuckDB can replay it exactly."""
-    import hashlib
-
-    payloads = pdf["payload"]
-    first = payloads.map(lambda b: b[0] if len(b) > 0 else 0).astype("int64")
-    second = payloads.map(lambda b: b[1] if len(b) > 1 else 0).astype("int64")
-    n_bytes = payloads.map(len).astype("int64")
-    return pd.DataFrame(
-        {
-            "media_id": pdf["media_id"],
-            "modality": pdf["modality"],
-            "n_bytes": n_bytes,
-            "width": first + 1,
-            "height": second + 1,
-            "n_frames": n_bytes // 64 + 1,
-            "checksum": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
-        }
-    )
-
-
 def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode payloads to typed features via ``mapInPandas``.
 
     Real decoding needs codec libraries not present in this container;
-    pass ``fake=True`` for the deterministic header-parse fake. The
-    Arrow plumbing — batch iteration, output schema, partition
+    pass ``fake=True`` for the deterministic header-parse fake (dims
+    from the first payload bytes, frame count from length, md5 checksum
+    — a pure function of the payload, so DuckDB replays it exactly).
+    The Arrow plumbing — batch iteration, output schema, partition
     parallelism — is identical in both paths.
+
+    Both UDFs are nested, self-contained closures: cloudpickle ships
+    them by value, so they unpickle on workers that don't have this
+    package on PYTHONPATH (the driver harness's session, not ours).
     """
     if not fake:
         def _real(_: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -114,9 +97,28 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
         return media.mapInPandas(_real, schema=DECODED_SCHEMA)
 
     def _fake(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
         for pdf in batches:
-            if len(pdf):
-                yield _fake_decode_batch(pdf)
+            if not len(pdf):
+                continue
+            payloads = pdf["payload"]
+            first = payloads.map(lambda b: b[0] if len(b) > 0 else 0).astype("int64")
+            second = payloads.map(lambda b: b[1] if len(b) > 1 else 0).astype("int64")
+            n_bytes = payloads.map(len).astype("int64")
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": n_bytes,
+                    "width": first + 1,
+                    "height": second + 1,
+                    "n_frames": n_bytes // 64 + 1,
+                    "checksum": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
+                }
+            )
 
     return media.mapInPandas(_fake, schema=DECODED_SCHEMA)
 

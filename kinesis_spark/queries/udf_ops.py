@@ -89,19 +89,6 @@ _RANK_SCHEMA = T.StructType(
 )
 
 
-def _rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Pure-pandas grouped map: deterministic rank by (n_chars, doc_id),
-    plus integer distance to the group minimum."""
-    out = pdf.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
-    out["rank_in_group"] = range(1, len(out) + 1)
-    out["group_size"] = len(out)
-    out["chars_vs_min"] = out["n_chars"] - out["n_chars"].min()
-    return out[
-        ["doc_id", "lang", "source", "n_chars", "rank_in_group", "group_size",
-         "chars_vs_min"]
-    ]
-
-
 @register(
     "u2_grouped_rank_pandas",
     oracle="""
@@ -121,7 +108,19 @@ def u2_grouped_rank_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     (The same result is expressible with Window functions — see the
     oracle; the point is exercising the grouped-map Arrow path against
     a known-exact answer.)"""
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # nested + self-contained → cloudpickle ships it by value, so it
+        # unpickles on workers without this package on PYTHONPATH
+        out = pdf.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+        out["rank_in_group"] = range(1, len(out) + 1)
+        out["group_size"] = len(out)
+        out["chars_vs_min"] = out["n_chars"] - out["n_chars"].min()
+        return out[
+            ["doc_id", "lang", "source", "n_chars", "rank_in_group",
+             "group_size", "chars_vs_min"]
+        ]
+
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
     )
-    return d.groupBy("lang", "source").applyInPandas(_rank_group, schema=_RANK_SCHEMA)
+    return d.groupBy("lang", "source").applyInPandas(rank_group, schema=_RANK_SCHEMA)
