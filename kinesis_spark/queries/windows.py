@@ -186,3 +186,36 @@ def w5_nation_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).cast("bigint").alias("rev_dense_rank"),
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
     )
+
+
+@register(
+    "w6_distribution_funcs",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       CAST(RANK() OVER w AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+FROM orders
+WHERE o_orderkey <= 2000
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+    tags=("window", "ranking"),
+)
+def w6_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/distribution window functions (rank, dense_rank,
+    percent_rank, cume_dist, ntile). The ORDER BY includes the unique
+    o_orderkey: ntile and cume_dist are position-dependent within ties,
+    so a non-total order would be engine-nondeterministic."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
