@@ -269,3 +269,117 @@ def sim4_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+N_PROBE = 2  # IVF cells searched per query
+
+
+@register(
+    "sim6_ivf_ann",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+centroids AS (
+  SELECT label, list(mc ORDER BY idx) AS cv
+  FROM (
+    SELECT label, CAST(i AS BIGINT) AS idx,
+           CAST(SUM(CAST(FLOOR(CAST(comp AS DOUBLE) * 1073741824.0) AS DECIMAL(38,0)))
+                AS DOUBLE) / 1073741824.0 / COUNT(*) AS mc
+    FROM (
+      SELECT label, CAST(i AS BIGINT) AS i, embedding[CAST(i AS INT)] AS comp
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ) q GROUP BY label, i
+  ) m GROUP BY label
+),
+assign AS (
+  SELECT e.vec_id, e.v, c.label AS cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_distance(e.v, c.cv), c.label) AS crk
+  FROM e CROSS JOIN centroids c
+),
+cells AS (SELECT vec_id, v, cell FROM assign WHERE crk = 1),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, cell AS probe_cell, crk AS probe_rank
+  FROM assign WHERE vec_id < {N_QUERIES} AND crk <= {N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, c.vec_id AS match_id,
+         ROUND(list_cosine_similarity(p.qv, c.v), 6) AS cos_sim
+  FROM probes p JOIN cells c ON c.cell = p.probe_cell
+  WHERE c.vec_id != p.query_id
+)
+SELECT query_id, match_id, cos_sim, rank
+FROM (
+  SELECT query_id, match_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, match_id) AS BIGINT) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+""",
+    tags=("similarity", "ann", "ivf"),
+)
+def sim6_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN, the 100 TB scale path: (1) coarse codebook = exact
+    per-label centroids (sim3's decimal quantization, so both engines
+    compute identical codebooks); (2) every vector assigned to its
+    nearest centroid (argmin euclidean, label tiebreak); (3) each query
+    probes its {N_PROBE} nearest cells and reranks candidates by exact
+    cosine. Corpus scan per query shrinks from N to ~N*nprobe/n_cells;
+    the codebook is broadcast-sized by construction."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    # codebook: exact per-label centroid components (see sim3)
+    exploded = e.select(
+        "label", F.posexplode("v").alias("idx0", "comp")
+    ).select(
+        "label", F.col("idx0").alias("idx"),
+        F.floor(F.col("comp") * F.lit(1073741824.0)).cast("decimal(38,0)").alias("qc"),
+    )
+    cent = (
+        exploded.groupBy("label", "idx")
+        .agg((F.sum("qc").cast("double") / F.lit(1073741824.0) / F.count(F.lit(1))).alias("mc"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "mc"))).alias("pairs"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pairs", lambda p: p["mc"]).alias("cv"),
+        )
+    )
+    # assignment: nearest centroid per vector (squared euclidean argmin)
+    dist2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "cell", dist2.alias("d2"))
+        .withColumn("crk", F.row_number().over(w_assign))
+    )
+    cells = assign.filter(F.col("crk") == 1).select(
+        F.col("vec_id").alias("match_id"), F.col("v").alias("cv_vec"), "cell"
+    )
+    probes = assign.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("crk") <= N_PROBE)
+    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cell")
+    # rerank within probed cells by exact cosine (same fold as sim1)
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv_vec"), lambda x, y: x * y),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    nq = F.sqrt(F.aggregate(F.transform(F.col("qv"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    nc = F.sqrt(F.aggregate(F.transform(F.col("cv_vec"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    scored = (
+        probes.join(cells, "cell")
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select("query_id", "match_id", F.round(dot / (nq * nc), 6).alias("cos_sim"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+    )
