@@ -232,3 +232,71 @@ def e5_user_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_errors"),
         F.sum(_dec_value()).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "e6_funnel_analysis",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS view_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS click_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.view_ts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+  GROUP BY e.user_id
+)
+SELECT v.user_id, CAST(v.view_ts AS TIMESTAMP) AS view_ts,
+       CAST(c.click_ts AS TIMESTAMP) AS click_ts,
+       CAST(p.purchase_ts AS TIMESTAMP) AS purchase_ts,
+       CAST(1 + (c.user_id IS NOT NULL)::INT + (p.user_id IS NOT NULL)::INT
+            AS BIGINT) AS funnel_depth
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+""",
+    tags=("events", "funnel", "sequence"),
+)
+def e6_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence funnel: first view → first subsequent click →
+    first subsequent purchase, per user. Three stage aggregations, each
+    shuffling only (user_id, one timestamp); stage joins are on user_id
+    (the natural partitioning), and the stage relations shrink
+    monotonically — the standard scalable funnel shape."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    depth = (
+        F.lit(1)
+        + F.when(F.col("click_ts").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("purchase_ts").isNotNull(), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "view_ts", "click_ts", "purchase_ts",
+                depth.alias("funnel_depth"))
+    )
