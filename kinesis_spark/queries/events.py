@@ -300,3 +300,49 @@ def e6_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "view_ts", "click_ts", "purchase_ts",
                 depth.alias("funnel_depth"))
     )
+
+
+@register(
+    "e7_cohort_retention",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         DATE_DIFF('week', f.cohort_week, DATE_TRUNC('week', e.ts)) AS week_n
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+)
+SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+       CAST(week_n AS BIGINT) AS week_n,
+       COUNT(*) AS n_active
+FROM activity
+GROUP BY cohort_week, week_n
+""",
+    tags=("events", "cohort", "retention"),
+)
+def e7_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen week, counted in
+    each subsequent week they were active. first_seen is a user-keyed
+    aggregate that broadcasts back onto events; the distinct + count
+    shuffles only (user, cohort, week_n) triples."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            ).cast("bigint").alias("week_n"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_n").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
