@@ -203,3 +203,51 @@ def a8_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "a9_unpivot_nation_metrics",
+    oracle="""
+WITH wide AS (
+  SELECT n.n_nationkey,
+         CAST(COALESCE(c.n_customers, 0) AS BIGINT) AS customers,
+         CAST(COALESCE(s.n_suppliers, 0) AS BIGINT) AS suppliers
+  FROM nation n
+  LEFT JOIN (SELECT c_nationkey, COUNT(*) AS n_customers
+             FROM customer GROUP BY c_nationkey) c
+    ON n.n_nationkey = c.c_nationkey
+  LEFT JOIN (SELECT s_nationkey, COUNT(*) AS n_suppliers
+             FROM supplier GROUP BY s_nationkey) s
+    ON n.n_nationkey = s.s_nationkey
+)
+SELECT n_nationkey, metric, CAST(value AS BIGINT) AS value
+FROM wide
+UNPIVOT (value FOR metric IN (customers, suppliers))
+""",
+    tags=("aggregate", "unpivot"),
+)
+def a9_unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-nation metric columns → long
+    (nation, metric, value) rows — the inverse of a6's pivot."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("n_nationkey"))
+        .agg(F.count(F.lit(1)).alias("customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("n_nationkey"))
+        .agg(F.count(F.lit(1)).alias("suppliers"))
+    )
+    wide = (
+        n.join(c, "n_nationkey", "left")
+        .join(s, "n_nationkey", "left")
+        .fillna(0, subset=["customers", "suppliers"])
+    )
+    return wide.unpivot(
+        ids=["n_nationkey"],
+        values=["customers", "suppliers"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

@@ -96,3 +96,25 @@ def s4_union_all_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("user_id").alias("entity_id"), F.lit("event").alias("kind"))
     )
     return o.unionByName(e)
+
+
+@register(
+    "s5_deterministic_sample",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 20 = 0
+""",
+    tags=("sample", "filter"),
+)
+def s5_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~5% systematic sample via key hashing — the scale
+    pattern for sampling training data: decision is a pure function of
+    the key (stable across runs, engines, and repartitioning), unlike
+    df.sample whose RNG stream is engine- and partitioning-dependent."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 20
+    return o.filter(bucket == 0).select("o_orderkey", "o_custkey", "o_totalprice")
