@@ -1,0 +1,65 @@
+"""Property tests for the SimHash operator: order invariance (tf-weighted
+bag semantics) and locality (small edits move few bits)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+def _sigs_of(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # _simhash_df loads from parquet; inline its signature logic on df
+    toks = df.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+    from kinesis_spark.queries.dedup import SIM_BITS
+
+    votes = toks.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(SIM_BITS)
+        ]
+    )
+    sig = None
+    for j in range(SIM_BITS):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1).cast("bigint") * (1 << j)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = bit if sig is None else sig + bit
+    return {
+        r["doc_id"]: r["sig"]
+        for r in votes.select("doc_id", sig.alias("sig")).collect()
+    }
+
+
+def test_simhash_is_token_order_invariant(spark):
+    rng = random.Random(7)
+    base = [f"w{rng.randrange(40)}" for _ in range(60)]
+    shuffled = base[:]
+    rng.shuffle(shuffled)
+    sigs = _sigs_of(
+        spark,
+        [(1, " ".join(base)), (2, " ".join(shuffled))],
+    )
+    assert sigs[1] == sigs[2]
+
+
+def test_simhash_locality(spark):
+    rng = random.Random(11)
+    base = [f"w{rng.randrange(500)}" for _ in range(80)]
+    edited = base[:]
+    edited[3] = "changed-token"
+    unrelated = [f"u{rng.randrange(500)}" for _ in range(80)]
+    sigs = _sigs_of(
+        spark,
+        [(1, " ".join(base)), (2, " ".join(edited)), (3, " ".join(unrelated))],
+    )
+    ham_edit = bin(sigs[1] ^ sigs[2]).count("1")
+    ham_unrel = bin(sigs[1] ^ sigs[3]).count("1")
+    assert ham_edit < ham_unrel, (ham_edit, ham_unrel)
+    assert ham_edit <= 12  # one token of 80 flips few majority votes
