@@ -175,6 +175,64 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+TWS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def running_counts_tws(events: DataFrame) -> DataFrame:
+    """Per-user running event counts via ``transformWithStateInPandas``
+    — Spark 4's arbitrary-state API (typed state handles, timers), the
+    successor to ``applyInPandasWithState``. Same semantics as
+    running_user_totals' count so the two stateful APIs cross-check.
+
+    The processor class is defined inside this function so cloudpickle
+    ships it by value (no module import needed on workers).
+
+    Requires the ``protobuf`` package (the state-server protocol), which
+    this container does not bundle — gated with a clear error; the
+    applyInPandasWithState path (running_user_totals) is the supported
+    stateful operator here."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the 'protobuf' package, which "
+            "is not installed; use running_user_totals "
+            "(applyInPandasWithState) instead"
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("count", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+
+            n = self._count.get()[0] if self._count.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._count.update((n,))
+            yield _pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningCount(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def click_purchase_join(
     events: DataFrame, watermark: str = "1 hour", within_minutes: int = 30
 ) -> DataFrame:

