@@ -163,3 +163,38 @@ def sc5_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("missing_is_null"),
     )
+
+
+@register(
+    "sql1_pure_sql_api",
+    oracle="""
+SELECT n.n_name AS nation,
+       COUNT(DISTINCT c.c_custkey) AS n_customers,
+       COUNT(o.o_orderkey) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_spend
+FROM nation n
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""",
+    tags=("sql", "join", "aggregate"),
+)
+def sql1_pure_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point: tables registered as temp views, the query
+    authored as ANSI SQL via spark.sql — same Catalyst plan space as the
+    DataFrame API (dims still broadcast, aggregates still two-phase)."""
+    for t in ("nation", "customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT n.n_name AS nation,
+               COUNT(DISTINCT c.c_custkey) AS n_customers,
+               COUNT(o.o_orderkey) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                 AS total_spend
+        FROM nation n
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+        GROUP BY n.n_name
+    """)
