@@ -81,7 +81,41 @@ class IngestMetrics:
     bytes_dropped: int = 0
     put_calls: int = 0
     records_retried: int = 0
+    input_rows: int = 0  # from StreamingQueryListener progress events
+    last_batch_duration_ms: float = 0.0
     errors: list[str] = field(default_factory=list)
+
+
+def attach_progress_listener(spark: SparkSession, metrics: IngestMetrics,
+                             query_name: str):
+    """Surface Spark's own streaming progress (input rows, batch
+    duration) into IngestMetrics via a StreamingQueryListener — the
+    engine-level observability channel next to the sink accumulators
+    (SURVEY.md §2A op 7). Returns the listener; callers remove it with
+    ``spark.streams.removeListener``."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _Progress(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            if p.name == query_name:
+                metrics.input_rows += int(p.numInputRows)
+                metrics.last_batch_duration_ms = float(
+                    p.durationMs.get("triggerExecution", 0)
+                )
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    listener = _Progress()
+    spark.streams.addListener(listener)
+    return listener
 
 
 def start_ingest_query(

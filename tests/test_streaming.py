@@ -235,3 +235,30 @@ def test_shard_rate_throttle_caps_put_rate(spark, tmp_path):
     # well under the 100/s offered load; some slack over 50 for burst
     assert rate <= 70, f"throttle ineffective: {rate:.0f} rec/s"
     assert metrics.records_put > 0
+
+
+@pytest.mark.streaming
+def test_progress_listener_reports_input_rows(spark, tmp_path):
+    from kinesis_spark.streaming.ingest import attach_progress_listener
+
+    spool = str(tmp_path / "spool")
+    src = build_rate_source(spark, rows_per_second=50, payload_bytes=256,
+                            num_partitions=1)
+    query, metrics = start_ingest_query(
+        src,
+        client_factory=lambda: SpoolClient(spool),
+        stream_name="obs",
+        partition_key="pk",
+        trigger_seconds=0.5,
+        query_name="obs_query",
+    )
+    listener = attach_progress_listener(spark, metrics, "obs_query")
+    deadline = time.time() + 30
+    try:
+        while time.time() < deadline and metrics.input_rows == 0:
+            time.sleep(0.25)
+    finally:
+        query.stop()
+        spark.streams.removeListener(listener)
+    assert metrics.input_rows > 0
+    assert metrics.last_batch_duration_ms >= 0
