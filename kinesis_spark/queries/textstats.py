@@ -294,3 +294,70 @@ def t6_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+@register(
+    "t7_decontamination",
+    oracle="""
+WITH bench AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0
+),
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+),
+bgrams AS (
+  SELECT DISTINCT b.doc_id AS bench_id, g.gram
+  FROM bench b,
+       UNNEST(list_transform(
+         range(1, len(regexp_split_to_array(b.text, '\\s+')) - 2),
+         i -> array_to_string(
+           list_slice(regexp_split_to_array(b.text, '\\s+'), i, i + 3), ' ')
+       )) AS g(gram)
+),
+cgrams AS (
+  SELECT DISTINCT c.doc_id AS corpus_id, g.gram
+  FROM corpus c,
+       UNNEST(list_transform(
+         range(1, len(regexp_split_to_array(c.text, '\\s+')) - 2),
+         i -> array_to_string(
+           list_slice(regexp_split_to_array(c.text, '\\s+'), i, i + 3), ' ')
+       )) AS g(gram)
+)
+SELECT c.corpus_id, b.bench_id, COUNT(*) AS n_shared_grams
+FROM cgrams c JOIN bgrams b ON c.gram = b.gram
+GROUP BY c.corpus_id, b.bench_id
+""",
+    tags=("text", "decontamination", "dedup"),
+)
+def t7_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word-4-gram with a held-out benchmark set (the train/test
+    contamination check; 4 is the aggressive end of the standard 4-13
+    gram widths — this corpus's vocabulary makes longer grams unique to
+    true near-dups). Both sides explode to distinct grams; detection is
+    an equi-join on the gram — at 100 TB, hash the gram (d2-style) so
+    the shuffle carries 8-byte keys, and broadcast the benchmark grams
+    (benchmarks are tiny relative to the corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    k = 4
+
+    def grams_of(df, id_alias):
+        tokd = df.select(
+            F.col("doc_id").alias(id_alias),
+            F.explode(F.array(F.split("text", r"\s+"))).alias("toks"),
+        ).filter(F.size("toks") >= k)
+        g = F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("toks", i + j) for j in range(k)]
+            ),
+        )
+        return tokd.select(id_alias, F.explode(g).alias("gram")).distinct()
+
+    bench = grams_of(d.filter(F.col("doc_id") % 50 == 0), "bench_id")
+    corpus = grams_of(d.filter(F.col("doc_id") % 50 != 0), "corpus_id")
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
