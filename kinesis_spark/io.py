@@ -23,9 +23,27 @@ TABLES = (
 )
 
 
+# DataFrame-plan memo: spark.read.parquet re-lists files and re-reads
+# footers on every call (~100-300 ms per table), and queries load the
+# same tables repeatedly. DataFrames are immutable logical plans, so
+# reusing one is safe; keying by applicationId prevents a plan from one
+# (possibly stopped) session leaking into another.
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    _PLAN_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
         # parquet reader rejects; read nanos as long and floor to Spark's
