@@ -346,3 +346,53 @@ def e7_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_n").agg(
         F.count(F.lit(1)).alias("n_active")
     )
+
+
+@register(
+    "e8_gap_filled_hourly",
+    oracle="""
+WITH bounds AS (
+  SELECT DATE_TRUNC('hour', MIN(ts)) AS t0, DATE_TRUNC('hour', MAX(ts)) AS t1
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour_start
+  FROM bounds
+),
+hourly AS (
+  SELECT DATE_TRUNC('hour', ts) AS hour_start, COUNT(*) AS n
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT CAST(s.hour_start AS TIMESTAMP) AS hour_start,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_purchases,
+       (h.n IS NULL) AS was_gap
+FROM spine s LEFT JOIN hourly h ON s.hour_start = h.hour_start
+""",
+    tags=("events", "timeseries", "gapfill"),
+)
+def e8_gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series: a generated complete hour spine
+    (sequence between min and max hour) left-joined with the sparse
+    hourly counts, empty hours backfilled with 0 and flagged. The spine
+    generates from two scalars — no driver loop; at 100 TB the spine is
+    still only |hours| rows and broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start")
+    )
+    hourly = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return spine.join(hourly, "hour_start", "left").select(
+        "hour_start",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_purchases"),
+        F.col("n").isNull().alias("was_gap"),
+    )

@@ -198,3 +198,41 @@ def sql1_pure_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
         GROUP BY n.n_name
     """)
+
+
+@register(
+    "sc6_null_safety",
+    oracle="""
+SELECT o_orderkey,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+       TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast_is_null,
+       CAST(CASE WHEN o_totalprice > 100000 THEN NULL
+                 ELSE o_totalprice END AS DOUBLE) AS capped_price,
+       CAST(COALESCE(CASE WHEN o_totalprice > 100000 THEN NULL
+                          ELSE o_totalprice END, -1.0) AS DOUBLE) AS filled_price,
+       (o_custkey IS NOT NULL AND o_orderkey % 2 = 0) AS even_with_cust
+FROM orders
+WHERE o_orderkey <= 1000
+""",
+    tags=("scalar", "null"),
+)
+def sc6_null_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling surface: NULLIF/COALESCE, TRY_CAST of unparseable
+    strings (NULL, never an error — the ANSI-safe path), NULL injection
+    and backfill, three-valued boolean logic."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    capped = F.when(F.col("o_totalprice") > 100000, None).otherwise(
+        F.col("o_totalprice")
+    )
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_or_open"
+        ),
+        F.col("o_orderpriority").try_cast("int").alias("bad_cast_is_null"),
+        capped.cast("double").alias("capped_price"),
+        F.coalesce(capped, F.lit(-1.0)).cast("double").alias("filled_price"),
+        (F.col("o_custkey").isNotNull() & (F.col("o_orderkey") % 2 == 0)).alias(
+            "even_with_cust"
+        ),
+    )
