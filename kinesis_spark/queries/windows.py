@@ -219,3 +219,47 @@ def w6_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
     )
+
+
+@register(
+    "w7_value_navigation",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(FIRST_VALUE(o_totalprice) OVER w AS DOUBLE) AS first_price,
+       CAST(LAST_VALUE(o_totalprice) OVER
+            (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS DOUBLE) AS last_price,
+       CAST(NTH_VALUE(o_totalprice, 2) OVER w AS DOUBLE) AS second_price
+FROM orders
+WHERE o_custkey <= 300
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    tags=("window", "navigation"),
+)
+def w7_value_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-navigation window functions: first_value over a growing
+    frame, last_value over the full-partition frame (the default
+    growing frame makes last_value == current row — the classic
+    gotcha), nth_value(2). Total order inside each customer partition
+    keeps all three engine-deterministic."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 300)
+    grow = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.first("o_totalprice").over(grow).cast("double").alias("first_price"),
+        F.last("o_totalprice").over(full).cast("double").alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(grow).cast("double").alias("second_price"),
+    )
