@@ -84,3 +84,29 @@ def test_events_scan_prunes_props(plan_of):
     plan = plan_of("e2_tumbling_window_counts")
     scan = plan[plan.index("ReadSchema") :]
     assert "props" not in scan
+
+
+def test_t6_df_side_broadcasts(plan_of):
+    """TF-IDF's document-frequency relation is vocabulary-sized and must
+    broadcast; the tf side must not shuffle for the join."""
+    plan = plan_of("t6_tfidf_top_terms")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_t7_benchmark_grams_broadcast(plan_of):
+    plan = plan_of("t7_decontamination")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sim6_codebook_broadcasts(plan_of):
+    """IVF assignment is a broadcast nested-loop of the tiny codebook
+    against the corpus — never a shuffled cross join."""
+    plan = plan_of("sim6_ivf_ann")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_e8_spine_join_small(plan_of):
+    plan = plan_of("e8_gap_filled_hourly")
+    # the hour spine is scalar-derived; its join must broadcast
+    assert "BroadcastHashJoin" in plan
