@@ -546,3 +546,55 @@ def d9_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.join(F.broadcast(sizes), "component").select(
         "doc_id", "component", "component_size"
     )
+
+
+@register(
+    "d10_edit_distance_verify",
+    oracle=f"""
+WITH sigs AS (
+  SELECT doc_id,
+         {", ".join(_minhash_sig_sql(s) for s in range(N_HASHES))}
+  FROM documents
+  WHERE len(regexp_split_to_array(text, '\\s+')) >= 3
+),
+bands AS (
+  SELECT doc_id,
+         unnest([mh0 || '|' || mh1, mh2 || '|' || mh3,
+                 mh4 || '|' || mh5, mh6 || '|' || mh7]) AS band_key
+  FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+       CAST(greatest(length(da.text), length(db.text)) AS BIGINT) AS max_len,
+       CAST(levenshtein(da.text, db.text) AS DOUBLE)
+         / greatest(length(da.text), length(db.text)) AS rel_dist
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+""",
+    tags=("dedup", "edit-distance", "verify"),
+)
+def d10_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of LSH candidates: exact Levenshtein
+    (integer DP, bit-identical across engines) computed ONLY on the
+    candidate pairs from d3's banding — at 100 TB the O(len²) distance
+    runs on thousands of candidate pairs, never the corpus square."""
+    pairs = d3_minhash_lsh_pairs(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    joined = pairs.join(F.broadcast(da), "doc_a").join(F.broadcast(db), "doc_b")
+    edit = F.levenshtein("text_a", "text_b").cast("bigint")
+    max_len = F.greatest(F.length("text_a"), F.length("text_b")).cast("bigint")
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        edit.alias("edit_dist"),
+        max_len.alias("max_len"),
+        (edit.cast("double") / max_len).alias("rel_dist"),
+    )

@@ -427,3 +427,49 @@ def e9_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
         F.count(F.lit(1)).alias("n_transitions")
     )
+
+
+@register(
+    "e10_session_window_builtin",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess_no
+  FROM marked
+)
+SELECT user_id,
+       CAST(MIN(ts) AS TIMESTAMP) AS sess_start,
+       CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS sess_end,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, sess_no
+""",
+    tags=("events", "session", "window"),
+)
+def e10_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in ``session_window`` in BATCH mode, cross-validated against
+    an independent lag-based sessionization in SQL (Spark's session end
+    = last event + gap; the oracle reproduces that contract). One
+    merging-window aggregation instead of e4's two window passes — the
+    preferred form whenever gap semantics are what's wanted."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_events",
+        )
+    )
