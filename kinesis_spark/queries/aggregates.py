@@ -251,3 +251,34 @@ def a9_unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@register(
+    "a10_windowed_distinct_users",
+    oracle="""
+SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day_start,
+       event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY DATE_TRUNC('day', ts), event_type
+""",
+    tags=("aggregate", "distinct", "window"),
+)
+def a10_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per (day, event_type): exact COUNT(DISTINCT) over
+    a time bucket — Catalyst expands it to a two-phase aggregate
+    (distinct-collapse then count), so the shuffle carries (day, type,
+    user) triples once each; a8's HLL is the sketch alternative when
+    exactness isn't required."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("day_start"),
+            "event_type",
+        )
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -144,3 +144,54 @@ def mm4_nibble_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-content feature extraction without Python: 16-bin hex-nibble
     histogram per payload, all inside whole-stage codegen."""
     return nibble_histogram(_media(spark, sf_dir))
+
+
+@register(
+    "mm5_frame_energy",
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         (['image','audio','video'])[doc_id % 3 + 1] AS modality,
+         text, length(text) AS nb
+  FROM documents
+),
+f AS (
+  SELECT media_id, modality,
+         unnest(range(0, (nb + 255) // 256)) AS frame_idx,
+         text
+  FROM m
+),
+fr AS (
+  SELECT media_id, modality, CAST(frame_idx AS BIGINT) AS frame_idx,
+         substr(text, CAST(frame_idx * 256 + 1 AS INT), 256) AS frame
+  FROM f
+)
+SELECT media_id, modality, frame_idx,
+       CAST(list_sum(list_transform(range(1, length(frame) + 1),
+                                    i -> ascii(substr(frame, CAST(i AS INT), 1))))
+            AS BIGINT) AS energy,
+       CAST(list_max(list_transform(range(1, length(frame) + 1),
+                                    i -> ascii(substr(frame, CAST(i AS INT), 1))))
+            AS BIGINT) AS peak
+FROM fr
+""",
+    tags=("multimodal", "features", "audio"),
+)
+def mm5_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame energy profile (the audio-analysis shape: amplitude sum
+    + peak per fixed-size frame), computed JVM-side over every frame's
+    bytes — no Python in the loop. ASCII corpus ⇒ byte value == code
+    point, so the oracle replays it over text."""
+    frames = sample_frames(_media(spark, sf_dir), frame_bytes=256, every_k=1)
+    txt = F.decode("frame", "UTF-8")
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(txt)),
+        lambda i: F.ascii(F.substring(txt, i, F.lit(1))),
+    )
+    energy = F.aggregate(codes, F.lit(0).cast("bigint"),
+                         lambda acc, x: acc + x.cast("bigint"))
+    peak = F.array_max(codes).cast("bigint")
+    return frames.select(
+        "media_id", "modality", "frame_idx",
+        energy.alias("energy"), peak.alias("peak"),
+    )
