@@ -598,3 +598,38 @@ def d10_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_len.alias("max_len"),
         (edit.cast("double") / max_len).alias("rel_dist"),
     )
+
+
+@register(
+    "d11_bag_dedup",
+    oracle="""
+WITH canon AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(regexp_split_to_array(text, '\\s+')), ' '))
+           AS bag_hash
+  FROM documents
+)
+SELECT bag_hash,
+       MIN(doc_id) AS rep_doc_id,
+       COUNT(*) AS n_docs
+FROM canon
+GROUP BY bag_hash
+HAVING COUNT(*) >= 1
+""",
+    tags=("dedup", "canonical", "bag"),
+)
+def d11_bag_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words dedup: canonicalize each document to its sorted
+    token multiset and group on the canonical hash — catches duplicates
+    that differ only in word order, which exact (d1/d2) misses and
+    near-dup LSH (d3/d7) only finds probabilistically. Same scale shape
+    as d2: the shuffle key is a 32-char hash, never the document."""
+    d = load_table(spark, sf_dir, "documents")
+    canon = F.md5(
+        F.array_join(F.array_sort(F.split("text", r"\s+")), " ")
+    )
+    return (
+        d.select(canon.alias("bag_hash"), "doc_id")
+        .groupBy("bag_hash")
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
