@@ -263,3 +263,39 @@ def w7_value_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(full).cast("double").alias("last_price"),
         F.nth_value("o_totalprice", 2).over(grow).cast("double").alias("second_price"),
     )
+
+
+@register(
+    "w8_range_frame_trailing",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER
+            (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS trailing_30d_spend
+FROM orders
+WHERE o_custkey <= 200
+""",
+    tags=("window", "range-frame"),
+)
+def w8_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame over event time: trailing-30-day spend per
+    customer. Unlike w4's ROWS frame, RANGE bounds are value-based — all
+    orders within the interval enter the frame, however many rows that
+    is; ties on o_orderdate share a frame so the result is deterministic
+    without a unique-key tiebreak. Exact decimal sums, cast at the end."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_30d_spend"),
+    )
