@@ -282,3 +282,34 @@ def a10_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@register(
+    "a11_weighted_avg",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+         / CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+         AS qty_weighted_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_weight
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("aggregate", "weighted"),
+)
+def a11_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted mean price per return flag: both the weighted
+    sum and the weight sum are exact decimals; the single double
+    division at the end is deterministic — the pattern for any exact
+    weighted statistic at scale."""
+    l = load_table(spark, sf_dir, "lineitem")
+    wsum = F.sum(
+        F.col("l_extendedprice").cast("decimal(14,2)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+    )
+    w = F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+    return l.groupBy("l_returnflag").agg(
+        (wsum.cast("double") / w.cast("double")).alias("qty_weighted_price"),
+        w.cast("double").alias("total_weight"),
+    )

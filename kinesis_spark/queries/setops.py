@@ -118,3 +118,44 @@ def s5_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
     ).cast("bigint") % 20
     return o.filter(bucket == 0).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "s6_dataset_diff",
+    oracle="""
+WITH a AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey <= 3000
+),
+b AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 100 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus
+  FROM orders WHERE o_orderkey <= 3000
+)
+SELECT 'only_in_a' AS side, o_orderkey, o_custkey, o_orderstatus
+FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+UNION ALL
+SELECT 'only_in_b' AS side, o_orderkey, o_custkey, o_orderstatus
+FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+""",
+    tags=("setop", "diff", "audit"),
+)
+def s6_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset diff (symmetric difference with provenance): the audit
+    operator for pipeline changes — rows only in A union rows only in B,
+    each tagged with its side. Implemented as two anti-directional
+    EXCEPTs; at scale both sides hash-partition on the full row once."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    a = o.select("o_orderkey", "o_custkey", "o_orderstatus")
+    b = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 100 == 0, "X")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    only_a = a.exceptAll(b).withColumn("side", F.lit("only_in_a"))
+    only_b = b.exceptAll(a).withColumn("side", F.lit("only_in_b"))
+    return only_a.unionByName(only_b).select(
+        "side", "o_orderkey", "o_custkey", "o_orderstatus"
+    )
