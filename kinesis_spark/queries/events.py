@@ -473,3 +473,48 @@ def e10_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "e11_interarrival_stats",
+    oracle="""
+WITH deltas AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(LAG(ts) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_gaps,
+       MIN(gap_us) AS min_gap_us,
+       MAX(gap_us) AS max_gap_us,
+       CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+       CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS mean_gap_us
+FROM deltas
+WHERE gap_us IS NOT NULL
+GROUP BY user_id
+""",
+    tags=("events", "interarrival", "timeseries"),
+)
+def e11_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time statistics per user: lag over the per-user
+    time-ordered stream, gaps in exact epoch MICROseconds (whole-second
+    epochs truncate sub-second precision differently across engines;
+    micros are the native exact unit). The mean is one double division
+    of exact ints — the load signature of a user, input to rate
+    modeling and anomaly thresholds."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    ).cast("bigint")
+    deltas = ev.select("user_id", gap.alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return deltas.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.sum("gap_us").cast("bigint").alias("total_gap_us"),
+        (F.sum("gap_us").cast("double") / F.count(F.lit(1))).alias("mean_gap_us"),
+    )
