@@ -236,3 +236,43 @@ def sc6_null_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
             "even_with_cust"
         ),
     )
+
+
+@register(
+    "sc7_url_parsing",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/' || lang || '/doc/'
+           || CAST(doc_id AS VARCHAR) || '?ref=corpus' AS url
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id, url,
+       regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+       regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '\\?(.*)$', 1) AS query,
+       split_part(regexp_extract(url, '^https?://([^/]+)', 1), '.', 1)
+         AS subdomain
+FROM u
+""",
+    tags=("scalar", "url", "string"),
+)
+def sc7_url_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL construction + parsing: Spark's parse_url (JVM-side
+    java.net.URI parsing) cross-checked against pure-regex extraction in
+    the oracle — proving the built-in's HOST/PATH/QUERY semantics on
+    well-formed URLs."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    url = F.concat(
+        F.lit("https://"), "source", F.lit(".example.com/"), "lang",
+        F.lit("/doc/"), F.col("doc_id").cast("string"), F.lit("?ref=corpus"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.split(F.parse_url("url", F.lit("HOST")), r"\.").getItem(0).alias("subdomain"),
+    )
