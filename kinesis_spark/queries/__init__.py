@@ -73,3 +73,120 @@ def load_all_modules() -> None:
 def get_registry() -> dict[str, Query]:
     load_all_modules()
     return REGISTRY
+
+
+# The external correctness driver verifies a fixed-size window of queries per
+# round, walking the dict returned by ``__spark_entry__.queries()`` in
+# insertion order. Round 1 (CORRECTNESS_r01.json) covered the first 50
+# registered names; the 50 below got no driver row. They are promoted to the
+# front of the dict for round 2 so that across rounds every family earns a
+# driver-green CORRECTNESS entry. Queries added after round 1 slot in after
+# these (but before the already-verified round-1 names) so they enter the
+# window in a later round.
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # scalars (sc1/sc2 were driver-verified in r1; the rest were not)
+    "sc3_math_funcs",
+    "sc4_array_funcs",
+    "sc5_json_funcs",
+    "sql1_pure_sql_api",
+    "sc6_null_safety",
+    "sc7_url_parsing",
+    # set operations
+    "s1_union_segments",
+    "s2_intersect_repeat_buyers",
+    "s3_except_churned",
+    "s4_union_all_order_events",
+    "s5_deterministic_sample",
+    "s6_dataset_diff",
+    # similarity search
+    "sim1_topk_cosine",
+    "sim2_lsh_bucketed_ann",
+    "sim3_label_centroids",
+    "sim4_topk_pandas",
+    "sim6_ivf_ann",
+    # text analysis
+    "t1_token_stats",
+    "t2_quality_score",
+    "t3_lang_id",
+    "t4_char_bigrams",
+    "t5_doc_fingerprint",
+    "t6_tfidf_top_terms",
+    "t7_decontamination",
+    # TPC-H analogs
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_change",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
+    "q13_customer_distribution",
+    "q16_supplier_part_counts",
+    # UDF/UDTF
+    "u1_word_chunk_udtf",
+    "u2_grouped_rank_pandas",
+    # window functions
+    "w1_top_orders_per_customer",
+    "w2_running_revenue",
+    "w3_order_gaps",
+    "w4_moving_avg_quantity",
+    "w5_nation_revenue_rank",
+    "w6_distribution_funcs",
+    "w7_value_navigation",
+    "w8_range_frame_trailing",
+)
+
+# Names the driver verified in round 1 (keys of CORRECTNESS_r01.json). These
+# go LAST so new queries (not in either list) land ahead of them and reach
+# the driver window before any re-verification.
+R1_VERIFIED: frozenset[str] = frozenset(
+    {
+        "a1_distinct_counts", "a2_rollup_order_status", "a3_cube_lineitem_flags",
+        "a4_grouping_sets", "a5_conditional_agg", "a6_pivot_event_types",
+        "a7_exact_percentiles", "a8_sketch_aggregates", "a9_unpivot_nation_metrics",
+        "a10_windowed_distinct_users", "a11_weighted_avg",
+        "d1_exact_dedup", "d2_content_hash_dedup", "d3_minhash_lsh_pairs",
+        "d4_jaccard_verify", "d5_embedding_near_dup", "d6_simhash_signature",
+        "d7_simhash_pairs", "d8_minhash_lsh_mllib", "d9_dedup_components",
+        "d10_edit_distance_verify", "d11_bag_dedup",
+        "e1_daily_type_rollup", "e2_tumbling_window_counts",
+        "e3_sliding_window_counts", "e4_sessionization",
+        "e5_user_activity_profile", "e6_funnel_analysis", "e7_cohort_retention",
+        "e8_gap_filled_hourly", "e9_transition_matrix",
+        "e10_session_window_builtin", "e11_interarrival_stats",
+        "i1_chunk_payloads", "i2_request_batching",
+        "i3_partition_key_distribution",
+        "j1_left_outer_order_counts", "j2_anti_inactive_customers",
+        "j3_range_join_price_bands", "j4_asof_click_before_purchase",
+        "j5_full_outer_nation_activity", "j6_salted_skew_join",
+        "mm1_media_catalog", "mm2_decode_features", "mm3_frame_sample",
+        "mm4_nibble_histogram", "mm5_frame_energy",
+        "sc1_string_funcs", "sc2_date_funcs",
+        "sim5_brp_ann_mllib",
+    }
+)
+
+
+def get_registry_ordered() -> dict[str, Query]:
+    """Registry reordered for the driver: never-verified first, new queries
+    second, round-1-verified last. Content identical to ``get_registry()``."""
+    reg = get_registry()
+    ordered: dict[str, Query] = {}
+    for name in DRIVER_PRIORITY:
+        if name in reg:
+            ordered[name] = reg[name]
+    for name, q in reg.items():  # new queries, registration order
+        if name not in ordered and name not in R1_VERIFIED:
+            ordered[name] = q
+    for name, q in reg.items():  # round-1-verified
+        if name not in ordered:
+            ordered[name] = q
+    assert len(ordered) == len(reg)
+    return ordered
