@@ -37,18 +37,30 @@ FROM documents
     tags=("text", "tokens"),
 )
 def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token counting + uniqueness profile per document."""
+    """Whitespace token counting + uniqueness profile per document.
+
+    The token array is materialized once per document behind a Generate
+    barrier (explode-of-one-element-array, same pattern as
+    dedup._tokens_barrier): ``toks`` is referenced by three expressions,
+    and HOF lambdas get no common-subexpression elimination, so inlining
+    the split would re-run the regex 3x per doc."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", r"\s+")
-    return d.select(
+    b = d.select(
         "doc_id",
         "lang",
         "source",
-        F.size(toks).cast("bigint").alias("n_tokens"),
         F.length("text").cast("bigint").alias("n_chars"),
-        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
+        F.explode(F.array(F.split("text", r"\s+"))).alias("toks"),
+    )
+    return b.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        "n_chars",
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_unique_tokens"),
         F.aggregate(
-            F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+            F.transform("toks", lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
         )
         .cast("bigint")
         .alias("total_token_chars"),
@@ -84,19 +96,29 @@ def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score: stopword density + type-token ratio +
     length prior (the usual pre-training corpus filters)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", r"\s+")
+    # Generate barrier: tokenize once per doc (toks is referenced 3x below;
+    # see t1_token_stats / dedup._tokens_barrier).
+    b = d.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.length(F.regexp_replace("text", r"[^.!?,;:]", ""))
+        .cast("bigint")
+        .alias("n_punct"),
+        F.explode(F.array(F.split("text", r"\s+"))).alias("toks"),
+    )
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_tokens = F.size(toks).cast("bigint")
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+    n_tokens = F.size("toks").cast("bigint")
+    n_stop = F.size(F.filter("toks", lambda t: F.array_contains(stop_arr, t))).cast(
         "bigint"
     )
-    n_chars = F.length("text").cast("bigint")
-    n_punct = F.length(F.regexp_replace("text", r"[^.!?,;:]", "")).cast("bigint")
-    n_unique = F.size(F.array_distinct(toks)).cast("bigint")
+    n_chars = F.col("n_chars")
+    n_punct = F.col("n_punct")
+    n_unique = F.size(F.array_distinct("toks")).cast("bigint")
     stop_ratio = n_stop.cast("double") / n_tokens
     punct_ratio = n_punct.cast("double") / n_chars
     ttr = n_unique.cast("double") / n_tokens
-    return d.select(
+    return b.select(
         "doc_id",
         "lang",
         n_chars.alias("n_chars"),
@@ -145,11 +167,19 @@ def t3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-limited — the operator semantics (deterministic argmax with fixed
     tie order) are what's exercised."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", r"\s+")
+    # Generate barrier: tokenize once per doc. The four marker_count HOF
+    # lambdas below each reference toks; without the barrier the regex
+    # split re-runs 4x per document (no CSE across HOF lambdas) — measured
+    # 6.5 s -> ~1.5 s at sf0.1 (see dedup._tokens_barrier).
+    b = d.select(
+        "doc_id", "lang", F.explode(F.array(F.split("text", r"\s+"))).alias("toks")
+    )
 
     def marker_count(words: list[str]):
         arr = F.array(*[F.lit(w) for w in words])
-        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("bigint")
+        return F.size(F.filter("toks", lambda t: F.array_contains(arr, t))).cast(
+            "bigint"
+        )
 
     s_en = marker_count(["the", "a", "of"])
     s_de = marker_count(["der", "die", "das", "und"])
@@ -162,7 +192,7 @@ def t3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(s_fr > 0, "fr")
         .otherwise("unknown")
     )
-    return d.select(
+    return b.select(
         "doc_id",
         "lang",
         s_en.alias("s_en"),
