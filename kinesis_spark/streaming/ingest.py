@@ -174,17 +174,28 @@ def start_ingest_query(
         df = df.withColumn("nbytes", F.length("data"))
 
         if max_bytes_per_batch is not None:
-            # Admission control: cumulative-bytes watermark over the batch.
-            # A running sum per partition would admit unevenly; a global
-            # row_number is a single-partition sort — fine at micro-batch
-            # sizes (a batch is ~seconds of data), and the admitted set is
-            # deterministic.
+            # Admission control: per-partition byte budget. Each source
+            # partition admits rows while its own cumulative bytes stay
+            # within budget/N — the window partitions on the ORIGINAL
+            # spark_partition_id, so the cumulative sum runs N-way parallel
+            # (no global single-partition sort; the old global-watermark
+            # variant serialized every micro-batch through one task).
+            # Total admitted ≤ budget always; a skewed batch may admit less
+            # than a global watermark would — that is the scale trade:
+            # admission cost stays O(batch/N) per task at any offered load.
             from pyspark.sql.window import Window
 
-            w = Window.orderBy(F.monotonically_increasing_id())
+            n_parts = max(df.rdd.getNumPartitions(), 1)
+            part_budget = max_bytes_per_batch // n_parts
+            df = df.withColumn("__pid", F.spark_partition_id()).withColumn(
+                "__mid", F.monotonically_increasing_id()
+            )
+            w = Window.partitionBy("__pid").orderBy("__mid")
             df = df.withColumn("cum_bytes", F.sum("nbytes").over(w))
-            admitted = df.filter(F.col("cum_bytes") <= max_bytes_per_batch)
-            shed = df.filter(F.col("cum_bytes") > max_bytes_per_batch)
+            admitted = df.filter(F.col("cum_bytes") <= part_budget).drop(
+                "__pid", "__mid"
+            )
+            shed = df.filter(F.col("cum_bytes") > part_budget)
             shed_agg = shed.agg(
                 F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("nbytes"), F.lit(0)).alias("b")
             ).collect()[0]
