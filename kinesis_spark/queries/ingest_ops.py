@@ -14,11 +14,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kinesis_spark.ingest.rechunk import unframed_rechunk
 from kinesis_spark.io import load_table
 from kinesis_spark.queries import register
 
 CHUNK = 64  # shrunk RecordSizeLimit − len(partition_key) analog
 BATCH = 50  # shrunk PutRecordsLimit analog
+RECHUNK = 1024  # unframed-stream chunk size (i4)
 
 
 @register(
@@ -128,4 +130,36 @@ def i3_partition_key_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("n_chars").cast("bigint").alias("total_bytes"),
             F.max("n_chars").cast("bigint").alias("max_record_bytes"),
         )
+    )
+
+
+@register(
+    "i4_unframed_rechunk",
+    oracle=f"""
+WITH whole AS (
+  SELECT string_agg(text, '' ORDER BY doc_id) AS s FROM documents
+)
+SELECT CAST(i - 1 AS BIGINT) AS chunk_id,
+       substring(s, CAST((i - 1) * {RECHUNK} + 1 AS BIGINT), {RECHUNK}) AS chunk,
+       CAST(LENGTH(substring(s, CAST((i - 1) * {RECHUNK} + 1 AS BIGINT),
+                             {RECHUNK})) AS BIGINT) AS chunk_bytes
+FROM whole,
+     UNNEST(range(1, CAST(ceil(LENGTH(s) / {RECHUNK}.0) AS BIGINT) + 1)) AS t(i)
+""",
+    tags=("ingest", "rechunk", "unframed"),
+)
+def i4_unframed_rechunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unframed concat-then-chunk (SURVEY §7(c)): record boundaries are
+    defined over the rejoined byte stream, matching io.Copy semantics
+    (main.go:32-35, kinesis/kinesis.go:244-268) instead of row framing.
+    Distributed re-framing: two-level prefix-sum offsets, per-row boundary
+    split, one shuffle keyed by chunk_id (ingest/rechunk.py). Documents
+    are ASCII in the fixtures, so the string oracle matches bytes exactly.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("data")
+    )
+    out = unframed_rechunk(d, RECHUNK, "doc_id")
+    return out.select(
+        "chunk_id", F.col("chunk").cast("string").alias("chunk"), "chunk_bytes"
     )
