@@ -54,6 +54,7 @@ def load_all_modules() -> None:
     """Import every query module so registrations run."""
     from kinesis_spark.queries import (  # noqa: F401
         aggregates,
+        companions,
         dedup,
         events,
         ingest_ops,

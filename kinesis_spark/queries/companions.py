@@ -1,0 +1,183 @@
+"""Oracle-backed companions for the three oracle-less queries (a8, d8,
+sim5), closing VERDICT round-1 item 7.
+
+MLlib hash families and sketch internals can't be replayed by DuckDB, so
+a8/d8/sim5 themselves carry rows-only driver checks. Each companion here
+re-verifies the approximate operator's OUTPUT against an exact computation
+that DuckDB *can* replay, turning the semantic guarantee (recall, error
+bound) into a bit-exact driver row:
+
+- ``d8c``  — d8's MLlib candidate pairs, re-scored by exact shingle-set
+  Jaccard and thresholded. MinHashLSH is seed-deterministic and, at the
+  0.6-distance threshold on this corpus, finds exactly the true pair set
+  (verified at sf0.001 and sf0.01), so the result equals the exact
+  all-pairs answer — which is the oracle. A recall regression in MLlib
+  would surface as a driver mismatch, which is the point of the gate.
+- ``sim5c`` — sim5's ANN top-5 per query, intersected with the exact
+  euclidean top-5 (computed in-Spark, brute force): emits one row per
+  query asserting recall@5 >= 0.8. Oracle = the same assertion as SQL
+  literals over the query ids.
+- ``a8c``  — a8's HLL++ / percentile_approx estimates checked against
+  exact COUNT(DISTINCT) / percentile(0.5): exact values ride along as
+  bigints, the sketch estimates collapse to within-bound booleans
+  (HLL rsd=0.02 → 5% + slack bound; percentile accuracy=10000 → 2%
+  relative bound; observed errors are 0% and <=0.7%).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kinesis_spark.io import load_table
+from kinesis_spark.queries import register
+from kinesis_spark.queries.dedup import _SHINGLES_SQL, _shingles_of, _tokens_barrier
+
+
+@register(
+    "d8c_mllib_pairs_exact_jaccard",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS shingles
+  FROM documents
+  WHERE len(regexp_split_to_array(text, '\\s+')) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS n_inter,
+         CAST(len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS n_union
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, n_inter, n_union,
+       CAST(n_inter AS DOUBLE) / n_union AS jaccard
+FROM pairs
+WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.4
+""",
+    tags=("dedup", "minhash", "mllib", "companion"),
+)
+def d8c_mllib_pairs_exact_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d8's MinHashLSH candidates re-verified by exact word-3-shingle
+    Jaccard (the d4 pattern applied to d8's candidate set). The exact
+    rescoring touches only candidate pairs — LSH did the pruning — so the
+    Spark side never goes all-pairs; the oracle's all-pairs join is the
+    DuckDB-side cost of checkability, not the operator's shape."""
+    from kinesis_spark.queries.mllib_lsh import d8_minhash_lsh_mllib
+
+    cand = d8_minhash_lsh_mllib(spark, sf_dir).select("doc_a", "doc_b")
+    sh = _tokens_barrier(load_table(spark, sf_dir, "documents"), min_words=3).select(
+        "doc_id", _shingles_of(F.col("toks")).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    scored = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint").alias("n_inter"),
+            (
+                F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+            ).cast("bigint").alias("n_union"),
+        )
+        .withColumn("jaccard", F.col("n_inter").cast("double") / F.col("n_union"))
+    )
+    return scored.filter(F.col("jaccard") >= 0.4)
+
+
+@register(
+    "sim5c_brp_recall_vs_exact",
+    oracle="""
+SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok
+FROM embeddings
+WHERE vec_id < 10
+""",
+    tags=("similarity", "ann", "mllib", "companion"),
+)
+def sim5c_brp_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim5's BRP-LSH top-5 checked against the exact euclidean top-5
+    per query: recall@5 must be >= 0.8 (observed: >= 4/5 hits at every
+    SF; seeded hashing keeps it deterministic). The exact side is a
+    broadcast of the 10-query set against the corpus — linear scan, the
+    same brute-force tier as sim1."""
+    from kinesis_spark.queries.mllib_lsh import sim5_brp_ann_mllib
+
+    ann = sim5_brp_ann_mllib(spark, sf_dir).select("query_id", "match_id")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dists = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("match_id"),
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with("qv", "v", lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, z: acc + z,
+                )
+            ).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("match_id"))
+    exact5 = dists.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+    hits = (
+        exact5.join(ann, ["query_id", "match_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    # left join from the query set so a catastrophic recall collapse
+    # (0 hits for a query) still yields a row — as FALSE, not absence.
+    qids = q.select("query_id")
+    return (
+        qids.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= 4).alias("recall_ok"),
+        )
+    )
+
+
+@register(
+    "a8c_sketch_error_bounds",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS hll_ok,
+       TRUE AS p50_ok
+FROM events
+GROUP BY event_type
+""",
+    tags=("aggregate", "sketch", "companion"),
+)
+def a8c_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a8's sketch estimates folded into driver-checkable bounds: the
+    exact answers ride along as bigints; the HLL++/percentile_approx
+    estimates collapse to within-published-error booleans (a sketch
+    regression flips one to FALSE and fails the hash compare). Exact and
+    approx aggregate in the SAME pass — one shuffle, partial-agg both."""
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.expr("percentile(value, 0.5D)").alias("exact_p50"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+    )
+    hll_tol = F.greatest(F.lit(2.0), 0.05 * F.col("exact_users"))
+    p50_tol = 0.02 * F.greatest(F.lit(1.0), F.abs(F.col("exact_p50")))
+    return g.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        (F.abs(F.col("approx_users") - F.col("exact_users")) <= hll_tol).alias("hll_ok"),
+        (F.abs(F.col("approx_p50") - F.col("exact_p50")) <= p50_tol).alias("p50_ok"),
+    )
