@@ -240,15 +240,15 @@ def j6_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     handling suffices; this operator is the explicit variant for
     1000-executor skew that AQE can't split (e.g. a single key bigger
     than one executor's memory)."""
-    SALT = 8
-    e = load_table(spark, sf_dir, "events").withColumn(
-        "salt", F.pmod(F.hash("event_id"), F.lit(SALT))
-    )
-    c = load_table(spark, sf_dir, "customer").withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1)))
-    )
-    joined = e.join(
-        c, (e.user_id == c.c_custkey) & (e.salt == c.salt)
+    from kinesis_spark.skew import salted_join
+
+    joined = salted_join(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+        fact_key="user_id",
+        dim_key="c_custkey",
+        salt_source="event_id",
+        num_salts=8,
     )
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -1,0 +1,58 @@
+"""Explicit salt-based skew mitigation for shuffled equi-joins.
+
+AQE's skew-join splitting (``spark.sql.adaptive.skewJoin``) handles most
+skew at runtime, but it only splits *partitions*, not *keys*: a single key
+whose rows exceed one executor's memory still lands in one task. Salting is
+the explicit fix — the fact side spreads each key's rows over ``num_salts``
+sub-keys via a uniform hash of some per-row column, the dim side replicates
+each key ``num_salts`` times (an explode of a 0..num_salts-1 sequence, so
+the dim grows by the salt factor — cheap while dims are small relative to
+facts), and the join runs on (key, salt).
+
+Semantics are exactly the plain equi-join's: every fact row still meets
+every matching dim row exactly once (the dim copy carrying its salt value).
+``j6_salted_skew_join`` proves this against a plain-join DuckDB oracle;
+``tests/test_skew_stress.py`` proves the performance claim — a 90 %-hot key
+within ~2x of a uniform key distribution at equal row count.
+
+Reference parity note: the reference engine (remind101/kinesis) shards by
+user-supplied partition key and is equally exposed to hot keys
+(kinesis/kinesis.go:117 uses the record's PartitionKey verbatim); salting
+is the standard mitigation on both systems.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_source: str | Column,
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``fact`` with ``dim`` on ``fact_key == dim_key`` with the
+    fact side salted into ``num_salts`` sub-keys.
+
+    ``salt_source`` must vary *within* a join key (a row id, event id,
+    timestamp — anything per-row); hashing the join key itself would put
+    all of a hot key's rows back into one bucket. Deterministic given a
+    deterministic ``salt_source`` (no ``rand()``), so results are stable
+    run to run.
+
+    Pick ``num_salts`` ~ the cluster's parallelism for a fully-hot key;
+    more salts than that only inflates the dim replication.
+    """
+    f = fact.withColumn(SALT_COL, F.pmod(F.hash(salt_source), F.lit(num_salts)))
+    d = dim.withColumn(SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))))
+    joined = f.join(
+        d, (f[fact_key] == d[dim_key]) & (f[SALT_COL] == d[SALT_COL]), how
+    )
+    return joined.drop(f[SALT_COL]).drop(d[SALT_COL])
