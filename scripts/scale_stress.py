@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Scale-stress harness: build a 10x replica of the sf0.1 document and
+embedding corpora (= sf1-equivalent for the t*/mm*/sim*/d* families, which
+read only those tables) and time the slowest operators at 1x vs 10x.
+
+Replication preserves the near-dup structure the dedup family needs: each
+replica of a document differs only by a one-token suffix, so every original
+document becomes a near-dup group of 10 — MinHash/SimHash candidate volume
+grows superlinearly exactly as a real crawl's duplicate clusters would.
+Embeddings get a small deterministic per-replica perturbation so ANN
+probes see 10x distinct points, not 10 copies of each.
+
+Both corpora are rewritten with the SAME 32-partition layout (the stock
+sf0.1 table is a single parquet file, i.e. a single scan task — timing 1x
+against a well-partitioned 10x would measure layout, not data volume).
+Replica ids use dense block offsets (old_id + replica * n_original) so
+id-bounded query sets (sim*'s vec_id < k query vectors) keep their exact
+1x meaning and modulo-derived sets (t7's doc_id % 50 benchmark split,
+mm*'s doc_id % 3 modality) scale with the corpus instead of being pruned
+away by parquet min/max stats.
+
+Usage:  python scripts/scale_stress.py [--rebuild]
+Output: one JSON line {"queries": {name: {"x1": s, "x10": s}}, ...}
+Scaled parquet lives under .scale/{x1,x10}/ (gitignored, ~120 MB).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kinesis_spark.io import load_table  # noqa: E402
+from kinesis_spark.queries import get_registry  # noqa: E402
+from kinesis_spark.session import get_spark  # noqa: E402
+
+SF_SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF1X = os.path.join(REPO, ".scale", "x1")
+SF10X = os.path.join(REPO, ".scale", "x10")
+REPLICAS = 10
+# slowest members of each family (bench.py ranking) + the r1 table's rows
+OPERATORS = [
+    "d3_minhash_lsh_pairs",
+    "d6_simhash_signature",
+    "t4_char_bigrams",
+    "t5_doc_fingerprint",
+    "t6_tfidf_top_terms",
+    "t7_decontamination",
+    "mm4_nibble_histogram",
+    "mm5_frame_energy",
+    "sim1_topk_cosine",
+    "sim5_brp_ann_mllib",
+    "sim6_ivf_ann",
+]
+
+
+def _build(spark, out_dir: str, replicas: int) -> None:
+    rep = spark.range(replicas).select(F.col("id").alias("replica"))
+    docs = load_table(spark, SF_SRC, "documents")
+    n_docs = docs.count()
+    (
+        docs.crossJoin(rep)
+        .select(
+            (F.col("doc_id") + F.col("replica") * F.lit(n_docs)).alias("doc_id"),
+            # one-token suffix => replicas form a near-dup group; replica 0
+            # stays byte-identical to the source corpus
+            F.when(F.col("replica") == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" r"), F.col("replica")))
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "documents.parquet"))
+    )
+    emb = load_table(spark, SF_SRC, "embeddings")
+    n_vecs = emb.count()
+    (
+        emb.crossJoin(rep)
+        .select(
+            (F.col("vec_id") + F.col("replica") * F.lit(n_vecs)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: (x + F.col("replica").cast("float") * F.lit(1e-3)).cast(
+                    "float"
+                ),
+            ).alias("embedding"),
+            "label",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "embeddings.parquet"))
+    )
+
+
+def time_warm(spark, name: str, sf_dir: str) -> float:
+    fn = get_registry()[name].spark_fn
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.monotonic() - t0)
+    return round(best, 2)
+
+
+def main() -> None:
+    spark = get_spark("kinesis_spark-scale-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    if "--rebuild" in sys.argv or not os.path.isdir(SF1X):
+        _build(spark, SF1X, 1)
+    if "--rebuild" in sys.argv or not os.path.isdir(SF10X):
+        _build(spark, SF10X, REPLICAS)
+    for d in (SF1X, SF10X):  # warm footers
+        load_table(spark, d, "documents").count()
+        load_table(spark, d, "embeddings").count()
+    out = {}
+    for name in OPERATORS:
+        x1 = time_warm(spark, name, SF1X)
+        x10 = time_warm(spark, name, SF10X)
+        out[name] = {"x1": x1, "x10": x10, "ratio": round(x10 / max(x1, 1e-9), 1)}
+        print(f"# {name}: {x1}s -> {x10}s ({out[name]['ratio']}x)", file=sys.stderr)
+    print(json.dumps({"replicas": REPLICAS, "queries": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
