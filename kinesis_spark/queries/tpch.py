@@ -726,3 +726,341 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
         .limit(50)
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH cost AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         MIN(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS supplycost
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  JOIN region r   ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+  GROUP BY l.l_partkey, l.l_suppkey
+),
+ranked AS (
+  SELECT l_partkey, l_suppkey, supplycost,
+         MIN(supplycost) OVER (PARTITION BY l_partkey) AS best
+  FROM cost
+)
+SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+       CAST(k.supplycost AS DOUBLE) AS supplycost
+FROM ranked k
+JOIN part p     ON p.p_partkey = k.l_partkey
+JOIN supplier s ON s.s_suppkey = k.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+WHERE k.supplycost = k.best
+  AND p.p_size IN (5, 15, 25) AND p.p_type = 'LARGE'
+""",
+    tags=("join", "subquery", "window", "tpch"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analog (no partsupp in the fixtures — the part↔supplier
+    cost relation comes from lineitem's min extended price): for each
+    qualifying part, the EUROPE supplier(s) achieving the minimum cost.
+    The correlated MIN subquery is a per-part window over the already
+    aggregated (part, supplier) relation — no second scan of lineitem.
+    Dims broadcast; the only fact shuffle is the (partkey, suppkey)
+    aggregation."""
+    from pyspark.sql.window import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(5, 15, 25) & (F.col("p_type") == "LARGE")
+    )
+    eu_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        l.join(F.broadcast(eu_supp), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(_dec("l_extendedprice")).alias("supplycost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = cost.withColumn("best", F.min("supplycost").over(w)).filter(
+        F.col("supplycost") == F.col("best")
+    )
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(eu_supp), best.l_suppkey == F.col("s_suppkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("supplycost").cast("double").alias("supplycost"),
+        )
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+WITH value_by_part AS (
+  SELECT l.l_partkey,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS part_value
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_3'
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey, part_value
+FROM value_by_part
+WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM value_by_part)
+""",
+    tags=("join", "aggregate", "subquery", "tpch"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog (lineitem stands in for partsupp): per-part value
+    held by NATION_3 suppliers, keeping parts above 0.1% of the total.
+    The scalar subquery total is an aggregate of the ALREADY-aggregated
+    per-part relation (parts-sized, tiny) cross-joined back as a
+    broadcast literal — lineitem is scanned once. Both engines compute
+    the exact DECIMAL sum, cast to double, then scale — identical bits."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    by_part = (
+        l.join(F.broadcast(supp), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_quantity"))
+            .cast("double")
+            .alias("part_value")
+        )
+    )
+    total = by_part.agg(
+        (F.sum("part_value") * F.lit(0.001)).alias("threshold")
+    )
+    return (
+        by_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@register(
+    "q12_late_shipment_priority",
+    oracle="""
+SELECT l.l_returnflag AS ship_class,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l.l_returnflag
+""",
+    tags=("join", "aggregate", "conditional", "tpch"),
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analog (no l_shipmode in the fixtures — l_returnflag is
+    the grouping class; lateness = shipped >30 days after ordering):
+    join + conditional two-way count, the CASE-inside-SUM shape. The
+    priority test needs order columns, so this is a true fact-fact join;
+    both sides pre-filter before the shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(
+            o,
+            (l.l_orderkey == o.o_orderkey)
+            & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q20_excess_inventory_suppliers",
+    oracle="""
+WITH qty AS (
+  SELECT l_suppkey, l_partkey,
+         SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                   AND l_shipdate <  TIMESTAMP '1998-01-01'
+                  THEN CAST(l_quantity AS DECIMAL(12,2))
+                  ELSE CAST(0 AS DECIMAL(12,2)) END) AS qty_1997,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_all
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+  GROUP BY l_suppkey, l_partkey
+)
+SELECT DISTINCT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN qty ON qty.l_suppkey = s.s_suppkey
+WHERE qty.qty_1997 * 2 > qty.qty_all
+ORDER BY s.s_suppkey
+""",
+    tags=("join", "semi", "aggregate", "subquery", "tpch"),
+)
+def q20_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analog (lineitem stands in for partsupp availability):
+    suppliers who shipped more than half of a 'small%' part's lifetime
+    quantity within 1997 — the nested-aggregate + semi-join shape. The
+    part-name IN-subquery becomes a broadcast semi join pushed below the
+    aggregation; the 1997/lifetime split is one conditional aggregate
+    pass (no second lineitem scan). DISTINCT collapses multi-part hits
+    per supplier before the dim join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    s = load_table(spark, sf_dir, "supplier")
+    in_1997 = (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    qty = (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_1997, _dec("l_quantity")).otherwise(F.lit(0).cast("decimal(12,2)"))).alias("qty_1997"),
+            F.sum(_dec("l_quantity")).alias("qty_all"),
+        )
+        .filter(F.col("qty_1997") * 2 > F.col("qty_all"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(qty, s.s_suppkey == qty.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+WITH per_line AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY l.l_orderkey, l.l_suppkey
+),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(*) AS n_suppliers,
+         SUM(is_late) AS n_late_suppliers
+  FROM per_line
+  GROUP BY l_orderkey
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM per_line pl
+JOIN per_order po ON po.l_orderkey = pl.l_orderkey
+JOIN supplier s   ON s.s_suppkey = pl.l_suppkey
+WHERE pl.is_late = 1
+  AND po.n_suppliers > 1
+  AND po.n_late_suppliers = 1
+GROUP BY s.s_name
+""",
+    tags=("join", "exists", "aggregate", "tpch"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analog (lateness = shipped >90 days after ordering, no
+    receipt/commit dates in the fixtures): suppliers who were the ONLY
+    late supplier on a finished multi-supplier order. The classic
+    EXISTS / NOT-EXISTS pair is rewritten as one aggregation over
+    (order, supplier) — n_suppliers>1 encodes EXISTS(other supplier),
+    n_late_suppliers=1 encodes NOT EXISTS(other late supplier) — so
+    lineitem is scanned once instead of three times."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    per_line = (
+        l.join(o, (l.l_orderkey == o.o_orderkey))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    per_order = per_line.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("is_late").alias("n_late_suppliers"),
+    )
+    culprits = (
+        per_line.filter(F.col("is_late") == 1)
+        .join(
+            per_order.filter(
+                (F.col("n_suppliers") > 1) & (F.col("n_late_suppliers") == 1)
+            ),
+            "l_orderkey",
+        )
+    )
+    return (
+        culprits.join(F.broadcast(s), culprits.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS a
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT n.n_name,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE c.c_acctbal > (SELECT a FROM avg_bal)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY n.n_name
+""",
+    tags=("join", "anti", "aggregate", "subquery", "tpch"),
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analog (nation name stands in for the phone country
+    code): rich customers who never ordered, grouped by nation. The
+    scalar average is an exact sum/count broadcast back; NOT EXISTS is a
+    left-anti join on the orders key set. The average derives from exact
+    DECIMAL sums so both engines compare against identical bits."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("a")
+    )
+    rich = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+    )
+    return (
+        rich.join(F.broadcast(n), rich.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
