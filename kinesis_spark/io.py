@@ -66,3 +66,21 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Parallelism floor for compute-heavy map stages (tokenize / hash /
+    explode / pandas decode BEFORE the first shuffle).
+
+    The local fixtures are single-row-group parquet files, so their scans
+    are one task and everything up to the first Exchange serializes. A
+    real lakehouse table at 100 TB has thousands of files/splits, in which
+    case this is a NO-OP — the repartition only fires when the scan yields
+    fewer partitions than requested (default: the session's
+    defaultParallelism), so no shuffle is ever added at scale.
+    """
+    spark = df.sparkSession
+    n = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)

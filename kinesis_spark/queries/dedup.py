@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_spark.io import load_table
+from kinesis_spark.io import ensure_min_partitions, load_table
 from kinesis_spark.queries import register
 
 N_HASHES = 8  # minhash signature length
@@ -42,7 +42,7 @@ def _tokens_barrier(d: DataFrame, min_words: int | None = None) -> DataFrame:
     lambdas get no subexpression elimination): ~160 splits/doc, ~7 s at
     sf0.1 vs ~1 s with the barrier.
     """
-    out = d.select(
+    out = ensure_min_partitions(d).select(
         "doc_id", F.explode(F.array(F.split("text", r"\s+"))).alias("toks")
     )
     if min_words is not None:
@@ -291,7 +291,7 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id → 60-bit SimHash. One explode + one groupBy; the 60 vote
     sums partial-aggregate map-side, so the shuffle carries only
     (doc_id, 60 longs) per doc regardless of document size."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", F.explode(F.split("text", r"\s+")).alias("tok")
     ).filter(F.col("tok") != "")
@@ -413,7 +413,9 @@ def d5_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # projection sits below the self-join, so each side computes its norm
     # once; only the dot-product fold runs per pair. Same fp result — the
     # norm expression is identical, just evaluated earlier.
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", v)
+    e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", v
+    )
     e = e.withColumn(
         "norm",
         F.sqrt(

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_spark.io import load_table
+from kinesis_spark.io import ensure_min_partitions, load_table
 from kinesis_spark.queries import register
 
 SEED = 42
@@ -37,7 +37,7 @@ def _shingle_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~2 s). Same shingle width as the portable d3 operator."""
     from pyspark.ml.feature import HashingTF
 
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", F.explode(F.array(F.split("text", r"\s+"))).alias("toks")
     ).filter(F.size("toks") >= 3)

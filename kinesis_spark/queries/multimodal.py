@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_spark.io import load_table
+from kinesis_spark.io import ensure_min_partitions, load_table
 from kinesis_spark.multimodal import (
     decode_media,
     media_table,
@@ -31,7 +31,15 @@ _MODALITY_SQL = "(['image','audio','video'])[doc_id % 3 + 1]"
 
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return media_table(load_table(spark, sf_dir, "documents"))
+    # 8-way, not defaultParallelism: the decode path is mapInPandas, and
+    # per-partition Python worker + Arrow stream setup dominates past ~8
+    # partitions at fixture scale (measured: 32-way 2.6 s, 8-way 0.5 s,
+    # serial 0.3-2.1 s for the mm family). The floor only fires when the
+    # scan has fewer partitions (single-file fixtures); real multi-file
+    # tables keep their native split count.
+    return media_table(
+        ensure_min_partitions(load_table(spark, sf_dir, "documents"), 8)
+    )
 
 
 @register(

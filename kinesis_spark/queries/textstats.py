@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kinesis_spark.io import load_table
+from kinesis_spark.io import ensure_min_partitions, load_table
 from kinesis_spark.queries import register
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
@@ -44,7 +44,7 @@ def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup._tokens_barrier): ``toks`` is referenced by three expressions,
     and HOF lambdas get no common-subexpression elimination, so inlining
     the split would re-run the regex 3x per doc."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     b = d.select(
         "doc_id",
         "lang",
@@ -95,7 +95,7 @@ FROM f
 def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score: stopword density + type-token ratio +
     length prior (the usual pre-training corpus filters)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     # Generate barrier: tokenize once per doc (toks is referenced 3x below;
     # see t1_token_stats / dedup._tokens_barrier).
     b = d.select(
@@ -166,7 +166,7 @@ def t3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus shares one vocabulary across langs, so prediction quality is
     data-limited — the operator semantics (deterministic argmax with fixed
     tie order) are what's exercised."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     # Generate barrier: tokenize once per doc. The four marker_count HOF
     # lambdas below each reference toks; without the barrier the regex
     # split re-runs 4x per document (no CSE across HOF lambdas) — measured
@@ -223,7 +223,7 @@ def t4_char_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level character-bigram profile, top 20 (explode + count —
     partial aggregation collapses the per-partition bigram counts before
     the shuffle)."""
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents")).filter(F.length("text") >= 2)
     grams = F.transform(
         F.sequence(F.lit(1), F.length("text") - 1),
         lambda i: F.substring(F.col("text"), i, F.lit(2)),
@@ -252,7 +252,7 @@ WHERE LENGTH(text) >= 8
 def t5_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style document fingerprint: min hash over all char-8-gram
     md5s (rolling-hash family, deterministic across engines)."""
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents")).filter(F.length("text") >= 8)
     grams = F.transform(
         F.sequence(F.lit(1), F.length("text") - 7),
         lambda i: F.md5(F.substring(F.col("text"), i, F.lit(8))),
@@ -427,7 +427,7 @@ def t8_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     alternation (each branch anchors on a disjoint first-char class).
     The ratio divides exact BIGINTs so both engines emit identical
     doubles."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     n_bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), 0))
     return d.select(
         "doc_id",
