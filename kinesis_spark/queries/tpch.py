@@ -831,6 +831,8 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    from pyspark.sql.window import Window
+
     supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
     by_part = (
         l.join(F.broadcast(supp), l.l_suppkey == F.col("s_suppkey"))
@@ -841,11 +843,15 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("part_value")
         )
     )
-    total = by_part.agg(
-        (F.sum("part_value") * F.lit(0.001)).alias("threshold")
-    )
+    # global-window total instead of a crossJoin with a re-aggregation:
+    # Spark does not reuse the shared aggregation subtree, so the
+    # crossJoin form scans lineitem TWICE (caught by the plan audit).
+    # The unpartitioned window runs over the parts-sized aggregate — a
+    # single-task pass over (key, double) pairs, fine at any lineitem
+    # scale; lineitem itself is scanned exactly once.
+    w = Window.partitionBy()
     return (
-        by_part.crossJoin(F.broadcast(total))
+        by_part.withColumn("threshold", F.sum("part_value").over(w) * F.lit(0.001))
         .filter(F.col("part_value") > F.col("threshold"))
         .select("l_partkey", "part_value")
     )
@@ -989,6 +995,8 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = load_table(spark, sf_dir, "supplier")
+    from pyspark.sql.window import Window
+
     per_line = (
         l.join(o, (l.l_orderkey == o.o_orderkey))
         .groupBy("l_orderkey", "l_suppkey")
@@ -1001,17 +1009,20 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_late")
         )
     )
-    per_order = per_line.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_suppliers"),
-        F.sum("is_late").alias("n_late_suppliers"),
-    )
+    # per-order supplier counts as a window over per_line rather than a
+    # second aggregation self-joined back: Spark does not reuse the
+    # shared subtree, so the join form scans lineitem twice (caught by
+    # the plan audit). The window partitions by order key — the same
+    # shuffle key the aggregation just produced — over an
+    # (order, supplier)-sized relation.
+    w = Window.partitionBy("l_orderkey")
     culprits = (
-        per_line.filter(F.col("is_late") == 1)
-        .join(
-            per_order.filter(
-                (F.col("n_suppliers") > 1) & (F.col("n_late_suppliers") == 1)
-            ),
-            "l_orderkey",
+        per_line.withColumn("n_suppliers", F.count(F.lit(1)).over(w))
+        .withColumn("n_late_suppliers", F.sum("is_late").over(w))
+        .filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_suppliers") > 1)
+            & (F.col("n_late_suppliers") == 1)
         )
     )
     return (

@@ -110,3 +110,50 @@ def test_e8_spine_join_small(plan_of):
     plan = plan_of("e8_gap_filled_hourly")
     # the hour spine is scalar-derived; its join must broadcast
     assert "BroadcastHashJoin" in plan
+
+
+def test_q2_dims_broadcast_single_lineitem_scan(plan_of):
+    plan = plan_of("q2_min_cost_supplier")
+    # part / supplier+nation+region dims broadcast; lineitem is scanned
+    # once (the per-part MIN is a window over the aggregated relation,
+    # not a second scan)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q11_single_scan_threshold_broadcast(plan_of):
+    plan = plan_of("q11_important_stock")
+    # the 0.1% threshold is an aggregate of the already-aggregated
+    # per-part relation joined back as a broadcast — one lineitem scan
+    assert plan.count("lineitem.parquet") == 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q20_part_filter_semi_join_broadcast(plan_of):
+    plan = plan_of("q20_excess_inventory_suppliers")
+    # the p_name LIKE prefix filter reaches the part scan, and the
+    # IN-subquery is a broadcast semi join below the aggregation
+    assert "StringStartsWith(p_name,small" in plan.replace(" ", "")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_q21_single_pass_no_triple_scan(plan_of):
+    plan = plan_of("q21_waiting_suppliers")
+    # EXISTS / NOT-EXISTS rewritten as one aggregation pass: lineitem is
+    # scanned once, not three times as a literal transcription would
+    assert plan.count("lineitem.parquet") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(plan_of):
+    plan = plan_of("q22_global_sales_opportunity")
+    # NOT EXISTS = anti join; the exact average arrives broadcast
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_t8_map_only_no_shuffle(plan_of):
+    plan = plan_of("t8_bpe_token_count")
+    # pure tokenize-count projection: no Exchange beyond the parallelism
+    # floor's repartition, no join, no aggregate
+    assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
