@@ -159,3 +159,54 @@ def s6_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return only_a.unionByName(only_b).select(
         "side", "o_orderkey", "o_custkey", "o_orderstatus"
     )
+
+
+@register(
+    "s7_stratified_sample",
+    oracle="""
+WITH sampled AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal
+  FROM customer
+  WHERE CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT)
+        % 100 < CASE c_mktsegment
+                  WHEN 'BUILDING' THEN 50
+                  WHEN 'MACHINERY' THEN 20
+                  ELSE 10
+                END
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_sampled,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal_sum
+FROM sampled
+GROUP BY c_mktsegment
+""",
+    tags=("sample", "stratified", "aggregate"),
+)
+def s7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum sampling rates (the `sampleBy` shape) made
+    reproducible: the keep decision is a pure hash of the key compared
+    to the stratum's per-mille threshold, so the SAME rows are kept
+    across runs, engines, partitionings, and cluster sizes — which
+    `df.sampleBy`'s partition-dependent RNG stream cannot promise. The
+    per-stratum rate map is the CASE expression; at scale it's a
+    broadcast map lookup, the filter is map-side, and only survivors
+    reach the aggregation shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 100
+    rate = (
+        F.when(F.col("c_mktsegment") == "BUILDING", 50)
+        .when(F.col("c_mktsegment") == "MACHINERY", 20)
+        .otherwise(10)
+    )
+    return (
+        c.filter(bucket < rate)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("bal_sum"),
+        )
+    )
