@@ -157,3 +157,11 @@ def test_t8_map_only_no_shuffle(plan_of):
     # pure tokenize-count projection: no Exchange beyond the parallelism
     # floor's repartition, no join, no aggregate
     assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
+
+
+def test_d3_d7_single_document_scan(plan_of):
+    # LSH candidate pairs come from within-bucket expansion, not a band
+    # self-join that would run the signature pipeline twice
+    for name in ("d3_minhash_lsh_pairs", "d7_simhash_pairs"):
+        plan = plan_of(name)
+        assert plan.count("documents.parquet") == 1, name
