@@ -15,9 +15,11 @@ from kinesis_spark.queries import get_registry, get_registry_ordered
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: TPC-H Q1-style pricing summary at sf0.001."""
+    """Flagship query: the end-to-end LLM data-prep pipeline (language/
+    quality gate → exact dedup → MinHash-LSH near-dup → corpus rollup)
+    in one single-scan plan, at sf0.001."""
     reg = get_registry()
-    return reg["q1_pricing_summary"].spark_fn(spark, "/root/testdata/sf0.001")
+    return reg["p1_llm_prep_pipeline"].spark_fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -61,6 +61,7 @@ def load_all_modules() -> None:
         joins,
         mllib_lsh,
         multimodal,
+        pipelines,
         scalars,
         setops,
         similarity,

@@ -165,3 +165,10 @@ def test_d3_d7_single_document_scan(plan_of):
     for name in ("d3_minhash_lsh_pairs", "d7_simhash_pairs"):
         plan = plan_of(name)
         assert plan.count("documents.parquet") == 1, name
+
+
+def test_p1_pipeline_single_scan(plan_of):
+    # the flagship pipeline: every stage is a window over the previous
+    # one, so the whole prep flow reads documents exactly once
+    plan = plan_of("p1_llm_prep_pipeline")
+    assert plan.count("documents.parquet") == 1
