@@ -663,3 +663,85 @@ def d11_bag_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bag_hash")
         .agg(F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "d12_url_canonical_dedup",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://' || UPPER(source) || '.Example.COM:443/' || lang
+                       || '/doc/' || CAST(doc_id // 4 AS VARCHAR)
+                       || '/?b=2&a=1'
+           WHEN 1 THEN 'https://' || source || '.example.com/' || lang
+                       || '/doc/' || CAST(doc_id // 4 AS VARCHAR) || '?a=1&b=2'
+           WHEN 2 THEN 'https://' || source || '.EXAMPLE.com/' || lang
+                       || '/doc/' || CAST(doc_id // 4 AS VARCHAR) || '/?a=1&b=2'
+           ELSE 'https://' || source || '.example.com:443/' || lang
+                       || '/doc/' || CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1'
+         END AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id, url,
+         LOWER(regexp_replace(regexp_extract(url, '^https://([^/]+)', 1),
+                              ':443$', '')) AS host,
+         regexp_replace(regexp_extract(url, '^https://[^/]+(/[^?]*)', 1),
+                        '/$', '') AS path,
+         array_to_string(list_sort(regexp_split_to_array(
+             regexp_extract(url, '\\?(.*)$', 1), '&')), '&') AS q
+  FROM raw
+)
+SELECT 'https://' || host || path || '?' || q AS canonical_url,
+       MIN(doc_id) AS rep_doc_id,
+       COUNT(*) AS n_variants
+FROM canon
+GROUP BY 1
+""",
+    tags=("dedup", "url", "canonicalize"),
+)
+def d12_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL dedup after canonicalization — the crawl-pipeline operator:
+    lowercase the host, strip the default port and trailing slash, sort
+    the query parameters, then group identical canonical URLs (here the
+    4 synthesized variants per logical document collapse to one). Pure
+    string/array column expressions, one scan, and the dedup groupBy
+    shuffles only the canonical URL + id."""
+    d = load_table(spark, sf_dir, "documents")
+    base = F.concat(
+        F.lit("/"), "lang", F.lit("/doc/"),
+        (F.col("doc_id") / 4).cast("long").cast("string"),
+    )
+    variant = F.col("doc_id") % 4
+    url = (
+        F.when(variant == 0, F.concat(
+            F.lit("https://"), F.upper("source"), F.lit(".Example.COM:443"),
+            base, F.lit("/?b=2&a=1")))
+        .when(variant == 1, F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com"),
+            base, F.lit("?a=1&b=2")))
+        .when(variant == 2, F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".EXAMPLE.com"),
+            base, F.lit("/?a=1&b=2")))
+        .otherwise(F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com:443"),
+            base, F.lit("?b=2&a=1")))
+    )
+    raw = d.select("doc_id", url.alias("url"))
+    host = F.lower(
+        F.regexp_replace(F.regexp_extract("url", r"^https://([^/]+)", 1), r":443$", "")
+    )
+    path = F.regexp_replace(
+        F.regexp_extract("url", r"^https://[^/]+(/[^?]*)", 1), r"/$", ""
+    )
+    q = F.array_join(
+        F.array_sort(F.split(F.regexp_extract("url", r"\?(.*)$", 1), "&")), "&"
+    )
+    canonical = F.concat(F.lit("https://"), host, path, F.lit("?"), q)
+    return raw.select("doc_id", canonical.alias("canonical_url")).groupBy(
+        "canonical_url"
+    ).agg(
+        F.min("doc_id").alias("rep_doc_id"),
+        F.count(F.lit(1)).alias("n_variants"),
+    )

@@ -518,3 +518,74 @@ def e11_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("gap_us").cast("bigint").alias("total_gap_us"),
         (F.sum("gap_us").cast("double") / F.count(F.lit(1))).alias("mean_gap_us"),
     )
+
+
+@register(
+    "e12_value_anomalies",
+    oracle="""
+WITH stats AS (
+  SELECT user_id,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST("value" AS DECIMAL(18,6))
+                  * CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS s2
+  FROM events
+  GROUP BY user_id
+),
+scored AS (
+  SELECT e.user_id, st.n_events,
+         s1 / n_events AS mean_v,
+         sqrt(GREATEST(s2 / n_events - (s1 / n_events) * (s1 / n_events),
+                       0.0)) AS std_v,
+         e."value"
+  FROM events e JOIN stats st ON st.user_id = e.user_id
+)
+SELECT user_id, n_events,
+       CAST(SUM(CASE WHEN abs("value" - mean_v) > 2.0 * std_v
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM scored
+GROUP BY user_id, n_events
+""",
+    tags=("events", "anomaly", "window", "aggregate"),
+)
+def e12_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 2-sigma outlier counts — the population mean/std come
+    from EXACT decimal sums (double summation order differs between
+    engines; decimal sums are associative, then one double division), so
+    the z-score comparison sees identical bits on both engines. Spark
+    side: windows over user_id instead of an aggregate self-join (one
+    events scan); the anomaly flag then re-aggregates per user."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,6)")
+    w = Window.partitionBy("user_id")
+    scored = e.select(
+        "user_id",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n_events"),
+        F.sum(v).over(w).cast("double").alias("s1"),
+        F.sum(v * v).over(w).cast("double").alias("s2"),
+    ).select(
+        "user_id",
+        "value",
+        "n_events",
+        (F.col("s1") / F.col("n_events")).alias("mean_v"),
+        F.sqrt(
+            F.greatest(
+                F.col("s2") / F.col("n_events")
+                - (F.col("s1") / F.col("n_events"))
+                * (F.col("s1") / F.col("n_events")),
+                F.lit(0.0),
+            )
+        ).alias("std_v"),
+    )
+    return scored.groupBy("user_id", "n_events").agg(
+        F.sum(
+            F.when(
+                F.abs(F.col("value") - F.col("mean_v")) > 2.0 * F.col("std_v"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_anomalies")
+    )
