@@ -145,6 +145,27 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "w8_range_frame_trailing",
 )
 
+def _driver_verified_names() -> frozenset[str]:
+    """Names that already have a CORRECTNESS row from ANY past round —
+    read from the CORRECTNESS_r*.json files the harness drops in the
+    repo root. Used to rotate never-verified queries into the driver's
+    fixed-size window automatically each round; falls back to the static
+    round-1 list when the files are unreadable."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                seen.update(json.load(f).keys())
+        except (OSError, ValueError):
+            continue
+    return frozenset(seen) if seen else R1_VERIFIED
+
+
 # Names the driver verified in round 1 (keys of CORRECTNESS_r01.json). These
 # go LAST so new queries (not in either list) land ahead of them and reach
 # the driver window before any re-verification.
@@ -177,17 +198,23 @@ R1_VERIFIED: frozenset[str] = frozenset(
 
 
 def get_registry_ordered() -> dict[str, Query]:
-    """Registry reordered for the driver: never-verified first, new queries
-    second, round-1-verified last. Content identical to ``get_registry()``."""
+    """Registry reordered for the driver's fixed-size per-round window:
+    (1) DRIVER_PRIORITY names still lacking a CORRECTNESS row, (2) every
+    other never-verified query in registration order, (3) already-
+    verified queries last. Verification state comes from the
+    CORRECTNESS_r*.json files on disk, so the rotation advances itself
+    each round without editing this file. Content identical to
+    ``get_registry()``."""
     reg = get_registry()
+    verified = _driver_verified_names()
     ordered: dict[str, Query] = {}
     for name in DRIVER_PRIORITY:
-        if name in reg:
+        if name in reg and name not in verified:
             ordered[name] = reg[name]
-    for name, q in reg.items():  # new queries, registration order
-        if name not in ordered and name not in R1_VERIFIED:
+    for name, q in reg.items():  # other never-verified, registration order
+        if name not in ordered and name not in verified:
             ordered[name] = q
-    for name, q in reg.items():  # round-1-verified
+    for name, q in reg.items():  # already driver-verified
         if name not in ordered:
             ordered[name] = q
     assert len(ordered) == len(reg)
