@@ -313,3 +313,66 @@ def a11_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (wsum.cast("double") / w.cast("double")).alias("qty_weighted_price"),
         w.cast("double").alias("total_weight"),
     )
+
+
+@register(
+    "a12_hll_sketch_union",
+    oracle="""
+WITH per_type AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+  FROM events GROUP BY event_type
+),
+overall AS (
+  SELECT COUNT(DISTINCT user_id) AS exact_total FROM events
+)
+SELECT event_type, exact_users, TRUE AS type_estimate_ok,
+       (SELECT exact_total FROM overall) AS exact_total,
+       TRUE AS union_estimate_ok
+FROM per_type
+""",
+    tags=("aggregate", "sketch", "hll", "union"),
+)
+def a12_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches — the 100 TB rollup pattern:
+    build one Datasketches HLL per event_type (hll_sketch_agg), then
+    UNION the binary sketches (hll_union_agg) for the overall count
+    instead of re-scanning events. That merge is what approx_count_
+    distinct can't do: partial sketches survive as data and compose
+    across rollup levels / incremental loads. Driver-checkable shape:
+    exact counts ride along, estimates collapse to within-bound
+    booleans (HLL lgK=12 → ~1.6% rsd; 3-sigma bound + small-count
+    slack)."""
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", 12).alias("sketch"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    rolled = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_total"),
+        F.sum("exact_users").alias("_ignore"),
+    ).select("approx_total")
+    exact_total = e.agg(F.count_distinct("user_id").alias("exact_total"))
+    tol = lambda exact: F.greatest(F.lit(16.0), 0.05 * exact)  # noqa: E731
+    return (
+        per_type.select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(
+                    F.hll_sketch_estimate("sketch") - F.col("exact_users")
+                ) <= tol(F.col("exact_users"))
+            ).alias("type_estimate_ok"),
+        )
+        .crossJoin(F.broadcast(exact_total))
+        .crossJoin(F.broadcast(rolled))
+        .select(
+            "event_type",
+            "exact_users",
+            "type_estimate_ok",
+            "exact_total",
+            (
+                F.abs(F.col("approx_total") - F.col("exact_total"))
+                <= tol(F.col("exact_total"))
+            ).alias("union_estimate_ok"),
+        )
+    )
