@@ -160,9 +160,18 @@ def _driver_verified_names() -> frozenset[str]:
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         try:
             with open(path) as f:
-                seen.update(json.load(f).keys())
+                rows = json.load(f)
         except (OSError, ValueError):
             continue
+        for name, row in rows.items():
+            # a row counts as verified only if it PASSED (or is the
+            # deliberate rows-only kind); a failed/errored row keeps the
+            # query in the front of the window for re-verification
+            if not isinstance(row, dict):
+                continue
+            err = row.get("err")
+            if err is None or err == "no_oracle":
+                seen.add(name)
     return frozenset(seen) if seen else R1_VERIFIED
 
 
