@@ -274,6 +274,45 @@ def sim4_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PROBE = 2  # IVF cells searched per query
 
 
+def ivf_codebook(e):
+    """Coarse codebook: exact per-label centroids via sim3's decimal
+    quantization (both engines compute identical component means).
+    Input: (vec_id, label, v double[]); output: (cell, cv double[])."""
+    exploded = e.select(
+        "label", F.posexplode("v").alias("idx0", "comp")
+    ).select(
+        "label", F.col("idx0").alias("idx"),
+        F.floor(F.col("comp") * F.lit(1073741824.0)).cast("decimal(38,0)").alias("qc"),
+    )
+    return (
+        exploded.groupBy("label", "idx")
+        .agg((F.sum("qc").cast("double") / F.lit(1073741824.0) / F.count(F.lit(1))).alias("mc"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "mc"))).alias("pairs"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pairs", lambda p: p["mc"]).alias("cv"),
+        )
+    )
+
+
+def ivf_assign(e, cent):
+    """Rank every vector against every (broadcast) centroid: crk=1 is
+    the owning cell, crk<=nprobe are a query's probe cells. Squared
+    euclidean argmin, cell-id tiebreak — deterministic."""
+    dist2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+    return (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "cell", dist2.alias("d2"))
+        .withColumn("crk", F.row_number().over(w_assign))
+    )
+
+
+
 @register(
     "sim6_ivf_ann",
     oracle=f"""
@@ -332,34 +371,8 @@ def sim6_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    # codebook: exact per-label centroid components (see sim3)
-    exploded = e.select(
-        "label", F.posexplode("v").alias("idx0", "comp")
-    ).select(
-        "label", F.col("idx0").alias("idx"),
-        F.floor(F.col("comp") * F.lit(1073741824.0)).cast("decimal(38,0)").alias("qc"),
-    )
-    cent = (
-        exploded.groupBy("label", "idx")
-        .agg((F.sum("qc").cast("double") / F.lit(1073741824.0) / F.count(F.lit(1))).alias("mc"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("idx", "mc"))).alias("pairs"))
-        .select(
-            F.col("label").alias("cell"),
-            F.transform("pairs", lambda p: p["mc"]).alias("cv"),
-        )
-    )
-    # assignment: nearest centroid per vector (squared euclidean argmin)
-    dist2 = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
-    assign = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "v", "cell", dist2.alias("d2"))
-        .withColumn("crk", F.row_number().over(w_assign))
-    )
+    cent = ivf_codebook(e)
+    assign = ivf_assign(e, cent)
     cells = assign.filter(F.col("crk") == 1).select(
         F.col("vec_id").alias("match_id"), F.col("v").alias("cv_vec"), "cell"
     )

@@ -1,0 +1,61 @@
+"""Persisted IVF index: query results must equal the in-memory sim6
+operator (same codebook/probe/rerank math), and the probe must prune
+cell partitions at the scan, not filter rows."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_spark.ann import build_ivf_index, query_ivf_index
+from kinesis_spark.io import load_table
+from kinesis_spark.queries.similarity import N_PROBE, N_QUERIES, TOP_K, sim6_ivf_ann
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ivf_index"))
+    build_ivf_index(load_table(spark, sf_dir, "embeddings"), d)
+    return d
+
+
+def _queries(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+        )
+    )
+
+
+def test_persisted_index_matches_in_memory_sim6(spark, sf_dir, index_dir):
+    got = sorted(
+        (r["query_id"], r["match_id"], r["cos_sim"], r["rank"])
+        for r in query_ivf_index(
+            spark, index_dir, _queries(spark, sf_dir), top_k=TOP_K, n_probe=N_PROBE
+        ).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["match_id"], r["cos_sim"], r["rank"])
+        for r in sim6_ivf_ann(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) == N_QUERIES * TOP_K
+
+
+def test_probe_prunes_cell_partitions(spark, sf_dir, index_dir):
+    df = query_ivf_index(
+        spark, index_dir, _queries(spark, sf_dir), top_k=TOP_K, n_probe=N_PROBE
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    scan = plan[plan.index("cells") :]
+    assert "PartitionFilters: [" in scan
+    seg = scan[scan.index("PartitionFilters: [") :].split("]")[0]
+    assert "cell" in seg and ("IN" in seg.upper() or "in(" in seg)
