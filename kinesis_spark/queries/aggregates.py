@@ -32,6 +32,8 @@ GROUP BY c_mktsegment
     tags=("aggregate", "distinct"),
 )
 def a1_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct customer/nation counts per market segment — the
+    baseline COUNT(DISTINCT) expansion (two-phase aggregate)."""
     c = load_table(spark, sf_dir, "customer")
     return c.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -119,6 +121,8 @@ GROUP BY l_returnflag
     tags=("aggregate", "conditional"),
 )
 def a5_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-inside-SUM conditional aggregation per line status, exact
+    decimal money math."""
     l = load_table(spark, sf_dir, "lineitem")
     zero = F.lit(0).cast("decimal(12,2)")
     return l.groupBy("l_returnflag").agg(

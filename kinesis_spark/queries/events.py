@@ -48,6 +48,8 @@ GROUP BY 1, 2
     tags=("events", "aggregate", "json"),
 )
 def e1_daily_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts + exact value sums per event type, with a
+    JSON property extracted JVM-side (get_json_object)."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(
@@ -221,6 +223,8 @@ GROUP BY user_id
     tags=("events", "aggregate"),
 )
 def e5_user_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity profile: event counts, active-day span, first/
+    last seen — one partial-aggregated pass."""
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),

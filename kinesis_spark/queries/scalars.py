@@ -33,6 +33,8 @@ WHERE p_partkey <= 500
     tags=("scalar", "string"),
 )
 def sc1_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery (case, trim, pad, substring, replace,
+    split, concat) cross-checked against DuckDB semantics."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
     return p.select(
         "p_partkey",
@@ -63,6 +65,8 @@ WHERE o_orderkey <= 1000
     tags=("scalar", "date"),
 )
 def sc2_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function battery (trunc, extract, add/diff, format)
+    on UTC-pinned timestamps."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
     return o.select(
         "o_orderkey",
@@ -95,6 +99,8 @@ WHERE l_orderkey <= 600
     tags=("scalar", "math"),
 )
 def sc3_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function battery (round, floor/ceil, abs, power, mod, log,
+    trig) with bit-deterministic cross-engine results."""
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 600)
     return l.select(
         "l_orderkey",

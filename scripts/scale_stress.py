@@ -57,6 +57,9 @@ OPERATORS = [
     "sim1_topk_cosine",
     "sim5_brp_ann_mllib",
     "sim6_ivf_ann",
+    "t8_bpe_token_count",
+    "d12_url_canonical_dedup",
+    "p1_llm_prep_pipeline",
 ]
 
 
