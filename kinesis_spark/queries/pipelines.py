@@ -160,3 +160,75 @@ def p1_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_toks").alias("total_tokens"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+_CTX_TOKENS = 256  # context-window budget (tokens) for p2 packing
+
+
+@register(
+    "p2_sequence_packing",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_toks
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, n_toks,
+         CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS cum_before
+  FROM toks
+)
+SELECT doc_id, source, n_toks, cum_before,
+       cum_before // {_CTX_TOKENS} AS start_window,
+       (cum_before + n_toks - 1) // {_CTX_TOKENS} AS end_window,
+       (cum_before + n_toks - 1) // {_CTX_TOKENS}
+         - cum_before // {_CTX_TOKENS} + 1 AS n_windows,
+       CAST((cum_before + n_toks - 1) // {_CTX_TOKENS}
+            > cum_before // {_CTX_TOKENS} AS BOOLEAN) AS crosses_boundary
+FROM cum
+""",
+    tags=("pipeline", "packing", "tokens"),
+)
+def p2_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing (the GPT-style pretraining
+    layout): within each source shard, documents are concatenated in
+    doc_id order and the token stream is cut into fixed 256-token context
+    windows; each document reports the window span it lands in and
+    whether it straddles a boundary. Pure BIGINT window arithmetic —
+    cumulative token offset, then floor-division — so both engines agree
+    exactly.
+
+    Scale shape: packing is per-shard (Window.partitionBy(source)), so
+    the sort is distributed across shards, never global; at 100 TB shards
+    are the natural pack unit (each writer task emits one shard's
+    windows). One scan, one shuffle on source."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", r"\s+")).cast("bigint").alias("n_toks"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = toks.withColumn(
+        "cum_before", F.coalesce(F.sum("n_toks").over(w), F.lit(0).cast("bigint"))
+    )
+    start = F.expr(f"cum_before div {_CTX_TOKENS}")
+    end = F.expr(f"(cum_before + n_toks - 1) div {_CTX_TOKENS}")
+    return cum.select(
+        "doc_id",
+        "source",
+        "n_toks",
+        "cum_before",
+        start.alias("start_window"),
+        end.alias("end_window"),
+        (end - start + F.lit(1)).alias("n_windows"),
+        (end > start).alias("crosses_boundary"),
+    )

@@ -210,3 +210,79 @@ def s7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bal_sum"),
         )
     )
+
+
+@register(
+    "s8_domain_mix_rebalance",
+    oracle="""
+WITH counts AS (
+  SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source
+),
+totals AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM counts
+),
+rates AS (
+  SELECT c.source, c.cnt,
+         least(10000, (10000 * (t.total // t.n_sources)) // c.cnt)
+           AS threshold_pm
+  FROM counts c CROSS JOIN totals t
+),
+kept AS (
+  SELECT d.source, r.cnt, r.threshold_pm, d.n_chars
+  FROM documents d JOIN rates r USING (source)
+  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        % 10000 < r.threshold_pm
+)
+SELECT source,
+       CAST(MAX(cnt) AS BIGINT) AS n_docs,
+       CAST(MAX(threshold_pm) AS BIGINT) AS threshold_pm,
+       COUNT(*) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+FROM kept
+GROUP BY source
+""",
+    tags=("sample", "mixture", "dedup-pipeline"),
+)
+def s8_domain_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: downsample each source toward an equal
+    share of the corpus (the training-data mixing step). Unlike s7 the
+    per-source rate is DERIVED from the data — quota = total/n_sources,
+    threshold = min(1, quota/count_s) in exact per-myriad integer
+    arithmetic — and the keep decision is a pure hash of doc_id, so the
+    same rows survive on any engine, partitioning, or cluster size.
+
+    Scale shape: per-source counts are a tiny aggregate (sources <<
+    docs); the rate table broadcasts back onto the corpus scan, the
+    filter is map-side, and only survivors reach the final per-source
+    aggregation. Two scans of the corpus, zero wide shuffles of it."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "cnt",
+            F.least(
+                F.lit(10000).cast("bigint"),
+                F.expr("(10000 * (total div n_sources)) div cnt"),
+            ).alias("threshold_pm"),
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10000
+    )
+    kept = d.join(F.broadcast(rates), "source").filter(bucket < F.col("threshold_pm"))
+    return kept.groupBy("source").agg(
+        F.max("cnt").cast("bigint").alias("n_docs"),
+        F.max("threshold_pm").cast("bigint").alias("threshold_pm"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+    )

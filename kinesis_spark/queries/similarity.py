@@ -396,3 +396,88 @@ def sim6_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+@register(
+    "sim7_int8_quantization",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+m AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e
+),
+s AS (
+  SELECT vec_id, v, CAST(127 AS DOUBLE) / maxabs AS scale
+  FROM m WHERE maxabs > 0
+),
+q AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(greatest(-127, least(127,
+           floor(x * scale + 0.5))) AS BIGINT)) AS qv
+  FROM s
+)
+SELECT vec_id, scale,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_min(qv) AS BIGINT) AS q_min,
+       CAST(list_max(qv) AS BIGINT) AS q_max,
+       CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat,
+       list_max(list_transform(v, x -> abs(x -
+         CAST(greatest(-127, least(127, floor(x * scale + 0.5))) AS DOUBLE)
+           / scale))) AS max_abs_err
+FROM q
+""",
+    tags=("similarity", "quantization"),
+)
+def sim7_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column — the
+    standard 4x shrink applied to ANN corpora before indexing. Per vector:
+    scale = 127/max|x|, q_i = clamp(round(x_i*scale)) with an explicit
+    floor(x+0.5) so Spark and DuckDB round identically; reports exact
+    integer aggregates of the quantized vector plus the max reconstruction
+    error (max is order-insensitive, so it is fp-deterministic, unlike a
+    sum of errors).
+
+    Scale shape: map-only single scan, no shuffle; the expensive per-row
+    max|x| is materialized once behind a Generate barrier (the scale
+    expression is referenced inside per-element lambdas, and HOF lambdas
+    get no CSE — see dedup._tokens_barrier)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    b = e.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(F.array_max(F.transform("v", lambda x: F.abs(x))))
+        ).alias("maxabs"),
+    ).filter(F.col("maxabs") > 0)
+    scale = F.lit(127.0) / F.col("maxabs")
+
+    def quant(x):
+        return F.greatest(
+            F.lit(-127).cast("bigint"),
+            F.least(F.lit(127).cast("bigint"), F.floor(x * scale + F.lit(0.5))),
+        )
+
+    qv = F.transform("v", quant)
+    # quantize once per row behind a second barrier (qv is referenced by
+    # five aggregates below; inlining would re-run the transform 5x)
+    qb = b.select(
+        "vec_id", "v", scale.alias("scale"), F.explode(F.array(qv)).alias("qv")
+    )
+    return qb.select(
+        "vec_id",
+        "scale",
+        F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+        F.size(F.filter("qv", lambda x: F.abs(x) == 127)).cast("bigint").alias("n_sat"),
+        F.array_max(
+            F.zip_with(
+                "v",
+                "qv",
+                lambda x, q: F.abs(x - q.cast("double") / F.col("scale")),
+            )
+        ).alias("max_abs_err"),
+    )

@@ -393,6 +393,192 @@ def t7_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "t9_repetition_signals",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, LENGTH(text) AS n_chars,
+         LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_symbols,
+         regexp_split_to_array(text, '\\s+') AS t
+  FROM documents
+),
+base AS (
+  SELECT doc_id, n_chars, n_symbols,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(list_sum(list_transform(t, x -> LENGTH(x))) AS BIGINT) AS tok_chars
+  FROM toks
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS gram
+  FROM toks WHERE len(t) >= 2
+),
+gc AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram
+),
+gstats AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_grams,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+         CAST(MAX(c) AS BIGINT) AS top_gram_count
+  FROM gc GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       CAST(b.tok_chars AS DOUBLE) / b.n_tokens AS mean_word_len,
+       CAST(b.n_symbols AS DOUBLE) / b.n_tokens AS symbol_word_ratio,
+       g.n_grams, g.n_distinct_grams, g.top_gram_count,
+       1.0 - CAST(g.n_distinct_grams AS DOUBLE) / g.n_grams AS dup_gram_frac,
+       CAST(g.top_gram_count AS DOUBLE) / g.n_grams AS top_gram_frac
+FROM base b JOIN gstats g USING (doc_id)
+""",
+    tags=("text", "quality", "repetition"),
+)
+def t9_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality signals per document: mean word
+    length, symbol-to-word ratio, duplicate word-bigram fraction, and
+    top-bigram fraction (the published pre-training repetition filters,
+    adapted to single-line docs: word 2-grams stand in for lines).
+
+    Scale shape: one scan; bigrams explode then partially aggregate on
+    (doc_id, gram) before the shuffle, so the shuffle carries per-doc
+    gram counts, not raw grams; the second aggregate is per-doc. Base
+    stats ride through the explode behind the Generate barrier (first()
+    per doc), so there is no second scan or self-join."""
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    b = d.select(
+        "doc_id",
+        F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+        .cast("bigint")
+        .alias("n_symbols"),
+        F.explode(F.array(F.split("text", r"\s+"))).alias("toks"),
+    ).filter(F.size("toks") >= 2)
+    grams = b.select(
+        "doc_id",
+        "n_symbols",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            F.transform("toks", lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+        )
+        .cast("bigint")
+        .alias("tok_chars"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                ),
+            )
+        ).alias("gram"),
+    )
+    gc = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.first("n_tokens").alias("n_tokens"),
+        F.first("tok_chars").alias("tok_chars"),
+        F.first("n_symbols").alias("n_symbols"),
+    )
+    g = gc.groupBy("doc_id").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.first("tok_chars").alias("tok_chars"),
+        F.first("n_symbols").alias("n_symbols"),
+        F.sum("c").cast("bigint").alias("n_grams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_grams"),
+        F.max("c").cast("bigint").alias("top_gram_count"),
+    )
+    return g.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("tok_chars").cast("double") / F.col("n_tokens")).alias("mean_word_len"),
+        (F.col("n_symbols").cast("double") / F.col("n_tokens")).alias(
+            "symbol_word_ratio"
+        ),
+        "n_grams",
+        "n_distinct_grams",
+        "top_gram_count",
+        (
+            F.lit(1.0) - F.col("n_distinct_grams").cast("double") / F.col("n_grams")
+        ).alias("dup_gram_frac"),
+        (F.col("top_gram_count").cast("double") / F.col("n_grams")).alias(
+            "top_gram_frac"
+        ),
+    )
+
+
+# PII patterns shared by Spark (Java regex) and the DuckDB oracle (RE2):
+# no lookaround, no backrefs, character classes only — identical semantics.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"555-[0-9]{4}"
+_PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+@register(
+    "t10_pii_redaction",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or 555-0'
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(
+         regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'), '{_PII_IPV4}'))
+         AS BIGINT) AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace(
+         t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+            '{_PII_IPV4}', '<IP>', 'g'),
+            '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+FROM aug
+""",
+    tags=("text", "pii", "redaction"),
+)
+def t10_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: detect and redact emails, phone-shaped numbers and
+    IPv4 literals. The fixture corpus contains no organic PII, so each doc
+    is first augmented with a deterministic doc_id-derived contact line
+    (same expression in both engines) — the redaction then has non-zero,
+    verifiable work. IPs are counted AFTER email redaction (the email's
+    host part would otherwise embed dotted digits at larger ids), and the
+    replace order email -> ip -> phone is fixed in both engines.
+
+    Scale shape: map-only regex pass, no shuffle; the standard corpus
+    scrubbing stage before training-data export."""
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 555-0"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit(" from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1"),
+        ).alias("t"),
+    )
+    no_email = F.regexp_replace("t", _PII_EMAIL, "<EMAIL>")
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_PHONE), 0))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(no_email, F.lit(_PII_IPV4), 0))
+        .cast("bigint")
+        .alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace(no_email, _PII_IPV4, "<IP>"), _PII_PHONE, "<PHONE>"
+        ).alias("redacted"),
+    )
+
+
 # GPT-2-style pre-tokenizer pattern, restricted to constructs RE2 also
 # supports (no lookahead) so the DuckDB oracle runs the IDENTICAL regex:
 # contraction suffixes | space?-letters | space?-digits | space?-other | runs
