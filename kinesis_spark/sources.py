@@ -128,3 +128,73 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    *,
+    streaming: bool = False,
+) -> DataFrame:
+    """ORC reader (batch + streaming). ORC gets the same pushdown/pruning
+    treatment as parquet from the DataSource V2 scan — `.explain` shows
+    PushedFilters against the ORC stripe index."""
+    if streaming:
+        if schema is None:
+            raise ValueError("streaming orc requires an explicit schema")
+        return spark.readStream.schema(schema).orc(path)
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Partitioned ORC sink — same contract as ``write_parquet``."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+# Spark 4.1 bundles the Avro classes inside spark-sql.jar, but the
+# short name "avro" only registers when the separate spark-avro package
+# provides its ServiceLoader entry — the fully-qualified class name works
+# everywhere, so that is what we use.
+_AVRO_FORMAT = "org.apache.spark.sql.avro.AvroFileFormat"
+
+
+def _avro_available(spark: SparkSession) -> bool:
+    """True when the Avro FileFormat class actually loads (py4j package
+    traversal never fails, so force real classloading)."""
+    try:
+        spark._jvm.java.lang.Class.forName(_AVRO_FORMAT)  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro reader. Gated with a clear error on distributions where the
+    Avro classes are genuinely absent from the classpath."""
+    if not _avro_available(spark):
+        raise NotImplementedError(
+            "Avro classes not on the classpath; add "
+            "org.apache.spark:spark-avro_2.13 to spark.jars.packages"
+        )
+    return spark.read.format(_AVRO_FORMAT).load(path)
+
+
+def write_avro(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """Avro sink (row-oriented — the interchange format for ingest
+    hand-off; stick to parquet/ORC for analytics storage)."""
+    if not _avro_available(df.sparkSession):
+        raise NotImplementedError(
+            "Avro classes not on the classpath; add "
+            "org.apache.spark:spark-avro_2.13 to spark.jars.packages"
+        )
+    df.write.mode(mode).format(_AVRO_FORMAT).save(path)

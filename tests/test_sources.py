@@ -109,3 +109,46 @@ def test_socket_source_constructs(spark):
     df = socket_source(spark, "localhost", 9999)
     assert df.isStreaming
     assert [f.name for f in df.schema.fields] == ["value"]
+
+
+def test_orc_roundtrip_and_pushdown(spark, flat_events, tmp_path):
+    from kinesis_spark.sources import read_orc, write_orc
+
+    p = str(tmp_path / "orc")
+    write_orc(flat_events, p, partition_by=["event_type"])
+    back = read_orc(spark, p)
+    assert back.count() == flat_events.count()
+    plan = (
+        back.filter(back.event_type == "click")
+        .select("event_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # partition filter must prune at the scan, not post-filter
+    assert "click" in plan
+
+
+def test_orc_stream_requires_schema(spark, tmp_path):
+    import pytest as _pytest
+
+    from kinesis_spark.sources import read_orc
+
+    with _pytest.raises(ValueError):
+        read_orc(spark, str(tmp_path), streaming=True)
+
+
+def test_avro_roundtrip_or_gate(spark, flat_events, tmp_path):
+    import pytest as _pytest
+
+    from kinesis_spark.sources import _avro_available, read_avro, write_avro
+
+    p = str(tmp_path / "avro")
+    if not _avro_available(spark):
+        with _pytest.raises(NotImplementedError):
+            read_avro(spark, p)
+        return
+    write_avro(flat_events, p)
+    back = read_avro(spark, p)
+    assert back.count() == flat_events.count()
+    assert set(back.columns) == set(flat_events.columns)
