@@ -172,3 +172,43 @@ def test_p1_pipeline_single_scan(plan_of):
     # one, so the whole prep flow reads documents exactly once
     plan = plan_of("p1_llm_prep_pipeline")
     assert plan.count("documents.parquet") == 1
+
+
+def test_t9_partial_agg_before_gram_shuffle(plan_of):
+    plan = plan_of("t9_repetition_signals")
+    # per-(doc, gram) counts partially aggregate before the shuffle, so the
+    # exchange carries gram counts, not raw exploded grams
+    assert "partial_count" in plan or "partial_first" in plan
+    # ONE scan node ("Scan parquet" prints in tree + node detail)
+    assert plan.count("Scan parquet") == 2
+
+
+def test_t10_map_only_no_shuffle(plan_of):
+    plan = plan_of("t10_pii_redaction")
+    # pure per-row regex pass: the only exchange is the parallelism-floor
+    # round-robin; no hash shuffle, no global sort
+    assert "hashpartitioning" not in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("Scan parquet") == 2
+
+
+def test_sim7_map_only_no_shuffle(plan_of):
+    plan = plan_of("sim7_int8_quantization")
+    assert "Exchange" not in plan  # quantization is per-row
+    assert plan.count("Scan parquet") == 2
+
+
+def test_s8_rate_table_broadcasts(plan_of):
+    plan = plan_of("s8_domain_mix_rebalance")
+    # the derived per-source rate table broadcasts back onto the corpus
+    # scan; the corpus is never shuffled for the join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_p2_packing_is_per_shard(plan_of):
+    plan = plan_of("p2_sequence_packing")
+    # the cumulative-sum window partitions by source — a hash exchange,
+    # never a global single-partition sort
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan
