@@ -59,6 +59,7 @@ def load_all_modules() -> None:
         events,
         ingest_ops,
         joins,
+        lineage,
         mllib_lsh,
         multimodal,
         pipelines,

@@ -273,6 +273,53 @@ def click_purchase_join(
     )
 
 
+def click_purchase_left_outer(
+    events: DataFrame, watermark: str = "1 hour", within_minutes: int = 30
+) -> DataFrame:
+    """Left-OUTER stream-stream join: every click, paired with the
+    purchases it led to within ``within_minutes`` — or with nulls once
+    the watermark proves no purchase can still arrive (the abandoned-
+    funnel feed). The null rows are what distinguishes this from
+    ``click_purchase_join``: they can only be emitted when event time
+    has provably passed click_ts + within + watermark, which is why both
+    sides must carry watermarks and the join condition must bound
+    purchase_ts relative to click_ts. Works identically on batch input
+    up to watermark closure (parity-tested on the closed region)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES")
+        )
+    )
+    return clicks.join(purchases, cond, "leftOuter").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+    )
+
+
 def run_to_completion(
     df: DataFrame,
     output_mode: str,

@@ -212,3 +212,55 @@ def test_transform_with_state_parity(spark, sf_dir, events_dir):
         .collect()
     }
     assert final == batch
+
+
+@pytest.mark.streaming
+def test_stream_stream_left_outer_parity(spark, sf_dir, events_dir):
+    """Matched rows agree exactly; null (abandoned-click) rows agree on
+    the watermark-closed region — clicks near the stream's end stay in
+    state because no later event proves their join window empty, which
+    is the operator's contract, not a bug."""
+    import datetime as dt
+
+    from kinesis_spark.streaming.analytics import click_purchase_left_outer
+
+    events = load_table(spark, sf_dir, "events")
+    batch = click_purchase_left_outer(events)
+    stream = run_to_completion(
+        click_purchase_left_outer(stream_events(spark, events_dir)),
+        output_mode="append",
+        query_name="t_ssjoin_outer",
+    )
+    cols = ["user_id", "click_id", "click_ts", "purchase_id", "purchase_ts"]
+
+    matched_b = _rows(batch.filter(F.col("purchase_id").isNotNull()), cols)
+    matched_s = _rows(stream.filter(F.col("purchase_id").isNotNull()), cols)
+    assert matched_s == matched_b
+    assert len(matched_s) > 0
+
+    # closed region: the join watermark is min(click_wm, purchase_wm) =
+    # min over each SIDE's max event time - 1h; a click's state closes
+    # once that passes click_ts + within(30m). The 1s epsilon keeps the
+    # boundary row (eviction is a strict comparison) out of the check.
+    side_max = (
+        events.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .agg(F.min("m"))
+        .collect()[0][0]
+    )
+    cutoff = side_max - dt.timedelta(minutes=90, seconds=1)
+    nulls_b = _rows(
+        batch.filter(F.col("purchase_id").isNull() & (F.col("click_ts") < cutoff)),
+        cols,
+    )
+    nulls_s_closed = _rows(
+        stream.filter(F.col("purchase_id").isNull() & (F.col("click_ts") < cutoff)),
+        cols,
+    )
+    assert nulls_s_closed == nulls_b
+    assert len(nulls_b) > 0  # non-degenerate: abandoned clicks exist
+    # and the stream never fabricates a null row batch doesn't have
+    all_nulls_b = set(_rows(batch.filter(F.col("purchase_id").isNull()), cols))
+    all_nulls_s = set(_rows(stream.filter(F.col("purchase_id").isNull()), cols))
+    assert all_nulls_s <= all_nulls_b
