@@ -282,3 +282,63 @@ def sc7_url_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.split(F.parse_url("url", F.lit("HOST")), r"\.").getItem(0).alias("subdomain"),
     )
+
+
+@register(
+    "sc8_map_funcs",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_orderstatus, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey < 400
+),
+entries AS (
+  SELECT o_orderkey, 'status' AS k, o_orderstatus AS v FROM o
+  UNION ALL
+  SELECT o_orderkey, 'month', strftime(o_orderdate, '%Y-%m') FROM o
+  UNION ALL
+  SELECT o_orderkey, 'prio', upper(str_split(o_orderpriority, '-')[1]) FROM o
+)
+SELECT o_orderkey, CAST(3 AS INT) AS n_entries, k AS entry_key, v AS entry_value
+FROM entries
+WHERE v IS NOT NULL AND LENGTH(v) > 0
+""",
+    tags=("scalar", "map"),
+)
+def sc8_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType scalar surface: build per-row maps (``create_map`` +
+    ``map_concat``), rewrite values (``transform_values``), drop empties
+    (``map_filter``), then relationalize with ``map_entries`` + explode.
+    The oracle replays the final relation (DuckDB's MAP would stringify
+    differently in the compare, so the map ops live on the Spark side
+    and the contract is the exploded rows).
+
+    Scale shape: map-only pass over a keyed subset; maps stay row-local
+    (never a shuffle key), which is the correct use of MapType at scale
+    — shuffling map columns widens rows for no pruning benefit."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    m = F.map_concat(
+        F.create_map(F.lit("status"), F.col("o_orderstatus")),
+        F.create_map(
+            F.lit("month"), F.date_format("o_orderdate", "yyyy-MM"),
+            F.lit("prio"), F.split("o_orderpriority", "-")[0],
+        ),
+    )
+    cleaned = F.map_filter(
+        F.transform_values(m, lambda k, v: F.upper(v)),
+        lambda k, v: v.isNotNull() & (F.length(v) > 0),
+    )
+    # keep 'status' as-is (single-char, upper is identity there anyway —
+    # the oracle mirrors upper() on every value)
+    return (
+        o.select(
+            "o_orderkey",
+            F.size(m).alias("n_entries"),
+            F.explode(F.map_entries(cleaned)).alias("e"),
+        )
+        .select(
+            "o_orderkey",
+            "n_entries",
+            F.col("e.key").alias("entry_key"),
+            F.col("e.value").alias("entry_value"),
+        )
+    )

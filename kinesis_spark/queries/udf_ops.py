@@ -124,3 +124,52 @@ def u2_grouped_rank_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "n_chars"
     )
     return d.groupBy("lang", "source").applyInPandas(rank_group, schema=_RANK_SCHEMA)
+
+
+@register(
+    "u3_grouped_agg_pandas",
+    oracle="""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+       CAST(SUM(n_chars * n_chars) AS BIGINT) AS chars_sumsq
+FROM documents
+GROUP BY source
+""",
+    tags=("udf", "pandas-agg"),
+)
+def u3_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-AGGREGATE pandas UDF (the third Arrow UDF shape next to
+    u1's UDTF and u2's grouped map): per-source moment sums computed in
+    numpy. Integer-only accumulation (int64) so the result is exact and
+    order-insensitive — a float sum would vary with Arrow batch order.
+
+    Scale shape: Spark evaluates grouped-agg pandas UDFs with partial
+    Arrow batches per partition ONLY for window frames; in groupBy().agg
+    the group's values stream to one executor — fine while groups
+    (sources) are numerous and individually small relative to a task,
+    which is the shard layout by construction."""
+    from pyspark.sql import functions as SF
+
+    # Spark disallows mixing grouped-agg pandas UDFs with JVM aggregates
+    # in one agg() — so all three moments go through Arrow (nested defs →
+    # ship by value; int64 math → exact).
+    @SF.pandas_udf("bigint")
+    def n_docs(v: pd.Series) -> int:
+        return int(len(v))
+
+    @SF.pandas_udf("bigint")
+    def total(v: pd.Series) -> int:
+        return int(v.to_numpy(dtype="int64").sum())
+
+    @SF.pandas_udf("bigint")
+    def sumsq(v: pd.Series) -> int:
+        a = v.to_numpy(dtype="int64")
+        return int((a * a).sum())
+
+    d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    return d.groupBy("source").agg(
+        n_docs("n_chars").alias("n_docs"),
+        total("n_chars").alias("chars_sum"),
+        sumsq("n_chars").alias("chars_sumsq"),
+    )
