@@ -43,24 +43,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to Spark's native TimestampType.
+
+    Handles every encoding the driver has shipped: TIMESTAMP(NANOS) read
+    as long (``nanosAsLong``), TIMESTAMP_NTZ, and plain TIMESTAMP.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        # integer `div`, NOT `/`: long/int promotes to double, which
+        # can't hold 1.7e18 ns exactly and rounds the microsecond.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        # NTZ -> TimestampType is wall-clock-identity under UTC.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-        # parquet reader rejects; read nanos as long and floor to Spark's
-        # native microsecond timestamps (oracle side mirrors this with
-        # CAST(ts AS TIMESTAMP)).
+        # The driver has shipped events.ts under two parquet encodings
+        # across rounds: TIMESTAMP(NANOS) (which Spark's vectorized reader
+        # rejects — read nanos as long, then floor to microseconds) and
+        # plain TIMESTAMP(MICROS) / TIMESTAMP_NTZ. Detect from the read
+        # schema and normalize both to Spark's native TimestampType so
+        # every downstream query sees one shape.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Event-time functions (year/date_trunc/window) on TimestampType
         # read the session timezone; the DuckDB oracle is timezone-naive.
         # Pin UTC here so results don't depend on the caller's session
         # config (the driver harness calls queries() with ITS session).
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        from pyspark.sql import functions as F
-
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer `div`, NOT `/`: long/int promotes to double, which can't
-        # hold 1.7e18 ns exactly and rounds the microsecond.
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -29,20 +29,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: Physical read schema: the fixtures store TIMESTAMP(NANOS), which the
-#: vectorized parquet reader only accepts as long (see kinesis_spark.io).
-EVENTS_READ_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def stream_events(
     spark: SparkSession,
     path: str,
@@ -53,15 +39,20 @@ def stream_events(
     ``maxFilesPerTrigger`` is the admission knob (the streaming analogue
     of the reference's 4 MB buffer): it caps per-micro-batch input so a
     backlog replays in bounded batches instead of one giant one.
+
+    Streaming file sources need an explicit schema; probe it with a batch
+    read of the same path so whichever ts encoding the fixtures use
+    (TIMESTAMP(NANOS)-as-long or TIMESTAMP(_NTZ)) is picked up, then
+    normalize to TimestampType exactly as the batch loader does.
     """
+    from kinesis_spark.io import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_READ_SCHEMA).format("parquet")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    # integer div, not /: double can't hold 1.7e18 ns exactly
-    return reader.load(path).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    return normalize_events_ts(reader.load(path))
 
 
 def tumbling_counts(
