@@ -380,3 +380,108 @@ def a12_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("union_estimate_ok"),
         )
     )
+
+
+CM_DEPTH = 4  # independent hash rows
+CM_WIDTH = 64  # buckets per row
+
+
+@register(
+    "a13_heavy_hitters_countmin",
+    oracle=f"""
+WITH u AS (SELECT user_id FROM events),
+js AS (SELECT unnest(range({CM_DEPTH})) AS j),
+hashed AS (
+  SELECT user_id, j,
+         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % {CM_WIDTH} AS bucket
+  FROM u, js
+),
+sketch AS (SELECT j, bucket, COUNT(*) AS cnt FROM hashed GROUP BY j, bucket),
+truec AS (SELECT user_id, COUNT(*) AS true_cnt FROM u GROUP BY user_id),
+top AS (SELECT * FROM truec ORDER BY true_cnt DESC, user_id LIMIT 20),
+probes AS (
+  SELECT t.user_id, t.true_cnt, j,
+         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(t.user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % {CM_WIDTH} AS bucket
+  FROM top t, js
+)
+SELECT p.user_id, p.true_cnt,
+       MIN(s.cnt) AS est_cnt,
+       MIN(s.cnt) >= p.true_cnt AS within_bound
+FROM probes p JOIN sketch s ON p.j = s.j AND p.bucket = s.bucket
+GROUP BY p.user_id, p.true_cnt
+""",
+    tags=("agg", "sketch", "countmin"),
+)
+def a13_heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation, checked against true counts
+    for the top-20 users: build a {CM_DEPTH}x{CM_WIDTH} sketch (salted-md5
+    row hashes), then estimate each heavy hitter's frequency as the MIN
+    over its {CM_DEPTH} counters. All integer math → bit-identical across
+    engines, including the overestimate guarantee column (est >= true,
+    always true for count-min).
+
+    Scale shape: the sketch build is ONE groupBy over (j, bucket) — {CM_DEPTH}*{CM_WIDTH}
+    cells regardless of input size, with map-side partial aggregation
+    carrying at most {CM_DEPTH}*{CM_WIDTH} rows per task; the probe side is a broadcast
+    join of 20x{CM_DEPTH} keys against those cells. The true-count pass exists
+    only to verify the estimate; a production pipeline ships the 256-cell
+    sketch alone (mergeable across shards by cell-wise addition).
+    """
+    u = load_table(spark, sf_dir, "events").select("user_id")
+
+    def bucket(j: int, col: str):
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}:"), F.col(col).cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(CM_WIDTH),
+        )
+
+    hashed = u.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("bigint").alias("j"),
+                        bucket(j, "user_id").alias("bucket"),
+                    )
+                    for j in range(CM_DEPTH)
+                ]
+            )
+        ).alias("jb")
+    ).select("jb.j", "jb.bucket")
+    sketch = hashed.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+    top = (
+        u.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "user_id")
+        .limit(20)
+    )
+    probes = top.select(
+        "user_id",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("bigint").alias("j"),
+                        bucket(j, "user_id").alias("bucket"),
+                    )
+                    for j in range(CM_DEPTH)
+                ]
+            )
+        ).alias("jb"),
+    ).select("user_id", "true_cnt", "jb.j", "jb.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("user_id", "true_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+        .withColumn("within_bound", F.col("est_cnt") >= F.col("true_cnt"))
+    )

@@ -254,3 +254,162 @@ def j6_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "j7_asof_forward_fulfillment",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       p.ts AS purchase_ts,
+       v.event_id AS view_id,
+       v.ts AS view_ts
+FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'purchase') p
+ASOF LEFT JOIN
+     (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts <= v.ts
+""",
+    tags=("join", "asof", "forward"),
+)
+def j7_asof_forward_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each purchase, the EARLIEST view at-or-after
+    it (j4 is the backward variant). Same scalable union+window shape —
+    one shuffle, no pairwise candidate blowup — but with a
+    currentRow→unboundedFollowing frame and first(ignorenulls).
+
+    Tie handling: at equal ts the view must be eligible (<= semantics), so
+    views sort AFTER the purchase marker at the same ts and land inside
+    the purchase row's following frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("marker"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(None).cast("timestamp").alias("purchase_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("marker"),
+        F.lit(None).cast("long").alias("view_id"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    merged = views.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "marker")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        merged.select(
+            "user_id",
+            "marker",
+            "purchase_id",
+            "purchase_ts",
+            F.first("view_id", ignorenulls=True).over(w).alias("view_id"),
+            F.first("view_ts", ignorenulls=True).over(w).alias("view_ts"),
+        )
+        .filter(F.col("marker") == 0)
+        .select("purchase_id", "user_id", "purchase_ts", "view_id", "view_ts")
+    )
+
+
+@register(
+    "j8_asof_nearest_click",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'click'),
+back AS (
+  SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+         c.event_id AS click_id, c.ts AS click_ts
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+),
+fwd AS (
+  SELECT p.event_id AS purchase_id,
+         c.event_id AS click_id, c.ts AS click_ts
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+)
+SELECT b.purchase_id, b.user_id, b.purchase_ts,
+       CASE WHEN f.click_ts IS NULL THEN b.click_id
+            WHEN b.click_ts IS NULL THEN f.click_id
+            WHEN epoch_us(b.purchase_ts) - epoch_us(b.click_ts)
+                 <= epoch_us(f.click_ts) - epoch_us(b.purchase_ts)
+                 THEN b.click_id ELSE f.click_id END AS click_id,
+       CASE WHEN f.click_ts IS NULL THEN b.click_ts
+            WHEN b.click_ts IS NULL THEN f.click_ts
+            WHEN epoch_us(b.purchase_ts) - epoch_us(b.click_ts)
+                 <= epoch_us(f.click_ts) - epoch_us(b.purchase_ts)
+                 THEN b.click_ts ELSE f.click_ts END AS click_ts
+FROM back b JOIN fwd f USING (purchase_id)
+""",
+    tags=("join", "asof", "nearest"),
+)
+def j8_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: for each purchase, the click closest in time on
+    EITHER side (ties → the earlier/backward click, matching pandas
+    merge_asof(direction='nearest') tie-breaking).
+
+    One union + ONE window pass computes both candidates — last click in
+    the preceding frame and first click in the following frame — then a
+    row-local CASE picks the closer. Still a single shuffle; the naive
+    formulation joins every purchase to every candidate click and ranks.
+
+    Equal-ts clicks sort before the purchase marker, so they are seen by
+    the backward frame (diff 0) and always win the tie, preserving >=
+    semantics on the backward side.
+    """
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("marker"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(None).cast("timestamp").alias("purchase_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("marker"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    merged = clicks.unionByName(purchases)
+    order = Window.partitionBy("user_id").orderBy("ts", "marker")
+    wb = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    cand = merged.select(
+        "user_id",
+        "marker",
+        "purchase_id",
+        "purchase_ts",
+        F.last("click_id", ignorenulls=True).over(wb).alias("b_id"),
+        F.last("click_ts", ignorenulls=True).over(wb).alias("b_ts"),
+        F.first("click_id", ignorenulls=True).over(wf).alias("f_id"),
+        F.first("click_ts", ignorenulls=True).over(wf).alias("f_ts"),
+    ).filter(F.col("marker") == 1)
+    b_diff = F.unix_micros("purchase_ts") - F.unix_micros("b_ts")
+    f_diff = F.unix_micros("f_ts") - F.unix_micros("purchase_ts")
+    pick_back = F.col("f_ts").isNull() | (
+        F.col("b_ts").isNotNull() & (b_diff <= f_diff)
+    )
+    return cand.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.when(pick_back, F.col("b_id")).otherwise(F.col("f_id")).alias("click_id"),
+        F.when(pick_back, F.col("b_ts")).otherwise(F.col("f_ts")).alias("click_ts"),
+    )

@@ -286,3 +286,105 @@ def s8_domain_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_chars").cast("bigint").alias("kept_chars"),
     )
+
+
+@register(
+    "s9_train_val_test_split",
+    oracle="""
+WITH assigned AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, source, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM assigned
+""",
+    tags=("setop", "split", "training"),
+)
+def s9_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split: the assignment is a
+    pure function of the stable doc_id (salted md5 → bucket 0-99), so it
+    is reproducible across runs, machines, and engine versions, and a
+    re-run after appending new documents never reassigns an old one —
+    the property a training pipeline actually needs from a splitter.
+
+    Scale shape: row-local expressions only (no shuffle, no sampling
+    state); the split can be computed inline in any downstream scan and
+    pushed into a partitioned write.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(100),
+    )
+    return (
+        d.select("doc_id", "source", bucket.alias("bucket"))
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < 80, "train")
+            .when(F.col("bucket") < 90, "val")
+            .otherwise("test"),
+        )
+    )
+
+
+@register(
+    "s10_reproducible_shuffle",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id,
+         md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, shuffle_key,
+         CAST(('0x' || substr(shuffle_key, 1, 15)) AS BIGINT) % 8 AS shard
+  FROM keyed
+)
+SELECT doc_id, shard,
+       ROW_NUMBER() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id)
+         AS pos_in_shard
+FROM sharded
+""",
+    tags=("setop", "shuffle", "training"),
+)
+def s10_reproducible_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global shuffle for training-order randomization: every
+    doc gets a pseudo-random key md5(seed || doc_id), is routed to one of
+    N shards by that key, and gets a deterministic position within its
+    shard. Same seed → same order, forever — the way a 100 TB corpus is
+    shuffled for training (N shard files, each internally ordered),
+    without any single global sort or global row numbering.
+
+    Scale shape: the only shuffle is the hash partition on shard; the
+    per-shard ROW_NUMBER window parallelizes across shards (no
+    partition-less window).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    keyed = d.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("shuf42:"), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    ).select(
+        "doc_id",
+        "shuffle_key",
+        F.pmod(
+            F.conv(F.substring("shuffle_key", 1, 15), 16, 10).cast("bigint"),
+            F.lit(8),
+        ).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        "doc_id", "shard", F.row_number().over(w).alias("pos_in_shard")
+    )
