@@ -212,3 +212,37 @@ def test_p2_packing_is_per_shard(plan_of):
     # never a global single-partition sort
     assert "hashpartitioning(source" in plan
     assert "SinglePartition" not in plan
+
+
+def test_j7_j8_single_shuffle_no_pair_join(plan_of):
+    # the as-of variants must keep the union+window shape: no join at all,
+    # one Exchange (hash on user_id) feeding the window sort
+    for name in ("j7_asof_forward_fulfillment", "j8_asof_nearest_click"):
+        plan = plan_of(name)
+        assert "Join" not in plan, name
+        # formatted explain prints each node twice (tree + detail)
+        assert plan.count("hashpartitioning(user_id") == 1, name
+
+
+def test_s9_split_is_map_only(plan_of):
+    # hash-split assignment is row-local: no Exchange anywhere
+    plan = plan_of("s9_train_val_test_split")
+    assert "Exchange" not in plan
+
+
+def test_s10_shuffle_window_is_partitioned(plan_of):
+    # the per-shard numbering must partition its window (parallel), never
+    # a partition-less global-sort window
+    plan = plan_of("s10_reproducible_shuffle")
+    assert "Window" in plan
+    # the only shuffle is the hash partition on shard (windows parallel)
+    assert plan.count("hashpartitioning(shard") == 1
+    assert plan.count("Exchange (") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_a13_sketch_partial_agg_and_broadcast_probe(plan_of):
+    plan = plan_of("a13_heavy_hitters_countmin")
+    # sketch cells partial-aggregate map-side; probes broadcast-join them
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
