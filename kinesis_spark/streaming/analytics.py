@@ -311,6 +311,42 @@ def click_purchase_left_outer(
     )
 
 
+def segment_window_counts(
+    events: DataFrame,
+    customer: DataFrame,
+    width: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup: each event is
+    enriched with its customer's market segment via a BROADCAST join
+    against the static dimension (re-planned per micro-batch, so a
+    refreshed dim table is picked up without restarting the query), then
+    counted per (tumbling window, segment).
+
+    This is the canonical production streaming join: stateless (no join
+    state to watermark — only the aggregation holds state), dim-side
+    broadcast so the stream never shuffles before the aggregate. Events
+    with no matching customer keep a NULL segment (left join) — dropped
+    rows would be silent data loss.
+    """
+    dim = customer.select(
+        F.col("c_custkey").alias("_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .join(F.broadcast(dim), F.col("user_id") == F.col("_custkey"), "left")
+        .groupBy(F.window("ts", width).alias("w"), "segment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "segment",
+            "n_events",
+        )
+    )
+
+
 def run_to_completion(
     df: DataFrame,
     output_mode: str,

@@ -264,3 +264,33 @@ def test_stream_stream_left_outer_parity(spark, sf_dir, events_dir):
     all_nulls_b = set(_rows(batch.filter(F.col("purchase_id").isNull()), cols))
     all_nulls_s = set(_rows(stream.filter(F.col("purchase_id").isNull()), cols))
     assert all_nulls_s <= all_nulls_b
+
+
+@pytest.mark.streaming
+def test_stream_static_enrichment_parity(spark, sf_dir, events_dir):
+    from kinesis_spark.streaming.analytics import segment_window_counts
+
+    customer = load_table(spark, sf_dir, "customer")
+    batch = segment_window_counts(
+        load_table(spark, sf_dir, "events"), customer
+    )
+    stream = run_to_completion(
+        segment_window_counts(stream_events(spark, events_dir), customer),
+        output_mode="complete",
+        query_name="seg_win_counts",
+    )
+    cols = ["win_start", "win_end", "segment", "n_events"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
+@pytest.mark.streaming
+def test_stream_static_enrichment_broadcasts(spark, sf_dir, events_dir):
+    # the dim side must broadcast: no shuffle on the stream before the agg
+    from kinesis_spark.streaming.analytics import segment_window_counts
+
+    df = segment_window_counts(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
