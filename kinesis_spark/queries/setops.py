@@ -316,24 +316,12 @@ def s9_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     state); the split can be computed inline in any downstream scan and
     pushed into a partitioned write.
     """
+    from kinesis_spark.shards import split_bucket, split_name
+
     d = load_table(spark, sf_dir, "documents")
-    bucket = F.pmod(
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 15),
-            16,
-            10,
-        ).cast("bigint"),
-        F.lit(100),
-    )
-    return (
-        d.select("doc_id", "source", bucket.alias("bucket"))
-        .withColumn(
-            "split",
-            F.when(F.col("bucket") < 80, "train")
-            .when(F.col("bucket") < 90, "val")
-            .otherwise("test"),
-        )
-    )
+    return d.select(
+        "doc_id", "source", split_bucket(F.col("doc_id")).alias("bucket")
+    ).withColumn("split", split_name(F.col("bucket")))
 
 
 @register(
@@ -368,21 +356,15 @@ def s10_reproducible_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-shard ROW_NUMBER window parallelizes across shards (no
     partition-less window).
     """
-    d = load_table(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 
+    from kinesis_spark.shards import shard_of, shuffle_key
+
+    d = load_table(spark, sf_dir, "documents")
     keyed = d.select(
-        "doc_id",
-        F.md5(F.concat(F.lit("shuf42:"), F.col("doc_id").cast("string"))).alias(
-            "shuffle_key"
-        ),
+        "doc_id", shuffle_key(F.col("doc_id")).alias("shuffle_key")
     ).select(
-        "doc_id",
-        "shuffle_key",
-        F.pmod(
-            F.conv(F.substring("shuffle_key", 1, 15), 16, 10).cast("bigint"),
-            F.lit(8),
-        ).alias("shard"),
+        "doc_id", "shuffle_key", shard_of(F.col("shuffle_key"), 8).alias("shard")
     )
     w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
     return keyed.select(
