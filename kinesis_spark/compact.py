@@ -1,0 +1,54 @@
+"""Small-file compaction — the lakehouse maintenance operation that keeps
+a 100 TB table scannable. Streaming sinks and fine-grained ingestion leave
+thousands of KB-sized files; each costs a file-open + footer read per
+scan task, and at scale the NameNode/listing overhead dominates. Compact
+rewrites a dataset into ~target-sized files.
+
+Scale shape: sizing comes from the file listing (no data read); the
+rewrite uses ``coalesce`` — a shuffle-free merge of adjacent partitions —
+unless the caller asks for ``rebalance=True`` (full repartition, needed
+when input partitions are themselves skewed).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def dataset_bytes(spark: SparkSession, df: DataFrame) -> int:
+    """Total on-disk bytes of the files backing ``df``, from the Hadoop
+    FileSystem metadata (works for local paths and HDFS/object stores;
+    never reads data)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for uri in df.inputFiles():
+        path = jvm.org.apache.hadoop.fs.Path(uri)
+        fs = path.getFileSystem(conf)
+        total += fs.getFileStatus(path).getLen()
+    return total
+
+
+def compact_dataset(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    rebalance: bool = False,
+) -> int:
+    """Rewrite ``in_dir`` (parquet) into ``out_dir`` with roughly
+    ``target_file_bytes``-sized files. Returns the file count written.
+
+    ``rebalance=False`` (default): ``coalesce`` — no shuffle; adjacent
+    input splits merge into output tasks. ``rebalance=True``: round-robin
+    ``repartition`` — one shuffle, but output files are even when the
+    input is skewed.
+    """
+    df = spark.read.parquet(in_dir)
+    total = dataset_bytes(spark, df)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    shaped = df.repartition(n_files) if rebalance else df.coalesce(n_files)
+    shaped.write.mode("overwrite").parquet(out_dir)
+    return n_files

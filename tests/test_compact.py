@@ -1,0 +1,49 @@
+"""Compaction: many small files → few target-sized files, content
+unchanged, and the default path is shuffle-free."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from kinesis_spark.compact import compact_dataset, dataset_bytes
+from kinesis_spark.io import load_table
+
+
+@pytest.fixture(scope="module")
+def fragmented_dir(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("frag") / "docs")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(64).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _parquet_files(d):
+    return glob.glob(os.path.join(d, "*.parquet"))
+
+
+def test_compaction_reduces_file_count(spark, fragmented_dir, tmp_path):
+    out = str(tmp_path / "compacted")
+    total = dataset_bytes(spark, spark.read.parquet(fragmented_dir))
+    # target = half the dataset → expect exactly 2 output files
+    n = compact_dataset(spark, fragmented_dir, out, target_file_bytes=total // 2 + 1)
+    assert n == 2
+    assert len(_parquet_files(out)) == 2
+    assert len(_parquet_files(fragmented_dir)) == 64
+
+
+def test_compaction_preserves_content(spark, fragmented_dir, tmp_path):
+    out = str(tmp_path / "compacted2")
+    compact_dataset(spark, fragmented_dir, out, target_file_bytes=1 << 40)
+    a = spark.read.parquet(fragmented_dir)
+    b = spark.read.parquet(out)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_default_compaction_is_shuffle_free(spark, fragmented_dir):
+    df = spark.read.parquet(fragmented_dir).coalesce(2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
