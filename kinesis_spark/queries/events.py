@@ -593,3 +593,58 @@ def e12_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_anomalies")
     )
+
+
+@register(
+    "e13_rolling_weekly_active",
+    oracle="""
+WITH daily AS (
+  SELECT DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         user_id
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM daily),
+contrib AS (
+  SELECT d.day + CAST(o.off AS INTEGER) AS report_day, d.user_id
+  FROM daily d, (SELECT unnest(range(7)) AS off) o
+)
+SELECT CAST(c.report_day AS TIMESTAMP) AS report_day,
+       COUNT(DISTINCT c.user_id) AS weekly_active
+FROM contrib c JOIN days ON days.day = c.report_day
+GROUP BY c.report_day
+""",
+    tags=("events", "rolling", "distinct"),
+)
+def e13_rolling_weekly_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct active users per observed day. COUNT(DISTINCT)
+    over a sliding RANGE frame has no direct window form, so each (day,
+    user) activity row is replicated FORWARD into the 7 report days it can
+    contribute to, then distinct-counted per report day — the standard
+    scalable rewrite (shuffle keys are (day, user) pairs, never per-event).
+
+    Scale shape: the expensive dedup happens FIRST (events → distinct
+    (day, user), one shuffle that collapses arbitrarily many events per
+    user-day to one row); the 7x explode applies to the collapsed rows
+    only. Report days are semi-joined to observed days via a broadcast.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
+    ).distinct()
+    days = daily.select("day").distinct()
+    contrib = daily.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "day",
+        "user_id",
+    ).select(F.date_add("day", F.col("off")).alias("report_day"), "user_id")
+    return (
+        contrib.join(
+            F.broadcast(days), contrib.report_day == days.day, "left_semi"
+        )
+        .groupBy("report_day")
+        .agg(F.count_distinct("user_id").alias("weekly_active"))
+        .select(
+            F.col("report_day").cast("timestamp").alias("report_day"),
+            "weekly_active",
+        )
+    )

@@ -59,6 +59,9 @@ OPERATORS = [
     "sim6_ivf_ann",
     "t8_bpe_token_count",
     "d12_url_canonical_dedup",
+    "d7_simhash_pairs",
+    "t9_repetition_signals",
+    "s10_reproducible_shuffle",
     "p1_llm_prep_pipeline",
 ]
 
