@@ -1,0 +1,76 @@
+"""Incremental rollup maintenance — the hypertable/continuous-aggregate
+pattern: a daily (day, event_type) rollup of the events stream is kept
+fresh by MERGING each new batch's partial aggregates into the stored
+rollup, rewriting only the day partitions the batch touches.
+
+The rollup stores MERGEABLE state (count + decimal sum, not avg), so a
+refresh never re-reads the base events table: stored state ⊕ batch state
+re-aggregates to exactly the from-scratch result (decimal addition is
+associative — the same discipline the query oracles use). At 100 TB the
+refresh cost is proportional to the batch and its touched days, never to
+table history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: rollup schema: day (date), event_type, n_events (long), sum_value decimal
+_STATE_COLS = ("day", "event_type", "n_events", "sum_value")
+
+
+def daily_rollup_state(events: DataFrame) -> DataFrame:
+    """Partial-aggregate a batch of events into mergeable rollup rows."""
+    return (
+        events.groupBy(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+        .select(*_STATE_COLS)
+    )
+
+
+def _merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    return (
+        a.unionByName(b)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_value").cast("decimal(18,6)").alias("sum_value"),
+        )
+        .select(*_STATE_COLS)
+    )
+
+
+def refresh_daily_rollup(
+    spark: SparkSession, rollup_dir: str, new_events: DataFrame
+) -> int:
+    """Merge a batch of new events into the stored rollup at
+    ``rollup_dir`` (parquet, partitioned by day). Returns the number of
+    day partitions rewritten. First call bootstraps the store."""
+    batch = daily_rollup_state(new_events)
+    days = [r[0] for r in batch.select("day").distinct().collect()]
+    if not days:
+        return 0
+
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        from pyspark.errors import AnalysisException
+
+        try:
+            stored = spark.read.parquet(rollup_dir).filter(F.col("day").isin(days))
+            merged = _merge(stored.select(*_STATE_COLS), batch).localCheckpoint(
+                eager=True
+            )
+        except AnalysisException:  # PATH_NOT_FOUND: first refresh bootstraps
+            merged = batch
+        merged.write.mode("overwrite").partitionBy("day").parquet(rollup_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    return len(days)

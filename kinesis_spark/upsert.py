@@ -1,0 +1,61 @@
+"""MERGE/upsert into a directory-partitioned parquet dataset — the CDC
+maintenance operation for plain-parquet lakehouses (no table format).
+
+Semantics: rows in ``updates`` replace target rows with the same key;
+new keys are inserted. Only the directory partitions that the updates
+touch are rewritten (dynamic partition overwrite); every other partition's
+files are left byte-identical — at 100 TB the rewrite cost is proportional
+to the changed partitions, never the table.
+
+Scale shape: the affected-partition list is a distinct-collect of the
+update batch's partition values (bounded by the batch, not the table);
+the target read prunes to those partitions at file listing; the merge is
+one left-anti join (update keys broadcast when small) + union. The
+``localCheckpoint`` before the write breaks the read-from/overwrite-to
+cycle on the same path by materializing the merged partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    target_dir: str,
+    updates: DataFrame,
+    key: str,
+    partition_col: str,
+) -> int:
+    """Merge ``updates`` into ``target_dir`` (parquet, partitioned by
+    ``partition_col``). Returns the number of partitions rewritten.
+
+    ``updates`` must carry the key and the partition column; a key's
+    partition value may change only if the caller also emits a delete for
+    the old partition (standard CDC contract for partition-keyed stores).
+    """
+    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    if not parts:
+        return 0
+
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        target = spark.read.parquet(target_dir).filter(
+            F.col(partition_col).isin(parts)
+        )
+        merged = (
+            target.join(F.broadcast(updates.select(key)), key, "left_anti")
+            .unionByName(updates.select(*target.columns))
+            # materialize before overwriting the directory we just read
+            .localCheckpoint(eager=True)
+        )
+        (
+            merged.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(target_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    return len(parts)

@@ -1,0 +1,60 @@
+"""Incremental rollup: two-batch refresh equals from-scratch aggregation
+bit-exactly, and untouched day partitions are not rewritten."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from kinesis_spark.io import load_table
+from kinesis_spark.rollup import daily_rollup_state, refresh_daily_rollup
+
+
+def _rows(df):
+    return sorted(
+        tuple(str(v) for v in r)
+        for r in df.select("day", "event_type", "n_events", "sum_value").collect()
+    )
+
+
+def test_incremental_refresh_matches_full_recompute(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "rollup")
+    events = load_table(spark, sf_dir, "events")
+    mid = events.select(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
+    first, second = (
+        events.filter(F.col("event_id") <= mid),
+        events.filter(F.col("event_id") > mid),
+    )
+
+    assert refresh_daily_rollup(spark, out, first) > 0
+    files_after_first = {
+        p: sorted(os.path.basename(f) for f in glob.glob(os.path.join(p, "*.parquet")))
+        for p in glob.glob(os.path.join(out, "day=*"))
+    }
+    assert refresh_daily_rollup(spark, out, second) > 0
+
+    got = spark.read.parquet(out)
+    want = daily_rollup_state(events)
+    assert _rows(got) == _rows(want)
+
+    # any day only present in the first batch must be untouched by the
+    # second refresh (same file names)
+    second_days = {
+        f"day={r[0]}" for r in daily_rollup_state(second).select("day").collect()
+    }
+    for p, files in files_after_first.items():
+        if os.path.basename(p) not in second_days:
+            now = sorted(
+                os.path.basename(f) for f in glob.glob(os.path.join(p, "*.parquet"))
+            )
+            assert now == files, p
+
+
+def test_refresh_empty_batch_is_noop(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "rollup2")
+    events = load_table(spark, sf_dir, "events")
+    refresh_daily_rollup(spark, out, events.limit(100))
+    empty = events.filter(F.lit(False))
+    assert refresh_daily_rollup(spark, out, empty) == 0

@@ -1,0 +1,95 @@
+"""Partitioned upsert: merge semantics, partition-scoped rewrite, and
+untouched partitions left byte-identical."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_spark.io import load_table
+from kinesis_spark.upsert import upsert_partitioned
+
+
+@pytest.fixture()
+def day_partitioned(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "orders_by_month")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    )
+    o.write.mode("overwrite").partitionBy("month").parquet(out)
+    return out
+
+
+def _files_by_partition(d):
+    return {
+        p: sorted(
+            (os.path.basename(f), os.path.getmtime(f))
+            for f in glob.glob(os.path.join(d, p, "*.parquet"))
+        )
+        for p in (os.path.basename(x) for x in glob.glob(os.path.join(d, "month=*")))
+    }
+
+
+def test_upsert_merges_and_rewrites_only_touched_partitions(
+    spark, day_partitioned
+):
+    before = spark.read.parquet(day_partitioned)
+    months = sorted(
+        r[0] for r in before.select("month").distinct().collect()
+    )
+    touched, untouched = months[0], months[1:]
+    n_before = before.count()
+    files_before = _files_by_partition(day_partitioned)
+
+    # one updated key (price bumped) + one brand-new key, same partition
+    some_key = before.filter(F.col("month") == touched).select(
+        F.min("o_orderkey")
+    ).first()[0]
+    new_key = before.select(F.max("o_orderkey")).first()[0] + 1_000_000
+    updates = spark.createDataFrame(
+        [
+            (some_key, 99999.0, "U", touched),
+            (new_key, 1.0, "N", touched),
+        ],
+        "o_orderkey long, o_totalprice double, o_orderstatus string, month string",
+    )
+
+    n = upsert_partitioned(
+        spark, day_partitioned, updates, key="o_orderkey", partition_col="month"
+    )
+    assert n == 1
+
+    after = spark.read.parquet(day_partitioned)
+    # count: +1 (insert), updated row replaced not duplicated
+    assert after.count() == n_before + 1
+    assert after.filter(F.col("o_orderkey") == some_key).count() == 1
+    row = after.filter(F.col("o_orderkey") == some_key).first()
+    assert row["o_totalprice"] == 99999.0 and row["o_orderstatus"] == "U"
+    assert after.filter(F.col("o_orderkey") == new_key).count() == 1
+
+    # untouched partitions: identical file names AND mtimes
+    files_after = _files_by_partition(day_partitioned)
+    for m in untouched:
+        assert files_after[f"month={m}"] == files_before[f"month={m}"], m
+    assert files_after[f"month={touched}"] != files_before[f"month={touched}"]
+
+
+def test_upsert_empty_updates_is_noop(spark, day_partitioned):
+    before = _files_by_partition(day_partitioned)
+    empty = spark.createDataFrame(
+        [],
+        "o_orderkey long, o_totalprice double, o_orderstatus string, month string",
+    )
+    assert (
+        upsert_partitioned(
+            spark, day_partitioned, empty, key="o_orderkey", partition_col="month"
+        )
+        == 0
+    )
+    assert _files_by_partition(day_partitioned) == before
