@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kinesis_spark.io import ensure_min_partitions, load_table
 from kinesis_spark.queries import register
@@ -744,4 +745,86 @@ def d12_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.min("doc_id").alias("rep_doc_id"),
         F.count(F.lit(1)).alias("n_variants"),
+    )
+
+
+_D9_COMPONENTS_CTE = f"""
+WITH RECURSIVE
+sigs AS (
+  SELECT doc_id,
+         {", ".join(_minhash_sig_sql(s) for s in range(N_HASHES))}
+  FROM documents
+  WHERE len(regexp_split_to_array(text, '\\s+')) >= 3
+),
+bands AS (
+  SELECT doc_id,
+         unnest([mh0 || '|' || mh1, mh2 || '|' || mh3,
+                 mh4 || '|' || mh5, mh6 || '|' || mh7]) AS band_key
+  FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(v, u) AS (
+  SELECT doc_id, doc_id FROM sigs
+  UNION
+  SELECT r.v, e.dst FROM reach r JOIN edges e ON r.u = e.src
+),
+comp AS (
+  SELECT v AS doc_id, MIN(u) AS component FROM reach GROUP BY v
+)
+"""
+
+
+@register(
+    "d13_canonical_selection",
+    oracle=_D9_COMPONENTS_CTE
+    + """,
+ranked AS (
+  SELECT c.component, c.doc_id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rn
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT component,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc,
+       MAX(CASE WHEN rn = 1 THEN n_chars END) AS canonical_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM ranked
+GROUP BY component
+""",
+    tags=("dedup", "canonical"),
+)
+def d13_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: for every near-dup cluster (d9's
+    connected components) keep the best member — longest text, doc_id as
+    the deterministic tie-break — the final step that turns pairwise
+    dedup into the surviving training corpus.
+
+    Scale shape: the ranking window partitions by component (parallel
+    across clusters; cluster sizes are near-dup group sizes, never the
+    corpus); the per-cluster rollup partial-aggregates. Reuses d9's
+    labels, so the expensive part is the component computation itself.
+    """
+    labels = d9_dedup_components(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = labels.join(d, "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("component").orderBy(
+                F.col("n_chars").desc(), F.col("doc_id")
+            )
+        ),
+    )
+    return ranked.groupBy("component").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("canonical_doc"),
+        F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("canonical_chars"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
     )
