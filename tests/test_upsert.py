@@ -93,3 +93,22 @@ def test_upsert_empty_updates_is_noop(spark, day_partitioned):
         == 0
     )
     assert _files_by_partition(day_partitioned) == before
+
+
+def test_upsert_is_idempotent(spark, day_partitioned):
+    """Applying the same update batch twice leaves the dataset exactly
+    as after the first application (CDC replays must be safe)."""
+    before = spark.read.parquet(day_partitioned)
+    month = before.select("month").first()[0]
+    key = before.filter(F.col("month") == month).select(
+        F.min("o_orderkey")
+    ).first()[0]
+    updates = spark.createDataFrame(
+        [(key, 777.0, "I", month)],
+        "o_orderkey long, o_totalprice double, o_orderstatus string, month string",
+    )
+    upsert_partitioned(spark, day_partitioned, updates, "o_orderkey", "month")
+    first = sorted(map(str, spark.read.parquet(day_partitioned).collect()))
+    upsert_partitioned(spark, day_partitioned, updates, "o_orderkey", "month")
+    second = sorted(map(str, spark.read.parquet(day_partitioned).collect()))
+    assert first == second
