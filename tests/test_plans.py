@@ -246,3 +246,21 @@ def test_a13_sketch_partial_agg_and_broadcast_probe(plan_of):
     # sketch cells partial-aggregate map-side; probes broadcast-join them
     assert "partial_count" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_e13_dedups_before_explode(plan_of):
+    # the (day,user) dedup must sit BELOW the 7x generate: the explode's
+    # input is the collapsed rows, so the plan has a Generate above an
+    # aggregate, and the final count_distinct partial-aggregates
+    import re
+
+    plan = plan_of("e13_rolling_weekly_active")
+    # the Generate's direct child is the (day,user) dedup aggregate
+    assert re.search(r"Generate \(\d+\)\n\s*:?\s*\+- HashAggregate", plan), plan[:800]
+    assert "count(distinct" in plan
+
+
+def test_d13_ranking_window_is_partitioned(plan_of):
+    plan = plan_of("d13_canonical_selection")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan

@@ -66,3 +66,56 @@ def test_zorder_preserves_content(spark, sf_dir, layouts):
     back = spark.read.parquet(zed)
     assert back.count() == li.count()
     assert back.exceptAll(li).count() == 0 and li.exceptAll(back).count() == 0
+
+
+def test_morton_interleave_is_bijective():
+    """Pure-python mirror of the interleave: distinct (a, b) pairs map to
+    distinct keys and the key decodes back (hypothesis-driven)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def interleave(a, b, bits=16):
+        k = 0
+        for i in range(bits):
+            k |= ((a >> i) & 1) << (2 * i)
+            k |= ((b >> i) & 1) << (2 * i + 1)
+        return k
+
+    def deinterleave(k, bits=16):
+        a = b = 0
+        for i in range(bits):
+            a |= ((k >> (2 * i)) & 1) << i
+            b |= ((k >> (2 * i + 1)) & 1) << i
+        return a, b
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=(1 << 16) - 1),
+        st.integers(min_value=0, max_value=(1 << 16) - 1),
+    )
+    def check(a, b):
+        assert deinterleave(interleave(a, b)) == (a, b)
+
+    check()
+
+
+def test_spark_interleave_matches_python(spark):
+    """The Spark column expression computes the same Morton keys as the
+    reference python bit-twiddling."""
+    from kinesis_spark.zorder import _interleave
+    from pyspark.sql import functions as F
+
+    rows = [(a, b) for a in (0, 1, 5, 255, 65535) for b in (0, 2, 7, 1024, 65535)]
+    df = spark.createDataFrame(rows, "a long, b long").withColumn(
+        "z", _interleave(F.col("a"), F.col("b"), 16)
+    )
+
+    def interleave(a, b, bits=16):
+        k = 0
+        for i in range(bits):
+            k |= ((a >> i) & 1) << (2 * i)
+            k |= ((b >> i) & 1) << (2 * i + 1)
+        return k
+
+    for r in df.collect():
+        assert r["z"] == interleave(r["a"], r["b"]), (r["a"], r["b"])
