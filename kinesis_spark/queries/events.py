@@ -648,3 +648,40 @@ def e13_rolling_weekly_active(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weekly_active",
         )
     )
+
+
+@register(
+    "e14_typed_props_rollup",
+    oracle="""
+WITH typed AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(k) AS BIGINT) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS k_sum,
+       CAST(MIN(k) AS BIGINT) AS k_min,
+       CAST(MAX(k) AS BIGINT) AS k_max
+FROM typed
+GROUP BY event_type
+""",
+    tags=("events", "json", "struct"),
+)
+def e14_typed_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read for the JSON props column: ``from_json`` with a
+    declared StructType (the typed lattice path, vs sc5's per-path
+    ``get_json_object``), then an integer rollup on the nested field.
+    One parse per row regardless of how many fields are read — at scale
+    this beats N ``get_json_object`` calls, which each re-parse.
+    """
+    e = load_table(spark, sf_dir, "events")
+    typed = e.select(
+        "event_type", F.from_json("props", "k BIGINT").alias("p")
+    ).select("event_type", F.col("p.k").alias("k"))
+    return typed.groupBy("event_type").agg(
+        F.count("k").cast("bigint").alias("n_with_k"),
+        F.sum("k").cast("bigint").alias("k_sum"),
+        F.min("k").cast("bigint").alias("k_min"),
+        F.max("k").cast("bigint").alias("k_max"),
+    )
