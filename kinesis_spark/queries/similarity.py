@@ -481,3 +481,109 @@ def sim7_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("max_abs_err"),
     )
+
+
+TRUNC_DIMS = 16  # Matryoshka-style prefix: first 16 of the embedding dims
+
+
+@register(
+    "sim8_dim_truncation_recall",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+full_ranked AS (
+  SELECT query_id, match_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6) DESC,
+                      c.vec_id) AS rank
+    FROM e q JOIN e c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rank <= {TOP_K}
+),
+trunc_ranked AS (
+  SELECT query_id, match_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND(list_cosine_similarity(q.v[1:{TRUNC_DIMS}],
+                                                   c.v[1:{TRUNC_DIMS}]), 6) DESC,
+                      c.vec_id) AS rank
+    FROM e q JOIN e c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rank <= {TOP_K}
+)
+SELECT f.query_id,
+       CAST(COUNT(t.match_id) AS BIGINT) AS n_overlap,
+       CAST(COUNT(t.match_id) AS DOUBLE) / {TOP_K} AS recall
+FROM full_ranked f
+LEFT JOIN trunc_ranked t
+  ON t.query_id = f.query_id AND t.match_id = f.match_id
+GROUP BY f.query_id
+""",
+    tags=("similarity", "matryoshka", "recall"),
+)
+def sim8_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation quality measurement (the Matryoshka-embedding
+    question): top-k by cosine over only the first {TRUNC_DIMS} dims vs
+    top-k over all dims — recall@k per query. The production use: decide
+    whether the cheap prefix index can serve first-stage retrieval with
+    full-dim rerank.
+
+    Scale shape: both rankings are the sim1 broadcast-query pattern (one
+    corpus pass each, per-query top-k windows); the recall join touches
+    only 2*k rows per query.
+    """
+    e = _doubled(load_table(spark, sf_dir, "embeddings"))
+    e = e.withColumn("tv", F.slice("v", 1, TRUNC_DIMS)).withColumn(
+        "tnorm", _norm(F.col("tv"))
+    )
+
+    def ranked(vcol, ncol):
+        q = e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col(vcol).alias("qv"),
+            F.col(ncol).alias("qn"),
+        )
+        c = e.select(
+            F.col("vec_id").alias("match_id"),
+            F.col(vcol).alias("cv"),
+            F.col(ncol).alias("cn"),
+        )
+        scored = c.join(
+            F.broadcast(q), F.col("match_id") != F.col("query_id")
+        ).select(
+            "query_id",
+            "match_id",
+            _cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias(
+                "cos_sim"
+            ),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.asc("match_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "match_id")
+        )
+
+    full = ranked("v", "norm")
+    trunc = ranked("tv", "tnorm").withColumnsRenamed({"match_id": "t_match"})
+    return (
+        full.join(
+            trunc,
+            (full.query_id == trunc.query_id)
+            & (F.col("match_id") == F.col("t_match")),
+            "left",
+        )
+        .drop(trunc.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count("t_match").cast("bigint").alias("n_overlap"),
+            (F.count("t_match").cast("double") / TOP_K).alias("recall"),
+        )
+    )
