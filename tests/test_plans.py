@@ -264,3 +264,17 @@ def test_d13_ranking_window_is_partitioned(plan_of):
     plan = plan_of("d13_canonical_selection")
     assert "Window" in plan
     assert "SinglePartition" not in plan
+
+
+def test_sim8_both_rankings_broadcast_queries(plan_of):
+    plan = plan_of("sim8_dim_truncation_recall")
+    # two corpus passes, each broadcasting the tiny query set; never a
+    # shuffled cartesian of corpus x corpus
+    assert plan.count("BroadcastNestedLoopJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_e14_single_parse_partial_agg(plan_of):
+    plan = plan_of("e14_typed_props_rollup")
+    assert "from_json" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
