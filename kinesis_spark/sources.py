@@ -52,14 +52,33 @@ def read_json(
     schema: T.StructType | str | None = None,
     *,
     streaming: bool = False,
+    mode: str = "PERMISSIVE",
+    corrupt_column: str | None = None,
 ) -> DataFrame:
     """JSON-lines reader. Streaming requires an explicit schema (Spark
-    refuses to infer on a stream — rightly: inference is a full scan)."""
+    refuses to infer on a stream — rightly: inference is a full scan).
+
+    Corrupt-record policy is explicit: ``mode`` is PERMISSIVE (bad rows
+    become nulls), DROPMALFORMED (bad rows silently vanish — opt-in
+    only), or FAILFAST (the 100 TB-safe default for pipelines where a
+    malformed shard means upstream breakage, fail loud not quiet).
+    With ``corrupt_column`` the PERMISSIVE raw text of each bad record is
+    retained in that column for quarantine-and-audit flows.
+    """
     if streaming:
         if schema is None:
             raise ValueError("streaming JSON requires an explicit schema")
-        return spark.readStream.schema(schema).json(path)
-    reader = spark.read
+        return spark.readStream.schema(schema).option("mode", mode).json(path)
+    reader = spark.read.option("mode", mode)
+    if corrupt_column is not None:
+        if schema is None:
+            raise ValueError("corrupt_column requires an explicit schema")
+        if isinstance(schema, str):
+            schema = T._parse_datatype_string(schema)
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField(corrupt_column, T.StringType())]
+        )
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_column)
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)

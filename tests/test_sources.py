@@ -152,3 +152,59 @@ def test_avro_roundtrip_or_gate(spark, flat_events, tmp_path):
     back = read_avro(spark, p)
     assert back.count() == flat_events.count()
     assert set(back.columns) == set(flat_events.columns)
+
+
+class TestCorruptRecords:
+    """Schema-on-read error policy: quarantine, drop, or fail loud."""
+
+    @staticmethod
+    def _mixed_json(tmp_path):
+        p = tmp_path / "mixed.jsonl"
+        p.write_text(
+            '{"id": 1, "v": "ok"}\n'
+            "this is not json\n"
+            '{"id": 2, "v": "also ok"}\n'
+            '{"id": "not-a-number", "v": "bad type"}\n'
+        )
+        return str(p)
+
+    def test_permissive_quarantines_raw_text(self, spark, tmp_path):
+        from kinesis_spark.sources import read_json
+
+        df = read_json(
+            spark,
+            self._mixed_json(tmp_path),
+            schema="id BIGINT, v STRING",
+            corrupt_column="_bad",
+        ).cache()
+        assert df.count() == 4
+        bad = df.filter(df._bad.isNotNull())
+        assert bad.count() == 2  # the non-JSON line and the bad-typed row
+        assert df.filter(df.id.isNotNull()).count() == 2
+
+    def test_dropmalformed_silently_drops(self, spark, tmp_path):
+        from kinesis_spark.sources import read_json
+
+        df = read_json(
+            spark,
+            self._mixed_json(tmp_path),
+            schema="id BIGINT, v STRING",
+            mode="DROPMALFORMED",
+        )
+        # select both columns: a zero-column count() takes the raw-line
+        # fast path and never parses (so nothing would be dropped)
+        assert len(df.select("id", "v").collect()) == 2
+
+    def test_failfast_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from kinesis_spark.sources import read_json
+
+        df = read_json(
+            spark,
+            self._mixed_json(tmp_path),
+            schema="id BIGINT, v STRING",
+            mode="FAILFAST",
+        )
+        with _pytest.raises(Exception, match="FAILFAST|[Mm]alformed"):
+            df.select("id", "v").collect()
