@@ -91,12 +91,31 @@ def read_csv(
     *,
     header: bool = True,
     streaming: bool = False,
+    mode: str = "PERMISSIVE",
+    corrupt_column: str | None = None,
 ) -> DataFrame:
+    """CSV reader with the same explicit corrupt-record policy as
+    ``read_json`` (PERMISSIVE / DROPMALFORMED / FAILFAST, optional
+    quarantine column holding the raw malformed line)."""
     if streaming:
         if schema is None:
             raise ValueError("streaming CSV requires an explicit schema")
-        return spark.readStream.schema(schema).option("header", header).csv(path)
-    reader = spark.read.option("header", header)
+        return (
+            spark.readStream.schema(schema)
+            .option("header", header)
+            .option("mode", mode)
+            .csv(path)
+        )
+    reader = spark.read.option("header", header).option("mode", mode)
+    if corrupt_column is not None:
+        if schema is None:
+            raise ValueError("corrupt_column requires an explicit schema")
+        if isinstance(schema, str):
+            schema = T._parse_datatype_string(schema)
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField(corrupt_column, T.StringType())]
+        )
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_column)
     if schema is not None:
         reader = reader.schema(schema)
     else:

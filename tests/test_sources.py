@@ -208,3 +208,36 @@ class TestCorruptRecords:
         )
         with _pytest.raises(Exception, match="FAILFAST|[Mm]alformed"):
             df.select("id", "v").collect()
+
+    @staticmethod
+    def _mixed_csv(tmp_path):
+        p = tmp_path / "mixed.csv"
+        p.write_text("id,v\n1,ok\nnot-a-number,bad\n2,fine\n")
+        return str(p)
+
+    def test_csv_permissive_quarantines(self, spark, tmp_path):
+        from kinesis_spark.sources import read_csv
+
+        df = read_csv(
+            spark,
+            self._mixed_csv(tmp_path),
+            schema="id BIGINT, v STRING",
+            corrupt_column="_bad",
+        ).cache()
+        assert df.count() == 3
+        assert df.filter(df._bad.isNotNull()).count() == 1
+        assert df.filter(df.id.isNotNull()).count() == 2
+
+    def test_csv_failfast_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from kinesis_spark.sources import read_csv
+
+        df = read_csv(
+            spark,
+            self._mixed_csv(tmp_path),
+            schema="id BIGINT, v STRING",
+            mode="FAILFAST",
+        )
+        with _pytest.raises(Exception, match="FAILFAST|[Mm]alformed"):
+            df.select("id", "v").collect()
