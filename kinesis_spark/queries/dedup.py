@@ -574,7 +574,11 @@ def d9_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = labels.groupBy("component").agg(
         F.count(F.lit(1)).cast("bigint").alias("component_size")
     )
-    return labels.join(F.broadcast(sizes), "component").select(
+    # no broadcast hint: `sizes` has one row per component, which is
+    # corpus-order at 100 TB (most docs are singleton components). A
+    # shuffle join on `component` is correct at any scale, and AQE will
+    # still broadcast it at runtime when it genuinely fits.
+    return labels.join(sizes, "component").select(
         "doc_id", "component", "component_size"
     )
 
@@ -614,15 +618,34 @@ def d10_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance verification of LSH candidates: exact Levenshtein
     (integer DP, bit-identical across engines) computed ONLY on the
     candidate pairs from d3's banding — at 100 TB the O(len²) distance
-    runs on thousands of candidate pairs, never the corpus square."""
+    runs on thousands of candidate pairs, never the corpus square.
+
+    Join shape: the PAIR side is the broadcast side — pairs are melted
+    to (doc_a, doc_b, doc_id) and broadcast against ONE streamed corpus
+    scan, so matching rows are selected map-side; the corpus is never
+    shuffled and never broadcast. The only shuffle regroups the
+    pair-scale match set (≤ 2 rows per candidate pair) back into
+    (text_a, text_b) rows — its width is bounded by the candidate
+    count, not the corpus.
+    """
     pairs = d3_minhash_lsh_pairs(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    da = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
-    db = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
-    joined = pairs.join(F.broadcast(da), "doc_a").join(F.broadcast(db), "doc_b")
+    melted = pairs.select(
+        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    )
+    # corpus streams; only rows whose doc_id appears in some pair survive
+    matched = d.join(F.broadcast(melted), "doc_id")
+    texts = matched.groupBy("doc_a", "doc_b").agg(
+        F.max(F.when(F.col("doc_id") == F.col("doc_a"), F.col("text"))).alias(
+            "text_a"
+        ),
+        F.max(F.when(F.col("doc_id") == F.col("doc_b"), F.col("text"))).alias(
+            "text_b"
+        ),
+    )
     edit = F.levenshtein("text_a", "text_b").cast("bigint")
     max_len = F.greatest(F.length("text_a"), F.length("text_b")).cast("bigint")
-    return joined.select(
+    return texts.select(
         "doc_a",
         "doc_b",
         edit.alias("edit_dist"),

@@ -329,14 +329,16 @@ GROUP BY cohort_week, week_n
 def e7_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users bucketed by first-seen week, counted in
     each subsequent week they were active. first_seen is a user-keyed
-    aggregate that broadcasts back onto events; the distinct + count
-    shuffles only (user, cohort, week_n) triples."""
+    aggregate — one row per user, i.e. corpus-order at 100 TB, so it
+    must NOT be hint-broadcast; the join shuffles on user_id (AQE will
+    still broadcast it at runtime when it genuinely fits) and the
+    distinct + count shuffle only (user, cohort, week_n) triples."""
     ev = load_table(spark, sf_dir, "events")
     first_seen = ev.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
     )
     activity = (
-        ev.join(F.broadcast(first_seen), "user_id")
+        ev.join(first_seen, "user_id")
         .select(
             "user_id",
             "cohort_week",

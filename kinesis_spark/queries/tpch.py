@@ -520,8 +520,10 @@ LIMIT 50
 )
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 analog: customers with orders over 200 total quantity.
-    The HAVING subquery becomes a broadcast semi join of the (small)
-    qualifying-key set against orders."""
+    The HAVING subquery becomes a semi join of the qualifying-key set
+    against orders — un-hinted: the q>200 filter is highly selective so
+    AQE broadcasts it at runtime when it fits, but the key set scales
+    with SF, so the choice is left to the optimizer rather than forced."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
@@ -532,7 +534,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     return (
-        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey, "left_semi")
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(l, o.o_orderkey == l.l_orderkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")

@@ -260,6 +260,31 @@ def test_e13_dedups_before_explode(plan_of):
     assert "count(distinct" in plan
 
 
+def test_d10_never_broadcasts_document_bodies(plan_of):
+    """The candidate-pair side is the broadcast side; the documents scan
+    (with text bodies) must stream — a BroadcastExchange carrying `text`
+    is the 100 TB OOM this audit exists to prevent."""
+    import re
+
+    plan = plan_of("d10_edit_distance_verify")
+    # exactly two documents scans: d3's signature pipeline + the text fetch
+    assert plan.count("documents.parquet") == 2
+    # every broadcast exchange ships only narrow id/key columns, never text
+    for m in re.finditer(r"\(\d+\) BroadcastExchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
+        assert "text#" not in m.group(1), m.group(1)
+
+
+def test_d9_sizes_join_not_hint_broadcast(plan_of):
+    """`sizes` is one row per component — corpus-order at scale. The
+    final join must not carry a broadcast hint; AQE may still broadcast
+    at runtime when it fits, but the static plan has to shuffle."""
+    import re
+
+    plan = plan_of("d9_dedup_components")
+    for m in re.finditer(r"\(\d+\) BroadcastExchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
+        assert "component_size" not in m.group(1), m.group(1)
+
+
 def test_d13_ranking_window_is_partitioned(plan_of):
     plan = plan_of("d13_canonical_selection")
     assert "Window" in plan
