@@ -49,6 +49,12 @@ def compact_dataset(
     df = spark.read.parquet(in_dir)
     total = dataset_bytes(spark, df)
     n_files = max(1, math.ceil(total / target_file_bytes))
-    shaped = df.repartition(n_files) if rebalance else df.coalesce(n_files)
+    if rebalance:
+        shaped = df.repartition(n_files)
+    else:
+        # coalesce can only merge partitions, never split them — clamp so
+        # the returned count matches the files actually written
+        n_files = min(n_files, df.rdd.getNumPartitions())
+        shaped = df.coalesce(n_files)
     shaped.write.mode("overwrite").parquet(out_dir)
     return n_files

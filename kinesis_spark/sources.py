@@ -63,25 +63,28 @@ def read_json(
     only), or FAILFAST (the 100 TB-safe default for pipelines where a
     malformed shard means upstream breakage, fail loud not quiet).
     With ``corrupt_column`` the PERMISSIVE raw text of each bad record is
-    retained in that column for quarantine-and-audit flows.
+    retained in that column for quarantine-and-audit flows — on the
+    batch and streaming paths alike.
     """
-    if streaming:
-        if schema is None:
-            raise ValueError("streaming JSON requires an explicit schema")
-        return spark.readStream.schema(schema).option("mode", mode).json(path)
-    reader = spark.read.option("mode", mode)
+    if streaming and schema is None:
+        raise ValueError("streaming JSON requires an explicit schema")
+    reader = (spark.readStream if streaming else spark.read).option("mode", mode)
     if corrupt_column is not None:
         if schema is None:
             raise ValueError("corrupt_column requires an explicit schema")
-        if isinstance(schema, str):
-            schema = T._parse_datatype_string(schema)
-        schema = T.StructType(
-            list(schema.fields) + [T.StructField(corrupt_column, T.StringType())]
-        )
+        schema = _with_corrupt_field(schema, corrupt_column)
         reader = reader.option("columnNameOfCorruptRecord", corrupt_column)
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def _with_corrupt_field(schema: T.StructType | str, corrupt_column: str) -> T.StructType:
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    return T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_column, T.StringType())]
+    )
 
 
 def read_csv(
@@ -96,25 +99,17 @@ def read_csv(
 ) -> DataFrame:
     """CSV reader with the same explicit corrupt-record policy as
     ``read_json`` (PERMISSIVE / DROPMALFORMED / FAILFAST, optional
-    quarantine column holding the raw malformed line)."""
-    if streaming:
-        if schema is None:
-            raise ValueError("streaming CSV requires an explicit schema")
-        return (
-            spark.readStream.schema(schema)
-            .option("header", header)
-            .option("mode", mode)
-            .csv(path)
-        )
-    reader = spark.read.option("header", header).option("mode", mode)
+    quarantine column holding the raw malformed line), batch and
+    streaming alike."""
+    if streaming and schema is None:
+        raise ValueError("streaming CSV requires an explicit schema")
+    reader = (spark.readStream if streaming else spark.read).option(
+        "header", header
+    ).option("mode", mode)
     if corrupt_column is not None:
         if schema is None:
             raise ValueError("corrupt_column requires an explicit schema")
-        if isinstance(schema, str):
-            schema = T._parse_datatype_string(schema)
-        schema = T.StructType(
-            list(schema.fields) + [T.StructField(corrupt_column, T.StringType())]
-        )
+        schema = _with_corrupt_field(schema, corrupt_column)
         reader = reader.option("columnNameOfCorruptRecord", corrupt_column)
     if schema is not None:
         reader = reader.schema(schema)

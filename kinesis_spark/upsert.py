@@ -17,6 +17,7 @@ cycle on the same path by materializing the merged partitions.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -34,7 +35,20 @@ def upsert_partitioned(
     ``updates`` must carry the key and the partition column; a key's
     partition value may change only if the caller also emits a delete for
     the old partition (standard CDC contract for partition-keyed stores).
+    Duplicate keys within one batch collapse to a single arbitrary
+    winner (MERGE forbids multi-match); emit pre-deduped batches when
+    the winner matters.
     """
+    # MERGE semantics require at most one source row per key — collapse
+    # in-batch duplicates to one whole row (struct-max keeps the
+    # lexicographically greatest row intact, never mixes fields across
+    # rows) so a dirty batch can't insert the same key twice
+    other = [c for c in updates.columns if c != key]
+    updates = (
+        updates.groupBy(key)
+        .agg(F.max(F.struct(*other)).alias("_row"))
+        .select(key, *[F.col(f"_row.{c}").alias(c) for c in other])
+    )
     parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
     if not parts:
         return 0
@@ -42,9 +56,16 @@ def upsert_partitioned(
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        target = spark.read.parquet(target_dir).filter(
-            F.col(partition_col).isin(parts)
-        )
+        try:
+            target = spark.read.parquet(target_dir).filter(
+                F.col(partition_col).isin(parts)
+            )
+        except AnalysisException:
+            # bootstrap: no target yet — the update batch IS the table
+            updates.write.mode("overwrite").partitionBy(partition_col).parquet(
+                target_dir
+            )
+            return len(parts)
         merged = (
             target.join(F.broadcast(updates.select(key)), key, "left_anti")
             .unionByName(updates.select(*target.columns))

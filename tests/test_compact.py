@@ -47,3 +47,18 @@ def test_default_compaction_is_shuffle_free(spark, fragmented_dir):
     df = spark.read.parquet(fragmented_dir).coalesce(2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_coalesce_count_clamped_to_input_partitions(spark, tmp_path):
+    """A tiny target size cannot make coalesce split partitions — the
+    returned count must match the files actually written."""
+    import glob
+
+    from kinesis_spark.compact import compact_dataset
+
+    src = str(tmp_path / "one_part")
+    spark.range(1000).coalesce(1).write.parquet(src)
+    out = str(tmp_path / "compacted")
+    n = compact_dataset(spark, src, out, target_file_bytes=64)  # absurdly small
+    written = len(glob.glob(out + "/part-*.parquet"))
+    assert n == written == 1

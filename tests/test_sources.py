@@ -241,3 +241,49 @@ class TestCorruptRecords:
         )
         with _pytest.raises(Exception, match="FAILFAST|[Mm]alformed"):
             df.select("id", "v").collect()
+
+    def test_streaming_quarantine_column(self, spark, tmp_path):
+        """corrupt_column applies on the readStream path too: the stream's
+        schema carries the quarantine column and bad rows land in it."""
+        from kinesis_spark.sources import read_json
+
+        src = tmp_path / "stream_in"
+        src.mkdir()
+        (src / "part-0.jsonl").write_text(
+            '{"id": 1, "v": "ok"}\nnot json at all\n'
+        )
+        sdf = read_json(
+            spark,
+            str(src),
+            schema="id BIGINT, v STRING",
+            streaming=True,
+            corrupt_column="_bad",
+        )
+        assert sdf.isStreaming and "_bad" in sdf.columns
+        out = str(tmp_path / "sink")
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        got = spark.read.parquet(out)
+        assert got.count() == 2
+        assert got.filter(got._bad.isNotNull()).count() == 1
+
+    def test_csv_streaming_quarantine_column(self, spark, tmp_path):
+        from kinesis_spark.sources import read_csv
+
+        src = tmp_path / "csv_stream_in"
+        src.mkdir()
+        (src / "part-0.csv").write_text("id,v\n1,ok\nnot-a-number,bad\n")
+        sdf = read_csv(
+            spark,
+            str(src),
+            schema="id BIGINT, v STRING",
+            streaming=True,
+            corrupt_column="_bad",
+        )
+        assert sdf.isStreaming and "_bad" in sdf.columns

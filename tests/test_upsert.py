@@ -112,3 +112,37 @@ def test_upsert_is_idempotent(spark, day_partitioned):
     upsert_partitioned(spark, day_partitioned, updates, "o_orderkey", "month")
     second = sorted(map(str, spark.read.parquet(day_partitioned).collect()))
     assert first == second
+
+
+def test_upsert_bootstraps_missing_target(spark, tmp_path):
+    """First batch against a nonexistent target writes the table instead
+    of raising PATH_NOT_FOUND."""
+    target = str(tmp_path / "fresh_target")
+    updates = spark.createDataFrame(
+        [(1, 10.0, "O", "2024-01"), (2, 20.0, "F", "2024-02")],
+        "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING, month STRING",
+    )
+    n = upsert_partitioned(spark, target, updates, "o_orderkey", "month")
+    assert n == 2
+    got = spark.read.parquet(target)
+    assert got.count() == 2
+    assert set(r.month for r in got.select("month").collect()) == {"2024-01", "2024-02"}
+
+
+def test_upsert_dedups_duplicate_keys_in_batch(spark, day_partitioned):
+    """Duplicate keys within one updates batch collapse to one whole row
+    (MERGE forbids multi-match) — never two inserted copies, and never a
+    chimera row mixing fields across duplicates."""
+    dup = spark.createDataFrame(
+        [(99999991, 1.0, "A", "1995-01"), (99999991, 2.0, "B", "1995-01")],
+        "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING, month STRING",
+    )
+    upsert_partitioned(spark, day_partitioned, dup, "o_orderkey", "month")
+    got = (
+        spark.read.parquet(day_partitioned)
+        .filter(F.col("o_orderkey") == 99999991)
+        .collect()
+    )
+    assert len(got) == 1
+    # struct-max keeps the greatest row INTACT: (2.0, "B"), never (2.0, "A")
+    assert (got[0].o_totalprice, got[0].o_orderstatus) == (2.0, "B")
