@@ -270,21 +270,24 @@ GROUP BY DATE_TRUNC('day', ts), event_type
     tags=("aggregate", "distinct", "window"),
 )
 def a10_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct users per (day, event_type): exact COUNT(DISTINCT) over
-    a time bucket — Catalyst expands it to a two-phase aggregate
-    (distinct-collapse then count), so the shuffle carries (day, type,
-    user) triples once each; a8's HLL is the sketch alternative when
-    exactness isn't required."""
+    """Distinct users per (day, event_type): exact distinct counting,
+    written as an explicit two-level aggregate instead of
+    COUNT(DISTINCT)+COUNT(*) in one agg — the combined form makes
+    Catalyst Expand every input row into two copies (one per aggregate
+    path) before the first shuffle. Here level 1 partial-aggregates
+    (day, type, user) event counts map-side, so the first exchange
+    carries each observed triple once; level 2 collapses triples to
+    (n_users, n_events). Exactness is the point — a8's HLL is the
+    sketch alternative when an approximate count suffices."""
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.date_trunc("day", "ts").alias("day_start"),
-            "event_type",
-        )
-        .agg(
-            F.count_distinct("user_id").alias("n_users"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
+    per_user = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day_start"),
+        "event_type",
+        "user_id",
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return per_user.groupBy("day_start", "event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("cnt").alias("n_events"),
     )
 
 
@@ -416,16 +419,16 @@ GROUP BY p.user_id, p.true_cnt
 )
 def a13_heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimation, checked against true counts
-    for the top-20 users: build a {CM_DEPTH}x{CM_WIDTH} sketch (salted-md5
-    row hashes), then estimate each heavy hitter's frequency as the MIN
-    over its {CM_DEPTH} counters. All integer math → bit-identical across
-    engines, including the overestimate guarantee column (est >= true,
-    always true for count-min).
+    for the top-20 users: build a 4x64 sketch (salted-md5 row hashes),
+    then estimate each heavy hitter's frequency as the MIN over its 4
+    counters. All integer math → bit-identical across engines, including
+    the overestimate guarantee column (est >= true, always true for
+    count-min).
 
-    Scale shape: the sketch build is ONE groupBy over (j, bucket) — {CM_DEPTH}*{CM_WIDTH}
+    Scale shape: the sketch build is ONE groupBy over (j, bucket) — 256
     cells regardless of input size, with map-side partial aggregation
-    carrying at most {CM_DEPTH}*{CM_WIDTH} rows per task; the probe side is a broadcast
-    join of 20x{CM_DEPTH} keys against those cells. The true-count pass exists
+    carrying at most 256 rows per task; the probe side is a broadcast
+    join of 20x4 keys against those cells. The true-count pass exists
     only to verify the estimate; a production pipeline ships the 256-cell
     sketch alone (mergeable across shards by cell-wise addition).
     """

@@ -259,17 +259,17 @@ def j6_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "j7_asof_forward_fulfillment",
     oracle="""
-SELECT p.event_id AS purchase_id,
-       p.user_id,
-       p.ts AS purchase_ts,
-       v.event_id AS view_id,
-       v.ts AS view_ts
-FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
-      WHERE event_type = 'purchase') p
-ASOF LEFT JOIN
-     (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
-      WHERE event_type = 'view') v
-  ON p.user_id = v.user_id AND p.ts <= v.ts
+WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+           WHERE event_type = 'purchase'),
+v AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'view')
+SELECT purchase_id, user_id, purchase_ts, view_id, view_ts FROM (
+  SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+         v.event_id AS view_id, v.ts AS view_ts,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY v.ts, v.event_id) AS rn
+  FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts
+) WHERE rn = 1
 """,
     tags=("join", "asof", "forward"),
 )
@@ -281,13 +281,16 @@ def j7_asof_forward_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Tie handling: at equal ts the view must be eligible (<= semantics), so
     views sort AFTER the purchase marker at the same ts and land inside
-    the purchase row's following frame.
+    the purchase row's following frame. event_id is the final order key,
+    so equal-(ts, type) events pick deterministically (smallest id wins
+    forward) — the oracle encodes the same rank-1 choice.
     """
     e = load_table(spark, sf_dir, "events")
     views = e.filter(F.col("event_type") == "view").select(
         "user_id",
         "ts",
         F.lit(1).alias("marker"),
+        F.col("event_id").alias("tie"),
         F.col("event_id").alias("view_id"),
         F.col("ts").alias("view_ts"),
         F.lit(None).cast("long").alias("purchase_id"),
@@ -297,6 +300,7 @@ def j7_asof_forward_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.lit(0).alias("marker"),
+        F.col("event_id").alias("tie"),
         F.lit(None).cast("long").alias("view_id"),
         F.lit(None).cast("timestamp").alias("view_ts"),
         F.col("event_id").alias("purchase_id"),
@@ -305,7 +309,7 @@ def j7_asof_forward_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = views.unionByName(purchases)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "marker")
+        .orderBy("ts", "marker", "tie")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     return (
@@ -330,14 +334,22 @@ WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
 c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
       WHERE event_type = 'click'),
 back AS (
-  SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
-         c.event_id AS click_id, c.ts AS click_ts
-  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+  SELECT purchase_id, user_id, purchase_ts, click_id, click_ts FROM (
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts,
+           ROW_NUMBER() OVER (PARTITION BY p.event_id
+                              ORDER BY c.ts DESC, c.event_id DESC) AS rn
+    FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+  ) WHERE rn = 1
 ),
 fwd AS (
-  SELECT p.event_id AS purchase_id,
-         c.event_id AS click_id, c.ts AS click_ts
-  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+  SELECT purchase_id, click_id, click_ts FROM (
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id, c.ts AS click_ts,
+           ROW_NUMBER() OVER (PARTITION BY p.event_id
+                              ORDER BY c.ts, c.event_id) AS rn
+    FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts >= p.ts
+  ) WHERE rn = 1
 )
 SELECT b.purchase_id, b.user_id, b.purchase_ts,
        CASE WHEN f.click_ts IS NULL THEN b.click_id
@@ -366,13 +378,16 @@ def j8_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Equal-ts clicks sort before the purchase marker, so they are seen by
     the backward frame (diff 0) and always win the tie, preserving >=
-    semantics on the backward side.
+    semantics on the backward side. event_id is the final order key:
+    equal-(ts, type) clicks pick deterministically (largest id backward,
+    smallest forward) — mirrored by the oracle's rank-1 ordering.
     """
     e = load_table(spark, sf_dir, "events")
     clicks = e.filter(F.col("event_type") == "click").select(
         "user_id",
         "ts",
         F.lit(0).alias("marker"),
+        F.col("event_id").alias("tie"),
         F.col("event_id").alias("click_id"),
         F.col("ts").alias("click_ts"),
         F.lit(None).cast("long").alias("purchase_id"),
@@ -382,13 +397,14 @@ def j8_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.lit(1).alias("marker"),
+        F.col("event_id").alias("tie"),
         F.lit(None).cast("long").alias("click_id"),
         F.lit(None).cast("timestamp").alias("click_ts"),
         F.col("event_id").alias("purchase_id"),
         F.col("ts").alias("purchase_ts"),
     )
     merged = clicks.unionByName(purchases)
-    order = Window.partitionBy("user_id").orderBy("ts", "marker")
+    order = Window.partitionBy("user_id").orderBy("ts", "marker", "tie")
     wb = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wf = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     cand = merged.select(

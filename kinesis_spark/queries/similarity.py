@@ -528,7 +528,7 @@ GROUP BY f.query_id
 )
 def sim8_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension-truncation quality measurement (the Matryoshka-embedding
-    question): top-k by cosine over only the first {TRUNC_DIMS} dims vs
+    question): top-k by cosine over only the first 16 dims vs
     top-k over all dims — recall@k per query. The production use: decide
     whether the cheap prefix index can serve first-stage retrieval with
     full-dim rerank.
