@@ -127,19 +127,22 @@ def main() -> None:
         + headroom["seconds"],
         3,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "sf": sf,
-                "ingest": ingest,
-                "ingest_headroom": headroom,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "ingest": ingest,
+            "ingest_headroom": headroom,
+        }
     )
+    print(payload)
+    # the driver records only the tail of stdout, which truncates the
+    # front of the (long) queries dict — persist the full line too
+    with open(os.path.join(REPO, "BENCH_full.json"), "w") as f:
+        f.write(payload + "\n")
     spark.stop()
 
 
