@@ -1,0 +1,258 @@
+"""Kinesis read-side (consumer) adapter: ListShards / GetShardIterator /
+GetRecords behind the same injectable client seam as the writer.
+
+Reference parity: the reference is write-only — kinesis/kinesis.go only
+ever calls ``PutRecords`` (:221); its consumers read each shard in
+sequence order and ``io.Copy`` the record Data back out. This module is
+that read side, shaped exactly like the AWS consumer API so the spool
+fake (tests, local runs) and boto3 (production) are interchangeable:
+
+- :class:`ShardIteratorClient` — the protocol (the consumer twin of
+  ``PutRecordsClient``, ingest/writer.py:45).
+- :class:`SpoolConsumerClient` — reads the directory written by
+  ``SpoolStreamClient`` (streaming/spool.py), routing records to shards
+  by MD5 of the partition key like Kinesis routes over the hash-key
+  space. Stateless across calls; the spool's atomic-rename writes mean a
+  half-written put call is never observed.
+- :class:`Boto3ConsumerClient` — the real-AWS adapter, import-gated like
+  the writer's (ingest/aws.py:37).
+- :func:`read_stream_batch` — the distributed batch read: ONE Spark task
+  per shard (the Kinesis unit of parallelism), each running the
+  iterator loop executor-side; the driver only sees the shard list.
+
+The streaming half lives in ``kinesis_spark/streaming/kinesis_source.py``
+(a Python Data Source whose offsets are per-shard sequence numbers).
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import os
+from bisect import bisect_right
+from typing import Callable, Protocol
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_N_SHARDS = 4
+CONSUMER_SCHEMA = "shard_id string, pk string, seq string, data binary"
+
+
+class ShardIteratorClient(Protocol):
+    """The AWS Kinesis consumer surface the engine depends on."""
+
+    def list_shards(self, stream_name: str) -> list[str]: ...
+
+    def get_shard_iterator(
+        self,
+        stream_name: str,
+        shard_id: str,
+        iterator_type: str = "TRIM_HORIZON",
+        starting_sequence_number: str | None = None,
+    ) -> str: ...
+
+    def get_records(self, shard_iterator: str, limit: int = 10000) -> dict: ...
+
+
+def shard_for_key(pk: str, n_shards: int = DEFAULT_N_SHARDS) -> str:
+    """Kinesis routes a record by MD5(partition key) over the stream's
+    hash-key space; with ``n_shards`` equal ranges that reduces to a
+    modulus of the 128-bit digest."""
+    h = int.from_bytes(hashlib.md5(pk.encode("utf-8")).digest(), "big")
+    return f"shardId-{h % n_shards:012d}"
+
+
+def _encode_iter(stream: str, shard_id: str, after: str) -> str:
+    tok = json.dumps({"s": stream, "sh": shard_id, "a": after})
+    return base64.b64encode(tok.encode("ascii")).decode("ascii")
+
+
+def _decode_iter(token: str) -> tuple[str, str, str]:
+    d = json.loads(base64.b64decode(token).decode("ascii"))
+    return d["s"], d["sh"], d["a"]
+
+
+class SpoolConsumerClient:
+    """GetRecords over a spool directory (the stream emulation written by
+    ``SpoolStreamClient``). Sequence numbers are the spool's fixed-width
+    strings, so lexicographic order IS chronological order; the iterator
+    token encodes (stream, shard, last-consumed seq) and the ``after``
+    cursor advances per call exactly like a real shard iterator.
+
+    Each call re-lists the directory — O(spool files); fine for the test
+    scale this fake exists for, and the only client a 100 TB deployment
+    would swap out (for :class:`Boto3ConsumerClient`) anyway.
+    """
+
+    def __init__(self, spool_dir: str, n_shards: int = DEFAULT_N_SHARDS):
+        self.spool_dir = spool_dir
+        self.n_shards = n_shards
+
+    # -- internal ---------------------------------------------------------
+    def _shard_records(self, stream: str, shard_id: str) -> list[dict]:
+        recs = []
+        if not os.path.isdir(self.spool_dir):
+            return recs
+        for name in sorted(os.listdir(self.spool_dir)):
+            if name.startswith(".") or not name.endswith(".jsonl"):
+                continue
+            with open(os.path.join(self.spool_dir, name)) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    r = json.loads(line)
+                    if r["stream"] != stream:
+                        continue
+                    if shard_for_key(r["pk"], self.n_shards) != shard_id:
+                        continue
+                    recs.append(r)
+        recs.sort(key=lambda r: r["seq"])
+        return recs
+
+    # -- AWS-shaped surface ----------------------------------------------
+    def list_shards(self, stream_name: str) -> list[str]:
+        return [f"shardId-{i:012d}" for i in range(self.n_shards)]
+
+    def get_shard_iterator(
+        self,
+        stream_name: str,
+        shard_id: str,
+        iterator_type: str = "TRIM_HORIZON",
+        starting_sequence_number: str | None = None,
+    ) -> str:
+        if iterator_type == "TRIM_HORIZON":
+            after = ""
+        elif iterator_type == "AFTER_SEQUENCE_NUMBER":
+            if starting_sequence_number is None:
+                raise ValueError("AFTER_SEQUENCE_NUMBER requires a sequence number")
+            after = starting_sequence_number
+        elif iterator_type == "LATEST":
+            recs = self._shard_records(stream_name, shard_id)
+            after = recs[-1]["seq"] if recs else ""
+        else:
+            raise ValueError(f"unsupported iterator type: {iterator_type}")
+        return _encode_iter(stream_name, shard_id, after)
+
+    def get_records(self, shard_iterator: str, limit: int = 10000) -> dict:
+        stream, shard_id, after = _decode_iter(shard_iterator)
+        recs = self._shard_records(stream, shard_id)
+        seqs = [r["seq"] for r in recs]
+        i = bisect_right(seqs, after) if after else 0
+        batch = recs[i : i + limit]
+        new_after = batch[-1]["seq"] if batch else after
+        return {
+            "Records": [
+                {
+                    "SequenceNumber": r["seq"],
+                    "PartitionKey": r["pk"],
+                    "Data": base64.b64decode(r["data"]),
+                }
+                for r in batch
+            ],
+            "NextShardIterator": _encode_iter(stream, shard_id, new_after),
+            "MillisBehindLatest": 0 if i + len(batch) >= len(recs) else 1,
+        }
+
+    # -- connector helper (not an AWS API) -------------------------------
+    def latest_sequence_numbers(self, stream_name: str) -> dict[str, str]:
+        """Current tip (last sequence number, ``""`` when empty) per
+        shard — what a real connector derives from a LATEST iterator /
+        MillisBehindLatest probing; the streaming source's latestOffset."""
+        out = {}
+        for sh in self.list_shards(stream_name):
+            recs = self._shard_records(stream_name, sh)
+            out[sh] = recs[-1]["seq"] if recs else ""
+        return out
+
+
+class Boto3ConsumerClient:
+    """Adapter from :class:`ShardIteratorClient` to a boto3 ``kinesis``
+    client — the production twin of the writer-side adapter
+    (ingest/aws.py:18)."""
+
+    def __init__(self, boto3_client) -> None:
+        self._client = boto3_client
+
+    def list_shards(self, stream_name: str) -> list[str]:
+        shards, token = [], None
+        while True:
+            kw = {"NextToken": token} if token else {"StreamName": stream_name}
+            resp = self._client.list_shards(**kw)
+            shards += [s["ShardId"] for s in resp.get("Shards", [])]
+            token = resp.get("NextToken")
+            if not token:
+                return shards
+
+    def get_shard_iterator(
+        self,
+        stream_name: str,
+        shard_id: str,
+        iterator_type: str = "TRIM_HORIZON",
+        starting_sequence_number: str | None = None,
+    ) -> str:
+        kw = dict(
+            StreamName=stream_name,
+            ShardId=shard_id,
+            ShardIteratorType=iterator_type,
+        )
+        if starting_sequence_number is not None:
+            kw["StartingSequenceNumber"] = starting_sequence_number
+        return self._client.get_shard_iterator(**kw)["ShardIterator"]
+
+    def get_records(self, shard_iterator: str, limit: int = 10000) -> dict:
+        return self._client.get_records(ShardIterator=shard_iterator, Limit=limit)
+
+
+def make_boto3_consumer(region_name: str | None = None, **kwargs) -> Boto3ConsumerClient:
+    """Real-AWS factory, gated like the writer's (ingest/aws.py:37)."""
+    try:
+        import boto3
+    except ImportError as exc:
+        raise NotImplementedError(
+            "boto3 is not installed; install kinesis-spark[aws] to use the "
+            "real Kinesis consumer, or inject any ShardIteratorClient"
+        ) from exc
+    return Boto3ConsumerClient(
+        boto3.client("kinesis", region_name=region_name, **kwargs)
+    )
+
+
+def read_stream_batch(
+    spark: SparkSession,
+    client_factory: Callable[[], ShardIteratorClient],
+    stream_name: str,
+    limit_per_call: int = 1000,
+) -> DataFrame:
+    """Distributed batch read of a whole stream: one Spark task per shard
+    (the Kinesis parallelism unit), each constructing its own client from
+    the factory and running the GetRecords iterator loop executor-side.
+    The driver handles only the shard id list; record data never touches
+    it. Returns ``(shard_id, pk, seq, data binary)`` — feed to
+    ``reassemble_records`` (streaming/spool.py) for the io.Copy analog.
+    """
+    shards = client_factory().list_shards(stream_name)
+    if not shards:
+        return spark.createDataFrame([], CONSUMER_SCHEMA)
+
+    def read_shard(shard_ids):
+        client = client_factory()
+        for shard_id in shard_ids:
+            token = client.get_shard_iterator(stream_name, shard_id)
+            while token:
+                resp = client.get_records(token, limit_per_call)
+                for r in resp["Records"]:
+                    yield (
+                        shard_id,
+                        r["PartitionKey"],
+                        r["SequenceNumber"],
+                        bytearray(r["Data"]),
+                    )
+                if not resp["Records"] and resp.get("MillisBehindLatest", 0) == 0:
+                    break  # caught up to the tip of an open shard
+                token = resp.get("NextShardIterator")
+
+    rdd = spark.sparkContext.parallelize(shards, len(shards)).mapPartitions(
+        read_shard
+    )
+    return spark.createDataFrame(rdd, CONSUMER_SCHEMA)

@@ -1,0 +1,129 @@
+"""Kinesis read-side round trip: bytes → chunk → PutRecords spool sink →
+consumer (GetShardIterator/GetRecords) → reassembly → original bytes,
+batch (one task per shard) and streaming (Python Data Source with
+per-shard sequence-number offsets, checkpointed resume).
+
+The reference is write-only (kinesis/kinesis.go:221 PutRecords); this is
+the consumer its users run downstream, in the same API shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from kinesis_spark.ingest.chunker import chunk_bytes
+from kinesis_spark.ingest.consumer import (
+    SpoolConsumerClient,
+    read_stream_batch,
+    shard_for_key,
+)
+from kinesis_spark.ingest.writer import Record
+from kinesis_spark.streaming.spool import SpoolStreamClient, reassemble_records
+
+CHUNK = 101
+PAYLOADS = {
+    # sizes straddle the chunk size: 1 under, exact, 1 over, multi, large
+    f"pk{i}": bytes((33 + (i * 11 + j) % 90) for j in range(n))
+    for i, n in enumerate([1, 100, 101, 102, 250, 1000])
+}
+STREAM = "rt-consumer"
+
+
+def _spool_with_payloads(tmp_path) -> str:
+    spool = str(tmp_path / "spool")
+    sink = SpoolStreamClient(spool)
+    for pk, payload in PAYLOADS.items():
+        sink.put_records(
+            STREAM, [Record(data=c, partition_key=pk) for c in chunk_bytes(payload, CHUNK)]
+        )
+    return spool
+
+
+def _assert_roundtrip(rows) -> None:
+    got = {r.pk: bytes(r.stream_bytes) for r in rows}
+    assert got == PAYLOADS
+
+
+def test_consumer_batch_roundtrip(spark, tmp_path):
+    spool = _spool_with_payloads(tmp_path)
+    df = read_stream_batch(
+        spark, lambda: SpoolConsumerClient(spool), STREAM, limit_per_call=3
+    )
+    rows = df.collect()
+    expected_chunks = sum(-(-len(p) // CHUNK) for p in PAYLOADS.values())
+    assert len(rows) == expected_chunks
+    # every record landed on the shard its key hashes to
+    assert all(r.shard_id == shard_for_key(r.pk) for r in rows)
+    _assert_roundtrip(reassemble_records(df).collect())
+
+
+def test_consumer_iterator_semantics(tmp_path):
+    """LATEST sees only post-iterator records; AFTER_SEQUENCE_NUMBER
+    resumes mid-shard; MillisBehindLatest reaches 0 at the tip."""
+    spool = str(tmp_path / "spool")
+    sink = SpoolStreamClient(spool)
+    consumer = SpoolConsumerClient(spool)
+    pk = "pk0"
+    shard = shard_for_key(pk)
+
+    sink.put_records(STREAM, [Record(data=b"a", partition_key=pk)])
+    latest_it = consumer.get_shard_iterator(STREAM, shard, "LATEST")
+    sink.put_records(STREAM, [Record(data=b"b", partition_key=pk)])
+
+    resp = consumer.get_records(latest_it)
+    assert [r["Data"] for r in resp["Records"]] == [b"b"]
+    assert resp["MillisBehindLatest"] == 0
+
+    horizon = consumer.get_shard_iterator(STREAM, shard, "TRIM_HORIZON")
+    first = consumer.get_records(horizon, limit=1)
+    assert [r["Data"] for r in first["Records"]] == [b"a"]
+    assert first["MillisBehindLatest"] > 0  # not at the tip yet
+    resumed = consumer.get_shard_iterator(
+        STREAM, shard, "AFTER_SEQUENCE_NUMBER", first["Records"][0]["SequenceNumber"]
+    )
+    rest = consumer.get_records(resumed)
+    assert [r["Data"] for r in rest["Records"]] == [b"b"]
+    # tip reached: the (still valid) next iterator returns an empty page
+    tail = consumer.get_records(rest["NextShardIterator"])
+    assert tail["Records"] == [] and tail["MillisBehindLatest"] == 0
+
+
+@pytest.mark.streaming
+def test_consumer_streaming_roundtrip_and_resume(spark, tmp_path):
+    from kinesis_spark.streaming.kinesis_source import KinesisConsumerDataSource
+
+    spool = _spool_with_payloads(tmp_path)
+    spark.dataSource.register(KinesisConsumerDataSource)
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("kinesis_consumer")
+            .option("spool_dir", spool)
+            .option("stream", STREAM)
+            .option("limit_per_call", "3")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    got = spark.read.parquet(out)
+    expected_chunks = sum(-(-len(p) // CHUNK) for p in PAYLOADS.values())
+    assert got.count() == expected_chunks
+    _assert_roundtrip(reassemble_records(got).collect())
+
+    # resume from the checkpointed per-shard sequence offsets: a second
+    # drain ingests ONLY records written after the first one
+    SpoolStreamClient(spool).put_records(
+        STREAM, [Record(data=b"late-arrival", partition_key="pk0")]
+    )
+    drain()
+    got2 = spark.read.parquet(out)
+    assert got2.count() == expected_chunks + 1
+    rows = {r.pk: bytes(r.stream_bytes) for r in reassemble_records(got2).collect()}
+    assert rows["pk0"] == PAYLOADS["pk0"] + b"late-arrival"
