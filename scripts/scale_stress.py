@@ -60,6 +60,11 @@ OPERATORS = [
     "t8_bpe_token_count",
     "d12_url_canonical_dedup",
     "d7_simhash_pairs",
+    # the heaviest dedup family end-to-end: candidate pairs -> exact
+    # verify -> components -> canonical pick (broadcast-hint fixes r3)
+    "d9_dedup_components",
+    "d10_edit_distance_verify",
+    "d13_canonical_selection",
     "t9_repetition_signals",
     "s10_reproducible_shuffle",
     "p1_llm_prep_pipeline",
