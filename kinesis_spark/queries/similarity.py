@@ -587,3 +587,70 @@ def sim8_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("t_match").cast("double") / TOP_K).alias("recall"),
         )
     )
+
+
+SEMDEDUP_TAU = 0.3  # prune threshold (fixture-scaled; production ~0.95+)
+
+
+@register(
+    "sim9_semdedup_prune",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+dups AS (
+  SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {SEMDEDUP_TAU}
+  GROUP BY b.vec_id
+)
+SELECT e.vec_id, e.label, d.dup_of IS NOT NULL AS pruned, d.dup_of
+FROM e LEFT JOIN dups d USING (vec_id)
+""",
+    tags=("similarity", "dedup", "semdedup"),
+)
+def sim9_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning: within each embedding cluster
+    (the ``label`` column — at 100 TB, a k-means/IVF cell id, see
+    sim6/ann.py), a vector is pruned when a LOWER-id vector in the same
+    cluster is semantically near (cosine >= 0.3 here; production uses
+    ~0.95+). Greedy min-id survivorship makes the kept set deterministic
+    — every pruned row records its canonical ``dup_of``.
+
+    Scale shape: the pair space is blocked by cluster (same as
+    d5_embedding_near_dup — never an all-pairs product across clusters);
+    norms are computed once per ROW below the self-join so only the
+    dot-product fold runs per pair; the prune decision is a pair-scale
+    groupBy + a left join back onto the corpus keyed on vec_id.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    e = e.withColumn("norm", _norm(F.col("v")))
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = _cosine_pre(F.col("a.v"), F.col("b.v"), F.col("a.norm"), F.col("b.norm"))
+    dups = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("b.vec_id").alias("vec_id"), cos.alias("cos_sim"),
+                F.col("a.vec_id").alias("cand"))
+        .filter(F.col("cos_sim") >= SEMDEDUP_TAU)
+        .groupBy("vec_id")
+        .agg(F.min("cand").alias("dup_of"))
+    )
+    return (
+        e.select("vec_id", "label")
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            F.col("dup_of").isNotNull().alias("pruned"),
+            "dup_of",
+        )
+    )

@@ -132,6 +132,74 @@ def read_parquet(
     return spark.read.parquet(path)
 
 
+BINARY_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("modificationTime", T.TimestampType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    glob: str | None = None,
+    recursive: bool = False,
+    streaming: bool = False,
+) -> DataFrame:
+    """``binaryFile`` source — the multimodal ingestion scan: whole files
+    (images/audio/video blobs) as ``(path, modificationTime, length,
+    content binary)`` rows, ready for ``multimodal.decode_media``.
+
+    Scale shape: listing and reads are task-parallel; ``glob`` prunes at
+    file listing (never opens non-matching files). One file = one row —
+    for many-KB objects that's ideal; for multi-GB media keep a manifest
+    + range-read pattern instead (a 2 GB row blows past Arrow batch and
+    shuffle-block sweet spots). The streaming variant is the standard
+    new-file-arrival intake (checkpointed, exactly-once)."""
+    reader = spark.readStream if streaming else spark.read
+    reader = reader.format("binaryFile")
+    if streaming:
+        reader = reader.schema(BINARY_FILE_SCHEMA)  # file streams need one
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: T.StructType | str | None = None,
+    *,
+    streaming: bool = False,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """XML reader (built into Spark core since 4.0; one row per
+    ``row_tag`` element). Same explicit corrupt-record policy family as
+    JSON/CSV via ``mode``. Streaming requires an explicit schema, like
+    every file-stream source here."""
+    if streaming and schema is None:
+        raise ValueError("streaming XML requires an explicit schema")
+    reader = (spark.readStream if streaming else spark.read).format("xml").option(
+        "rowTag", row_tag
+    ).option("mode", mode)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str, *, mode: str = "overwrite") -> None:
+    """XML sink (interchange/hand-off format — parquet/ORC remain the
+    analytics store)."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+
+
 def socket_source(spark: SparkSession, host: str, port: int) -> DataFrame:
     """Streaming socket source (dev/debug only — not replayable, so no
     exactly-once; the production byte-stream path is the file or Kinesis

@@ -287,3 +287,61 @@ class TestCorruptRecords:
             corrupt_column="_bad",
         )
         assert sdf.isStreaming and "_bad" in sdf.columns
+
+
+def test_binary_file_source_batch_and_glob(spark, tmp_path):
+    """binaryFile: whole files as binary rows; glob prunes at listing."""
+    from kinesis_spark.sources import read_binary_files
+
+    d = tmp_path / "media"
+    d.mkdir()
+    payloads = {"a.img": b"\x00\x01IMGDATA", "b.img": b"\xffIMG2", "c.txt": b"not media"}
+    for name, data in payloads.items():
+        (d / name).write_bytes(data)
+
+    df = read_binary_files(spark, str(d), glob="*.img")
+    rows = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in df.collect()}
+    assert rows == {"a.img": payloads["a.img"], "b.img": payloads["b.img"]}
+    got_len = {r.path.rsplit("/", 1)[-1]: r.length for r in df.collect()}
+    assert got_len == {"a.img": 9, "b.img": 5}
+
+
+def test_binary_file_source_streaming(spark, tmp_path):
+    from kinesis_spark.sources import read_binary_files
+
+    d = tmp_path / "media_stream"
+    d.mkdir()
+    (d / "x.bin").write_bytes(b"STREAMED")
+    sdf = read_binary_files(spark, str(d), streaming=True)
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("binfiles")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.table("binfiles").collect()
+    assert len(rows) == 1 and bytes(rows[0].content) == b"STREAMED"
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    from kinesis_spark.sources import read_xml, write_xml
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "<beta & gamma>")], "id BIGINT, name STRING"
+    )
+    out = str(tmp_path / "xml_out")
+    write_xml(df, out, "row")
+    back = read_xml(spark, out, "row", schema="id BIGINT, name STRING")
+    assert sorted((r.id, r.name) for r in back.collect()) == [
+        (1, "alpha"),
+        (2, "<beta & gamma>"),  # escaping round-trips
+    ]
+
+
+def test_xml_stream_requires_schema(spark, tmp_path):
+    from kinesis_spark.sources import read_xml
+
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_xml(spark, str(tmp_path), "row", streaming=True)
