@@ -41,6 +41,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -70,6 +71,30 @@ class KinesisConsumerDataSource(DataSource):
 
     def streamReader(self, schema) -> "KinesisShardStreamReader":
         return KinesisShardStreamReader(self.options)
+
+    def reader(self, schema) -> "KinesisShardBatchReader":
+        return KinesisShardBatchReader(self.options)
+
+
+class KinesisShardBatchReader(DataSourceReader):
+    """Batch twin of the stream reader: ``spark.read.format(
+    "kinesis_consumer")`` scans the whole stream once, one partition per
+    shard, TRIM_HORIZON to current tip (pinned at plan time so every
+    task sees one consistent snapshot)."""
+
+    def __init__(self, options: dict):
+        self._inner = KinesisShardStreamReader(options)
+
+    def partitions(self):
+        tips = self._inner.latestOffset()
+        return [
+            ShardRange(sh, "", end_seq)
+            for sh, end_seq in tips.items()
+            if end_seq
+        ]
+
+    def read(self, partition: "ShardRange"):
+        return self._inner.read(partition)
 
 
 class KinesisShardStreamReader(DataSourceStreamReader):

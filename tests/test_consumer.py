@@ -127,3 +127,115 @@ def test_consumer_streaming_roundtrip_and_resume(spark, tmp_path):
     assert got2.count() == expected_chunks + 1
     rows = {r.pk: bytes(r.stream_bytes) for r in reassemble_records(got2).collect()}
     assert rows["pk0"] == PAYLOADS["pk0"] + b"late-arrival"
+
+
+def test_consumer_batch_format_api(spark, tmp_path):
+    """spark.read.format('kinesis_consumer') — the batch twin of the
+    streaming source — sees the same record set as read_stream_batch."""
+    from kinesis_spark.streaming.kinesis_source import KinesisConsumerDataSource
+
+    spool = _spool_with_payloads(tmp_path)
+    spark.dataSource.register(KinesisConsumerDataSource)
+    df = (
+        spark.read.format("kinesis_consumer")
+        .option("spool_dir", spool)
+        .option("stream", STREAM)
+        .load()
+    )
+    expected_chunks = sum(-(-len(p) // CHUNK) for p in PAYLOADS.values())
+    assert df.count() == expected_chunks
+    _assert_roundtrip(reassemble_records(df).collect())
+
+
+@pytest.mark.streaming
+def test_consumer_feeds_event_time_analytics(spark, tmp_path):
+    """Composition: the consumer source feeds the event-time stack —
+    sequence numbers carry the put wall-clock (streaming/spool.py:14),
+    parsed into a timestamp and windowed like any event stream."""
+    import pyspark.sql.functions as F
+
+    from kinesis_spark.streaming.kinesis_source import KinesisConsumerDataSource
+
+    spool = _spool_with_payloads(tmp_path)
+    spark.dataSource.register(KinesisConsumerDataSource)
+    src = (
+        spark.readStream.format("kinesis_consumer")
+        .option("spool_dir", spool)
+        .option("stream", STREAM)
+        .load()
+        .withColumn(
+            "ts", F.timestamp_seconds(F.substring("seq", 1, 20).cast("long") / 1e9)
+        )
+    )
+    agg = (
+        src.withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "1 minute"), "pk")
+        .agg(F.count(F.lit(1)).alias("n_records"), F.sum(F.length("data")).alias("n_bytes"))
+    )
+    # complete mode: a single availableNow drain emits every window
+    # without waiting for the watermark to close them
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("consumer_windows")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("consumer_windows").collect()
+    got = {}
+    for r in rows:
+        got[r.pk] = got.get(r.pk, 0) + r.n_bytes
+    assert got == {pk: len(p) for pk, p in PAYLOADS.items()}
+
+
+def test_consumer_roundtrip_property():
+    """Pure-Python property: any sequence of put calls reassembles
+    byte-exactly per key through the shard-iterator surface."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["k1", "k2", "k3"]),
+                st.binary(min_size=0, max_size=300),
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def check(puts):
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            spool = d + "/spool"
+            sink = SpoolStreamClient(spool)
+            expected: dict[str, bytes] = {}
+            for pk, payload in puts:
+                chunks = chunk_bytes(payload, 64)
+                # empty payload -> zero chunks (SURVEY §4 quirk 6): no
+                # record exists, so the key must not appear downstream
+                if not chunks:
+                    continue
+                sink.put_records(
+                    "prop", [Record(data=c, partition_key=pk) for c in chunks]
+                )
+                expected[pk] = expected.get(pk, b"") + payload
+            consumer = SpoolConsumerClient(spool)
+            got: dict[str, bytes] = {}
+            for shard in consumer.list_shards("prop"):
+                token = consumer.get_shard_iterator("prop", shard)
+                while True:
+                    resp = consumer.get_records(token, limit=2)
+                    for r in resp["Records"]:
+                        got[r["PartitionKey"]] = (
+                            got.get(r["PartitionKey"], b"") + r["Data"]
+                        )
+                    if not resp["Records"] and resp["MillisBehindLatest"] == 0:
+                        break
+                    token = resp["NextShardIterator"]
+            assert got == expected
+
+    check()
