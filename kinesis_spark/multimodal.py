@@ -161,3 +161,72 @@ def nibble_histogram(media: DataFrame) -> DataFrame:
         for i in range(16)
     ]
     return hexed.select("media_id", "modality", "n_bytes", *bins)
+
+
+#: Output schema of resize_images / the resize mapInPandas stage.
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("out_w", T.LongType()),
+        T.StructField("out_h", T.LongType()),
+        T.StructField("pixels", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, out_w: int = 8, out_h: int = 8, fake: bool = False
+) -> DataFrame:
+    """Resize image payloads to ``out_w × out_h`` via ``mapInPandas`` —
+    the normalize-before-embed step of a multimodal training pipeline.
+
+    Real resizing needs PIL (not in this container); ``fake=True`` runs
+    a deterministic stand-in with the SAME Spark plumbing: treat the
+    payload as a row-major byte image of the fake-decoded (width,
+    height) and nearest-neighbor-sample it onto the target grid — a
+    pure function of the payload, byte-for-byte reproducible anywhere.
+
+    Scale shape: non-image modalities are filtered JVM-side before any
+    Python runs; output rows are fixed ``out_w*out_h`` bytes, so the
+    stage's output size is #images × grid — independent of input
+    payload sizes (the classic shrink-early move before a shuffle).
+    """
+    imgs = media.filter(F.col("modality") == "image")
+    if not fake:
+        def _real(_: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            raise NotImplementedError(
+                "real image resize requires PIL, which is not installed; "
+                "use resize_images(media, fake=True)"
+            )
+        return imgs.mapInPandas(_real, schema=RESIZED_SCHEMA)
+
+    def _fake(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def nn_sample(b: bytes) -> bytes:
+            w = (b[0] if len(b) > 0 else 0) + 1   # fake-decode dims
+            h = (b[1] if len(b) > 1 else 0) + 1   # (decode_media parity)
+            out = bytearray(out_w * out_h)
+            for y in range(out_h):
+                sy = y * h // out_h
+                for x in range(out_w):
+                    sx = x * w // out_w
+                    idx = sy * w + sx
+                    out[y * out_w + x] = b[idx] if idx < len(b) else 0
+            return bytes(out)
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "pixels": pdf["payload"].map(nn_sample),
+                }
+            )
+
+    return imgs.mapInPandas(_fake, schema=RESIZED_SCHEMA)

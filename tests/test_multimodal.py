@@ -67,3 +67,42 @@ def test_decode_fake_schema_and_determinism(media):
     a = {r["media_id"]: r["checksum"] for r in out.collect()}
     b = {r["media_id"]: r["checksum"] for r in decode_media(media, fake=True).collect()}
     assert a == b and len(a) == media.count()
+
+
+def test_resize_real_path_is_stubbed(media):
+    from kinesis_spark.multimodal import resize_images
+
+    df = resize_images(media)
+    with pytest.raises(Exception, match="PIL|NotImplemented"):
+        df.collect()
+
+
+def test_resize_fake_fixed_grid_and_determinism(media):
+    """Fake resize: images only, fixed out_w*out_h output bytes, twice
+    the same answer (pure function of the payload)."""
+    from kinesis_spark.multimodal import resize_images
+
+    out = resize_images(media, out_w=4, out_h=3, fake=True)
+    rows = out.collect()
+    n_images = media.filter(F.col("modality") == "image").count()
+    assert len(rows) == n_images > 0
+    assert all(r.out_w == 4 and r.out_h == 3 for r in rows)
+    assert all(len(bytes(r.pixels)) == 12 for r in rows)
+    again = {r.media_id: bytes(r.pixels) for r in out.collect()}
+    assert {r.media_id: bytes(r.pixels) for r in rows} == again
+
+
+def test_resize_fake_nearest_neighbor_values(spark):
+    """Pin the sampling math on a hand-computed payload: a fake 3x2
+    'image' (w=b[0]+1=3, h=b[1]+1=2) resized to 2x1 picks bytes at
+    (sy=0, sx=0) and (sy=0, sx=1)."""
+    from kinesis_spark.multimodal import resize_images
+
+    payload = bytes([2, 1, 10, 20, 30, 40])  # w=3, h=2; pixels row-major
+    df = spark.createDataFrame(
+        [(1, "image", payload, len(payload))],
+        "media_id LONG, modality STRING, payload BINARY, n_bytes LONG",
+    )
+    r = resize_images(df, out_w=2, out_h=1, fake=True).collect()[0]
+    # y=0 -> sy=0; x=0 -> sx=0 -> b[0]=2 ; x=1 -> sx=1 -> b[1]=1
+    assert bytes(r.pixels) == bytes([2, 1])
