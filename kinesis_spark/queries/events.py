@@ -687,3 +687,64 @@ def e14_typed_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").cast("bigint").alias("k_min"),
         F.max("k").cast("bigint").alias("k_max"),
     )
+
+
+@register(
+    "e15_scd2_state_history",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         LAG(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+changes AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM ordered
+  WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id, event_type,
+       ts AS valid_from,
+       LEAD(ts) OVER w2 AS valid_to,
+       LEAD(ts) OVER w2 IS NULL AS is_current
+FROM changes
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    tags=("events", "scd2", "cdc"),
+)
+def e15_scd2_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 state history: compress each user's event stream to
+    its state CHANGES (event_type != previous), then close each state
+    row with the next change's timestamp — the standard
+    (valid_from, valid_to, is_current] interval build that CDC feeds
+    into warehouse dimensions.
+
+    Scale shape: both windows partition by user_id with the same
+    (ts, event_id) order, so the whole query is ONE hash shuffle on
+    user_id and the sort is reused across the lag, the filter, and the
+    lead — no joins, no second pass over events. event_id is the
+    deterministic tie-break for equal timestamps (the repo-wide rule).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )

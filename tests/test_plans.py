@@ -299,6 +299,18 @@ def test_sim8_both_rankings_broadcast_queries(plan_of):
     assert "CartesianProduct" not in plan
 
 
+def test_e15_single_shuffle_reused_sort(plan_of):
+    """SCD2 build: one hash exchange on user_id; the (ts, event_id) sort
+    is shared by the lag window, the change filter, and the lead window
+    — no join, no second exchange."""
+    import re
+
+    plan = plan_of("e15_scd2_state_history")
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
 def test_e14_single_parse_partial_agg(plan_of):
     plan = plan_of("e14_typed_props_rollup")
     assert "from_json" in plan
