@@ -1,7 +1,8 @@
 """CLI parity with the reference (main.go): pipe bytes from stdin into a
-Kinesis stream.
+Kinesis stream — and read them back.
 
     cat file | python -m kinesis_spark STREAM -p PARTITION_KEY
+    python -m kinesis_spark STREAM -p PARTITION_KEY --consume > file
 
 Reference behavior mirrored (main.go:14-51): positional stream name,
 ``-p/--partitionKey`` flag, pump-until-EOF, SIGINT/SIGTERM → final
@@ -9,41 +10,23 @@ flush, exit 1 on error. Differences (deliberate, SURVEY.md §4 quirks):
 failed puts raise instead of claiming success, drops are surfaced on
 stderr with counts, and the dead 5 MiB request cap is enforced.
 
-The AWS client is injectable (``--fake-sink PATH`` spools JSON lines
-instead — the test seam; boto3 is not bundled in this environment).
+``--consume`` is the read side the reference leaves to its users: walk
+every shard with the GetShardIterator/GetRecords consumer
+(ingest/consumer.py), keep this partition key's records, and write
+their Data to stdout in sequence order — the io.Copy inverse.
+
+The AWS client is injectable (``--fake-sink PATH`` spools full records
+as JSON lines instead — the test seam, replayable by the consumer and
+the Spark sources; boto3 is not bundled in this environment).
 """
 
 from __future__ import annotations
 
 import argparse
-import json
 import signal
 import sys
-import uuid
 
-
-class SpoolSink:
-    """Fake PutRecords client writing JSON lines (one file per call)."""
-
-    def __init__(self, spool_dir: str):
-        import os
-
-        self.spool_dir = spool_dir
-        os.makedirs(spool_dir, exist_ok=True)
-
-    def put_records(self, stream_name, records):
-        import os
-
-        path = os.path.join(self.spool_dir, f"{uuid.uuid4().hex}.jsonl")
-        with open(path, "w") as f:
-            for r in records:
-                f.write(
-                    json.dumps(
-                        {"stream": stream_name, "pk": r.partition_key, "n": len(r.data)}
-                    )
-                    + "\n"
-                )
-        return [{} for _ in records]
+from kinesis_spark.streaming.spool import SpoolStreamClient as SpoolSink
 
 
 def _boto3_client_factory(region: str | None):
@@ -71,19 +54,58 @@ def _boto3_client_factory(region: str | None):
     return Boto3Sink()
 
 
-def main(argv: list[str] | None = None, client=None, stdin=None) -> int:
+def _consume(args, stdout) -> int:
+    """Read side: every shard, TRIM_HORIZON to tip, this partition key's
+    Data concatenated in sequence order (per-key order is total because
+    one key maps to one shard's sequence)."""
+    if args.fake_sink:
+        from kinesis_spark.ingest.consumer import SpoolConsumerClient
+
+        consumer = SpoolConsumerClient(args.fake_sink)
+    else:
+        try:
+            from kinesis_spark.ingest.consumer import make_boto3_consumer
+
+            consumer = make_boto3_consumer(args.region)
+        except NotImplementedError as exc:
+            raise SystemExit(str(exc)) from exc
+    recs: list[tuple[str, bytes]] = []
+    for shard in consumer.list_shards(args.stream):
+        token = consumer.get_shard_iterator(args.stream, shard)
+        while token:
+            resp = consumer.get_records(token)
+            for r in resp["Records"]:
+                if r["PartitionKey"] == args.partition_key:
+                    recs.append((r["SequenceNumber"], r["Data"]))
+            if not resp["Records"] and resp.get("MillisBehindLatest", 0) == 0:
+                break
+            token = resp.get("NextShardIterator")
+    for _, data in sorted(recs):
+        stdout.write(data)
+    return 0
+
+
+def main(argv: list[str] | None = None, client=None, stdin=None, stdout=None) -> int:
     parser = argparse.ArgumentParser(
-        prog="kinesis_spark", description="stream stdin to a Kinesis stream"
+        prog="kinesis_spark",
+        description="stream stdin to a Kinesis stream (or --consume it back)",
     )
     parser.add_argument("stream", help="Kinesis stream name")
     parser.add_argument("-p", "--partitionKey", required=True, dest="partition_key")
     parser.add_argument("--region", default=None)
     parser.add_argument("--fake-sink", default=None, metavar="DIR",
-                        help="spool PutRecords calls to DIR instead of AWS")
+                        help="spool PutRecords calls to DIR instead of AWS "
+                             "(also the --consume read location)")
+    parser.add_argument("--consume", action="store_true",
+                        help="read the stream and write this partition key's "
+                             "bytes to stdout in sequence order")
     parser.add_argument("--buffer-bytes", type=int, default=4 * 1024 * 1024)
     parser.add_argument("--flush-seconds", type=float, default=1.0)
     parser.add_argument("--queue-depth", type=int, default=4)
     args = parser.parse_args(argv)
+
+    if args.consume:
+        return _consume(args, stdout if stdout is not None else sys.stdout.buffer)
 
     from kinesis_spark.ingest.pipeline import new_fast_writer
 

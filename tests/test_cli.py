@@ -10,16 +10,23 @@ import os
 import subprocess
 import sys
 
-from kinesis_spark.__main__ import SpoolSink, main
+from kinesis_spark.__main__ import SpoolSink, main  # noqa: F401 (SpoolSink = full-record spool client)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _spooled(spool):
+    """Spool entries with a decoded byte count (the spool stores full
+    base64 record data, replayable by the consumer + Spark sources)."""
+    import base64
+
     out = []
     for p in glob.glob(f"{spool}/*.jsonl"):
         with open(p) as f:
-            out.extend(json.loads(line) for line in f)
+            for line in f:
+                e = json.loads(line)
+                e["n"] = len(base64.b64decode(e["data"]))
+                out.append(e)
     return out
 
 
@@ -72,3 +79,30 @@ def test_cli_requires_partition_key():
 
     with pytest.raises(SystemExit):
         main(["stream-only"])
+
+
+def test_cli_produce_consume_roundtrip(tmp_path):
+    """The full user loop: bytes in via the producer, bytes out via
+    --consume, byte-identical (including binary content)."""
+    spool = str(tmp_path / "spool")
+    payload = os.urandom(300 * 1024)
+    rc = main(
+        ["rt", "-p", "k1", "--fake-sink", spool, "--flush-seconds", "9"],
+        stdin=io.BytesIO(payload),
+    )
+    assert rc == 0
+    out = io.BytesIO()
+    rc = main(["rt", "-p", "k1", "--fake-sink", spool, "--consume"], stdout=out)
+    assert rc == 0
+    assert out.getvalue() == payload
+
+
+def test_cli_consume_filters_partition_key(tmp_path):
+    spool = str(tmp_path / "spool")
+    main(["s", "-p", "ka", "--fake-sink", spool, "--flush-seconds", "9"],
+         stdin=io.BytesIO(b"AAA"))
+    main(["s", "-p", "kb", "--fake-sink", spool, "--flush-seconds", "9"],
+         stdin=io.BytesIO(b"BBB"))
+    out = io.BytesIO()
+    main(["s", "-p", "kb", "--fake-sink", spool, "--consume"], stdout=out)
+    assert out.getvalue() == b"BBB"
