@@ -80,3 +80,33 @@ def upsert_partitioned(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     return len(parts)
+
+
+def streaming_upsert_query(
+    spark: SparkSession,
+    updates_stream: DataFrame,
+    target_dir: str,
+    key: str,
+    partition_col: str,
+    checkpoint_dir: str,
+):
+    """The CDC apply loop: each micro-batch of updates MERGEs into the
+    partitioned target via ``foreachBatch`` — the streaming face of
+    :func:`upsert_partitioned` (mirrors ``streaming_rollup_query``,
+    rollup.py:79). Unlike the rollup merge, the upsert IS idempotent per
+    batch (last-write-wins on the key), so a checkpoint replay of a
+    whole micro-batch converges to the same table.
+
+    Returns the started StreamingQuery (caller picks the trigger cadence
+    via ``.trigger`` before ``start`` — here availableNow for drains).
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_partitioned(spark, target_dir, batch_df, key, partition_col)
+
+    return (
+        updates_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -146,3 +146,41 @@ def test_upsert_dedups_duplicate_keys_in_batch(spark, day_partitioned):
     assert len(got) == 1
     # struct-max keeps the greatest row INTACT: (2.0, "B"), never (2.0, "A")
     assert (got[0].o_totalprice, got[0].o_orderstatus) == (2.0, "B")
+
+
+def test_streaming_upsert_applies_batches_in_order(spark, day_partitioned, tmp_path):
+    """CDC loop: a stream of update files MERGEs batch-by-batch into the
+    partitioned target; the final table equals the batch-ordered apply."""
+    from kinesis_spark.upsert import streaming_upsert_query
+
+    schema = "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING, month STRING"
+    updates_dir = tmp_path / "updates"
+    updates_dir.mkdir()
+    import time as _time
+
+    spark.createDataFrame(
+        [(88888801, 11.0, "A", "1995-01"), (88888802, 12.0, "A", "1995-02")], schema
+    ).coalesce(1).write.mode("overwrite").json(str(updates_dir / "b0"))
+    _time.sleep(1.1)  # distinct mtimes => deterministic file-source order
+    spark.createDataFrame(
+        [(88888801, 99.0, "Z", "1995-01")], schema  # overwrites batch-0 row
+    ).coalesce(1).write.mode("overwrite").json(str(updates_dir / "b1"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(updates_dir) + "/*")
+    )
+    q = streaming_upsert_query(
+        spark, stream, day_partitioned, "o_orderkey", "month",
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.o_orderkey: (r.o_totalprice, r.o_orderstatus)
+        for r in spark.read.parquet(day_partitioned)
+        .filter(F.col("o_orderkey").isin([88888801, 88888802]))
+        .collect()
+    }
+    assert got == {88888801: (99.0, "Z"), 88888802: (12.0, "A")}
