@@ -201,7 +201,63 @@ class Boto3ConsumerClient:
         return self._client.get_shard_iterator(**kw)["ShardIterator"]
 
     def get_records(self, shard_iterator: str, limit: int = 10000) -> dict:
-        return self._client.get_records(ShardIterator=shard_iterator, Limit=limit)
+        try:
+            return self._client.get_records(ShardIterator=shard_iterator, Limit=limit)
+        except Exception as exc:
+            # normalize the SDK's throttle type (matched by name so this
+            # module never imports boto3) to the retryable contract error
+            if "ProvisionedThroughputExceeded" in type(exc).__name__:
+                raise ThrottledError(str(exc)) from exc
+            raise
+
+
+class ThrottledError(RuntimeError):
+    """Raised by clients when GetRecords is throttled
+    (ProvisionedThroughputExceededException) — the canonical per-shard
+    Kinesis consumer failure; retryable by contract."""
+
+
+class RetryingConsumer:
+    """Decorator adding bounded exponential backoff to ``get_records`` —
+    the consumer twin of the writer's ErrorCode retry loop
+    (writer.py:119). Kinesis caps each shard at 5 reads/2 MB per
+    second, so a fan-in of readers WILL see throttles; retrying at the
+    client seam keeps the Spark tasks' iterator loops oblivious.
+
+    ``sleeper`` is injectable (tests pass a recorder; production leaves
+    ``time.sleep``) and the backoff is deterministic:
+    ``base_backoff_s * 2**attempt``.
+    """
+
+    def __init__(
+        self,
+        inner: ShardIteratorClient,
+        max_retries: int = 5,
+        base_backoff_s: float = 0.2,
+        sleeper=None,
+    ):
+        import time as _time
+
+        self._inner = inner
+        self.max_retries = max_retries
+        self.base_backoff_s = base_backoff_s
+        self._sleep = sleeper if sleeper is not None else _time.sleep
+
+    def list_shards(self, stream_name: str) -> list[str]:
+        return self._inner.list_shards(stream_name)
+
+    def get_shard_iterator(self, *args, **kwargs) -> str:
+        return self._inner.get_shard_iterator(*args, **kwargs)
+
+    def get_records(self, shard_iterator: str, limit: int = 10000) -> dict:
+        for attempt in range(self.max_retries + 1):
+            try:
+                return self._inner.get_records(shard_iterator, limit)
+            except ThrottledError:
+                if attempt == self.max_retries:
+                    raise
+                self._sleep(self.base_backoff_s * (2 ** attempt))
+        raise AssertionError("unreachable")
 
 
 def make_boto3_consumer(region_name: str | None = None, **kwargs) -> Boto3ConsumerClient:

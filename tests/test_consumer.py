@@ -239,3 +239,81 @@ def test_consumer_roundtrip_property():
             assert got == expected
 
     check()
+
+
+def test_retrying_consumer_backs_off_and_recovers(tmp_path):
+    """GetRecords throttles retry with deterministic exponential backoff
+    at the client seam; the caller's iterator loop never sees them."""
+    from kinesis_spark.ingest.consumer import RetryingConsumer, ThrottledError
+
+    spool = str(tmp_path / "spool")
+    SpoolStreamClient(spool).put_records(
+        STREAM, [Record(data=b"payload", partition_key="pk0")]
+    )
+
+    class Flaky:
+        def __init__(self, inner, fail_times):
+            self.inner, self.fails, self.calls = inner, fail_times, 0
+
+        def list_shards(self, s):
+            return self.inner.list_shards(s)
+
+        def get_shard_iterator(self, *a, **kw):
+            return self.inner.get_shard_iterator(*a, **kw)
+
+        def get_records(self, it, limit=10000):
+            self.calls += 1
+            if self.calls <= self.fails:
+                raise ThrottledError("slow down")
+            return self.inner.get_records(it, limit)
+
+    naps = []
+    client = RetryingConsumer(
+        Flaky(SpoolConsumerClient(spool), fail_times=3),
+        base_backoff_s=0.1,
+        sleeper=naps.append,
+    )
+    shard = shard_for_key("pk0")
+    resp = client.get_records(client.get_shard_iterator(STREAM, shard))
+    assert [r["Data"] for r in resp["Records"]] == [b"payload"]
+    assert naps == [0.1, 0.2, 0.4]  # deterministic exponential ladder
+
+    # exhaustion re-raises: 7 failures > 5 retries
+    exhausted = RetryingConsumer(
+        Flaky(SpoolConsumerClient(spool), fail_times=7), sleeper=lambda s: None
+    )
+    with pytest.raises(ThrottledError):
+        exhausted.get_records(exhausted.get_shard_iterator(STREAM, shard))
+
+
+def test_retrying_consumer_drives_batch_read(spark, tmp_path):
+    """The retry wrapper slots into the same factory seam: a client that
+    throttles every other call still yields the full record set."""
+    from kinesis_spark.ingest.consumer import RetryingConsumer, ThrottledError
+
+    spool = _spool_with_payloads(tmp_path)
+
+    class EveryOther:
+        def __init__(self):
+            self.inner = SpoolConsumerClient(spool)
+            self.n = 0
+
+        def list_shards(self, s):
+            return self.inner.list_shards(s)
+
+        def get_shard_iterator(self, *a, **kw):
+            return self.inner.get_shard_iterator(*a, **kw)
+
+        def get_records(self, it, limit=10000):
+            self.n += 1
+            if self.n % 2 == 1:
+                raise ThrottledError("throttle")
+            return self.inner.get_records(it, limit)
+
+    df = read_stream_batch(
+        spark,
+        lambda: RetryingConsumer(EveryOther(), sleeper=lambda s: None),
+        STREAM,
+        limit_per_call=3,
+    )
+    _assert_roundtrip(reassemble_records(df).collect())
