@@ -317,3 +317,58 @@ def test_retrying_consumer_drives_batch_read(spark, tmp_path):
         limit_per_call=3,
     )
     _assert_roundtrip(reassemble_records(df).collect())
+
+
+@pytest.mark.streaming
+def test_consumer_feeds_streaming_prep_intake(spark, tmp_path):
+    """The full ingestion-to-prep pipe a reference user would build:
+    documents put to Kinesis as JSON records -> kinesis_consumer source
+    -> parse -> gate + cross-batch exact dedup (streaming/prep.py).
+    Duplicate documents across separate put calls collapse to one
+    survivor."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from kinesis_spark.streaming.kinesis_source import KinesisConsumerDataSource
+    from kinesis_spark.streaming.prep import exact_dedup_stream
+
+    text_ok = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        {"doc_id": 1, "text": text_ok, "lang": "en"},
+        {"doc_id": 2, "text": text_ok, "lang": "en"},          # exact dup of 1
+        {"doc_id": 3, "text": text_ok + " extended", "lang": "en"},
+        {"doc_id": 4, "text": text_ok, "lang": "zz"},           # gated: lang
+        {"doc_id": 5, "text": "too short", "lang": "en"},       # gated: tokens
+    ]
+    spool = str(tmp_path / "spool")
+    sink = SpoolStreamClient(spool)
+    for d in docs:  # one put call per doc = separate micro-batch records
+        sink.put_records(
+            "prep", [Record(data=_json.dumps(d).encode(), partition_key=f"pk{d['doc_id']}")]
+        )
+
+    spark.dataSource.register(KinesisConsumerDataSource)
+    src = (
+        spark.readStream.format("kinesis_consumer")
+        .option("spool_dir", spool)
+        .option("stream", "prep")
+        .load()
+        .select(
+            F.from_json(
+                F.col("data").cast("string"), "doc_id LONG, text STRING, lang STRING"
+            ).alias("d")
+        )
+        .select("d.*")
+    )
+    q = (
+        exact_dedup_stream(src)
+        .writeStream.format("memory")
+        .queryName("prep_survivors")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    survivors = {r.doc_id for r in spark.table("prep_survivors").collect()}
+    # doc 2 deduped against 1 (first arrival wins), 4/5 gated, 3 distinct
+    assert survivors == {1, 3}
