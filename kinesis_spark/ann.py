@@ -44,6 +44,35 @@ def build_ivf_index(embeddings: DataFrame, index_dir: str) -> None:
     )
 
 
+def append_to_ivf_index(
+    spark: SparkSession, new_embeddings: DataFrame, index_dir: str
+) -> int:
+    """Incremental index maintenance: assign NEW vectors against the
+    EXISTING codebook and append them to their cell partitions. At
+    100 TB you never rebuild the index for a daily batch — the append
+    cost is proportional to the batch, existing cell files stay
+    byte-identical, and probes see the union immediately (partition
+    pruning is unaffected: the new files land inside the same
+    ``cell=<k>`` directories).
+
+    Centroids deliberately do NOT move (standard serving practice —
+    IVF lists drift slowly; rebuild on a cadence, not per batch).
+    Returns the number of vectors appended."""
+    e = new_embeddings.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cent = spark.read.parquet(f"{index_dir}/codebook")
+    assign = ivf_assign(e, cent)
+    batch = assign.filter(F.col("crk") == 1).select(
+        F.col("vec_id").alias("match_id"), "v", "cell"
+    )
+    n = batch.count()
+    batch.write.mode("append").partitionBy("cell").parquet(f"{index_dir}/cells")
+    return n
+
+
 def query_ivf_index(
     spark: SparkSession,
     index_dir: str,

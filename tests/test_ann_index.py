@@ -59,3 +59,38 @@ def test_probe_prunes_cell_partitions(spark, sf_dir, index_dir):
     assert "PartitionFilters: [" in scan
     seg = scan[scan.index("PartitionFilters: [") :].split("]")[0]
     assert "cell" in seg and ("IN" in seg.upper() or "in(" in seg)
+
+
+def test_append_to_index_probes_see_new_vectors(spark, sf_dir, tmp_path):
+    """Incremental append: new vectors assign against the frozen
+    codebook and land inside existing cell partitions; probes find them
+    without a rebuild and prior cell files stay byte-identical."""
+    import glob
+    import os
+
+    from kinesis_spark.ann import append_to_ivf_index
+
+    d = str(tmp_path / "ivf_inc")
+    base = load_table(spark, sf_dir, "embeddings")
+    build_ivf_index(base, d)
+    before = {
+        p: os.path.getmtime(p) for p in glob.glob(f"{d}/cells/cell=*/*.parquet")
+    }
+
+    # synthetic new vector: clone query 0's embedding with a new id — its
+    # nearest neighbor must then be vec 0 itself at cos_sim ~ 1.0
+    clone = (
+        base.filter(F.col("vec_id") == 0)
+        .select(F.lit(10_000_000).alias("vec_id"), "label", "embedding")
+    )
+    n = append_to_ivf_index(spark, clone, d)
+    assert n == 1
+    after = {
+        p: os.path.getmtime(p) for p in glob.glob(f"{d}/cells/cell=*/*.parquet")
+    }
+    assert set(before) <= set(after)
+    assert all(after[p] == m for p, m in before.items())  # old files untouched
+
+    res = query_ivf_index(spark, d, _queries(spark, sf_dir), top_k=1, n_probe=N_PROBE)
+    top1 = {r.query_id: r.match_id for r in res.collect()}
+    assert top1[0] == 10_000_000  # the appended clone is query 0's new top-1
