@@ -851,3 +851,89 @@ def d13_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("canonical_chars"),
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
     )
+
+
+MAX_BUCKET = 4  # LSH bucket-size cap: bigger buckets are dropped wholesale
+
+
+@register(
+    "d14_capped_lsh_pairs",
+    oracle=f"""
+WITH sigs AS (
+  SELECT doc_id,
+         {", ".join(_minhash_sig_sql(s) for s in range(N_HASHES))}
+  FROM documents
+  WHERE len(regexp_split_to_array(text, '\\s+')) >= 3
+),
+bands AS (
+  SELECT doc_id,
+         unnest([mh0 || '|' || mh1, mh2 || '|' || mh3,
+                 mh4 || '|' || mh5, mh6 || '|' || mh7]) AS band_key
+  FROM sigs
+),
+kept AS (
+  SELECT band_key FROM bands
+  GROUP BY band_key
+  HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN kept k ON a.band_key = k.band_key
+JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+    tags=("dedup", "minhash", "lsh", "capped"),
+)
+def d14_capped_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d3 with the production bucket-size cap: LSH buckets larger than
+    4 members are dropped WHOLESALE before pair expansion.
+
+    Why this operator exists at 100 TB: candidate volume is sum over
+    buckets of |bucket|² — one hot band key (boilerplate headers, empty
+    strings, template pages) turns the "never all-pairs" guarantee into
+    exactly an all-pairs blowup inside that bucket. Capping bounds the
+    per-bucket work at MAX_BUCKET²; the dropped buckets are precisely
+    the least informative band collisions (a band shared by thousands
+    of documents carries no near-dup signal — standard practice in
+    web-scale MinHash dedup). The cap is a filter on the SAME
+    aggregation d3 already does, so the plan shape (one scan, one
+    band-key shuffle) is unchanged.
+    """
+    tokd = _tokens_barrier(load_table(spark, sf_dir, "documents"), min_words=3)
+    exploded = tokd.select(
+        "doc_id", F.explode(_shingles_of(F.col("toks"))).alias("s")
+    )
+    sigs = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{seed}#"), F.col("s")))).alias(f"mh{seed}")
+            for seed in range(N_HASHES)
+        ]
+    )
+    band_key = F.explode(
+        F.array(
+            *[
+                F.concat_ws("|", f"mh{2 * b}", f"mh{2 * b + 1}")
+                for b in range(N_HASHES // BAND_ROWS)
+            ]
+        )
+    )
+    bands = sigs.select("doc_id", band_key.alias("band_key"))
+    buckets = (
+        bands.groupBy("band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= MAX_BUCKET))
+    )
+    ids = F.col("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
