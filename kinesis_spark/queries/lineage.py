@@ -81,3 +81,58 @@ def prov2_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("source").cast("bigint").alias("n_sources"),
         )
     )
+
+
+@register(
+    "dq1_validation_rules",
+    oracle="""
+WITH agg AS (
+  SELECT COUNT(*) AS n_rows,
+    SUM(CASE WHEN COALESCE(l_quantity BETWEEN 1 AND 50, FALSE) THEN 0 ELSE 1 END) AS qty_range,
+    SUM(CASE WHEN COALESCE(l_extendedprice > 0, FALSE) THEN 0 ELSE 1 END) AS price_positive,
+    SUM(CASE WHEN COALESCE(l_discount BETWEEN 0 AND 1, FALSE) THEN 0 ELSE 1 END) AS discount_range,
+    SUM(CASE WHEN COALESCE(l_shipdate BETWEEN DATE '1992-01-01' AND DATE '1998-12-31', FALSE) THEN 0 ELSE 1 END) AS shipdate_range,
+    SUM(CASE WHEN COALESCE(l_returnflag IN ('A', 'N', 'R'), FALSE) THEN 0 ELSE 1 END) AS returnflag_domain
+  FROM lineitem
+)
+SELECT r.rule,
+       CAST(a.n_rows AS BIGINT) AS n_rows,
+       CAST(CASE r.rule
+         WHEN 'qty_range' THEN a.qty_range
+         WHEN 'price_positive' THEN a.price_positive
+         WHEN 'discount_range' THEN a.discount_range
+         WHEN 'shipdate_range' THEN a.shipdate_range
+         ELSE a.returnflag_domain END AS BIGINT) AS n_violations,
+       1.0 - CAST(CASE r.rule
+         WHEN 'qty_range' THEN a.qty_range
+         WHEN 'price_positive' THEN a.price_positive
+         WHEN 'discount_range' THEN a.discount_range
+         WHEN 'shipdate_range' THEN a.shipdate_range
+         ELSE a.returnflag_domain END AS DOUBLE) / a.n_rows AS pass_rate
+FROM agg a,
+     (SELECT unnest(['qty_range', 'price_positive', 'discount_range',
+                     'shipdate_range', 'returnflag_domain']) AS rule) r
+""",
+    tags=("quality", "validation"),
+)
+def dq1_validation_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over lineitem: five constraint
+    rules (range, positivity, date ordering, domain membership) checked
+    in ONE aggregation pass via kinesis_spark.quality.validate — each
+    task emits one row of rule counters, so 50 rules over 100 TB cost
+    one scan and a scalar-sized shuffle, never a job per rule. A null
+    predicate result counts as a violation (unknown is not good)."""
+    from kinesis_spark.io import load_table
+    from kinesis_spark.quality import validate
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return validate(
+        l,
+        {
+            "qty_range": F.col("l_quantity").between(1, 50),
+            "price_positive": F.col("l_extendedprice") > 0,
+            "discount_range": F.col("l_discount").between(0, 1),
+            "shipdate_range": F.col("l_shipdate").between("1992-01-01", "1998-12-31"),
+            "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+        },
+    )
