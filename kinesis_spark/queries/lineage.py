@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesis_spark.io import load_table
 from kinesis_spark.queries import register
 
 
@@ -135,4 +136,44 @@ def dq1_validation_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shipdate_range": F.col("l_shipdate").between("1992-01-01", "1998-12-31"),
             "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
         },
+    )
+
+
+@register(
+    "prov3_dataset_fingerprint",
+    oracle="""
+SELECT source,
+       COUNT(*) AS n_docs,
+       bit_xor(CAST(('0x' || substr(
+         md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15)) AS BIGINT))
+         AS content_fingerprint
+FROM documents
+GROUP BY source
+""",
+    tags=("lineage", "fingerprint", "reproducibility"),
+)
+def prov3_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive dataset fingerprint per source: XOR-aggregate a
+    60-bit hash of every (doc_id, text) row. Two pipeline runs produced
+    identical data iff the fingerprints match — the cheap reproducibility
+    check a training-data release pins next to its manifest
+    (row order, partitioning, and file layout all wash out of XOR).
+
+    Scale shape: map-side partial XOR (commutative + associative), so
+    the shuffle carries one 8-byte value per (task, source); the scan
+    reads only doc_id + text. Rehashing per row is the cost — ~the same
+    single pass any content checksum needs."""
+    d = load_table(spark, sf_dir, "documents")
+    row_hash = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.bit_xor(row_hash).alias("content_fingerprint"),
     )

@@ -370,3 +370,38 @@ def s10_reproducible_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.select(
         "doc_id", "shard", F.row_number().over(w).alias("pos_in_shard")
     )
+
+
+SAMPLE_K = 200  # exactly-k sample size
+
+
+@register(
+    "s11_exact_k_sample",
+    oracle=f"""
+SELECT doc_id, source, n_chars
+FROM documents
+ORDER BY md5('k7#' || CAST(doc_id AS VARCHAR)), doc_id
+LIMIT {SAMPLE_K}
+""",
+    tags=("setop", "sampling", "topk"),
+)
+def s11_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k deterministic sample: rank every row by a seeded hash
+    of its key and keep the global top-k — the companion to s5's
+    rate-based sample when the contract is a COUNT, not a probability
+    (eval sets, human-review batches, fixed-size calibration splits).
+
+    Scale shape: orderBy().limit(k) compiles to TakeOrderedAndProject —
+    each task keeps a k-row heap and only those k-row heaps meet at the
+    driver/final stage; there is NO full global sort and NO full-data
+    shuffle, so the cost at 100 TB is one scan plus tasks x k rows.
+    Same seed → same sample, forever; new rows displace old ones only
+    if they hash lower (bounded churn, the property that makes
+    hash-sampling auditable)."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("k7#"), F.col("doc_id").cast("string")))
+    return (
+        d.select("doc_id", "source", "n_chars")
+        .orderBy(key.asc(), F.col("doc_id").asc())
+        .limit(SAMPLE_K)
+    )

@@ -299,6 +299,24 @@ def test_sim8_both_rankings_broadcast_queries(plan_of):
     assert "CartesianProduct" not in plan
 
 
+def test_s11_topk_heap_not_global_sort(plan_of):
+    """Exactly-k sampling must compile to TakeOrderedAndProject (per-task
+    k-row heaps) — a global Sort + hash Exchange would shuffle the whole
+    corpus to sample 200 rows."""
+    plan = plan_of("s11_exact_k_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "hashpartitioning" not in plan
+
+
+def test_prov3_partial_xor_before_shuffle(plan_of):
+    """The fingerprint xor partial-aggregates map-side: the exchange
+    carries one 8-byte value per (task, source), never row hashes."""
+    plan = plan_of("prov3_dataset_fingerprint")
+    assert "partial_bit_xor" in plan or "partial_count" in plan
+    scan = plan[plan.index("ReadSchema") :]
+    assert "lang" not in scan and "n_chars" not in scan  # column pruning
+
+
 def test_e15_single_shuffle_reused_sort(plan_of):
     """SCD2 build: one hash exchange on user_id; the (ts, event_id) sort
     is shared by the lag window, the change filter, and the lead window
