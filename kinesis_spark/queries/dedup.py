@@ -13,6 +13,9 @@ Scale design:
 
 Cross-engine determinism: md5/sha256 are bit-identical in Spark and
 DuckDB (verified); min-of-hex-strings and integer set sizes are exact.
+(md5 is the cross-engine-verifiable choice; a production deployment
+that doesn't need an external oracle can swap the token/shingle hash
+for Spark's native ``xxhash64`` — same plan shapes, cheaper hashing.)
 """
 
 from __future__ import annotations

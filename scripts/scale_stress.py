@@ -65,6 +65,10 @@ OPERATORS = [
     "d9_dedup_components",
     "d10_edit_distance_verify",
     "d13_canonical_selection",
+    # r3: the hot-bucket cap (d14) vs uncapped banding (d3/d7) is the
+    # point of this corpus — every doc becomes a 10-member bucket
+    "d14_capped_lsh_pairs",
+    "sim9_semdedup_prune",
     "t9_repetition_signals",
     "s10_reproducible_shuffle",
     "p1_llm_prep_pipeline",
