@@ -80,7 +80,14 @@ def _consume(args, stdout) -> int:
             if not resp["Records"] and resp.get("MillisBehindLatest", 0) == 0:
                 break
             token = resp.get("NextShardIterator")
-    for _, data in sorted(recs):
+    # real Kinesis sequence numbers are variable-length decimal strings,
+    # where lexicographic order lies ('1000…' < '999…'); the spool's are
+    # fixed-width with separators. Compare numerically when numeric.
+    def _seq_key(sd):
+        seq = sd[0]
+        return (0, int(seq), "") if seq.isdigit() else (1, 0, seq)
+
+    for _, data in sorted(recs, key=_seq_key):
         stdout.write(data)
     return 0
 

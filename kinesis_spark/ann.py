@@ -65,8 +65,12 @@ def append_to_ivf_index(
     )
     cent = spark.read.parquet(f"{index_dir}/codebook")
     assign = ivf_assign(e, cent)
-    batch = assign.filter(F.col("crk") == 1).select(
-        F.col("vec_id").alias("match_id"), "v", "cell"
+    batch = (
+        assign.filter(F.col("crk") == 1)
+        .select(F.col("vec_id").alias("match_id"), "v", "cell")
+        # materialize once: count + write would otherwise each run the
+        # full assignment join
+        .localCheckpoint(eager=True)
     )
     n = batch.count()
     batch.write.mode("append").partitionBy("cell").parquet(f"{index_dir}/cells")

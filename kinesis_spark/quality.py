@@ -31,21 +31,24 @@ def validate(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     """
     if not rules:
         raise ValueError("validate() needs at least one rule")
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for name, pred in rules.items():
+    # positional internal aliases: rule names are user data and must not
+    # collide with n_rows or each other's aggregate columns
+    names = list(rules)
+    aggs = [F.count(F.lit(1)).alias("_dq_n_rows")]
+    for i, pred in enumerate(rules.values()):
         aggs.append(
-            F.sum(
-                F.when(pred.isNull() | ~pred, 1).otherwise(0)
-            ).cast("bigint").alias(name)
+            F.coalesce(  # empty input: 0 violations, not NULL
+                F.sum(F.when(pred.isNull() | ~pred, 1).otherwise(0)), F.lit(0)
+            ).cast("bigint").alias(f"_dq_{i}")
         )
     wide = df.agg(*aggs)
     # unpivot the one wide row into (rule, n_violations) rows
     stacked = wide.select(
-        "n_rows",
+        F.col("_dq_n_rows").alias("n_rows"),
         F.explode(
             F.map_from_arrays(
-                F.array(*[F.lit(n) for n in rules]),
-                F.array(*[F.col(n) for n in rules]),
+                F.array(*[F.lit(n) for n in names]),
+                F.array(*[F.col(f"_dq_{i}") for i in range(len(names))]),
             )
         ).alias("rule", "n_violations"),
     )

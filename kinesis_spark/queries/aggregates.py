@@ -286,7 +286,9 @@ def a10_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
     ).agg(F.count(F.lit(1)).alias("cnt"))
     return per_user.groupBy("day_start", "event_type").agg(
-        F.count(F.lit(1)).alias("n_users"),
+        # count(col) skips the NULL-user group, matching
+        # COUNT(DISTINCT user_id) semantics; n_events still counts all
+        F.count("user_id").alias("n_users"),
         F.sum("cnt").alias("n_events"),
     )
 

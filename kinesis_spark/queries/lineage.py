@@ -123,7 +123,6 @@ def dq1_validation_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     task emits one row of rule counters, so 50 rules over 100 TB cost
     one scan and a scalar-sized shuffle, never a job per rule. A null
     predicate result counts as a violation (unknown is not good)."""
-    from kinesis_spark.io import load_table
     from kinesis_spark.quality import validate
 
     l = load_table(spark, sf_dir, "lineitem")

@@ -46,9 +46,13 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-from kinesis_spark.ingest.consumer import DEFAULT_N_SHARDS, SpoolConsumerClient
+from kinesis_spark.ingest.consumer import (
+    CONSUMER_SCHEMA,
+    DEFAULT_N_SHARDS,
+    SpoolConsumerClient,
+)
 
-KINESIS_SOURCE_SCHEMA = "shard_id string, pk string, seq string, data binary"
+KINESIS_SOURCE_SCHEMA = CONSUMER_SCHEMA  # one record shape, both faces
 
 
 @dataclass
@@ -131,6 +135,10 @@ class KinesisShardStreamReader(DataSourceStreamReader):
 
     # -- data (executor side) --------------------------------------------
     def read(self, partition: ShardRange):
+        if partition is None:
+            # PySpark substitutes [None] for an empty partition list —
+            # an empty stream is an empty batch, not a crash
+            return
         client = self._client()
         if partition.start_after:
             token = client.get_shard_iterator(
@@ -155,7 +163,10 @@ class KinesisShardStreamReader(DataSourceStreamReader):
                     r["SequenceNumber"],
                     bytearray(r["Data"]),
                 )
-            if not resp["Records"]:
+            if not resp["Records"] and resp.get("MillisBehindLatest", 0) == 0:
+                # caught up to the tip; an empty page while still BEHIND
+                # (routine on real Kinesis) keeps iterating — returning
+                # early would drop the rest of a committed micro-batch
                 return
             token = resp.get("NextShardIterator")
 

@@ -60,8 +60,12 @@ def upsert_partitioned(
             target = spark.read.parquet(target_dir).filter(
                 F.col(partition_col).isin(parts)
             )
-        except AnalysisException:
-            # bootstrap: no target yet — the update batch IS the table
+        except AnalysisException as exc:
+            # bootstrap ONLY on a genuinely missing target — any other
+            # analysis error (wrong partition_col, schema drift) must
+            # raise, not silently overwrite an existing table
+            if "PATH_NOT_FOUND" not in (exc.getCondition() or ""):
+                raise
             updates.write.mode("overwrite").partitionBy(partition_col).parquet(
                 target_dir
             )

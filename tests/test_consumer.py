@@ -372,3 +372,59 @@ def test_consumer_feeds_streaming_prep_intake(spark, tmp_path):
     survivors = {r.doc_id for r in spark.table("prep_survivors").collect()}
     # doc 2 deduped against 1 (first arrival wins), 4/5 gated, 3 distinct
     assert survivors == {1, 3}
+
+
+def test_consumer_batch_empty_stream_is_empty_df(spark, tmp_path):
+    """Reading before the producer ever wrote: empty DataFrame, not a
+    NoneType crash (PySpark hands read() a [None] partition list)."""
+    from kinesis_spark.streaming.kinesis_source import KinesisConsumerDataSource
+
+    empty = tmp_path / "empty_spool"
+    empty.mkdir()
+    spark.dataSource.register(KinesisConsumerDataSource)
+    df = (
+        spark.read.format("kinesis_consumer")
+        .option("spool_dir", str(empty))
+        .option("stream", STREAM)
+        .load()
+    )
+    assert df.count() == 0
+
+
+def test_stream_reader_survives_empty_mid_stream_pages(tmp_path):
+    """An empty GetRecords page with MillisBehindLatest > 0 (routine on
+    real Kinesis) must keep iterating, not truncate the micro-batch."""
+    from kinesis_spark.streaming.kinesis_source import (
+        KinesisShardStreamReader,
+        ShardRange,
+    )
+
+    spool = str(tmp_path / "spool")
+    sink = SpoolStreamClient(spool)
+    pk = "pk0"
+    for i in range(5):
+        sink.put_records(STREAM, [Record(data=bytes([65 + i]), partition_key=pk)])
+
+    class EmptyPagey(SpoolConsumerClient):
+        """Every other page comes back empty but still behind."""
+
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.n = 0
+
+        def get_records(self, it, limit=10000):
+            self.n += 1
+            if self.n % 2 == 1:
+                return {
+                    "Records": [],
+                    "NextShardIterator": it,
+                    "MillisBehindLatest": 1,
+                }
+            return super().get_records(it, min(limit, 2))
+
+    reader = KinesisShardStreamReader({"spool_dir": spool, "stream": STREAM})
+    reader._client = lambda: EmptyPagey(spool)
+    shard = shard_for_key(pk)
+    tip = SpoolConsumerClient(spool).latest_sequence_numbers(STREAM)[shard]
+    rows = list(reader.read(ShardRange(shard, "", tip)))
+    assert b"".join(bytes(r[3]) for r in rows) == b"ABCDE"

@@ -58,3 +58,16 @@ def test_empty_rules_rejected(frame):
         validate(frame, {})
     with pytest.raises(ValueError):
         violating_rows(frame, {})
+
+
+def test_rule_named_n_rows_does_not_collide(frame):
+    got = {r.rule: r.n_violations for r in validate(
+        frame, {"n_rows": F.col("amount") > 0, "rule": F.col("code").isin("A", "B")}
+    ).collect()}
+    assert got == {"n_rows": 2, "rule": 1}
+
+
+def test_validate_empty_input_zero_violations(spark):
+    empty = spark.createDataFrame([], "amount DOUBLE")
+    rows = validate(empty, {"pos": F.col("amount") > 0}).collect()
+    assert [(r.n_rows, r.n_violations, r.pass_rate) for r in rows] == [(0, 0, 1.0)]

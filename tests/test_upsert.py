@@ -184,3 +184,19 @@ def test_streaming_upsert_applies_batches_in_order(spark, day_partitioned, tmp_p
         .collect()
     }
     assert got == {88888801: (99.0, "Z"), 88888802: (12.0, "A")}
+
+
+def test_upsert_wrong_partition_col_raises_not_bootstraps(spark, day_partitioned):
+    """An analysis error that is NOT path-not-found (e.g. a typo'd
+    partition column) must raise — never run the bootstrap overwrite
+    against an existing table."""
+    from pyspark.errors import AnalysisException
+
+    bad = spark.createDataFrame(
+        [(1, 1.0, "O", "1995-01")],
+        "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING, mnth STRING",
+    )
+    before = spark.read.parquet(day_partitioned).count()
+    with pytest.raises(AnalysisException):
+        upsert_partitioned(spark, day_partitioned, bad, "o_orderkey", "mnth")
+    assert spark.read.parquet(day_partitioned).count() == before
