@@ -20,16 +20,23 @@ from pyspark.sql import functions as F
 _STATE_COLS = ("day", "event_type", "n_events", "sum_value")
 
 
+#: canonical stored type for the running sum: max precision, so (a) the
+#: bootstrap write and every merged rewrite carry the IDENTICAL parquet
+#: type (a mixed-precision store fails to read without mergeSchema), and
+#: (b) the accumulated value never hits a narrowing cast that would
+#: throw under Spark 4's default ANSI mode at large scale.
+_SUM_TYPE = "decimal(38,6)"
+
+
 def daily_rollup_state(events: DataFrame) -> DataFrame:
     """Partial-aggregate a batch of events into mergeable rollup rows."""
     return (
-        events.groupBy(
-            F.to_date(F.date_trunc("day", "ts")).alias("day"),
-            "event_type",
-        )
+        events.groupBy(F.to_date("ts").alias("day"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast(_SUM_TYPE)
+            .alias("sum_value"),
         )
         .select(*_STATE_COLS)
     )
@@ -41,7 +48,7 @@ def _merge(a: DataFrame, b: DataFrame) -> DataFrame:
         .groupBy("day", "event_type")
         .agg(
             F.sum("n_events").cast("bigint").alias("n_events"),
-            F.sum("sum_value").cast("decimal(18,6)").alias("sum_value"),
+            F.sum("sum_value").cast(_SUM_TYPE).alias("sum_value"),
         )
         .select(*_STATE_COLS)
     )
@@ -53,10 +60,18 @@ def refresh_daily_rollup(
     """Merge a batch of new events into the stored rollup at
     ``rollup_dir`` (parquet, partitioned by day). Returns the number of
     day partitions rewritten. First call bootstraps the store."""
-    batch = daily_rollup_state(new_events)
+    # materialize once: the days collect and the merge/write would
+    # otherwise each re-aggregate the batch
+    batch = daily_rollup_state(new_events).localCheckpoint(eager=True)
     days = [r[0] for r in batch.select("day").distinct().collect()]
     if not days:
         return 0
+    # NULL-day rows (null ts) overwrite a real partition
+    # (__HIVE_DEFAULT_PARTITION__), so they must merge too — isin()
+    # never matches NULL, the filter needs the explicit isNull arm
+    touched = F.col("day").isin([d for d in days if d is not None])
+    if any(d is None for d in days):
+        touched = touched | F.col("day").isNull()
 
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -64,11 +79,15 @@ def refresh_daily_rollup(
         from pyspark.errors import AnalysisException
 
         try:
-            stored = spark.read.parquet(rollup_dir).filter(F.col("day").isin(days))
+            stored = spark.read.parquet(rollup_dir).filter(touched)
             merged = _merge(stored.select(*_STATE_COLS), batch).localCheckpoint(
                 eager=True
             )
-        except AnalysisException:  # PATH_NOT_FOUND: first refresh bootstraps
+        except AnalysisException as exc:
+            # bootstrap ONLY on a genuinely missing store; schema drift or
+            # an unreadable store must raise, never silently discard state
+            if "PATH_NOT_FOUND" not in (exc.getCondition() or ""):
+                raise
             merged = batch
         merged.write.mode("overwrite").partitionBy("day").parquet(rollup_dir)
     finally:

@@ -49,10 +49,31 @@ def salted_join(
 
     Pick ``num_salts`` ~ the cluster's parallelism for a fully-hot key;
     more salts than that only inflates the dim replication.
+
+    ``how`` supports ``inner`` and ``left`` (fact-preserving) — the
+    plain-join equivalence holds exactly for both. ``right``/``full``
+    are rejected: every unmatched dim key would surface once per salt
+    replica (up to ``num_salts`` spurious null-fact rows), which no
+    post-filter can distinguish from genuine matches generically.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, got {how!r}: an outer "
+            "dim side would emit one unmatched row per salt replica"
+        )
+    if dim_key == fact_key:
+        # name-based downstream access must stay unambiguous: join drops
+        # the dim's copy of the key like df.join(..., on=name) would
+        d_key = f"{dim_key}__dim"
+        dim = dim.withColumnRenamed(dim_key, d_key)
+    else:
+        d_key = dim_key
     f = fact.withColumn(SALT_COL, F.pmod(F.hash(salt_source), F.lit(num_salts)))
     d = dim.withColumn(SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))))
     joined = f.join(
-        d, (f[fact_key] == d[dim_key]) & (f[SALT_COL] == d[SALT_COL]), how
+        d, (f[fact_key] == d[d_key]) & (f[SALT_COL] == d[SALT_COL]), how
     )
-    return joined.drop(f[SALT_COL]).drop(d[SALT_COL])
+    out = joined.drop(f[SALT_COL]).drop(d[SALT_COL])
+    if d_key != dim_key:
+        out = out.drop(d[d_key])
+    return out

@@ -85,3 +85,46 @@ def test_streaming_rollup_matches_batch(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out)
     want = daily_rollup_state(load_table(spark, sf_dir, "events"))
     assert _rows(got) == _rows(want)
+
+
+def test_bootstrap_and_merged_partitions_share_one_decimal_type(spark, tmp_path):
+    """The store must carry ONE parquet decimal type across bootstrap and
+    merged rewrites — a mixed-precision store fails to read whenever the
+    narrower footer wins schema inference."""
+    from kinesis_spark.rollup import refresh_daily_rollup
+
+    store = str(tmp_path / "rollup")
+    day1 = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "click", 1.5)], "ts STRING, event_type STRING, value DOUBLE"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    day2 = day1.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
+    refresh_daily_rollup(spark, store, day1)          # bootstrap write
+    refresh_daily_rollup(spark, store, day2)          # merged write
+    types = {
+        f.dataType.simpleString()
+        for f in spark.read.parquet(store).schema.fields
+        if f.name == "sum_value"
+    }
+    assert types == {"decimal(38,6)"}
+    # and a third refresh over BOTH days still reads + merges cleanly
+    n = refresh_daily_rollup(spark, store, day1.union(day2))
+    assert n == 2
+
+
+def test_refresh_wrong_schema_raises_not_bootstraps(spark, tmp_path):
+    """A store that exists but cannot be read/projected must raise — never
+    silently rebuild from the batch alone."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from kinesis_spark.rollup import refresh_daily_rollup
+
+    store = str(tmp_path / "not_a_rollup")
+    spark.range(3).withColumn("day", F.lit("2024-01-01")).write.partitionBy(
+        "day"
+    ).parquet(store)
+    batch = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "click", 1.0)], "ts STRING, event_type STRING, value DOUBLE"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(AnalysisException):
+        refresh_daily_rollup(spark, store, batch)

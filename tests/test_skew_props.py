@@ -41,3 +41,38 @@ def test_salted_join_equals_plain_join(spark, tables):
         for r in fact.join(dim, fact.k == dim.dk).collect()
     )
     assert got == want
+
+
+def test_salted_join_rejects_outer_dim_side(spark):
+    import pytest as _pytest
+
+    from kinesis_spark.skew import salted_join
+
+    fact = spark.createDataFrame([(1, 10)], "k BIGINT, rid BIGINT")
+    dim = spark.createDataFrame([(1, "a")], "dk BIGINT, attr STRING")
+    for how in ("right", "full", "outer"):
+        with _pytest.raises(ValueError, match="inner/left"):
+            salted_join(fact, dim, "k", "dk", "rid", how=how)
+
+
+def test_salted_join_same_key_name_unambiguous(spark):
+    from kinesis_spark.skew import salted_join
+
+    fact = spark.createDataFrame([(1, 10), (1, 11), (2, 12)], "k BIGINT, rid BIGINT")
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k BIGINT, attr STRING")
+    out = salted_join(fact, dim, "k", "k", "rid", num_salts=4)
+    assert out.columns.count("k") == 1  # dim's copy dropped, like on='k'
+    got = sorted((r.k, r.rid, r.attr) for r in out.collect())
+    assert got == [(1, 10, "a"), (1, 11, "a"), (2, 12, "b")]
+
+
+def test_salted_left_join_preserves_unmatched_facts_once(spark):
+    from kinesis_spark.skew import salted_join
+
+    fact = spark.createDataFrame([(1, 10), (3, 13)], "k BIGINT, rid BIGINT")
+    dim = spark.createDataFrame([(1, "a")], "dk BIGINT, attr STRING")
+    got = sorted(
+        (r.k, r.rid, r.attr)
+        for r in salted_join(fact, dim, "k", "dk", "rid", how="left").collect()
+    )
+    assert got == [(1, 10, "a"), (3, 13, None)]  # one row per fact, exactly
