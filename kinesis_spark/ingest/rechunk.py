@@ -113,8 +113,11 @@ def unframed_rechunk(
     )
 
     # Split each row at absolute chunk boundaries it spans (codegen'd).
-    first = (F.col("__start") / cs).cast("bigint")
-    last = ((F.col("__start") + F.col("__len") - 1) / cs).cast("bigint")
+    # integer `div`, NOT `/`: bigint / bigint promotes to double, which
+    # loses exactness past 2^53 bytes of cumulative stream offset (same
+    # rule as io.py's nanosecond floor)
+    first = F.expr(f"__start div {chunk_size}")
+    last = F.expr(f"(__start + __len - 1) div {chunk_size}")
     frags = offs.select(
         "__start",
         "__data",

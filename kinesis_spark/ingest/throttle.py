@@ -31,6 +31,7 @@ class RateLimiter:
         *,
         clock: Callable[[], float] = time.monotonic,
         sleep: Callable[[float], None] = time.sleep,
+        start_empty: bool = False,
     ) -> None:
         if records_per_s <= 0 or bytes_per_s <= 0:
             raise ValueError("rates must be positive")
@@ -39,8 +40,11 @@ class RateLimiter:
         self._clock = clock
         self._sleep = sleep
         now = clock()
-        self._rec_tokens = records_per_s  # start with one second of burst
-        self._byte_tokens = bytes_per_s
+        # start_empty: for short-lived limiters (one per micro-batch
+        # task) a fresh free burst every trigger would compound to ~2x
+        # the configured envelope; long-lived limiters keep the burst
+        self._rec_tokens = 0.0 if start_empty else records_per_s
+        self._byte_tokens = 0.0 if start_empty else bytes_per_s
         self._last = now
         self.total_waited_s = 0.0
 
@@ -70,7 +74,14 @@ class RateLimiter:
         if wait > 0:
             self._sleep(wait)
             self.total_waited_s += wait
-            self._refill()
-        self._rec_tokens -= n_records
-        self._byte_tokens -= n_bytes
+            # credit exactly the slept interval WITHOUT the burst clamp:
+            # re-running _refill() here capped the earned credit at one
+            # second of budget, discarding the deficit payment of any
+            # oversize request (measured ~44% under-delivery for 5x-budget
+            # requests); the cap is re-applied after the debit below
+            self._rec_tokens += wait * self.records_per_s
+            self._byte_tokens += wait * self.bytes_per_s
+            self._last = self._clock()
+        self._rec_tokens = min(self.records_per_s, self._rec_tokens - n_records)
+        self._byte_tokens = min(self.bytes_per_s, self._byte_tokens - n_bytes)
         return wait

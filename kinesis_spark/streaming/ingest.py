@@ -141,13 +141,16 @@ def start_ingest_query(
     shedding (pure backpressure, Spark's native mode).
 
     ``client_factory`` must be picklable (it is called inside each
-    partition task — e.g. ``lambda: boto3.client("kinesis")`` in real use,
-    a file-spool fake in tests).
+    partition task — e.g. ``kinesis_spark.ingest.aws.make_boto3_client``
+    in real use, a file-spool fake in tests; a raw boto3 client does NOT
+    match the ``put_records(stream_name, records)`` seam).
 
     ``shard_rate_limits=(records_per_s, bytes_per_s)`` enables the
-    per-shard throttle (the reference's dead constants, SURVEY.md §1.3)
-    — one token bucket per partition task, matching one-writer-one-shard
-    under the fixed partition key.
+    per-shard throttle (the reference's dead constants, SURVEY.md §1.3).
+    All partition tasks write one shard (fixed partition key), so the
+    configured rate is split across the batch's N tasks and each task's
+    bucket starts empty — the AGGREGATE put rate stays within the
+    envelope instead of N x limit plus a fresh burst per trigger.
     """
     spark = source.sparkSession
     sc = spark.sparkContext
@@ -170,6 +173,7 @@ def start_ingest_query(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         metrics.batches += 1
+        persisted = None
         df = batch_df.select(F.col("data").cast("binary").alias("data"))
         df = df.withColumn("nbytes", F.length("data"))
 
@@ -180,9 +184,14 @@ def start_ingest_query(
             # spark_partition_id, so the cumulative sum runs N-way parallel
             # (no global single-partition sort; the old global-watermark
             # variant serialized every micro-batch through one task).
-            # Total admitted ≤ budget always; a skewed batch may admit less
-            # than a global watermark would — that is the scale trade:
-            # admission cost stays O(batch/N) per task at any offered load.
+            # A skewed batch may admit less than a global watermark would
+            # — that is the scale trade: admission cost stays O(batch/N)
+            # per task at any offered load. Progress guarantee: each
+            # partition's FIRST row is admitted whenever it alone fits
+            # the GLOBAL budget, so budget < N x row_size degrades to
+            # trickle delivery, never total starvation (worst-case
+            # overshoot: (N-1) extra rows in one batch, self-corrects as
+            # Spark sizes later batches).
             from pyspark.sql.window import Window
 
             n_parts = max(df.rdd.getNumPartitions(), 1)
@@ -191,11 +200,20 @@ def start_ingest_query(
                 "__mid", F.monotonically_increasing_id()
             )
             w = Window.partitionBy("__pid").orderBy("__mid")
-            df = df.withColumn("cum_bytes", F.sum("nbytes").over(w))
-            admitted = df.filter(F.col("cum_bytes") <= part_budget).drop(
-                "__pid", "__mid"
+            df = (
+                df.withColumn("cum_bytes", F.sum("nbytes").over(w))
+                .withColumn("__rn", F.row_number().over(w))
+                # one materialization: shed-count agg + put job would
+                # otherwise each re-read the source and re-run the window
+                # (and __mid is nondeterministic across retries)
+                .persist()
             )
-            shed = df.filter(F.col("cum_bytes") > part_budget)
+            persisted = df
+            admit = (F.col("cum_bytes") <= part_budget) | (
+                (F.col("__rn") == 1) & (F.col("nbytes") <= max_bytes_per_batch)
+            )
+            admitted = df.filter(admit).drop("__pid", "__mid", "__rn")
+            shed = df.filter(~admit)
             shed_agg = shed.agg(
                 F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("nbytes"), F.lit(0)).alias("b")
             ).collect()[0]
@@ -210,6 +228,12 @@ def start_ingest_query(
             )
         )
 
+        # every task writes the same shard (fixed pk): split the shard
+        # envelope across the batch's tasks so the aggregate stays within
+        # it, and start buckets empty (a fresh free burst per trigger
+        # would compound to ~2x the configured rate at 1 s triggers)
+        n_put_tasks = max(chunks.rdd.getNumPartitions(), 1)
+
         def put_partition(rows) -> None:
             # Self-contained closure: no module-level references, so it
             # unpickles on workers regardless of their PYTHONPATH.
@@ -221,7 +245,11 @@ def start_ingest_query(
             if shard_rate_limits is not None:
                 from kinesis_spark.ingest.throttle import RateLimiter
 
-                limiter = RateLimiter(*shard_rate_limits)
+                limiter = RateLimiter(
+                    shard_rate_limits[0] / n_put_tasks,
+                    shard_rate_limits[1] / n_put_tasks,
+                    start_empty=True,
+                )
             batch: list = []
             batch_bytes = 0
             key_len = len(pk.encode())
@@ -239,9 +267,19 @@ def start_ingest_query(
                 for _attempt in range(4):
                     responses = client.put_records(sname, pending)
                     acc_calls.add(1)
+                    # positional per-record results (the Kinesis contract):
+                    # a missing/short response list means those records
+                    # have NO delivery evidence — retry them, never count
+                    # them as put (the reference's claim-success-on-
+                    # undelivered-bytes quirk this engine fixes, SURVEY §4)
+                    responses = list(responses or [])
+                    if len(responses) < len(pending):
+                        responses += [{"ErrorCode": "MissingResponse"}] * (
+                            len(pending) - len(responses)
+                        )
                     failed = [
                         rec
-                        for rec, resp in zip(pending, responses or [])
+                        for rec, resp in zip(pending, responses)
                         if isinstance(resp, dict) and resp.get("ErrorCode")
                     ]
                     ok = len(pending) - len(failed)
@@ -254,7 +292,9 @@ def start_ingest_query(
                         return
                     acc_retried.add(len(failed))
                     pending = failed
-                raise RuntimeError(
+                from kinesis_spark.ingest.writer import PutRecordsError
+
+                raise PutRecordsError(
                     f"{len(pending)} records still failing after retries "
                     f"on stream {sname!r}"
                 )
@@ -271,6 +311,8 @@ def start_ingest_query(
             flush()
 
         chunks.foreachPartition(put_partition)
+        if persisted is not None:
+            persisted.unpersist()
         # surface accumulator values driver-side after the batch completes
         metrics.rows_dropped = acc_rows_dropped.value
         metrics.bytes_dropped = acc_bytes_dropped.value

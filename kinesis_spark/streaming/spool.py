@@ -102,16 +102,25 @@ def build_spool_source(
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming source over a spool directory → records
-    ``(stream, pk, seq, data binary)`` — the GetRecords analog."""
-    reader = spark.readStream.schema(SPOOL_SCHEMA)
+    ``(stream, pk, seq, data binary)`` — the GetRecords analog.
+
+    FAILFAST, not the default PERMISSIVE: the spool is our own format,
+    so a malformed line (foreign file, external truncation) is
+    corruption to surface loudly — under PERMISSIVE it would become an
+    all-null row whose null ``data`` silently nulls the whole
+    reassembled stream for its key (``concat`` is null-propagating)."""
+    reader = spark.readStream.schema(SPOOL_SCHEMA).option("mode", "FAILFAST")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return _decoded(reader.json(spool_dir))
 
 
 def read_spool(spark: SparkSession, spool_dir: str) -> DataFrame:
-    """Batch variant of :func:`build_spool_source` (same schema)."""
-    return _decoded(spark.read.schema(SPOOL_SCHEMA).json(spool_dir))
+    """Batch variant of :func:`build_spool_source` (same schema + the
+    same FAILFAST corrupt-line policy)."""
+    return _decoded(
+        spark.read.schema(SPOOL_SCHEMA).option("mode", "FAILFAST").json(spool_dir)
+    )
 
 
 def reassemble_records(records: DataFrame) -> DataFrame:

@@ -73,3 +73,23 @@ def test_writer_throttles_batches():
     assert client.calls == [2, 2, 2]
     # burst covers the first 4 records; the last 2 wait at 4 records/s
     assert abs(rl.total_waited_s - 0.5) < 1e-9
+
+
+def test_oversized_requests_sustain_full_rate():
+    """Back-to-back 5x-budget requests must deliver at the configured
+    rate: the mid-transaction refill clamp used to discard the deficit
+    payment and sustain only ~0.56x (5 MiB puts vs 1 MiB/s -> 9 s gaps)."""
+    clock = VirtualClock()
+    rl = _limiter(records_per_s=10**9, bytes_per_s=1_000_000, clock=clock)
+    for _ in range(4):
+        rl.acquire(1, 5_000_000)
+    # 20 MB at 1 MB/s with a 1 MB initial burst: 19 s, not 9 s * 3 + 4
+    assert 18.5 <= clock.t <= 19.5, clock.t
+
+
+def test_start_empty_has_no_free_burst():
+    clock = VirtualClock()
+    rl = RateLimiter(100, 10**9, clock=clock.now, sleep=clock.sleep,
+                     start_empty=True)
+    waited = rl.acquire(100, 1)
+    assert abs(waited - 1.0) < 1e-9  # full second for the first batch
