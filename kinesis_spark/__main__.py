@@ -30,28 +30,16 @@ from kinesis_spark.streaming.spool import SpoolStreamClient as SpoolSink
 
 
 def _boto3_client_factory(region: str | None):
+    # one adapter, one wire mapping: reuse the library's gated factory
+    # (ingest/aws.py) instead of a second hand-rolled copy here
+    from kinesis_spark.ingest.aws import make_boto3_client
+
     try:
-        import boto3  # noqa: F401
-    except ImportError as exc:  # boto3 isn't bundled here; seam stays real
+        return make_boto3_client(region)
+    except NotImplementedError as exc:
         raise SystemExit(
             "boto3 is not installed; use --fake-sink DIR to spool locally"
         ) from exc
-
-    import boto3
-
-    client = boto3.client("kinesis", region_name=region)
-
-    class Boto3Sink:
-        def put_records(self, stream_name, records):
-            resp = client.put_records(
-                StreamName=stream_name,
-                Records=[
-                    {"PartitionKey": r.partition_key, "Data": r.data} for r in records
-                ],
-            )
-            return resp.get("Records", [])
-
-    return Boto3Sink()
 
 
 def _consume(args, stdout) -> int:
@@ -141,22 +129,30 @@ def main(argv: list[str] | None = None, client=None, stdin=None, stdout=None) ->
     )
 
     stdin = stdin if stdin is not None else sys.stdin.buffer
-    stop = {"flag": False}
+
+    class _Stop(Exception):
+        pass
 
     def _sig(_signo, _frame):  # SIGINT/SIGTERM → drain and exit (main.go:38-51)
-        stop["flag"] = True
+        # must RAISE, not set a flag: per PEP 475 a blocked stdin read is
+        # transparently retried after a non-raising handler, so a flag
+        # would never be checked while the pipe is idle
+        raise _Stop()
 
     signal.signal(signal.SIGINT, _sig)
     signal.signal(signal.SIGTERM, _sig)
 
     try:
-        while not stop["flag"]:
-            buf = stdin.read(32 * 1024)  # io.Copy's default copy granularity
-            if not buf:
-                break
-            head.write(buf)
+        try:
+            while True:
+                buf = stdin.read(32 * 1024)  # io.Copy's default granularity
+                if not buf:
+                    break
+                head.write(buf)
+        except _Stop:
+            pass  # signal: fall through to the final drain
         head.close()  # final flush + drains the drop queue
-        drop_stage.close()
+        drop_stage.close()  # raises if the drain left an error latched
     except Exception as exc:
         print(f"error: {exc}", file=sys.stderr)
         return 1

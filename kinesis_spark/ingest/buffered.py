@@ -23,13 +23,19 @@ class BufferedWriter:
         self._lock = threading.Lock()
         self._closed = threading.Event()
         self._period = flush_period_s
+        self._err: BaseException | None = None  # sticky, like Go's bufio
         if flush_period_s > 0:
             self._ticker = threading.Thread(target=self._tick, daemon=True)
             self._ticker.start()
 
+    def _check_err(self) -> None:
+        if self._err is not None:
+            raise self._err
+
     def write(self, payload: bytes) -> int:
         """Append; a full buffer flushes synchronously (bufio semantics)."""
         with self._lock:
+            self._check_err()
             self._buf.extend(payload)
             if len(self._buf) >= self._size:
                 self._flush_locked()
@@ -37,6 +43,7 @@ class BufferedWriter:
 
     def flush(self) -> None:
         with self._lock:
+            self._check_err()
             self._flush_locked()
 
     def close(self) -> None:
@@ -46,9 +53,21 @@ class BufferedWriter:
 
     def _flush_locked(self) -> None:
         if self._buf:
-            data, self._buf = bytes(self._buf), bytearray()
+            # sink write FIRST: a failed flush keeps the bytes buffered
+            # for the next attempt instead of silently losing them
+            # (at-least-once — a partially-delivered flush re-sends)
+            data = bytes(self._buf)
             self._sink.write(data)
+            self._buf = bytearray()
 
     def _tick(self) -> None:
         while not self._closed.wait(self._period):
-            self.flush()
+            try:
+                self.flush()
+            except BaseException as exc:
+                # latch instead of dying: the next write()/flush()/close()
+                # raises the sticky error (bufio parity); an unguarded
+                # raise here would kill the timer thread and silently
+                # disable time-based flushing forever
+                if self._err is None:
+                    self._err = exc

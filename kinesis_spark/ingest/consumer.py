@@ -243,21 +243,35 @@ class RetryingConsumer:
         self.base_backoff_s = base_backoff_s
         self._sleep = sleeper if sleeper is not None else _time.sleep
 
-    def list_shards(self, stream_name: str) -> list[str]:
-        return self._inner.list_shards(stream_name)
-
-    def get_shard_iterator(self, *args, **kwargs) -> str:
-        return self._inner.get_shard_iterator(*args, **kwargs)
-
-    def get_records(self, shard_iterator: str, limit: int = 10000) -> dict:
+    def _with_retry(self, call):
         for attempt in range(self.max_retries + 1):
             try:
-                return self._inner.get_records(shard_iterator, limit)
+                return call()
             except ThrottledError:
                 if attempt == self.max_retries:
                     raise
                 self._sleep(self.base_backoff_s * (2 ** attempt))
         raise AssertionError("unreachable")
+
+    def list_shards(self, stream_name: str) -> list[str]:
+        return self._with_retry(lambda: self._inner.list_shards(stream_name))
+
+    def get_shard_iterator(self, *args, **kwargs) -> str:
+        return self._with_retry(
+            lambda: self._inner.get_shard_iterator(*args, **kwargs)
+        )
+
+    def get_records(self, shard_iterator: str, limit: int = 10000) -> dict:
+        return self._with_retry(
+            lambda: self._inner.get_records(shard_iterator, limit)
+        )
+
+    def latest_sequence_numbers(self, stream_name: str) -> dict[str, str]:
+        # proxy the connector helper too, so a retry-wrapped client works
+        # as the streaming source's backend (latestOffset calls this)
+        return self._with_retry(
+            lambda: self._inner.latest_sequence_numbers(stream_name)
+        )
 
 
 def make_boto3_consumer(region_name: str | None = None, **kwargs) -> Boto3ConsumerClient:

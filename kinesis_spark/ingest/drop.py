@@ -39,12 +39,17 @@ class DropWriter:
         self._on_drop = on_drop
         self._err: BaseException | None = None
         self._err_lock = threading.Lock()
+        self._closing = False
         self.dropped_bytes = 0
         self.dropped_writes = 0
         self._consumer = threading.Thread(target=self._consume, daemon=True)
         self._consumer.start()
 
     def write(self, payload: bytes) -> int:
+        if self._closing:
+            # enqueueing behind the shutdown sentinel would strand the
+            # payload unconsumed while still reporting success
+            raise ValueError("write to a closed DropWriter")
         with self._err_lock:
             if self._err is not None:
                 raise self._err
@@ -59,9 +64,19 @@ class DropWriter:
         return len(payload)
 
     def close(self) -> None:
-        """Drain the queue and stop the consumer."""
+        """Drain the queue, stop the consumer, and SURFACE the latched
+        error: the final drain is exactly when a swallowed failure means
+        'exit 0 with data undelivered'."""
+        self._closing = True
         self._q.put(None)
         self._consumer.join(timeout=30)
+        if self._consumer.is_alive():
+            raise RuntimeError(
+                "DropWriter drain timed out with items still queued"
+            )
+        with self._err_lock:
+            if self._err is not None:
+                raise self._err
 
     def _consume(self) -> None:
         while True:

@@ -10,8 +10,16 @@ from collections.abc import Callable
 
 from kinesis_spark.ingest.buffered import BufferedWriter
 from kinesis_spark.ingest.drop import DropWriter, _default_on_drop
-from kinesis_spark.ingest.limits import BUFFER_SIZE, DROP_QUEUE_DEPTH, FLUSH_PERIOD_S
+from kinesis_spark.ingest.limits import (
+    BUFFER_SIZE,
+    DROP_QUEUE_DEPTH,
+    FLUSH_PERIOD_S,
+    SHARD_BYTES_RATE_LIMIT,
+    SHARD_RECORDS_RATE_LIMIT,
+)
 from kinesis_spark.ingest.writer import PutRecordsClient, Writer
+
+_DEFAULT_RATE = (float(SHARD_RECORDS_RATE_LIMIT), float(SHARD_BYTES_RATE_LIMIT))
 
 
 def new_fast_writer(
@@ -23,13 +31,23 @@ def new_fast_writer(
     flush_period_s: float = FLUSH_PERIOD_S,
     queue_depth: int = DROP_QUEUE_DEPTH,
     on_drop: Callable[[bytes], None] = _default_on_drop,
+    shard_rate_limits: tuple[float, float] | None = _DEFAULT_RATE,
 ) -> tuple[BufferedWriter, DropWriter]:
     """Build buffered → drop → writer; returns (head, drop_stage).
 
     The drop stage is returned too so callers can read its drop counters —
     the reference only exposes drops via a global callback hook.
+
+    The per-shard rate envelope defaults ON (limits.py promises
+    "enforces all of them, defaulting on"; one fixed partition key = one
+    shard = one writer). Pass ``shard_rate_limits=None`` to disable.
     """
-    writer = Writer(client, stream_name, partition_key)
+    throttle = None
+    if shard_rate_limits is not None:
+        from kinesis_spark.ingest.throttle import RateLimiter
+
+        throttle = RateLimiter(*shard_rate_limits)
+    writer = Writer(client, stream_name, partition_key, throttle=throttle)
     drop = DropWriter(writer, queue_depth, on_drop)
     buffered = BufferedWriter(drop, buffer_size, flush_period_s)
     return buffered, drop

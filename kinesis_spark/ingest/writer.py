@@ -64,6 +64,8 @@ class Writer:
         put_records_size_limit: int = PUT_RECORDS_SIZE_LIMIT,
         max_retries: int = 3,
         throttle=None,  # RateLimiter: per-shard rate envelope (limits.py)
+        retry_backoff_s: float = 0.2,  # exponential, used when un-throttled
+        sleep=None,  # injectable for tests; defaults to time.sleep
     ) -> None:
         key_len = len(partition_key.encode())
         if record_size_limit <= key_len:
@@ -79,6 +81,12 @@ class Writer:
         self.put_records_size_limit = put_records_size_limit
         self.max_retries = max_retries
         self.throttle = throttle
+        self.retry_backoff_s = retry_backoff_s
+        if sleep is None:
+            import time as _time
+
+            sleep = _time.sleep
+        self._sleep = sleep
         # chunkSize = recordSizeLimit - len(partitionKey)
         # (kinesis/kinesis.go:201-205)
         self.chunk_size = record_size_limit - key_len
@@ -117,15 +125,29 @@ class Writer:
         return batches
 
     def _put_with_retry(self, batch: list[Record]) -> None:
-        if self.throttle is not None:
-            self.throttle.acquire(len(batch), sum(r.size for r in batch))
         pending = batch
-        for _attempt in range(self.max_retries + 1):
-            responses = self.client.put_records(self.stream_name, pending)
+        for attempt in range(self.max_retries + 1):
+            if self.throttle is not None:
+                # retried records re-enter the shard: every attempt pays
+                # its rate budget (a throttle-caused failure retried
+                # immediately would fail the same throttled second again)
+                self.throttle.acquire(len(pending), sum(r.size for r in pending))
+            elif attempt > 0:
+                self._sleep(self.retry_backoff_s * (2 ** (attempt - 1)))
+            responses = list(
+                self.client.put_records(self.stream_name, pending) or []
+            )
+            # positional results are the contract; records with NO
+            # response entry have no delivery evidence — retry, never
+            # silently count the zip-truncated tail as delivered
+            if len(responses) < len(pending):
+                responses += [{"ErrorCode": "MissingResponse"}] * (
+                    len(pending) - len(responses)
+                )
             failed = [
                 rec
                 for rec, resp in zip(pending, responses)
-                if resp.get("ErrorCode")
+                if isinstance(resp, dict) and resp.get("ErrorCode")
             ]
             if not failed:
                 return

@@ -93,3 +93,83 @@ def test_error_code_exhausts_retries():
     w = Writer(c, "s", "key", record_size_limit=1000, max_retries=3)
     with pytest.raises(PutRecordsError):
         w.write(b"a")
+
+
+class ShortResponseClient:
+    """Returns one fewer response than records sent, then behaves."""
+
+    def __init__(self):
+        self.calls = 0
+
+    def put_records(self, stream_name, records):
+        self.calls += 1
+        if self.calls == 1:
+            return [{} for _ in records[:-1]]  # silent tail truncation
+        return [{} for _ in records]
+
+
+def test_writer_retries_zip_truncated_tail():
+    """Records with NO response entry have no delivery evidence — they
+    must be retried, never silently counted as delivered."""
+    from kinesis_spark.ingest.writer import Writer
+
+    client = ShortResponseClient()
+    w = Writer(client, "s", "k", record_size_limit=10, retry_backoff_s=0.0)
+    assert w.write(b"abcdefgh" * 4) == 32
+    assert client.calls == 2  # first call short -> tail re-put
+
+
+class AlwaysFailSink:
+    def write(self, data):
+        raise RuntimeError("sink down")
+
+
+def test_buffered_flush_failure_keeps_bytes_and_surfaces():
+    """A failed flush keeps the buffer intact; the ticker latches the
+    error instead of dying and the next call raises it."""
+    import pytest as _pytest
+
+    from kinesis_spark.ingest.buffered import BufferedWriter
+
+    b = BufferedWriter(AlwaysFailSink(), size=8, flush_period_s=0)
+    b._buf.extend(b"abc")
+    with _pytest.raises(RuntimeError, match="sink down"):
+        b.flush()
+    assert bytes(b._buf) == b"abc"  # nothing lost
+
+
+def test_drop_close_surfaces_latched_error():
+    """Failures during the final drain must raise from close(), not let
+    the process exit 0 with data undelivered."""
+    import time
+
+    import pytest as _pytest
+
+    from kinesis_spark.ingest.drop import DropWriter
+
+    d = DropWriter(AlwaysFailSink(), queue_depth=4, on_drop=lambda p: None)
+    d.write(b"payload")
+    time.sleep(0.2)  # let the consumer hit the sink error
+    with _pytest.raises(RuntimeError, match="sink down"):
+        d.close()
+    with _pytest.raises(ValueError, match="closed"):
+        d.write(b"after close")
+
+
+def test_fast_writer_throttles_by_default():
+    """limits.py promises default-on enforcement of the shard envelope;
+    the canonical composition must actually construct the throttle."""
+    from kinesis_spark.ingest.pipeline import new_fast_writer
+
+    class NullClient:
+        def put_records(self, stream_name, records):
+            return [{} for _ in records]
+
+    head, drop = new_fast_writer(NullClient(), "s", "k", flush_period_s=0)
+    assert drop._sink.throttle is not None
+    head2, drop2 = new_fast_writer(
+        NullClient(), "s", "k", flush_period_s=0, shard_rate_limits=None
+    )
+    assert drop2._sink.throttle is None
+    for d in (drop, drop2):
+        d.close()
