@@ -940,3 +940,113 @@ def d14_capped_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+
+
+BLOOM_BITS = 1 << 16  # m: bloom bitmap width in bits (1024 x 64-bit words)
+BLOOM_HASHES = 4  # k: hash functions per document
+
+
+@register(
+    "d15_bloom_incremental_dedup",
+    oracle="""
+SELECT b.doc_id, sha256(b.text) AS content_hash
+FROM documents b
+WHERE b.doc_id % 10 = 0
+  AND NOT EXISTS (
+    SELECT 1 FROM documents c
+    WHERE c.doc_id % 10 <> 0 AND sha256(c.text) = sha256(b.text)
+  )
+""",
+    tags=("dedup", "bloom", "incremental"),
+)
+def d15_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-corpus dedup through a DISTRIBUTED BLOOM
+    FILTER built from DataFrame primitives: admit only new-batch docs
+    whose content hash is not already in the corpus (doc_id % 10 splits
+    the fixture into corpus / new batch).
+
+    The production problem this models: each ingest batch must be
+    deduped against a 100 TB corpus WITHOUT joining the corpus —
+    re-shuffling 10^9 corpus hashes per small batch is the naive plan's
+    cost. The bloom bitmap is the standard fix (same role as the
+    RocksDB/bloom index in web-crawl dedup).
+
+    Plan shape, stage by stage:
+    1. Corpus -> k=4 bit positions per doc (xxhash64, JVM-side) ->
+       (word, mask) -> groupBy(word).agg(bit_or(mask)). bit_or is
+       commutative/associative so the partial aggregate is map-side;
+       the shuffle carries at most tasks x 1024 rows. The RESULT is a
+       fixed-size bitmap: m/64 = 1024 rows (8 KiB) no matter whether
+       the corpus is 500 docs or 10^11 — the one genuinely
+       constant-size broadcast in the dedup family.
+    2. Batch docs probe the broadcast bitmap word-wise; bool_and over
+       the k probes marks bloom-positives. Definite negatives (the vast
+       majority of a fresh batch) are admitted map-side with NO join
+       against corpus data at all.
+    3. Bloom positives (true dups + ~fpp of the batch) are verified
+       exactly: corpus hashes are SEMI-joined down to the candidate set
+       (broadcast of candidate hashes — batch-scale by the incremental
+       contract, never corpus-scale), then candidates ANTI-join the
+       confirmed hash set. The corpus is scanned but never shuffled and
+       never broadcast.
+
+    Spark's own ``bloom_filter_agg`` is not exposed to SQL/DataFrames
+    (internal to runtime join filters), so the bitmap is composed from
+    explode + bit_or; ``might_contain`` becomes a word-aligned mask
+    test. False positives cost only a re-check in stage 3; false
+    negatives are impossible (bit_or never loses a bit), which the
+    exact oracle (plain anti-join) verifies end-to-end.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2("text", 256).alias("content_hash")
+    )
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+
+    def probes(hash_col):
+        """k (word, mask) coordinates of a content hash in the bitmap."""
+        coords = []
+        for seed in range(BLOOM_HASHES):
+            pos = F.pmod(F.xxhash64(F.lit(f"bf{seed}#"), hash_col), F.lit(BLOOM_BITS))
+            coords.append(
+                F.struct(
+                    (pos / 64).cast("int").alias("word"),
+                    # F.shiftleft only takes a literal shift; call the SQL
+                    # function directly for a column-valued shift amount
+                    F.call_function(
+                        "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+                    ).alias("mask"),
+                )
+            )
+        return F.array(*coords)
+
+    bloom = (
+        corpus.select(F.explode(probes(F.col("content_hash"))).alias("p"))
+        .groupBy(F.col("p.word").alias("word"))
+        .agg(F.bit_or("p.mask").alias("bits"))
+    )
+    probed = (
+        batch.select("doc_id", "content_hash", F.explode(probes(F.col("content_hash"))).alias("p"))
+        .join(F.broadcast(bloom), F.col("p.word") == bloom.word, "left")
+        .groupBy("doc_id", "content_hash")
+        .agg(
+            F.bool_and(
+                F.coalesce(
+                    F.col("bits").bitwiseAND(F.col("p.mask")) == F.col("p.mask"),
+                    F.lit(False),
+                )
+            ).alias("maybe_dup")
+        )
+    )
+    clean = probed.filter(~F.col("maybe_dup")).select("doc_id", "content_hash")
+    candidates = probed.filter(F.col("maybe_dup")).select("doc_id", "content_hash")
+    cand_hashes = candidates.select("content_hash").distinct()
+    # broadcast side = bloom-positive batch hashes (batch-scale, bounded
+    # by the incremental contract); the corpus streams through map-side
+    confirmed = corpus.join(F.broadcast(cand_hashes), "content_hash", "left_semi")
+    verified_clean = candidates.join(
+        F.broadcast(confirmed.select("content_hash").distinct()),
+        "content_hash",
+        "left_anti",
+    )
+    return clean.unionByName(verified_clean)

@@ -429,3 +429,91 @@ def j8_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(pick_back, F.col("b_id")).otherwise(F.col("f_id")).alias("click_id"),
         F.when(pick_back, F.col("b_ts")).otherwise(F.col("f_ts")).alias("click_ts"),
     )
+
+
+@register(
+    "j9_interval_overlap_join",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber,
+       o.o_orderkey AS audit_id,
+       CAST(date_diff('day',
+              greatest(CAST(l.l_shipdate AS DATE), CAST(o.o_orderdate AS DATE)),
+              least(CAST(l.l_shipdate AS DATE) + CAST(1 + l.l_partkey % 14 AS INTEGER),
+                    CAST(o.o_orderdate AS DATE) + 20)) + 1
+            AS BIGINT) AS overlap_days
+FROM lineitem l
+JOIN orders o
+  ON o.o_orderkey % 61 = 0
+ AND l.l_partkey % 25 = 0
+ AND CAST(l.l_shipdate AS DATE) <= CAST(o.o_orderdate AS DATE) + 20
+ AND CAST(o.o_orderdate AS DATE)
+     <= CAST(l.l_shipdate AS DATE) + CAST(1 + l.l_partkey % 14 AS INTEGER)
+""",
+    tags=("join", "interval", "overlap"),
+)
+def j9_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: delivery windows (shipdate + a
+    part-dependent transit time) x audit windows (orderdate + 20 days);
+    emit every overlapping pair with its overlap length. The interval
+    analog of j3's point-in-range join — the shape behind downtime
+    attribution, promo-exposure, and session-x-incident questions.
+
+    Naive overlap joins are pure inequality theta-joins — Spark would
+    fall back to BroadcastNestedLoopJoin (O(|A| x |B|), a 100 TB
+    non-starter). This plan restores an EQUI-join via temporal
+    bucketing: each interval explodes to the calendar months it covers
+    (bounded fan-out: window lengths are capped at 14/20 days, so at
+    most 2 buckets per interval), the join key is the month, and the
+    exact overlap predicate filters inside the hash join. A pair
+    overlapping in two shared months would match twice, so the match is
+    anchored to ONE bucket — the month of the later interval start
+    (both sides provably cover it when they overlap) — which makes the
+    equi-join duplicate-free with no DISTINCT pass. Scale: shuffle is
+    ~2 rows per interval on month keys; months with heavy traffic
+    parallelize by AQE skew splitting.
+    """
+    month = lambda c: F.trunc(c, "month")  # noqa: E731
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 25 == 0)
+    a = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.to_date("l_shipdate").alias("a_start"),
+        F.date_add(
+            F.to_date("l_shipdate"), (1 + F.col("l_partkey") % 14).cast("int")
+        ).alias("a_end"),
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 61 == 0)
+    b = o.select(
+        F.col("o_orderkey").alias("audit_id"),
+        F.to_date("o_orderdate").alias("b_start"),
+        F.date_add(F.to_date("o_orderdate"), 20).alias("b_end"),
+    )
+    am = a.withColumn(
+        "m",
+        F.explode(
+            F.sequence(month(F.col("a_start")), month(F.col("a_end")),
+                       F.expr("interval 1 month"))
+        ),
+    )
+    bm = b.withColumn(
+        "m",
+        F.explode(
+            F.sequence(month(F.col("b_start")), month(F.col("b_end")),
+                       F.expr("interval 1 month"))
+        ),
+    )
+    joined = am.join(bm, "m").filter(
+        (F.col("a_start") <= F.col("b_end"))
+        & (F.col("b_start") <= F.col("a_end"))
+        # anchor: count the pair only in the later-start month
+        & (F.col("m") == F.greatest(month(F.col("a_start")), month(F.col("b_start"))))
+    )
+    overlap = (
+        F.datediff(
+            F.least("a_end", "b_end"), F.greatest("a_start", "b_start")
+        )
+        + 1
+    ).cast("bigint")
+    return joined.select(
+        "l_orderkey", "l_linenumber", "audit_id", overlap.alias("overlap_days")
+    )

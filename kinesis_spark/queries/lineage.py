@@ -176,3 +176,110 @@ def prov3_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.bit_xor(row_hash).alias("content_fingerprint"),
     )
+
+
+@register(
+    "dq2_column_profile",
+    oracle="""
+WITH agg AS (
+  SELECT
+    COUNT(*) AS n_rows,
+    SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS k_null,
+    COUNT(DISTINCT o_orderkey) AS k_dist,
+    CAST(MIN(o_orderkey) AS VARCHAR) AS k_min,
+    CAST(MAX(o_orderkey) AS VARCHAR) AS k_max,
+    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c_null,
+    COUNT(DISTINCT o_custkey) AS c_dist,
+    CAST(MIN(o_custkey) AS VARCHAR) AS c_min,
+    CAST(MAX(o_custkey) AS VARCHAR) AS c_max,
+    SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS s_null,
+    COUNT(DISTINCT o_orderstatus) AS s_dist,
+    CAST(MIN(o_orderstatus) AS VARCHAR) AS s_min,
+    CAST(MAX(o_orderstatus) AS VARCHAR) AS s_max,
+    SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS p_null,
+    COUNT(DISTINCT CAST(o_totalprice AS DECIMAL(14,2))) AS p_dist,
+    CAST(MIN(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS p_min,
+    CAST(MAX(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS p_max,
+    SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS d_null,
+    COUNT(DISTINCT o_orderdate) AS d_dist,
+    CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS d_min,
+    CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS d_max
+  FROM orders
+)
+SELECT r.col_name,
+       CAST(a.n_rows AS BIGINT) AS n_rows,
+       CAST(CASE r.col_name
+         WHEN 'o_orderkey' THEN a.k_null WHEN 'o_custkey' THEN a.c_null
+         WHEN 'o_orderstatus' THEN a.s_null WHEN 'o_totalprice' THEN a.p_null
+         ELSE a.d_null END AS BIGINT) AS n_null,
+       CAST(CASE r.col_name
+         WHEN 'o_orderkey' THEN a.k_dist WHEN 'o_custkey' THEN a.c_dist
+         WHEN 'o_orderstatus' THEN a.s_dist WHEN 'o_totalprice' THEN a.p_dist
+         ELSE a.d_dist END AS BIGINT) AS n_distinct,
+       CASE r.col_name
+         WHEN 'o_orderkey' THEN a.k_min WHEN 'o_custkey' THEN a.c_min
+         WHEN 'o_orderstatus' THEN a.s_min WHEN 'o_totalprice' THEN a.p_min
+         ELSE a.d_min END AS min_val,
+       CASE r.col_name
+         WHEN 'o_orderkey' THEN a.k_max WHEN 'o_custkey' THEN a.c_max
+         WHEN 'o_orderstatus' THEN a.s_max WHEN 'o_totalprice' THEN a.p_max
+         ELSE a.d_max END AS max_val
+FROM agg a,
+     (SELECT unnest(['o_orderkey', 'o_custkey', 'o_orderstatus',
+                     'o_totalprice', 'o_orderdate']) AS col_name) r
+""",
+    tags=("quality", "profile"),
+)
+def dq2_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column dataset profile of ``orders`` — null count, exact
+    distinct count, min and max (rendered to strings so heterogeneous
+    column types stack into one relation) — the first look any pipeline
+    takes at a new snapshot, and the input to drift checks between
+    releases.
+
+    ONE aggregation pass produces all 5 columns x 4 stats: Catalyst
+    compiles the multi-distinct aggregate into a single scan with an
+    Expand (one replicated stream per distinct column), so profiling N
+    columns costs one read plus an N-way expanded shuffle of the
+    grouped values — never a job per column. The stats row then pivots
+    to per-column rows via a literal array + explode (5 rows, free).
+    At 100 TB swap the exact COUNT(DISTINCT) for approx_count_distinct
+    to drop the Expand; exact here so the DuckDB oracle can verify
+    values bit-for-bit. Doubles are profiled through DECIMAL(14,2) —
+    engines disagree on shortest-roundtrip double formatting, decimals
+    render identically.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(14,2)")
+    odate = F.col("o_orderdate").cast("date")
+    cols = {
+        "o_orderkey": F.col("o_orderkey"),
+        "o_custkey": F.col("o_custkey"),
+        "o_orderstatus": F.col("o_orderstatus"),
+        "o_totalprice": price,
+        "o_orderdate": odate,
+    }
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, c in cols.items():
+        aggs += [
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("bigint").alias(f"{name}__null"),
+            F.count_distinct(c).cast("bigint").alias(f"{name}__dist"),
+            F.min(c).cast("string").alias(f"{name}__min"),
+            F.max(c).cast("string").alias(f"{name}__max"),
+        ]
+    stats = o.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("col_name"),
+                F.col(f"{name}__null").alias("n_null"),
+                F.col(f"{name}__dist").alias("n_distinct"),
+                F.col(f"{name}__min").alias("min_val"),
+                F.col(f"{name}__max").alias("max_val"),
+            )
+            for name in cols
+        ]
+    )
+    return stats.select(
+        F.col("n_rows").cast("bigint").alias("n_rows"), F.explode(rows).alias("r")
+    ).select("r.col_name", "n_rows", "r.n_null", "r.n_distinct", "r.min_val", "r.max_val")

@@ -405,3 +405,55 @@ def s11_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(key.asc(), F.col("doc_id").asc())
         .limit(SAMPLE_K)
     )
+
+
+WEIGHTED_K = 100  # weighted-sample size
+
+
+@register(
+    "s12_weighted_sample",
+    oracle=f"""
+SELECT doc_id, source, n_chars
+FROM documents
+ORDER BY ln((CAST(('0x' || substr(md5('ws#' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) + 1) / 4294967297.0) / n_chars DESC,
+         doc_id
+LIMIT {WEIGHTED_K}
+""",
+    tags=("setop", "sampling", "weighted", "topk"),
+)
+def s12_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-Res),
+    derandomized: each doc gets priority u^(1/w) with u a seeded hash of
+    its key mapped to (0,1] and w = n_chars its weight; the k highest
+    priorities are the sample. Longer (here: heavier-weighted) docs are
+    proportionally more likely to be kept — the primitive behind
+    quality-weighted corpus subsampling, where w is a quality score.
+
+    Priorities are compared in log space (ln(u)/w — monotone in
+    u^(1/w)) to avoid underflow at extreme weights. The hash-derived u
+    makes the sample a pure function of (seed, key, weight): stable
+    across runs, engines, partitionings, and cluster sizes, which is
+    what makes a weighted subsample reproducible in a release manifest.
+
+    Scale shape: identical to s11 — orderBy(priority).limit(k) compiles
+    to TakeOrderedAndProject (per-task k-row heaps, no global sort, no
+    full shuffle); the priority itself is a map-side expression.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ws#"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / 4294967297.0
+    priority = F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "source", "n_chars")
+        .orderBy(priority.desc(), F.col("doc_id").asc())
+        .limit(WEIGHTED_K)
+    )

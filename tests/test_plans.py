@@ -333,3 +333,53 @@ def test_e14_single_parse_partial_agg(plan_of):
     plan = plan_of("e14_typed_props_rollup")
     assert "from_json" in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_d15_broadcasts_are_fixed_or_batch_scale(plan_of):
+    """The bloom path's broadcast sides are the 1024-word bitmap and the
+    candidate hash sets — never document text, and never a corpus-keyed
+    frame with more than hash columns. A BroadcastExchange carrying
+    `text` would be the corpus OOM this operator exists to avoid."""
+    import re
+
+    plan = plan_of("d15_bloom_incremental_dedup")
+    broadcasts = re.findall(
+        r"\(\d+\) BroadcastExchange\nInput \[\d+\]: \[([^\]]*)\]", plan
+    )
+    assert broadcasts, "bloom bitmap + candidate hashes should broadcast"
+    for cols in broadcasts:
+        assert "text#" not in cols, cols
+    # the bitmap aggregation partial-aggregates map-side (bit_or combine)
+    assert "partial_bit_or" in plan
+
+
+def test_j9_equi_join_not_nested_loop(plan_of):
+    """Temporal bucketing must turn the interval-overlap theta-join into
+    a hash/merge EQUI-join on the month key; BroadcastNestedLoopJoin or
+    CartesianProduct would be the O(|A| x |B|) plan that cannot run at
+    100 TB."""
+    plan = plan_of("j9_interval_overlap_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_s12_topk_heap_not_global_sort(plan_of):
+    """Weighted sampling compiles to the same TakeOrderedAndProject shape
+    as s11 — per-task k-row heaps, no global sort, no full shuffle."""
+    plan = plan_of("s12_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "hashpartitioning" not in plan
+
+
+def test_dq2_single_scan_expand(plan_of):
+    """Profiling 5 columns x 4 stats must cost ONE scan of orders (the
+    multi-distinct aggregate compiles to Expand over a single read),
+    never a job or scan per column."""
+    plan = plan_of("dq2_column_profile")
+    assert plan.count("orders.parquet") == 1
+    assert "Expand" in plan
