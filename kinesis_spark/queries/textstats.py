@@ -297,9 +297,11 @@ def t6_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlike log-idf whose libm varies).
 
     Scale shape: tf is a (doc, term) aggregation; df is a vocabulary-
-    sized aggregate that BROADCASTS to the tf side (vocabulary << corpus
-    at any scale); per-doc top-k is a window partitioned by doc_id —
-    no global sort, no driver collection."""
+    sized aggregate joined back to the tf side un-hinted — vocabulary
+    is much smaller than the corpus but still GROWS with it (Heaps' law),
+    so the broadcast decision belongs to stats/AQE, not a static hint;
+    per-doc top-k is a window partitioned by doc_id — no global sort, no
+    driver collection."""
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count()  # scalar; one job, not a crossJoin of a 1-row frame
     toks = d.select(
@@ -309,7 +311,7 @@ def t6_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = toks.distinct().groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
-    scored = tf.join(F.broadcast(df), "term").select(
+    scored = tf.join(df, "term").select(
         "doc_id",
         "term",
         F.col("tf").cast("bigint").alias("tf"),

@@ -5,8 +5,11 @@ These cover the §2B rubric rows: filters, projections, multi-way joins
 comes free from Catalyst), sorts/limits, and semi joins.
 
 Scale notes (100 TB thinking):
-- Dimension tables (region/nation/customer/supplier/part) are joined with
-  ``F.broadcast`` — no shuffle of the fact table for dim joins.
+- Constant-size dims (region: 5 rows, nation: 25) carry an explicit
+  ``F.broadcast`` hint. Corpus-LINEAR tables (customer/supplier/part) are
+  joined UN-hinted: Catalyst auto-broadcasts them at any SF where their
+  stats fit the threshold, and at 100 TB — where they are fact-scale —
+  AQE plans the shuffle join a static hint would have turned into an OOM.
 - Fact aggregations group on low-cardinality keys → partial aggregation
   collapses nearly everything map-side before the shuffle.
 - All money math is exact DECIMAL then cast to DOUBLE (see queries/__init__).
@@ -105,8 +108,9 @@ LIMIT 10
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 analog: dim-filtered fact join + top-k by revenue.
 
-    customer is broadcast (small after segment filter); orders↔lineitem is
-    the only shuffle join, on the natural key.
+    The segment-filtered customer side is un-hinted: stats broadcast it
+    while it fits, AQE shuffle-joins it at corpus scale; orders↔lineitem
+    shuffles on the natural key.
     """
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
@@ -117,7 +121,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = _dec("l_extendedprice") * (_one() - _dec("l_discount", 4, 2))
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
@@ -149,7 +153,8 @@ GROUP BY n.n_name
     tags=("join", "aggregate", "tpch"),
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 analog: 6-way join; every dim side broadcast."""
+    """TPC-H Q5 analog: 6-way join; nation/region hint-broadcast,
+    customer/supplier left to stats/AQE (corpus-linear)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -161,10 +166,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     revenue = _dec("l_extendedprice") * (_one() - _dec("l_discount", 4, 2))
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(l, l.l_orderkey == o.o_orderkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -268,8 +273,9 @@ GROUP BY supp_nation, cust_nation, l_year
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 analog: bilateral trade volume between two nations by
-    ship year. Both nation dims broadcast; the only shuffles are the
-    fact joins on their natural keys."""
+    ship year. Both nation dims hint-broadcast; customer/supplier are
+    un-hinted (corpus-linear); the remaining shuffles are the fact joins
+    on their natural keys."""
     s = load_table(spark, sf_dir, "supplier")
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -288,9 +294,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(o, o.o_orderkey == l.l_orderkey)
-        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(c, c.c_custkey == o.o_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -357,10 +363,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zero = F.lit(0).cast("decimal(18,4)")
     joined = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(o, o.o_orderkey == l.l_orderkey)
-        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(c, c.c_custkey == o.o_custkey)
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .join(F.broadcast(r), F.col("n2_region") == F.col("r_regionkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
@@ -409,8 +415,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     profit = _dec("l_extendedprice") * (_one() - _dec("l_discount", 4, 2))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -449,7 +455,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
         F.lit(0).cast("decimal(16,4)")
     )
-    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).agg(
+    return l.join(p, l.l_partkey == p.p_partkey).agg(
         (
             F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double")
         ).alias("promo_revenue")
@@ -535,7 +541,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(l, o.o_orderkey == l.l_orderkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
@@ -573,7 +579,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = _dec("l_extendedprice") * (_one() - _dec("l_discount", 4, 2))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(F.sum(rev).cast("double").alias("revenue"))
     )
@@ -615,7 +621,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _dec("l_extendedprice") * (_one() - _dec("l_discount", 4, 2))
     return (
         o.join(l, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
@@ -657,7 +663,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qty_threshold")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(thresh, l.l_partkey == thresh.t_partkey)
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
@@ -715,14 +721,15 @@ LIMIT 50
 def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 analog (no partsupp in the fixtures — the part↔supplier
     relation comes from lineitem): distinct suppliers per part attribute
-    group. COUNT(DISTINCT) expands to a two-phase aggregate; the part
-    dim broadcasts."""
+    group. COUNT(DISTINCT) expands to a two-phase aggregate; the
+    filtered part side joins un-hinted (corpus-linear — stats/AQE
+    broadcast it only while it fits)."""
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#13") & F.col("p_size").isin(1, 5, 9, 13, 17)
     )
     l = load_table(spark, sf_dir, "lineitem")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -765,8 +772,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying part, the EUROPE supplier(s) achieving the minimum cost.
     The correlated MIN subquery is a per-part window over the already
     aggregated (part, supplier) relation — no second scan of lineitem.
-    Dims broadcast; the only fact shuffle is the (partkey, suppkey)
-    aggregation."""
+    Constant dims hint-broadcast; part/supplier join un-hinted; the
+    only fact shuffle is the (partkey, suppkey) aggregation."""
     from pyspark.sql.window import Window
 
     l = load_table(spark, sf_dir, "lineitem")
@@ -782,7 +789,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     cost = (
-        l.join(F.broadcast(eu_supp), l.l_suppkey == F.col("s_suppkey"))
+        l.join(eu_supp, l.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(_dec("l_extendedprice")).alias("supplycost"))
     )
@@ -791,8 +798,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("supplycost") == F.col("best")
     )
     return (
-        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
-        .join(F.broadcast(eu_supp), best.l_suppkey == F.col("s_suppkey"))
+        best.join(p, best.l_partkey == p.p_partkey)
+        .join(eu_supp, best.l_suppkey == F.col("s_suppkey"))
         .select(
             "s_acctbal",
             "s_name",
@@ -837,7 +844,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
     by_part = (
-        l.join(F.broadcast(supp), l.l_suppkey == F.col("s_suppkey"))
+        l.join(supp, l.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(
             F.sum(_dec("l_extendedprice") * _dec("l_quantity"))
@@ -928,8 +935,8 @@ def q20_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
     """TPC-H Q20 analog (lineitem stands in for partsupp availability):
     suppliers who shipped more than half of a 'small%' part's lifetime
     quantity within 1997 — the nested-aggregate + semi-join shape. The
-    part-name IN-subquery becomes a broadcast semi join pushed below the
-    aggregation; the 1997/lifetime split is one conditional aggregate
+    part-name IN-subquery becomes a semi join pushed below the
+    aggregation (un-hinted — part is corpus-linear); the 1997/lifetime split is one conditional aggregate
     pass (no second lineitem scan). DISTINCT collapses multi-part hits
     per supplier before the dim join."""
     l = load_table(spark, sf_dir, "lineitem")
@@ -939,7 +946,7 @@ def q20_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")
     )
     qty = (
-        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"), "left_semi")
+        l.join(p.select("p_partkey"), l.l_partkey == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(
             F.sum(F.when(in_1997, _dec("l_quantity")).otherwise(F.lit(0).cast("decimal(12,2)"))).alias("qty_1997"),
@@ -1028,7 +1035,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        culprits.join(F.broadcast(s), culprits.l_suppkey == s.s_suppkey)
+        culprits.join(s, culprits.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -173,7 +173,7 @@ def w5_nation_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         one - F.col("l_discount").cast("decimal(4,2)")
     )
     agg = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))

@@ -68,6 +68,9 @@ OPERATORS = [
     # r3: the hot-bucket cap (d14) vs uncapped banding (d3/d7) is the
     # point of this corpus — every doc becomes a 10-member bucket
     "d14_capped_lsh_pairs",
+    # r3: bloom incremental dedup — the broadcast bitmap is fixed-size,
+    # so x10 should cost ~one extra corpus scan, nothing superlinear
+    "d15_bloom_incremental_dedup",
     "sim9_semdedup_prune",
     "t9_repetition_signals",
     "s10_reproducible_shuffle",
