@@ -1,0 +1,118 @@
+"""Distributed bloom filter composed from DataFrame primitives, and the
+incremental batch-vs-corpus dedup built on it (registry face:
+``d15_bloom_incremental_dedup``).
+
+Spark's internal ``bloom_filter_agg``/``might_contain`` expressions are
+not exposed to SQL or the DataFrame API (they serve runtime join
+filters), so the bitmap is composed from what IS public: explode k bit
+positions per key, ``bit_or`` the masks into 64-bit words. The result is
+a relation of at most ``m_bits/64`` rows — a FIXED size chosen by the
+caller, independent of the input cardinality — which is what makes it
+the one constant-cost broadcast in the dedup family.
+
+Correctness contract: false negatives are impossible (``bit_or`` never
+drops a bit), so membership "no" is definitive; membership "yes" must be
+re-checked exactly. ``bloom_dedup_batch`` does both stages and returns
+an EXACT answer — the bloom only prunes the work, never changes the
+result (``tests/test_sketches.py`` forces a tiny bitmap to prove the
+false-positive path re-checks correctly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_M_BITS = 1 << 16  # 1024 x 64-bit words = 8 KiB bitmap
+DEFAULT_K = 4  # hash functions per key
+
+
+def bloom_probes(key_col, m_bits: int = DEFAULT_M_BITS, k: int = DEFAULT_K):
+    """Array of k (word, mask) bitmap coordinates for a key column —
+    JVM-side xxhash64, one entry per hash function."""
+    coords = []
+    for seed in range(k):
+        pos = F.pmod(F.xxhash64(F.lit(f"bf{seed}#"), key_col), F.lit(m_bits))
+        coords.append(
+            F.struct(
+                (pos / 64).cast("int").alias("word"),
+                # F.shiftleft only takes a literal shift; call the SQL
+                # function directly for a column-valued shift amount
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+                ).alias("mask"),
+            )
+        )
+    return F.array(*coords)
+
+
+def build_bloom(
+    df: DataFrame, key: str, m_bits: int = DEFAULT_M_BITS, k: int = DEFAULT_K
+) -> DataFrame:
+    """Aggregate a key column into a bloom bitmap relation
+    (word int, bits long) of at most m_bits/64 rows. ``bit_or`` is
+    commutative/associative, so the aggregation partial-combines
+    map-side; the shuffle carries at most tasks x m_bits/64 rows."""
+    return (
+        df.select(F.explode(bloom_probes(F.col(key), m_bits, k)).alias("p"))
+        .groupBy(F.col("p.word").alias("word"))
+        .agg(F.bit_or("p.mask").alias("bits"))
+    )
+
+
+def probe_bloom(
+    df: DataFrame,
+    bloom: DataFrame,
+    key: str,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Append boolean ``maybe_member``: true iff all k probe bits are set
+    in the (broadcast) bitmap. False ⇒ definitively not a member."""
+    out_cols = df.columns
+    probed = (
+        df.select(*out_cols, F.explode(bloom_probes(F.col(key), m_bits, k)).alias("p"))
+        .join(F.broadcast(bloom), F.col("p.word") == bloom.word, "left")
+        .groupBy(*out_cols)
+        .agg(
+            F.bool_and(
+                F.coalesce(
+                    F.col("bits").bitwiseAND(F.col("p.mask")) == F.col("p.mask"),
+                    F.lit(False),
+                )
+            ).alias("maybe_member")
+        )
+    )
+    return probed
+
+
+def bloom_dedup_batch(
+    corpus: DataFrame,
+    batch: DataFrame,
+    key: str,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """EXACT incremental dedup: rows of ``batch`` whose ``key`` does not
+    appear in ``corpus``, at bloom cost. Three stages:
+
+    1. corpus -> fixed-size bitmap (one aggregation; m_bits/64 rows).
+    2. batch probes the broadcast bitmap; bloom-negatives are admitted
+       map-side with no join against corpus data at all.
+    3. bloom-positives (true dups + ~fpp of the batch) verify exactly:
+       corpus SEMI-joins down to the candidate key set (broadcast —
+       batch-scale by the incremental contract, never corpus-scale),
+       then candidates ANTI-join the confirmed keys. The corpus is
+       scanned but never shuffled and never broadcast.
+    """
+    bloom = build_bloom(corpus, key, m_bits, k)
+    probed = probe_bloom(batch, bloom, key, m_bits, k)
+    out_cols = batch.columns
+    clean = probed.filter(~F.col("maybe_member")).select(*out_cols)
+    candidates = probed.filter(F.col("maybe_member")).select(*out_cols)
+    cand_keys = candidates.select(key).distinct()
+    confirmed = (
+        corpus.select(key).join(F.broadcast(cand_keys), key, "left_semi").distinct()
+    )
+    verified_clean = candidates.join(F.broadcast(confirmed), key, "left_anti")
+    return clean.unionByName(verified_clean)

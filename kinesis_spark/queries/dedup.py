@@ -992,61 +992,20 @@ def d15_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark's own ``bloom_filter_agg`` is not exposed to SQL/DataFrames
     (internal to runtime join filters), so the bitmap is composed from
-    explode + bit_or; ``might_contain`` becomes a word-aligned mask
-    test. False positives cost only a re-check in stage 3; false
-    negatives are impossible (bit_or never loses a bit), which the
-    exact oracle (plain anti-join) verifies end-to-end.
+    explode + bit_or (``kinesis_spark.bloom``); ``might_contain``
+    becomes a word-aligned mask test. False positives cost only a
+    re-check in stage 3; false negatives are impossible (bit_or never
+    loses a bit), which the exact oracle (plain anti-join) verifies
+    end-to-end, and ``tests/test_sketches.py`` stresses with a
+    deliberately undersized bitmap.
     """
+    from kinesis_spark.bloom import bloom_dedup_batch
+
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.sha2("text", 256).alias("content_hash")
     )
     corpus = d.filter(F.col("doc_id") % 10 != 0)
     batch = d.filter(F.col("doc_id") % 10 == 0)
-
-    def probes(hash_col):
-        """k (word, mask) coordinates of a content hash in the bitmap."""
-        coords = []
-        for seed in range(BLOOM_HASHES):
-            pos = F.pmod(F.xxhash64(F.lit(f"bf{seed}#"), hash_col), F.lit(BLOOM_BITS))
-            coords.append(
-                F.struct(
-                    (pos / 64).cast("int").alias("word"),
-                    # F.shiftleft only takes a literal shift; call the SQL
-                    # function directly for a column-valued shift amount
-                    F.call_function(
-                        "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
-                    ).alias("mask"),
-                )
-            )
-        return F.array(*coords)
-
-    bloom = (
-        corpus.select(F.explode(probes(F.col("content_hash"))).alias("p"))
-        .groupBy(F.col("p.word").alias("word"))
-        .agg(F.bit_or("p.mask").alias("bits"))
+    return bloom_dedup_batch(
+        corpus, batch, "content_hash", m_bits=BLOOM_BITS, k=BLOOM_HASHES
     )
-    probed = (
-        batch.select("doc_id", "content_hash", F.explode(probes(F.col("content_hash"))).alias("p"))
-        .join(F.broadcast(bloom), F.col("p.word") == bloom.word, "left")
-        .groupBy("doc_id", "content_hash")
-        .agg(
-            F.bool_and(
-                F.coalesce(
-                    F.col("bits").bitwiseAND(F.col("p.mask")) == F.col("p.mask"),
-                    F.lit(False),
-                )
-            ).alias("maybe_dup")
-        )
-    )
-    clean = probed.filter(~F.col("maybe_dup")).select("doc_id", "content_hash")
-    candidates = probed.filter(F.col("maybe_dup")).select("doc_id", "content_hash")
-    cand_hashes = candidates.select("content_hash").distinct()
-    # broadcast side = bloom-positive batch hashes (batch-scale, bounded
-    # by the incremental contract); the corpus streams through map-side
-    confirmed = corpus.join(F.broadcast(cand_hashes), "content_hash", "left_semi")
-    verified_clean = candidates.join(
-        F.broadcast(confirmed.select("content_hash").distinct()),
-        "content_hash",
-        "left_anti",
-    )
-    return clean.unionByName(verified_clean)

@@ -37,3 +37,47 @@ def test_sketch_bounds(spark, sf_dir):
         # percentile_approx with accuracy 10000 on ~thousands of rows is
         # near-exact; the observed value must be a real data value near p50
         assert abs(g["approx_p50"] - e["p50"]) <= 0.05 * max(1.0, abs(e["p50"]))
+
+
+def test_bloom_dedup_exact_under_heavy_false_positives(spark, sf_dir):
+    """Force a deliberately undersized bitmap (64 bits for ~450 corpus
+    keys -> every word saturates, nearly every probe is a false
+    positive) and require the final answer to STILL equal the exact
+    anti-join — proving the verification stage does real work rather
+    than relying on the production bitmap's negligible fpp."""
+    from kinesis_spark.bloom import bloom_dedup_batch, build_bloom, probe_bloom
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2("text", 256).alias("content_hash")
+    )
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+
+    got = bloom_dedup_batch(corpus, batch, "content_hash", m_bits=64, k=2)
+    want = batch.join(corpus, "content_hash", "left_anti")
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in want.collect()
+    )
+
+    # the tiny bitmap really does produce false positives (candidates
+    # far exceed true dups), so the anti-join branch was exercised
+    bloom = build_bloom(corpus, "content_hash", m_bits=64, k=2)
+    n_candidates = (
+        probe_bloom(batch, bloom, "content_hash", m_bits=64, k=2)
+        .filter("maybe_member")
+        .count()
+    )
+    n_true_dups = batch.join(corpus, "content_hash", "left_semi").count()
+    assert n_candidates > n_true_dups
+
+
+def test_bloom_bitmap_is_fixed_size(spark, sf_dir):
+    """The bitmap relation never exceeds m_bits/64 rows regardless of
+    input cardinality — the property that makes its broadcast
+    constant-cost at any corpus size."""
+    from kinesis_spark.bloom import build_bloom
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.sha2("text", 256).alias("content_hash")
+    )
+    assert build_bloom(d, "content_hash", m_bits=1 << 10, k=4).count() <= (1 << 10) // 64
