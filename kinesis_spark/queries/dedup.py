@@ -367,7 +367,7 @@ def d7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via banded LSH: 60-bit signatures split into
     4×15-bit bands; docs sharing any band become candidates (equi-join on
     (band_idx, band_val) — never all-pairs), then exact Hamming distance
-    filters to ≤ {SIM_HAMMING_MAX}. At 100 TB the band join shuffles only
+    filters to ≤ 8 bits. At 100 TB the band join shuffles only
     (doc_id, simhash, 2 ints) rows."""
     sigs = _simhash_df(spark, sf_dir)
     n_bands = SIM_BITS // SIM_BAND_BITS
@@ -1008,4 +1008,96 @@ def d15_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = d.filter(F.col("doc_id") % 10 == 0)
     return bloom_dedup_batch(
         corpus, batch, "content_hash", m_bits=BLOOM_BITS, k=BLOOM_HASHES
+    )
+
+
+# d16: mod-p content fingerprinting (Manber 1994 / Broder's "0 mod p"
+# selection): keep the w-gram hashes ≡ 0 (mod FP_MOD); docs sharing
+# several selected fingerprints contain near-identical token runs.
+FP_WINDOW = 4  # tokens per fingerprint window
+FP_MOD = 8  # keep ~1/8 of window hashes
+FP_MIN_SHARED = 2  # pair survives with >= this many shared fingerprints
+
+
+@register(
+    "d16_fingerprint_overlap",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(ts) - {FP_WINDOW - 2}),
+                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])))
+           AS gram
+  FROM toks WHERE len(ts) >= {FP_WINDOW}
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS fp
+    FROM grams
+  ) WHERE fp % {FP_MOD} = 0
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {FP_MIN_SHARED}
+""",
+    tags=("dedup", "fingerprint", "substring"),
+)
+def d16_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-duplication candidates via mod-p fingerprinting (Manber's
+    sif / Broder's "0 mod p" selection — the cheap approximation of
+    suffix-array substring dedup a-la Lee et al.'s "Deduplicating
+    Training Data Makes Language Models Better"): hash every
+    4-token window, keep the ~1/8 of hashes that are 0 mod 8 (a
+    content-defined, position-independent selection), and pair up
+    documents sharing >= 2 selected fingerprints with the shared count
+    as evidence mass.
+
+    Unlike MinHash (d3, whole-doc set resemblance) this localizes:
+    a long verbatim passage inside two otherwise-different documents
+    still collides on every fingerprint the passage contains.
+
+    Scale shape: fingerprints are a row-local transform (no window
+    functions); candidate generation groups by the 8-byte fingerprint
+    value and expands pairs WITHIN buckets only — the d3/d7 single-scan
+    pattern, an equi-shuffle of (fp, doc_id), never all-pairs. A
+    boilerplate fingerprint shared by a million docs would square there;
+    production runs cap the bucket exactly as d14 does for LSH bands
+    (drop or sample buckets past a width bound) — kept uncapped here so
+    the oracle is exact.
+    """
+    tokd = _tokens_barrier(load_table(spark, sf_dir, "documents"), min_words=FP_WINDOW)
+    grams = tokd.select(
+        "doc_id",
+        F.explode(_shingles_of(F.col("toks"), k=FP_WINDOW)).alias("gram"),
+    )
+    fp = F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("bigint")
+    fps = (
+        grams.select("doc_id", fp.alias("fp"))
+        .filter(F.col("fp") % FP_MOD == 0)
+        .distinct()
+    )
+    buckets = (
+        fps.groupBy("fp")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    ds = F.col("ds")
+    pair_arr = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= FP_MIN_SHARED)
     )

@@ -209,3 +209,63 @@ def mm5_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "modality", "frame_idx",
         energy.alias("energy"), peak.alias("peak"),
     )
+
+
+@register(
+    "mm6_resize_pixels",
+    oracle=f"""
+WITH img AS (
+  SELECT doc_id AS media_id, text, length(text) AS nb,
+         ascii(substr(text, 1, 1)) + 1 AS w,
+         CASE WHEN length(text) > 1 THEN ascii(substr(text, 2, 1)) ELSE 0 END + 1 AS h
+  FROM documents
+  WHERE {_MODALITY_SQL} = 'image'
+),
+px AS (
+  SELECT media_id, text, nb, w, h, unnest(range(64)) AS i FROM img
+),
+mapped AS (
+  SELECT media_id, text, nb, i // 8 AS y, i % 8 AS x,
+         ((i // 8) * h // 8) * w + ((i % 8) * w // 8) AS src_idx
+  FROM px
+)
+SELECT media_id,
+       CAST(y AS BIGINT) AS y,
+       CAST(x AS BIGINT) AS x,
+       CAST(CASE WHEN src_idx < nb
+                 THEN ascii(substr(text, CAST(src_idx + 1 AS INT), 1))
+                 ELSE 0 END AS BIGINT) AS px_val
+FROM mapped
+""",
+    tags=("multimodal", "resize", "pandas_udf"),
+)
+def mm6_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-to-grid stage (the normalize-before-embed step of a
+    multimodal pipeline) verified down to individual pixels: images run
+    through the Arrow-batched ``resize_images`` fake (nearest-neighbor
+    onto an 8x8 grid of the fake-decoded width x height — real PIL is
+    container-stubbed, see kinesis_spark.multimodal), then the 64 output
+    bytes are exploded to (y, x, value) rows that the oracle recomputes
+    from first principles. A mismatch in batching, byte order, padding,
+    or the sampling-grid integer math fails the hash.
+
+    Scale shape: modality filter is JVM-side before Python; the Python
+    stage emits fixed 64-byte rows (output size = #images x grid,
+    independent of payload size); the explode is row-local — one scan,
+    no shuffle anywhere."""
+    from kinesis_spark.multimodal import resize_images
+
+    resized = resize_images(_media(spark, sf_dir), out_w=8, out_h=8, fake=True)
+    i = F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i")
+    px = resized.select("media_id", "pixels", i)
+    return px.select(
+        "media_id",
+        (F.col("i") / 8).cast("bigint").alias("y"),
+        (F.col("i") % 8).cast("bigint").alias("x"),
+        F.coalesce(
+            F.ascii(F.substring("pixels", F.col("i") + 1, F.lit(1)).cast("string")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("px_val"),
+    )

@@ -457,3 +457,111 @@ def s12_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(priority.desc(), F.col("doc_id").asc())
         .limit(WEIGHTED_K)
     )
+
+
+# Temperature-mixture constants: weights ∝ cnt^0.5 (alpha = 1/2, the
+# flattening exponent multilingual-corpus samplers use), fixed-point scale
+# 2^20 so the weight sum is exact integer arithmetic.
+TEMP_WEIGHT_SCALE = 1 << 20
+
+
+@register(
+    "s13_temperature_mixture",
+    oracle=f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source
+),
+weighted AS (
+  SELECT source, cnt,
+         CAST(floor(sqrt(CAST(cnt AS DOUBLE)) * {TEMP_WEIGHT_SCALE}) AS BIGINT) AS w
+  FROM counts
+),
+rates AS (
+  SELECT source, cnt, w,
+         least(CAST(10000 AS BIGINT),
+               CAST((10000 * ((CAST(t.total AS HUGEINT) * CAST(w AS HUGEINT))
+                              // CAST(t.wsum AS HUGEINT))) // cnt
+                    AS BIGINT)) AS threshold_pm
+  FROM weighted CROSS JOIN
+       (SELECT SUM(cnt) AS total, SUM(w) AS wsum FROM weighted) t
+),
+kept AS (
+  SELECT d.source, r.cnt, r.threshold_pm, d.n_chars
+  FROM documents d JOIN rates r USING (source)
+  WHERE CAST(('0x' || substr(md5('temp#' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+        AS BIGINT) % 10000 < r.threshold_pm
+)
+SELECT source,
+       CAST(MAX(cnt) AS BIGINT) AS n_docs,
+       CAST(MAX(threshold_pm) AS BIGINT) AS threshold_pm,
+       COUNT(*) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+FROM kept
+GROUP BY source
+""",
+    tags=("sample", "mixture", "temperature", "dedup-pipeline"),
+)
+def s13_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (alpha = 0.5): each source's
+    share of the kept corpus is proportional to cnt^alpha rather than cnt
+    — the standard flattening used to up-weight low-resource domains /
+    languages when mixing LLM training corpora (s8 is the alpha = 0 "equal
+    share" limit; alpha = 1 is the raw corpus). Keep decisions are a pure
+    salted hash of doc_id, so the same rows survive on any engine or
+    partitioning.
+
+    Cross-engine determinism of the fractional exponent: sqrt is
+    IEEE-754 correctly rounded in both engines (same input double →
+    bit-identical result), scaling by 2^20 is an exponent shift (exact),
+    and floor makes the weight an integer — from there every derived
+    quantity (weight sum, per-source target, per-myriad threshold) is
+    exact bigint arithmetic.
+
+    Scale shape: identical to s8 — per-source counts are a tiny
+    aggregate, the rate table broadcasts onto the corpus scan, the keep
+    filter is map-side, and only survivors reach the final rollup. Two
+    narrow scans of the corpus, zero wide shuffles of it."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    weighted = counts.select(
+        "source",
+        "cnt",
+        F.floor(F.sqrt(F.col("cnt").cast("double")) * TEMP_WEIGHT_SCALE)
+        .cast("bigint")
+        .alias("w"),
+    )
+    totals = weighted.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.sum("w").cast("bigint").alias("wsum"),
+    )
+    # total*w can pass int64 at extreme corpus sizes (1e13 docs x 2^20-
+    # scaled weights) — the product runs in DECIMAL(38,0) (Spark) /
+    # HUGEINT (oracle), still exact integer arithmetic.
+    rates = weighted.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "cnt",
+        F.least(
+            F.lit(10000).cast("bigint"),
+            F.expr(
+                "(10000 * ((CAST(total AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0)))"
+                " div CAST(wsum AS DECIMAL(38,0)))) div cnt"
+            ),
+        ).alias("threshold_pm"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("temp#"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    kept = d.join(F.broadcast(rates), "source").filter(bucket < F.col("threshold_pm"))
+    return kept.groupBy("source").agg(
+        F.max("cnt").cast("bigint").alias("n_docs"),
+        F.max("threshold_pm").cast("bigint").alias("threshold_pm"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+    )

@@ -654,3 +654,159 @@ def sim9_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_of",
         )
     )
+
+
+# sim10: product quantization (Jégou et al., "Product Quantization for
+# Nearest Neighbor Search"). 64-dim vectors split into 4 subspaces of 16
+# dims; each subspace gets a 16-entry codebook, so a vector compresses to
+# 4 bytes. Codebook = the subvectors of the 16 lowest vec_ids — a
+# deterministic stand-in for k-means training that both engines can
+# reproduce exactly (the assignment/ADC machinery is identical either way).
+PQ_SUBSPACES = 4
+PQ_SUBDIM = 16
+PQ_CENTROIDS = 16
+
+_PQ_D2_SQL = (
+    "ROUND(list_sum(list_transform(range(1, {n})," 
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), 6)"
+)
+
+
+def _pq_d2_sql(a: str, b: str) -> str:
+    return _PQ_D2_SQL.format(a=a, b=b, n=PQ_SUBDIM + 1)
+
+
+@register(
+    "sim10_pq_adc",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+sub AS (
+  SELECT vec_id, ss.s, v[(ss.s * {PQ_SUBDIM} + 1):(ss.s * {PQ_SUBDIM} + {PQ_SUBDIM})] AS sv
+  FROM e, (SELECT unnest(range({PQ_SUBSPACES})) AS s) ss
+),
+cb AS (
+  SELECT vec_id AS cid, s, sv FROM sub WHERE vec_id < {PQ_CENTROIDS}
+),
+codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT x.vec_id, x.s, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.s
+                              ORDER BY {_pq_d2_sql('x.sv', 'c.sv')}, c.cid) AS rn
+    FROM sub x JOIN cb c ON c.s = x.s
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, c.s, c.cid,
+         {_pq_d2_sql('q.sv', 'c.sv')} AS qd2
+  FROM sub q JOIN cb c ON c.s = q.s
+  WHERE q.vec_id < {N_QUERIES}
+),
+adc AS (
+  SELECT l.query_id, co.vec_id AS match_id,
+         CAST(SUM(CAST(l.qd2 AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist
+  FROM codes co JOIN lut l ON l.s = co.s AND l.cid = co.cid
+  GROUP BY l.query_id, co.vec_id
+)
+SELECT query_id, match_id, adc_dist, rank FROM (
+  SELECT query_id, match_id, adc_dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist, match_id) AS BIGINT) AS rank
+  FROM adc WHERE match_id != query_id
+) WHERE rank <= {TOP_K}
+""",
+    tags=("similarity", "pq", "ann", "compression"),
+)
+def sim10_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC): vectors compress to 4 one-byte codes (one per 16-dim
+    subspace, 16-entry codebooks); a query is answered by building a
+    4x16 lookup table of query-to-centroid squared distances and
+    summing 4 table entries per candidate — the memory-bound scan that
+    makes billion-vector search feasible (16x compression here; real
+    deployments use 8-64 subspaces the same way).
+
+    Plan shape at 100 TB: the codebook (64 subvectors) and the per-query
+    LUT (queries x 64 entries) are the ONLY broadcast sides; the corpus
+    is scanned once, code assignment is a row-local argmin over an
+    array-typed codebook column (array_min over (dist, cid) structs —
+    no per-centroid shuffle), and the ADC sum is one narrow groupBy of
+    (query, vector, 4 decimal terms). Nothing corpus-sized is ever
+    broadcast, collected, or cross-joined.
+
+    Determinism: per-subspace distances are sequential double folds
+    rounded to 6 dp (the d5/sim1-verified technique); the ADC sum adds
+    the 4 rounded terms as exact DECIMAL(18,6); argmin and top-k
+    tie-break on centroid id / match id."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    subs = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("bigint").alias("s"),
+                        F.slice("v", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+                    )
+                    for s in range(PQ_SUBSPACES)
+                ]
+            )
+        ).alias("p"),
+    ).select("vec_id", "p.s", "p.sv")
+
+    def d2(a, b):
+        return F.round(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    cb = subs.filter(F.col("vec_id") < PQ_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), "s", F.col("sv").alias("cv")
+    )
+    # per-subspace codebook as ONE array column → row-local argmin below
+    cb_arr = cb.groupBy("s").agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents")
+    )
+    best = (
+        subs.join(F.broadcast(cb_arr), "s")
+        .select(
+            "vec_id",
+            "s",
+            F.array_min(
+                F.transform(
+                    "cents",
+                    lambda c: F.struct(
+                        d2(F.col("sv"), c["cv"]).alias("d2"), c["cid"].alias("cid")
+                    ),
+                )
+            )["cid"].alias("cid"),
+        )
+    )
+    lut = (
+        subs.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "s", F.col("sv").alias("qsv"))
+        .join(F.broadcast(cb), "s")
+        .select(
+            "query_id", "s", "cid", d2(F.col("qsv"), F.col("cv")).alias("qd2")
+        )
+    )
+    adc = (
+        best.join(F.broadcast(lut), ["s", "cid"])
+        .groupBy("query_id", F.col("vec_id").alias("match_id"))
+        .agg(
+            F.sum(F.col("qd2").cast("decimal(18,6)")).cast("double").alias("adc_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("match_id"))
+    return (
+        adc.filter(F.col("match_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+    )

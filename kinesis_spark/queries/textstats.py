@@ -625,3 +625,93 @@ def t8_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("bigint").alias("n_chars"),
         (F.length("text") / n_bpe).alias("chars_per_bpe_token"),
     )
+
+
+@register(
+    "t11_bigram_lm_score",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts)),
+                i -> struct_pack(w1 := ts[i], w2 := ts[i + 1])),
+                recursive := true)
+  FROM toks
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w1) AS vocab FROM bg),
+terms AS (
+  SELECT g.doc_id,
+         CAST(ROUND(ln((c2.c2 + 1.0) / (c1.c1 + v.vocab)), 6)
+              AS DECIMAL(18,6)) AS term
+  FROM bg g JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(term) AS DOUBLE), 6) AS sum_logprob,
+       ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+FROM terms
+GROUP BY doc_id
+""",
+    tags=("text", "quality", "lm"),
+)
+def t11_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained bigram language-model score per document — the
+    cheap statistical stand-in for model-based perplexity filtering: a
+    doc whose token transitions are rare *in its own corpus* (boilerplate
+    runs, mangled encodings, keyword stuffing) scores a low average
+    log-probability. Laplace smoothing over the context vocabulary:
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V).
+
+    Scale shape: bigrams come from a row-local array transform (no
+    window, no per-doc shuffle); the model is two token-keyed
+    aggregations of the same bigram stream (map-side partials shrink
+    them to vocabulary size); scoring re-joins the stream to the model
+    on token equi-keys. Head-token skew in the c1 join is the classic
+    AQE-skew-split case. Nothing broadcasts with corpus cardinality —
+    the only broadcast is the 1-row vocab scalar.
+
+    Determinism: each ln() term is rounded to 6 dp then summed as exact
+    DECIMAL(18,6) — order-independent across partitions and engines;
+    the average divides the exact sum by an exact count."""
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    b = d.select(
+        "doc_id", F.explode(F.array(F.split("text", r"\s+"))).alias("ts")
+    )
+    # guard: F.sequence(1, 0) would count DOWN for 1-token docs (DuckDB's
+    # range(1, 1) is empty) — make "no bigrams" explicit on both engines
+    b = b.filter(F.size("ts") >= 2)
+    bg = b.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - 1),
+                lambda i: F.struct(
+                    F.element_at("ts", i).alias("w1"),
+                    F.element_at("ts", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = bg.agg(F.count_distinct("w1").alias("vocab"))
+    term = F.round(
+        F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("vocab"))), 6
+    ).cast("decimal(18,6)")
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", term.alias("term"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("term").cast("double"), 6).alias("sum_logprob"),
+        F.round(F.sum("term").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_logprob"
+        ),
+    )

@@ -383,3 +383,67 @@ def test_dq2_single_scan_expand(plan_of):
     plan = plan_of("dq2_column_profile")
     assert plan.count("orders.parquet") == 1
     assert "Expand" in plan
+
+
+def test_s13_rate_table_broadcasts(plan_of):
+    """Temperature-mixture: the per-source rate table (sources << docs)
+    must broadcast onto the corpus scan; a shuffle of documents to meet
+    a 20-row rate table would be the wrong side at 100 TB."""
+    plan = plan_of("s13_temperature_mixture")
+    assert "BroadcastHashJoin" in plan
+    # the corpus side is never broadcast: no BroadcastExchange carries text
+    import re
+
+    for cols in re.findall(
+        r"\(\d+\) BroadcastExchange\nInput \[\d+\]: \[([^\]]*)\]", plan
+    ):
+        assert "text#" not in cols, cols
+
+
+def test_t11_model_joins_stay_jvm_and_partial_agg(plan_of):
+    """Bigram-LM scoring: model counts partial-aggregate map-side, the
+    scoring joins are token equi-joins (no cartesian/nested-loop except
+    the 1-row vocab scalar), and no row-at-a-time Python runs."""
+    plan = plan_of("t11_bigram_lm_score")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # the only nested-loop join is the broadcast of the 1-row vocab scalar
+    import re
+
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+
+
+def test_d16_bucket_join_on_fingerprint(plan_of):
+    """Fingerprint-overlap dedup generates pairs WITHIN fp buckets (the
+    d3/d7 single-scan pattern): exchanges hash on the fingerprint/pair
+    keys, never document text; no all-pairs join shape."""
+    plan = plan_of("d16_fingerprint_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    for cols in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "text#" not in cols, cols
+    assert "partial_count" in plan  # shared-fp count combines map-side
+
+
+def test_sim10_broadcasts_codebook_not_corpus(plan_of):
+    """PQ/ADC: the codebook and the query LUT are the only broadcast
+    sides; the corpus join to them is a BroadcastHashJoin, and the ADC
+    sum partial-aggregates. A SortMergeJoin against the 64-row codebook
+    or a corpus-side BroadcastExchange would be the wrong shape."""
+    plan = plan_of("sim10_pq_adc")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
+
+
+def test_mm6_no_wide_shuffle(plan_of):
+    """Resize-to-grid is scan -> Python stage -> row-local explode: no
+    hash-partitioned exchange anywhere (the only allowed exchange is the
+    fixture-only round-robin partition floor)."""
+    plan = plan_of("mm6_resize_pixels")
+    assert "MapInPandas" in plan
+    assert "hashpartitioning" not in plan
