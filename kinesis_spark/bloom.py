@@ -27,22 +27,25 @@ DEFAULT_M_BITS = 1 << 16  # 1024 x 64-bit words = 8 KiB bitmap
 DEFAULT_K = 4  # hash functions per key
 
 
+def _probe_coords(key_col, seed: int, m_bits: int):
+    """(word, mask) bitmap coordinates of one hash function for a key
+    column — JVM-side xxhash64, plain scalar expressions."""
+    pos = F.pmod(F.xxhash64(F.lit(f"bf{seed}#"), key_col), F.lit(m_bits))
+    # F.shiftleft only takes a literal shift; call the SQL function
+    # directly for a column-valued shift amount
+    mask = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+    )
+    return (pos / 64).cast("int"), mask
+
+
 def bloom_probes(key_col, m_bits: int = DEFAULT_M_BITS, k: int = DEFAULT_K):
     """Array of k (word, mask) bitmap coordinates for a key column —
-    JVM-side xxhash64, one entry per hash function."""
+    the relational-probe shape (explode + join in ``probe_bloom``)."""
     coords = []
     for seed in range(k):
-        pos = F.pmod(F.xxhash64(F.lit(f"bf{seed}#"), key_col), F.lit(m_bits))
-        coords.append(
-            F.struct(
-                (pos / 64).cast("int").alias("word"),
-                # F.shiftleft only takes a literal shift; call the SQL
-                # function directly for a column-valued shift amount
-                F.call_function(
-                    "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
-                ).alias("mask"),
-            )
-        )
+        word, mask = _probe_coords(key_col, seed, m_bits)
+        coords.append(F.struct(word.alias("word"), mask.alias("mask")))
     return F.array(*coords)
 
 
@@ -116,3 +119,50 @@ def bloom_dedup_batch(
     )
     verified_clean = candidates.join(F.broadcast(confirmed), key, "left_anti")
     return clean.unionByName(verified_clean)
+
+
+def densify_bloom(bloom: DataFrame, m_bits: int = DEFAULT_M_BITS) -> DataFrame:
+    """Collapse the (word, bits) bitmap relation into ONE row holding a
+    DENSE word array (index = word, absent words = 0) — the
+    broadcastable form for row-local probing (``probe_bloom_dense``).
+    An array, not a map: Spark's map ``element_at`` is a linear scan
+    over all entries, which turns each probe into O(m_bits/64) work per
+    fact row (measured 17 s vs 1 s at sf0.1 for j10); array indexing is
+    O(1). Size is exactly m_bits/64 longs."""
+    m = F.map_from_entries(F.collect_list(F.struct("word", "bits")))
+    dense_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(m_bits // 64 - 1)),
+        lambda w: F.coalesce(F.element_at(m, w.cast("int")), F.lit(0).cast("long")),
+    )
+    return bloom.agg(dense_arr.alias("__bloom"))
+
+
+def probe_bloom_dense(
+    df: DataFrame,
+    dense: DataFrame,
+    key: str,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Append ``maybe_member`` WITHOUT any shuffle of ``df``: the 1-row
+    dense bitmap broadcasts, and the k bit checks are row-local map
+    lookups (``forall`` over the probe array). This is the fact-side
+    shape for bloom-prefiltered joins: ``probe_bloom``'s
+    explode+groupBy re-keys the probed table, which is fine for
+    batch-sized inputs but would shuffle a 100 TB fact table twice;
+    this variant costs a scan and nothing else."""
+    out_cols = df.columns
+    # an explicit k-way conjunction, not forall() over a probe array:
+    # higher-order functions run interpreted per row, while these plain
+    # scalar expressions stay inside whole-stage codegen (measured 3.1 s
+    # -> ~1 s over 600k fact rows at sf0.1)
+    ok = None
+    for seed in range(k):
+        word, mask = _probe_coords(F.col(key), seed, m_bits)
+        bit = (
+            F.element_at(F.col("__bloom"), word + 1)  # 1-based array index
+            .bitwiseAND(mask)
+            == mask
+        )
+        ok = bit if ok is None else ok & bit
+    return df.crossJoin(F.broadcast(dense)).select(*out_cols, ok.alias("maybe_member"))

@@ -144,6 +144,54 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "w6_distribution_funcs",
     "w7_value_navigation",
     "w8_range_frame_trailing",
+    # ---- round-2 backlog (never driver-verified through r02; VERDICT r2
+    # task 3 wants these closed in r03, so they outrank queries first
+    # registered in round 3, which can wait for the r04 window) ----
+    "a12_hll_sketch_union",
+    "a13_heavy_hitters_countmin",
+    "d12_url_canonical_dedup",
+    "d13_canonical_selection",
+    "d14_capped_lsh_pairs",
+    "d15_bloom_incremental_dedup",
+    "d8c_mllib_pairs_exact_jaccard",
+    "sim5c_brp_recall_vs_exact",
+    "a8c_sketch_error_bounds",
+    "e12_value_anomalies",
+    "e13_rolling_weekly_active",
+    "e14_typed_props_rollup",
+    "e15_scd2_state_history",
+    "i4_unframed_rechunk",
+    "j7_asof_forward_fulfillment",
+    "j8_asof_nearest_click",
+    "j9_interval_overlap_join",
+    "prov1_file_lineage",
+    "prov2_shard_manifest",
+    "dq1_validation_rules",
+    "prov3_dataset_fingerprint",
+    "dq2_column_profile",
+    "p1_llm_prep_pipeline",
+    "p2_sequence_packing",
+    "sc8_map_funcs",
+    "sc9_bitwise_funcs",
+    "s7_stratified_sample",
+    "s8_domain_mix_rebalance",
+    "s9_train_val_test_split",
+    "s10_reproducible_shuffle",
+    "s11_exact_k_sample",
+    "s12_weighted_sample",
+    "sim7_int8_quantization",
+    "sim8_dim_truncation_recall",
+    "sim9_semdedup_prune",
+    "t9_repetition_signals",
+    "t10_pii_redaction",
+    "t8_bpe_token_count",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_late_shipment_priority",
+    "q20_excess_inventory_suppliers",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "u3_grouped_agg_pandas",
 )
 
 def _driver_verified_names() -> frozenset[str]:

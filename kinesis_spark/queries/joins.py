@@ -517,3 +517,69 @@ def j9_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "l_orderkey", "l_linenumber", "audit_id", overlap.alias("overlap_days")
     )
+
+
+@register(
+    "j10_bloom_prefilter_join",
+    oracle="""
+SELECT strftime(date_trunc('month', CAST(o.o_orderdate AS DATE)), '%Y-%m')
+         AS order_month,
+       COUNT(*) AS n_lineitems,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS urgent_revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY order_month
+""",
+    tags=("join", "bloom", "runtime-filter"),
+)
+def j10_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join with an explicit bloom runtime filter: urgent
+    orders x lineitem, where the build side's join keys are first
+    aggregated into an 8 KiB bloom bitmap that prefilters lineitem
+    ROW-LOCALLY before the shuffle (kinesis_spark.bloom.probe_bloom_dense
+    — a map lookup per row, no explode, no extra shuffle of the fact
+    table). False positives survive the prefilter and are dropped by the
+    exact join, so the result is identical to the plain join — the bloom
+    only sheds shuffle volume (here ~80% of lineitem rows; at 100 TB
+    this is THE lever when both join sides are too big to broadcast and
+    the probe side is selective).
+
+    This hand-built filter is the always-on, engine-independent version
+    of Spark's own runtime bloom pushdown
+    (spark.sql.optimizer.runtime.bloomFilter.enabled), which only
+    triggers under creation-cost heuristics; composing it from
+    DataFrame primitives keeps the plan auditable and the technique
+    portable to any source the optimizer can't see through."""
+    from kinesis_spark.bloom import build_bloom, densify_bloom, probe_bloom_dense
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderdate")
+    )
+    dense = densify_bloom(build_bloom(o, "o_orderkey"))
+    lf = probe_bloom_dense(l, dense, "l_orderkey").filter(
+        F.col("maybe_member")
+    ).drop("maybe_member")
+    joined = lf.join(o, lf.l_orderkey == o.o_orderkey)
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        joined.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "order_month"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            rev.cast("double").alias("urgent_revenue"),
+        )
+    )

@@ -283,3 +283,99 @@ def dq2_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         F.col("n_rows").cast("bigint").alias("n_rows"), F.explode(rows).alias("r")
     ).select("r.col_name", "n_rows", "r.n_null", "r.n_distinct", "r.min_val", "r.max_val")
+
+
+@register(
+    "dq3_referential_integrity",
+    oracle="""
+SELECT 'lineitem.l_orderkey->orders' AS relationship,
+       COUNT(*) AS n_child_rows,
+       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans,
+       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS orphan_rate
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       COUNT(*),
+       CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       COUNT(*),
+       CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*)
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       COUNT(*),
+       CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*)
+FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+UNION ALL
+SELECT 'events.user_id->active_customer',
+       COUNT(*),
+       CAST(SUM(CASE WHEN a.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN a.c_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*)
+FROM events e LEFT JOIN (SELECT c_custkey FROM customer WHERE c_acctbal > 0) a
+  ON e.user_id = a.c_custkey
+""",
+    tags=("quality", "integrity", "join"),
+)
+def dq3_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts and rates for the four
+    hard foreign keys of the star schema plus one conformance rule
+    (events must reference an ACTIVE customer — the filtered-dimension
+    check that catches late-arriving or soft-deleted parents; ~10% of
+    fixture events violate it, so the nonzero path is exercised).
+
+    Scale shape: each relationship is one left join on PRUNED key
+    columns only (the scans read a single column per side — no payload
+    ever moves), aggregated to a single counter row before the union,
+    so the output is #relationships rows regardless of input size.
+    Parent keys are deduplicated first: a duplicated parent would
+    silently multiply child counts via join fanout, turning the audit
+    itself into a lie. No broadcast hints — dimension sides that fit
+    will broadcast via AQE; at 100 TB fact-fact pairs shuffle narrow
+    bigints."""
+
+    def rel(name: str, child: DataFrame, fk: str, parent: DataFrame, pk: str):
+        par = parent.select(F.col(pk).alias("__pk")).dropDuplicates(["__pk"])
+        joined = child.select(F.col(fk).alias("__fk")).join(
+            par, F.col("__fk") == F.col("__pk"), "left"
+        )
+        miss = F.sum(F.when(F.col("__pk").isNull(), 1).otherwise(0))
+        return joined.agg(
+            F.count(F.lit(1)).alias("n_child_rows"),
+            miss.cast("bigint").alias("n_orphans"),
+            (miss.cast("double") / F.count(F.lit(1))).alias("orphan_rate"),
+        ).select(
+            F.lit(name).alias("relationship"),
+            "n_child_rows",
+            "n_orphans",
+            "orphan_rate",
+        )
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    e = load_table(spark, sf_dir, "events")
+    active = c.filter(F.col("c_acctbal") > 0)
+    parts = [
+        rel("lineitem.l_orderkey->orders", l, "l_orderkey", o, "o_orderkey"),
+        rel("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+        rel("lineitem.l_partkey->part", l, "l_partkey", p, "p_partkey"),
+        rel("lineitem.l_suppkey->supplier", l, "l_suppkey", s, "s_suppkey"),
+        rel("events.user_id->active_customer", e, "user_id", active, "c_custkey"),
+    ]
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out

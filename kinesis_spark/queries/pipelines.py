@@ -232,3 +232,165 @@ def p2_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         (end - start + F.lit(1)).alias("n_windows"),
         (end > start).alias("crosses_boundary"),
     )
+
+
+@register(
+    "p3_incremental_prep",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text, lang, source,
+         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_toks
+  FROM documents
+  WHERE lang IN ({_LANGS_SQL})
+    AND len(regexp_split_to_array(text, '\\s+')) >= {_MIN_TOKENS}
+),
+corpus AS (SELECT * FROM base WHERE doc_id % 10 != 0),
+batch AS (
+  SELECT *, sha256(text) AS h,
+         ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+  FROM base WHERE doc_id % 10 = 0
+),
+ch AS (SELECT DISTINCT sha256(text) AS h FROM corpus),
+flagged AS (
+  SELECT b.doc_id, b.lang, b.source, b.text, b.n_toks,
+         (b.rn > 1 OR c.h IS NOT NULL) AS exact_dup
+  FROM batch b LEFT JOIN ch c ON b.h = c.h
+),
+rsigs AS (
+  SELECT doc_id,
+         {", ".join(_minhash_sig_sql(s) for s in range(N_HASHES))}
+  FROM flagged WHERE NOT exact_dup
+),
+csigs AS (
+  SELECT doc_id,
+         {", ".join(_minhash_sig_sql(s) for s in range(N_HASHES))}
+  FROM corpus
+),
+rbands AS (
+  SELECT doc_id, unnest([mh0 || '|' || mh1, mh2 || '|' || mh3,
+                         mh4 || '|' || mh5, mh6 || '|' || mh7]) AS band_key
+  FROM rsigs
+),
+cbands AS (
+  SELECT unnest([mh0 || '|' || mh1, mh2 || '|' || mh3,
+                 mh4 || '|' || mh5, mh6 || '|' || mh7]) AS band_key
+  FROM csigs
+),
+near AS (
+  SELECT DISTINCT r.doc_id
+  FROM rbands r JOIN (SELECT DISTINCT band_key FROM cbands) c
+    ON r.band_key = c.band_key
+)
+SELECT lang, source,
+       COUNT(*) AS n_batch,
+       CAST(SUM(CASE WHEN exact_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_dup,
+       CAST(SUM(CASE WHEN NOT exact_dup
+                      AND doc_id IN (SELECT doc_id FROM near)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+       CAST(SUM(CASE WHEN NOT exact_dup
+                      AND doc_id NOT IN (SELECT doc_id FROM near)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       CAST(SUM(CASE WHEN NOT exact_dup
+                      AND doc_id NOT IN (SELECT doc_id FROM near)
+                     THEN n_toks ELSE 0 END) AS BIGINT) AS admitted_tokens
+FROM flagged
+GROUP BY lang, source
+""",
+    tags=("pipeline", "incremental", "dedup", "bloom"),
+)
+def p3_incremental_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL face of p1 — the production mode where a new crawl
+    batch lands against an already-admitted corpus (doc_id % 10 == 0 is
+    the batch, the rest the corpus; both behind the same language/length
+    gates). Three stages, each scaled for corpus >> batch:
+
+    1. exact dedup vs corpus through the d15 bloom machinery: the corpus
+       collapses to a fixed 8 KiB bitmap (never shuffled, never
+       broadcast wholesale); the batch probes row-locally and only
+       bloom-POSITIVE hashes are verified exactly via a batch-scale
+       broadcast semi-join. Within-batch dups drop by the same min-id
+       window as p1.
+    2. near-dup vs corpus: the batch's MinHash band keys equi-join the
+       corpus band index (a production system persists that index
+       incrementally; here it is derived in-query). Any shared band
+       drops the batch doc — conservative LSH admission, resolvable
+       later by d4's exact verify.
+    3. per (lang, source) admission report: batch size, exact-dup,
+       near-dup, admitted, admitted tokens — exact BIGINTs.
+
+    The bloom is result-transparent (false positives re-checked), so the
+    plain-SQL oracle replays the whole flow without modeling it."""
+    from pyspark.sql.window import Window
+
+    from kinesis_spark.bloom import build_bloom, densify_bloom, probe_bloom_dense
+
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    base = d.select(
+        "doc_id", "text", "lang", "source",
+        F.explode(F.array(F.split("text", r"\s+"))).alias("toks"),
+    ).filter(F.col("lang").isin(*_KEEP_LANGS) & (F.size("toks") >= _MIN_TOKENS))
+    corpus = base.filter(F.col("doc_id") % 10 != 0)
+    batch = base.filter(F.col("doc_id") % 10 == 0)
+
+    wh = Window.partitionBy("h").orderBy("doc_id")
+    bh = batch.select(
+        "doc_id", "lang", "source", "toks",
+        F.size("toks").cast("bigint").alias("n_toks"),
+        F.sha2("text", 256).alias("h"),
+    ).withColumn("rn", F.row_number().over(wh))
+
+    ch = corpus.select(F.sha2("text", 256).alias("h"))
+    dense = densify_bloom(build_bloom(ch, "h"))
+    probed = probe_bloom_dense(bh, dense, "h")
+    cand_keys = probed.filter(F.col("maybe_member")).select("h").distinct()
+    confirmed = (
+        ch.join(F.broadcast(cand_keys), "h", "left_semi")
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    flagged = probed.join(F.broadcast(confirmed), "h", "left").select(
+        "doc_id", "lang", "source", "toks", "n_toks",
+        ((F.col("rn") > 1) | F.coalesce("in_corpus", F.lit(False))).alias(
+            "exact_dup"
+        ),
+    )
+
+    def bands_of(df):
+        shb = df.select(
+            "doc_id", F.explode(F.array(_shingles_of(F.col("toks")))).alias("shb")
+        )
+        sigs = shb.select("doc_id", *_minhash_sig_spark(F.col("shb")))
+        key = F.explode(
+            F.array(
+                *[
+                    F.concat_ws("|", f"mh{BAND_ROWS * b}", f"mh{BAND_ROWS * b + 1}")
+                    for b in range(N_HASHES // BAND_ROWS)
+                ]
+            )
+        )
+        return sigs.select("doc_id", key.alias("band_key"))
+
+    rem = flagged.filter(~F.col("exact_dup"))
+    cband_keys = bands_of(corpus).select("band_key").distinct()
+    near = (
+        bands_of(rem)
+        .join(cband_keys, "band_key", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    report = flagged.join(near, "doc_id", "left").select(
+        "lang", "source", "n_toks", "exact_dup",
+        (~F.col("exact_dup") & F.coalesce("near_dup", F.lit(False))).alias("nd"),
+        (~F.col("exact_dup") & ~F.coalesce("near_dup", F.lit(False))).alias("ok"),
+    )
+    return report.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum(F.col("exact_dup").cast("int")).cast("bigint").alias("n_exact_dup"),
+        F.sum(F.col("nd").cast("int")).cast("bigint").alias("n_near_dup"),
+        F.sum(F.col("ok").cast("int")).cast("bigint").alias("n_admitted"),
+        F.sum(F.when(F.col("ok"), F.col("n_toks")).otherwise(0))
+        .cast("bigint")
+        .alias("admitted_tokens"),
+    )

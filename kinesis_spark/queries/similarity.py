@@ -676,9 +676,7 @@ def _pq_d2_sql(a: str, b: str) -> str:
     return _PQ_D2_SQL.format(a=a, b=b, n=PQ_SUBDIM + 1)
 
 
-@register(
-    "sim10_pq_adc",
-    oracle=f"""
+_PQ_ADC_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
@@ -715,7 +713,12 @@ SELECT query_id, match_id, adc_dist, rank FROM (
                                  ORDER BY adc_dist, match_id) AS BIGINT) AS rank
   FROM adc WHERE match_id != query_id
 ) WHERE rank <= {TOP_K}
-""",
+"""
+
+
+@register(
+    "sim10_pq_adc",
+    oracle=_PQ_ADC_ORACLE,
     tags=("similarity", "pq", "ann", "compression"),
 )
 def sim10_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -810,3 +813,55 @@ def sim10_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+@register(
+    "sim10c_pq_recall_vs_exact",
+    oracle=f"""
+WITH exact AS (SELECT * FROM ({_TOPK_ORACLE})),
+pq AS (SELECT * FROM ({_PQ_ADC_ORACLE})),
+hits AS (
+  SELECT e.query_id, COUNT(*) AS n_hits
+  FROM exact e JOIN pq p
+    ON e.query_id = p.query_id AND e.match_id = p.match_id
+  GROUP BY e.query_id
+),
+qs AS (SELECT DISTINCT query_id FROM exact)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {TOP_K} AS recall_at_{TOP_K}
+FROM qs q LEFT JOIN hits h USING (query_id)
+""",
+    tags=("similarity", "pq", "companion", "recall"),
+)
+def sim10c_pq_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantifies sim10's compression loss: per query, how many of the
+    exact cosine top-5 (sim1) survive in the PQ/ADC top-5 — the
+    recall@k curve every quantized index is judged by. Both sides are
+    fully deterministic, so unlike the MLlib companions this one is a
+    straight bit-exact join of two oracle-backed results.
+
+    (ADC ranks by L2 distance while the exact baseline ranks by cosine;
+    the fixture vectors are not normalized, so this also measures the
+    metric mismatch a real deployment must account for — the measured
+    fixture recall is reported by tests/test_sketches.py.)
+
+    Scale shape: composes two already-audited plans and joins their
+    (queries x k)-sized outputs — driver-window cost, corpus cost
+    unchanged from sim1/sim10."""
+    exact = sim1_topk_cosine(spark, sf_dir).select("query_id", "match_id")
+    pq = sim10_pq_adc(spark, sf_dir).select("query_id", "match_id")
+    hits = (
+        exact.join(pq, ["query_id", "match_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qs = exact.select("query_id").distinct()
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)).cast("double") / TOP_K).alias(
+            f"recall_at_{TOP_K}"
+        ),
+    )
+

@@ -75,6 +75,15 @@ OPERATORS = [
     "t9_repetition_signals",
     "s10_reproducible_shuffle",
     "p1_llm_prep_pipeline",
+    # r3 additions: fingerprint buckets grow to 10-member groups here
+    # (pair output scales like d3's, by construction); the PQ codebook/
+    # LUT stay fixed-size, so sim10 should scale ~linearly; the bigram
+    # model doubles its join inputs linearly; s13's rate table stays
+    # source-count-sized
+    "d16_fingerprint_overlap",
+    "sim10_pq_adc",
+    "t11_bigram_lm_score",
+    "s13_temperature_mixture",
 ]
 
 

@@ -447,3 +447,48 @@ def test_mm6_no_wide_shuffle(plan_of):
     plan = plan_of("mm6_resize_pixels")
     assert "MapInPandas" in plan
     assert "hashpartitioning" not in plan
+
+
+def test_dq3_scans_keys_only(plan_of):
+    """The integrity audit must read ONLY key columns (plus the one
+    filter column on the conformance dimension) — a scan pulling fact
+    payloads to count orphans would move 100 TB to check bigints."""
+    plan = plan_of("dq3_referential_integrity")
+    assert "CartesianProduct" not in plan
+    # every lineitem scan is pruned to its single key column
+    assert "struct<l_orderkey:bigint>" in plan
+    assert "struct<l_partkey:bigint>" in plan
+    assert "struct<l_suppkey:bigint>" in plan
+    # no scan reads the wide payload columns
+    for col in ("l_extendedprice", "o_totalprice", "props"):
+        assert f"{col}:" not in plan
+
+
+def test_j10_prefilter_is_rowlocal_before_join(plan_of):
+    """The bloom prefilter must run as a row-local Filter on the fact
+    side (xxhash64 probe expressions below the join), the dense bitmap
+    must arrive via BroadcastExchange, and the fact table must be
+    scanned exactly once — the whole point is shedding shuffle input
+    without adding passes."""
+    plan = plan_of("j10_bloom_prefilter_join")
+    assert "xxhash64" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_p3_corpus_never_broadcast(plan_of):
+    """Incremental prep: the corpus side collapses to the fixed bloom
+    bitmap (partial_bit_or map-side) and a distinct band-key index; the
+    only broadcasts are the bitmap and batch-scale key sets — a
+    BroadcastExchange carrying document text would be the corpus OOM
+    this pipeline exists to avoid."""
+    import re
+
+    plan = plan_of("p3_incremental_prep")
+    assert "partial_bit_or" in plan
+    assert "LeftSemi" in plan  # band-index + hash-verify semi joins
+    for cols in re.findall(
+        r"\(\d+\) BroadcastExchange\nInput \[\d+\]: \[([^\]]*)\]", plan
+    ):
+        assert "text#" not in cols, cols

@@ -81,3 +81,60 @@ def test_bloom_bitmap_is_fixed_size(spark, sf_dir):
         F.sha2("text", 256).alias("content_hash")
     )
     assert build_bloom(d, "content_hash", m_bits=1 << 10, k=4).count() <= (1 << 10) // 64
+
+
+def test_dense_probe_matches_relational_probe(spark, sf_dir):
+    """probe_bloom_dense (row-local map lookups, no shuffle) must flag
+    exactly the same rows as probe_bloom (explode+groupBy) — including
+    under a deliberately tiny bitmap that forces false positives."""
+    from pyspark.sql import functions as F
+
+    from kinesis_spark.bloom import (
+        build_bloom,
+        densify_bloom,
+        probe_bloom,
+        probe_bloom_dense,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.sha2("text", 256).alias("h")
+    )
+    corpus = d.filter(F.col("doc_id") % 3 == 0)
+    batch = d.filter(F.col("doc_id") % 3 != 0)
+    for m_bits, k in ((64, 2), (1 << 16, 4)):
+        bloom = build_bloom(corpus, "h", m_bits=m_bits, k=k)
+        rel = {
+            r["doc_id"]: r["maybe_member"]
+            for r in probe_bloom(batch, bloom, "h", m_bits=m_bits, k=k).collect()
+        }
+        dense = {
+            r["doc_id"]: r["maybe_member"]
+            for r in probe_bloom_dense(
+                batch, densify_bloom(bloom, m_bits), "h", m_bits=m_bits, k=k
+            ).collect()
+        }
+        assert rel == dense
+
+
+def test_j10_bloom_prefilter_sheds_rows(spark, sf_dir):
+    """The j10 prefilter must admit every true match (no false
+    negatives — guaranteed by construction, asserted anyway) while
+    shedding a meaningful share of non-matching fact rows."""
+    from pyspark.sql import functions as F
+
+    from kinesis_spark.bloom import build_bloom, densify_bloom, probe_bloom_dense
+    from kinesis_spark.io import load_table
+
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    dense = densify_bloom(build_bloom(o, "o_orderkey"))
+    probed = probe_bloom_dense(l, dense, "l_orderkey")
+    kept = probed.filter("maybe_member").count()
+    total = probed.count()
+    true_matches = l.join(o, l.l_orderkey == o.o_orderkey, "left_semi").count()
+    assert kept >= true_matches          # no false negatives
+    assert kept < total                  # the filter actually sheds rows
