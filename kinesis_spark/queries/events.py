@@ -748,3 +748,129 @@ def e15_scd2_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w2).alias("valid_to"),
         F.lead("ts").over(w2).isNull().alias("is_current"),
     )
+
+
+@register(
+    "e16_touch_attribution",
+    oracle="""
+WITH t0 AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, event_id
+  FROM events WHERE event_type IN ('click', 'view')
+),
+t AS (
+  SELECT user_id, ts, event_type, event_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id) AS rn
+    FROM t0
+  ) WHERE rn = 1
+),
+p AS (
+  SELECT event_id AS pid, user_id, CAST(ts AS TIMESTAMP) AS pts,
+         CAST(value AS DECIMAL(18,6)) AS val
+  FROM events WHERE event_type = 'purchase'
+),
+cand AS (
+  SELECT p.pid, p.val, t.ts, t.event_type
+  FROM p JOIN t ON p.user_id = t.user_id
+   AND t.ts BETWEEN p.pts - INTERVAL 1 DAY AND p.pts
+),
+firsts AS (
+  SELECT pid, val, event_type FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY pid ORDER BY ts) AS rn FROM cand
+  ) WHERE rn = 1
+),
+lasts AS (
+  SELECT pid, val, event_type FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY pid ORDER BY ts DESC) AS rn FROM cand
+  ) WHERE rn = 1
+),
+att AS (
+  SELECT event_type AS touch_type, 'first' AS role, val FROM firsts
+  UNION ALL
+  SELECT event_type AS touch_type, 'last' AS role, val FROM lasts
+)
+SELECT touch_type, role,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(val * CAST(0.5 AS DECIMAL(2,1))) AS DOUBLE) AS attributed_value
+FROM att
+GROUP BY touch_type, role
+""",
+    tags=("events", "attribution", "window"),
+)
+def e16_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (first/last-touch) revenue attribution: each
+    purchase splits its value 50/50 between the EARLIEST and the LATEST
+    click/view in the trailing 24 h (a single touch is both roles and so
+    receives the full value — no special case, two half-rows merge in
+    the aggregate). Reported per (touch_type, role).
+
+    Scale shape — no purchase×touch pairwise join: purchases and
+    (per-(user, ts) collapsed) touches union into one relation, ONE
+    shuffle on user_id, and both roles come from RANGE frames over exact
+    event-time microseconds — ``[ts-24h, ts]`` — so the frame itself
+    enforces the lookback window in integer arithmetic (no fp boundary). first/last(ignorenulls) skip the
+    purchase rows' null touch structs; the collapse makes equal-ts
+    ordering irrelevant (one touch per (user, ts) — the j7/j8
+    tie-discipline). Value math is exact DECIMAL, halved by an exact
+    DECIMAL(2,1) 0.5.
+    """
+    e = load_table(spark, sf_dir, "events")
+    wt = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    touches = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.struct(
+                F.col("ts").alias("tts"),
+                F.col("event_id").alias("tid"),
+                F.col("event_type").alias("ttype"),
+            ).alias("touch"),
+            F.lit(None).cast("long").alias("pid"),
+            F.lit(None).cast("decimal(18,6)").alias("val"),
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("struct<tts:timestamp,tid:long,ttype:string>").alias("touch"),
+        F.col("event_id").alias("pid"),
+        F.col("value").cast("decimal(18,6)").alias("val"),
+    )
+    u = touches.unionByName(purchases).withColumn("tsu", F.unix_micros("ts"))
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("tsu")
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    scored = u.select(
+        "pid",
+        "val",
+        F.first("touch", ignorenulls=True).over(frame).alias("first_t"),
+        F.last("touch", ignorenulls=True).over(frame).alias("last_t"),
+    ).filter(F.col("pid").isNotNull() & F.col("first_t").isNotNull())
+    att = scored.select(
+        "val",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("first_t.ttype").alias("touch_type"),
+                    F.lit("first").alias("role"),
+                ),
+                F.struct(
+                    F.col("last_t.ttype").alias("touch_type"),
+                    F.lit("last").alias("role"),
+                ),
+            )
+        ).alias("r"),
+    )
+    return att.groupBy(
+        F.col("r.touch_type").alias("touch_type"), F.col("r.role").alias("role")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("val") * F.lit("0.5").cast("decimal(2,1)"))
+        .cast("double")
+        .alias("attributed_value"),
+    )

@@ -865,3 +865,157 @@ def sim10c_pq_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+
+
+# ---- sim11: iterative k-means (Lloyd) refinement --------------------------
+
+KM_K = 8  # clusters; seeds = the first KM_K vec_ids (deterministic init)
+KM_ITERS = 2  # assignment->recompute rounds before the reported assignment
+KM_SCALE = 1073741824.0  # 2^30 — the sim3 exact-mean quantization scale
+_KM_DIM = 64
+
+
+def _km_d2_sql(v: str, c: str) -> str:
+    # squared L2 rounded to 6 dp — the same quantize-then-compare bridge
+    # every fp comparison in this module uses (see sim1's cos_sim)
+    return (
+        f"ROUND(list_sum(list_transform(range(1, {_KM_DIM + 1}), i ->"
+        f" ({v}[CAST(i AS INT)] - {c}[CAST(i AS INT)])"
+        f" * ({v}[CAST(i AS INT)] - {c}[CAST(i AS INT)]))), 6)"
+    )
+
+
+def _km_assign_sql(n: int, cents: str) -> str:
+    return f"""
+a{n} AS (
+  SELECT vec_id, v, cid AS cluster FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_km_d2_sql('e.v', 'c.cv')}, c.cid) AS rn
+    FROM e, {cents} c
+  ) WHERE rn = 1
+)"""
+
+
+def _km_means_sql(n: int, assigned: str) -> str:
+    return f"""
+c{n} AS (
+  SELECT cluster AS cid, list(c ORDER BY idx) AS cv FROM (
+    SELECT cluster, CAST(i AS INT) AS idx,
+           CAST(SUM(CAST(FLOOR(v[CAST(i AS INT)] * {KM_SCALE})
+                         AS DECIMAL(38,0))) AS DOUBLE)
+             / {KM_SCALE} / COUNT(*) AS c
+    FROM {assigned}, UNNEST(range(1, {_KM_DIM + 1})) AS t(i)
+    GROUP BY 1, 2
+  )
+  GROUP BY cluster
+)"""
+
+
+_KM_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {KM_K}),
+{",".join(
+    _km_assign_sql(i, f"c{i}") + "," + _km_means_sql(i + 1, f"a{i}")
+    for i in range(KM_ITERS)
+).lstrip()},
+{_km_assign_sql(KM_ITERS, f"c{KM_ITERS}").lstrip()}
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+       CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
+FROM a{KM_ITERS}
+"""
+
+
+@register(
+    "sim11_kmeans_refine",
+    oracle=_KM_ORACLE,
+    tags=("similarity", "kmeans", "iterative", "clustering"),
+)
+def sim11_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means: KM_K seed centroids (the first KM_K
+    vectors — deterministic init), KM_ITERS assign→recompute rounds, then
+    the reported assignment ``(vec_id, cluster, cluster_size)``. The
+    semantic-clustering primitive under SemDedup-style pruning (sim9
+    consumes exactly this partition) and IVF codebook training (sim6/ann
+    use one such refinement).
+
+    Iterative-algorithm shape for Spark:
+    - centroids live in ONE driver-checkpointed row (an array of
+      (cid, vector) structs) that BROADCASTS to every task — the corpus
+      is scanned once per assignment, never shuffled by cluster for the
+      argmin itself;
+    - ``localCheckpoint`` truncates lineage each round (the d9 pattern,
+      dedup.py) so the final plan replays nothing — without it the plan
+      nests every prior round and re-scans exponentially;
+    - centroid recompute is the ONLY shuffle per round: posexplode to
+      (cluster, idx, quantized comp) partial-aggregates map-side into
+      ≤ KM_K × 64 cells.
+
+    Determinism: distances quantize to 6 dp with min-cid tie-break (the
+    sim1 bridge); means use the sim3 exact-decimal quantized sum, so the
+    recomputed centroid components are bit-identical doubles in any
+    IEEE-754 engine and every round's assignment is reproducible.
+
+    An empty cluster drops out of the centroid set (standard Lloyd
+    degeneracy; the oracle's GROUP BY has the same semantics).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+    def d2(a, b):
+        return F.round(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    def assign(cents_row: DataFrame) -> DataFrame:
+        scored = F.transform(
+            F.col("cents"),
+            lambda c: F.struct(d2(F.col("v"), c["cv"]).alias("d"), c["cid"].alias("cid")),
+        )
+        # array_min on (d, cid) structs = lexicographic argmin: nearest
+        # centroid, smallest cid on rounded-distance ties
+        return (
+            vecs.join(F.broadcast(cents_row))
+            .select("vec_id", "v", F.array_min(scored)["cid"].alias("cluster"))
+        )
+
+    def means(assigned: DataFrame) -> DataFrame:
+        ex = assigned.select("cluster", F.posexplode("v").alias("idx", "comp"))
+        cell = ex.groupBy("cluster", "idx").agg(
+            (
+                F.sum(
+                    F.floor(F.col("comp") * F.lit(KM_SCALE)).cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(KM_SCALE)
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+        per = cell.groupBy("cluster").agg(
+            F.array_sort(F.collect_list(F.struct("idx", "c"))).alias("pairs")
+        )
+        return per.select(
+            F.col("cluster").alias("cid"),
+            F.transform("pairs", lambda p: p["c"]).alias("cv"),
+        ).agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents"))
+
+    cents = vecs.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    ).agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents"))
+    for _ in range(KM_ITERS):
+        cents = means(assign(cents)).localCheckpoint(eager=True)
+    final = assign(cents)
+    w = Window.partitionBy("cluster")
+    return final.select(
+        "vec_id",
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+    )

@@ -492,3 +492,15 @@ def test_p3_corpus_never_broadcast(plan_of):
         r"\(\d+\) BroadcastExchange\nInput \[\d+\]: \[([^\]]*)\]", plan
     ):
         assert "text#" not in cols, cols
+
+
+def test_sim11_assignment_broadcasts_centroids(plan_of):
+    """Each Lloyd assignment broadcasts the one-row centroid array over a
+    single corpus scan; localCheckpoint truncates prior rounds out of the
+    final plan (one embeddings scan, not one per iteration), and the
+    cluster-size window is partitioned by cluster."""
+    plan = plan_of("sim11_kmeans_refine")
+    assert plan.count("embeddings.parquet") == 1
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan

@@ -1,0 +1,126 @@
+"""Durable bloom-index streaming dedup (streaming/bloom_dedup.py):
+multi-batch parity with batch keep-first dedup, cross-restart state,
+and replay idempotence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_spark.streaming.bloom_dedup import BloomDedupSink, start_bloom_dedup
+
+
+@pytest.fixture(scope="module")
+def chunked_docs(spark, sf_dir, tmp_path_factory):
+    """Documents split into three doc_id-ordered files, with every doc of
+    the LAST chunk also duplicated (new ids) into it — so dups exist
+    both across batches (chunk 3 repeats chunk 1 texts) and within one.
+    File mtimes force chunk order = doc_id order."""
+    import os
+
+    d = tmp_path_factory.mktemp("bloom_stream")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    c1 = docs.filter(F.col("doc_id") % 3 == 0)
+    c2 = docs.filter(F.col("doc_id") % 3 == 1)
+    # chunk 3: its own docs + copies of chunk-1 texts under fresh ids
+    dup = c1.select(
+        (F.col("doc_id") + 10 * n).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    c3 = docs.filter(F.col("doc_id") % 3 == 2).unionByName(dup)
+    paths = []
+    for i, c in enumerate([c1, c2, c3]):
+        p = str(d / f"chunk-{i}")
+        c.coalesce(1).write.mode("overwrite").parquet(p)
+        paths.append(p)
+    files = []
+    import glob
+    import shutil
+
+    out = tmp_path_factory.mktemp("bloom_stream_files")
+    for i, p in enumerate(paths):
+        src = glob.glob(f"{p}/part-*.parquet")[0]
+        dst = str(out / f"part-{i:03d}.parquet")
+        shutil.copy(src, dst)
+        files.append(dst)
+    base = os.path.getmtime(files[-1])
+    for i, f in enumerate(files):
+        os.utime(f, (base + i, base + i))
+    return str(out)
+
+
+def _stream(spark, d, mfpt=1):
+    schema = spark.read.parquet(d).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", mfpt)
+        .parquet(d)
+    )
+
+
+@pytest.mark.streaming
+def test_bloom_dedup_stream_matches_batch_keep_first(
+    spark, chunked_docs, tmp_path
+):
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    q = start_bloom_dedup(
+        spark,
+        _stream(spark, chunked_docs),
+        state,
+        out,
+        str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    docs = spark.read.parquet(chunked_docs).withColumn("h", F.sha2("text", 256))
+    # batches arrive in doc_id-block order and the sink keeps min-id
+    # within a batch, so global winner per hash = global min doc_id
+    want = (
+        docs.groupBy("h").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    )
+    got_ids = sorted(r[0] for r in got.select("doc_id").collect())
+    want_ids = sorted(r[0] for r in want.collect())
+    assert got_ids == want_ids
+    # every admitted hash exactly once
+    n_hashes = spark.read.parquet(f"{state}/hashes").count()
+    assert n_hashes == len(want_ids)
+    assert (
+        spark.read.parquet(f"{state}/hashes").distinct().count() == n_hashes
+    )
+
+
+@pytest.mark.streaming
+def test_bloom_dedup_replay_is_idempotent(spark, chunked_docs, tmp_path):
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    sink = BloomDedupSink(spark, state, out)
+    batch = spark.read.parquet(chunked_docs)
+    sink.process_batch(batch, 0)
+    n1 = spark.read.parquet(out).count()
+    h1 = spark.read.parquet(f"{state}/hashes").count()
+    sink.process_batch(batch, 0)  # replay: must be a no-op
+    assert spark.read.parquet(out).count() == n1
+    assert spark.read.parquet(f"{state}/hashes").count() == h1
+    # a NEW batch of the same rows is all-dup: nothing admitted
+    sink.process_batch(batch, 1)
+    assert spark.read.parquet(out).count() == n1
+
+
+@pytest.mark.streaming
+def test_bloom_dedup_state_survives_new_sink(spark, chunked_docs, tmp_path):
+    """A fresh sink instance (restart analog) sees the durable index and
+    rejects previously admitted texts."""
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    batch = spark.read.parquet(chunked_docs)
+    BloomDedupSink(spark, state, out).process_batch(batch, 0)
+    n1 = spark.read.parquet(out).count()
+    BloomDedupSink(spark, state, out).process_batch(batch, 7)
+    assert spark.read.parquet(out).count() == n1
