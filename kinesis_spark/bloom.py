@@ -71,12 +71,18 @@ def probe_bloom(
     k: int = DEFAULT_K,
 ) -> DataFrame:
     """Append boolean ``maybe_member``: true iff all k probe bits are set
-    in the (broadcast) bitmap. False ⇒ definitively not a member."""
+    in the (broadcast) bitmap. False ⇒ definitively not a member.
+
+    Row-preserving: the explode/regroup round trip keys on a per-row uid
+    so fully-identical input rows keep their multiplicity (a groupBy on
+    the visible columns alone would silently merge them)."""
     out_cols = df.columns
+    uid = "__probe_uid"
     probed = (
-        df.select(*out_cols, F.explode(bloom_probes(F.col(key), m_bits, k)).alias("p"))
+        df.withColumn(uid, F.monotonically_increasing_id())
+        .select(uid, *out_cols, F.explode(bloom_probes(F.col(key), m_bits, k)).alias("p"))
         .join(F.broadcast(bloom), F.col("p.word") == bloom.word, "left")
-        .groupBy(*out_cols)
+        .groupBy(uid, *out_cols)
         .agg(
             F.bool_and(
                 F.coalesce(
@@ -85,6 +91,7 @@ def probe_bloom(
                 )
             ).alias("maybe_member")
         )
+        .drop(uid)
     )
     return probed
 

@@ -294,35 +294,39 @@ SELECT 'lineitem.l_orderkey->orders' AS relationship,
          AS n_orphans,
        CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
          / COUNT(*) AS orphan_rate
-FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+  ON l.l_orderkey = o.o_orderkey
 UNION ALL
 SELECT 'orders.o_custkey->customer',
        COUNT(*),
        CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
          / COUNT(*)
-FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+  ON o.o_custkey = c.c_custkey
 UNION ALL
 SELECT 'lineitem.l_partkey->part',
        COUNT(*),
        CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
          / COUNT(*)
-FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+  ON l.l_partkey = p.p_partkey
 UNION ALL
 SELECT 'lineitem.l_suppkey->supplier',
        COUNT(*),
        CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
          / COUNT(*)
-FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+  ON l.l_suppkey = s.s_suppkey
 UNION ALL
 SELECT 'events.user_id->active_customer',
        COUNT(*),
        CAST(SUM(CASE WHEN a.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        CAST(SUM(CASE WHEN a.c_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
          / COUNT(*)
-FROM events e LEFT JOIN (SELECT c_custkey FROM customer WHERE c_acctbal > 0) a
+FROM events e LEFT JOIN (SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 0) a
   ON e.user_id = a.c_custkey
 """,
     tags=("quality", "integrity", "join"),
@@ -338,9 +342,9 @@ def dq3_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns only (the scans read a single column per side — no payload
     ever moves), aggregated to a single counter row before the union,
     so the output is #relationships rows regardless of input size.
-    Parent keys are deduplicated first: a duplicated parent would
-    silently multiply child counts via join fanout, turning the audit
-    itself into a lie. No broadcast hints — dimension sides that fit
+    Parent keys are deduplicated first (on BOTH the Spark and the oracle
+    side): a duplicated parent would silently multiply child counts via
+    join fanout, turning the audit itself into a lie. No broadcast hints — dimension sides that fit
     will broadcast via AQE; at 100 TB fact-fact pairs shuffle narrow
     bigints."""
 

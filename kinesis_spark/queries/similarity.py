@@ -63,6 +63,20 @@ def _cosine_pre(va, vb, na, nb):
     return F.round(dot / (na * nb), 6)
 
 
+def _d2(a, b):
+    """Squared L2 between two double arrays, rounded to 6 dp — the
+    file-wide fp-comparison bridge (see sim1's cos_sim). Shared by the
+    PQ assignment (sim10) and the k-means argmin (sim11)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
 def _doubled(df):
     d = df.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
@@ -760,16 +774,6 @@ def sim10_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p"),
     ).select("vec_id", "p.s", "p.sv")
 
-    def d2(a, b):
-        return F.round(
-            F.aggregate(
-                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        )
-
     cb = subs.filter(F.col("vec_id") < PQ_CENTROIDS).select(
         F.col("vec_id").alias("cid"), "s", F.col("sv").alias("cv")
     )
@@ -786,7 +790,7 @@ def sim10_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform(
                     "cents",
                     lambda c: F.struct(
-                        d2(F.col("sv"), c["cv"]).alias("d2"), c["cid"].alias("cid")
+                        _d2(F.col("sv"), c["cv"]).alias("d2"), c["cid"].alias("cid")
                     ),
                 )
             )["cid"].alias("cid"),
@@ -797,7 +801,7 @@ def sim10_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), "s", F.col("sv").alias("qsv"))
         .join(F.broadcast(cb), "s")
         .select(
-            "query_id", "s", "cid", d2(F.col("qsv"), F.col("cv")).alias("qd2")
+            "query_id", "s", "cid", _d2(F.col("qsv"), F.col("cv")).alias("qd2")
         )
     )
     adc = (
@@ -966,20 +970,10 @@ def sim11_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
 
-    def d2(a, b):
-        return F.round(
-            F.aggregate(
-                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        )
-
     def assign(cents_row: DataFrame) -> DataFrame:
         scored = F.transform(
             F.col("cents"),
-            lambda c: F.struct(d2(F.col("v"), c["cv"]).alias("d"), c["cid"].alias("cid")),
+            lambda c: F.struct(_d2(F.col("v"), c["cv"]).alias("d"), c["cid"].alias("cid")),
         )
         # array_min on (d, cid) structs = lexicographic argmin: nearest
         # centroid, smallest cid on rounded-distance ties

@@ -11,11 +11,12 @@ backfills AND streaming intakes) can share:
 - ``<state_dir>/bloom``  — the (word, bits) bitmap relation, ≤ m_bits/64
   rows (8 KiB at the default size). Merging a batch's bitmap is
   ``bit_or`` per word — commutative/associative, so the index never has
-  to be rebuilt from history.
-- ``<state_dir>/hashes`` — the admitted content hashes (one 32-byte-hex
-  column), append-only. Read ONLY to verify bloom-positives, with the
-  candidate set broadcast (batch-scale) against it — never shuffled,
-  never broadcast itself.
+  to be rebuilt from history (and when it IS lost, it rebuilds from the
+  hash store in one scan: the bitmap is derived state, never the truth).
+- ``<state_dir>/hashes`` — the admitted content hashes, one subdirectory
+  per committed batch (``ingest_batch=<token>-<id>``). Read ONLY to
+  verify bloom-positives, with the candidate set broadcast (batch-scale)
+  against it — never shuffled, never broadcast itself.
 
 Per micro-batch cost is therefore: one narrow pass over the batch
 (row-local dense-bitmap probes), plus a hash-store scan proportional to
@@ -24,16 +25,32 @@ some candidate might be a dup. At 100 TB of corpus the bitmap stays
 8 KiB (the fpp rises — size m_bits for the corpus, the module parameter
 exists for exactly that) and the per-batch work stays batch-scale.
 
-Exactly-once: foreachBatch replays a batch after failure. Every state
-mutation here is guarded by a committed-batch marker (``_last_batch``),
-so a replayed batch_id is a no-op — admitted output, hash store, and
-bitmap advance atomically-enough for the single-writer contract
-Structured Streaming gives foreachBatch.
+Exactly-once protocol (foreachBatch replays a batch after failure):
+
+1. Admitted rows and their hashes are written with OVERWRITE into a
+   per-batch subdirectory keyed by (run token, batch id) — a replay
+   rewrites the same files instead of appending duplicates.
+2. The verify anti-join excludes the batch's OWN hash subdirectory, so
+   a replay whose first attempt died mid-write recomputes the identical
+   admitted set (its own partial hashes can't mask its rows as dups).
+3. The bitmap merge is idempotent (``bit_or`` of already-set bits) and
+   the bitmap itself is conservative: a crash that leaves it "ahead"
+   only routes rows through the exact verify, never drops them; a crash
+   that loses it triggers a rebuild from the hash store.
+4. The committed-batch marker is scoped to the run token (derived from
+   the checkpoint location) — a NEW query restarting batch numbering at
+   0 is new data to process, not a replay to skip.
+
+The per-batch subdirectories surface as an ``ingest_batch`` string
+column when reading ``out_dir`` — admission provenance for free (the
+prov-family discipline).
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,18 +67,19 @@ from kinesis_spark.bloom import (
 _MARKER = "_last_batch"
 
 
-def _read_marker(state_dir: str) -> int:
+def _read_marker(state_dir: str) -> tuple[str, int]:
     try:
         with open(os.path.join(state_dir, _MARKER)) as f:
-            return int(f.read().strip())
+            token, _, bid = f.read().strip().rpartition(":")
+            return token, int(bid)
     except (OSError, ValueError):
-        return -1
+        return "", -1
 
 
-def _write_marker(state_dir: str, batch_id: int) -> None:
+def _write_marker(state_dir: str, token: str, batch_id: int) -> None:
     tmp = os.path.join(state_dir, f".{_MARKER}.tmp")
     with open(tmp, "w") as f:
-        f.write(str(batch_id))
+        f.write(f"{token}:{batch_id}")
     os.replace(tmp, os.path.join(state_dir, _MARKER))
 
 
@@ -81,6 +99,7 @@ class BloomDedupSink:
         id_col: str = "doc_id",
         m_bits: int = DEFAULT_M_BITS,
         k: int = DEFAULT_K,
+        run_token: str = "adhoc",
     ) -> None:
         self.spark = spark
         self.state_dir = state_dir
@@ -89,6 +108,7 @@ class BloomDedupSink:
         self.id_col = id_col
         self.m_bits = m_bits
         self.k = k
+        self.run_token = run_token
         os.makedirs(state_dir, exist_ok=True)
 
     # -- state ------------------------------------------------------------
@@ -100,20 +120,30 @@ class BloomDedupSink:
     def _hash_dir(self) -> str:
         return os.path.join(self.state_dir, "hashes")
 
-    def _load_bloom(self) -> DataFrame | None:
-        if not os.path.isdir(self._bloom_dir):
-            return None
-        return self.spark.read.parquet(self._bloom_dir)
+    def _batch_key(self, batch_id: int) -> str:
+        return f"{self.run_token}-{batch_id}"
 
     def _load_hashes(self) -> DataFrame | None:
         if not os.path.isdir(self._hash_dir):
             return None
         return self.spark.read.parquet(self._hash_dir)
 
+    def _load_bloom(self) -> DataFrame | None:
+        if os.path.isdir(self._bloom_dir):
+            return self.spark.read.parquet(self._bloom_dir)
+        # bitmap lost (e.g. crash between the swap renames): rebuild from
+        # the hash store — the bitmap is derived state, the store is truth
+        store = self._load_hashes()
+        if store is None:
+            return None
+        return build_bloom(store, "h", self.m_bits, self.k)
+
     # -- the batch hook ---------------------------------------------------
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        if batch_id <= _read_marker(self.state_dir):
-            return  # replay of a committed batch: idempotent no-op
+        m_token, m_id = _read_marker(self.state_dir)
+        if m_token == self.run_token and batch_id <= m_id:
+            return  # replay of a committed batch from THIS run: no-op
+        key = self._batch_key(batch_id)
         hashed = batch.withColumn("h", F.sha2(self.text_col, 256))
         # within-batch winner per hash: smallest id (the d1 discipline)
         w = Window.partitionBy("h").orderBy(self.id_col)
@@ -123,6 +153,12 @@ class BloomDedupSink:
             .drop("_rn")
         )
 
+        store = self._load_hashes()
+        if store is not None:
+            # exclude this batch's OWN subdirectory: a replayed batch
+            # must not see its first attempt's partial hashes as "already
+            # admitted" (partition pruning skips the dir entirely)
+            store = store.filter(F.col("ingest_batch") != key).select("h")
         bloom = self._load_bloom()
         if bloom is None:
             admitted = hashed
@@ -131,7 +167,6 @@ class BloomDedupSink:
             probed = probe_bloom_dense(hashed, dense, "h", self.m_bits, self.k)
             clean = probed.filter(~F.col("maybe_member")).drop("maybe_member")
             cand = probed.filter(F.col("maybe_member")).drop("maybe_member")
-            store = self._load_hashes()
             if store is None:
                 admitted = clean.unionByName(cand)
             else:
@@ -143,12 +178,18 @@ class BloomDedupSink:
 
         # materialize once: admitted feeds three writes below
         admitted = admitted.localCheckpoint(eager=True)
+        out_sub = os.path.join(self.out_dir, f"ingest_batch={key}")
+        hash_sub = os.path.join(self._hash_dir, f"ingest_batch={key}")
         if admitted.isEmpty():
-            _write_marker(self.state_dir, batch_id)
+            # clear any partial first attempt, then commit the no-op
+            shutil.rmtree(out_sub, ignore_errors=True)
+            shutil.rmtree(hash_sub, ignore_errors=True)
+            _write_marker(self.state_dir, self.run_token, batch_id)
             return
 
-        admitted.drop("h").write.mode("append").parquet(self.out_dir)
-        admitted.select("h").write.mode("append").parquet(self._hash_dir)
+        # per-batch OVERWRITE: a replay rewrites, never duplicates
+        admitted.drop("h").write.mode("overwrite").parquet(out_sub)
+        admitted.select("h").write.mode("overwrite").parquet(hash_sub)
 
         batch_bloom = build_bloom(admitted, "h", self.m_bits, self.k)
         merged = batch_bloom if bloom is None else (
@@ -157,18 +198,18 @@ class BloomDedupSink:
             .agg(F.bit_or("bits").alias("bits"))
         )
         # the bitmap is <= m_bits/64 rows; rewrite it in one file so the
-        # next batch's read is a single-footer scan
+        # next batch's read is a single-footer scan. The two-rename swap
+        # can crash in the middle — _load_bloom's rebuild path covers the
+        # no-bloom-dir window, and leftovers are cleared up front.
         tmp = self._bloom_dir + ".tmp"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
         old = self._bloom_dir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
         if os.path.isdir(self._bloom_dir):
             os.replace(self._bloom_dir, old)
         os.replace(tmp, self._bloom_dir)
-        if os.path.isdir(old):
-            import shutil
-
-            shutil.rmtree(old, ignore_errors=True)
-        _write_marker(self.state_dir, batch_id)
+        shutil.rmtree(old, ignore_errors=True)
+        _write_marker(self.state_dir, self.run_token, batch_id)
 
 
 def start_bloom_dedup(
@@ -185,7 +226,11 @@ def start_bloom_dedup(
     trigger_available_now: bool = False,
 ):
     """Wire :class:`BloomDedupSink` into a streaming query. Returns the
-    started ``StreamingQuery``."""
+    started ``StreamingQuery``. The run token is derived from the
+    checkpoint location: the same checkpoint resumes the same batch
+    numbering (marker applies); a new checkpoint is a new run (its
+    batch 0 is new data, not a replay)."""
+    token = hashlib.sha1(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
     sink = BloomDedupSink(
         spark,
         state_dir,
@@ -194,6 +239,7 @@ def start_bloom_dedup(
         id_col=id_col,
         m_bits=m_bits,
         k=k,
+        run_token=token,
     )
     writer = (
         docs_stream.writeStream.foreachBatch(sink.process_batch)

@@ -138,3 +138,19 @@ def test_j10_bloom_prefilter_sheds_rows(spark, sf_dir):
     true_matches = l.join(o, l.l_orderkey == o.o_orderkey, "left_semi").count()
     assert kept >= true_matches          # no false negatives
     assert kept < total                  # the filter actually sheds rows
+
+
+def test_probe_bloom_preserves_duplicate_rows(spark):
+    """probe_bloom must be row-preserving: two fully-identical input
+    rows (no unique id column) stay two rows — the explode/regroup
+    round trip keys on an internal uid, not the visible columns."""
+    from kinesis_spark.bloom import build_bloom, probe_bloom
+
+    corpus = spark.createDataFrame([("a",), ("b",)], "key string")
+    batch = spark.createDataFrame([("a",), ("a",), ("z",)], "key string")
+    bloom = build_bloom(corpus, "key")
+    probed = probe_bloom(batch, bloom, "key")
+    rows = sorted((r["key"], r["maybe_member"]) for r in probed.collect())
+    assert rows.count(("a", True)) == 2
+    assert ("z", False) in rows
+    assert len(rows) == 3

@@ -124,3 +124,64 @@ def test_bloom_dedup_state_survives_new_sink(spark, chunked_docs, tmp_path):
     n1 = spark.read.parquet(out).count()
     BloomDedupSink(spark, state, out).process_batch(batch, 7)
     assert spark.read.parquet(out).count() == n1
+
+
+@pytest.mark.streaming
+def test_bloom_dedup_new_run_token_is_not_a_replay(spark, chunked_docs, tmp_path):
+    """A marker from run A must not swallow run B's batch 0 (new
+    checkpoint => batch ids restart => different data, same numbering)."""
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    docs = spark.read.parquet(chunked_docs)
+    first = docs.filter(F.col("doc_id") % 3 == 0)
+    rest = docs.filter(F.col("doc_id") % 3 != 0)
+    BloomDedupSink(spark, state, out, run_token="runA").process_batch(first, 5)
+    n1 = spark.read.parquet(out).count()
+    # run B starts over at batch 0 with NEW data: must be processed
+    BloomDedupSink(spark, state, out, run_token="runB").process_batch(rest, 0)
+    n2 = spark.read.parquet(out).count()
+    assert n2 > n1
+    # and run B's own replay of batch 0 is still a no-op
+    BloomDedupSink(spark, state, out, run_token="runB").process_batch(rest, 0)
+    assert spark.read.parquet(out).count() == n2
+
+
+@pytest.mark.streaming
+def test_bloom_dedup_replay_after_partial_write(spark, chunked_docs, tmp_path):
+    """Crash between the hash write and the marker: the replay must not
+    count its own partial hashes as prior admissions (no row loss) and
+    must not duplicate output rows (overwrite, not append)."""
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    docs = spark.read.parquet(chunked_docs)
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    sink = BloomDedupSink(spark, state, out)
+    sink.process_batch(b0, 0)
+    # simulate batch 1's first attempt dying after the hash write but
+    # before the marker: its hashes exist, out rows exist, marker says 0
+    b1h = b1.withColumn("h", F.sha2("text", 256)).select("h")
+    b1h.write.mode("overwrite").parquet(f"{state}/hashes/ingest_batch=adhoc-1")
+    b1.write.mode("overwrite").parquet(f"{out}/ingest_batch=adhoc-1")
+    sink.process_batch(b1, 1)  # the replay
+    got = spark.read.parquet(out)
+    want_n = b0.count() + b1.count()  # no cross-chunk dups in these two
+    assert got.count() == want_n
+    assert got.select("doc_id").distinct().count() == want_n
+
+
+@pytest.mark.streaming
+def test_bloom_dedup_bitmap_rebuilds_from_hash_store(spark, chunked_docs, tmp_path):
+    """Losing the bitmap (crash mid-swap) must degrade to a rebuild from
+    the hash store — previously admitted texts are still rejected."""
+    import shutil as _sh
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    docs = spark.read.parquet(chunked_docs)
+    sink = BloomDedupSink(spark, state, out)
+    sink.process_batch(docs, 0)
+    n1 = spark.read.parquet(out).count()
+    _sh.rmtree(f"{state}/bloom")
+    sink.process_batch(docs, 1)  # all dups; bitmap must rebuild, not admit
+    assert spark.read.parquet(out).count() == n1
