@@ -874,3 +874,139 @@ def e16_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("attributed_value"),
     )
+
+
+@register(
+    "e17_abandoned_checkout",
+    oracle="""
+WITH e0 AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+  FROM events
+),
+v AS (
+  SELECT user_id, ts, event_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id) AS rn
+    FROM e0 WHERE event_type = 'view'
+  ) WHERE rn = 1
+),
+c AS (SELECT event_id, user_id, ts FROM e0 WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM e0 WHERE event_type = 'purchase'),
+err AS (SELECT event_id, user_id, ts FROM e0 WHERE event_type = 'error'),
+pair AS (
+  SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+         v.event_id AS view_id, v.ts AS view_ts
+  FROM c JOIN v ON c.user_id = v.user_id
+   AND v.ts >= c.ts - INTERVAL 30 MINUTE AND v.ts < c.ts
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY c.event_id
+                             ORDER BY v.ts DESC) = 1
+),
+flags AS (
+  SELECT pr.*,
+    EXISTS (SELECT 1 FROM p WHERE p.user_id = pr.user_id
+             AND p.ts > pr.click_ts
+             AND p.ts <= pr.click_ts + INTERVAL 1 HOUR) AS has_purchase,
+    (SELECT COUNT(*) FROM err
+      WHERE err.user_id = pr.user_id
+        AND (err.ts, err.event_id) > (pr.view_ts, pr.view_id)
+        AND (err.ts, err.event_id) < (pr.click_ts, pr.click_id)
+    ) AS errors_between
+  FROM pair pr
+)
+SELECT user_id, click_id, view_id,
+       CAST(errors_between AS BIGINT) AS errors_between,
+       has_purchase,
+       (NOT has_purchase AND errors_between = 0) AS abandoned
+FROM flags
+""",
+    tags=("events", "pattern", "window"),
+)
+def e17_abandoned_checkout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection (the MATCH_RECOGNIZE Spark doesn't
+    have): for every click, find the pattern
+
+        view (≤30 min before) → click [no error between] →
+        NO purchase within 1 h after
+
+    and emit (user, click, matched view, errors_between, has_purchase,
+    abandoned) — the abandoned-checkout / rage-path primitive.
+
+    Expressed entirely with composable window machinery — no
+    event×event pairwise join:
+    - one union-free pass over events per user, ordered by exact
+      microseconds; views collapse per (user, ts) first (the e16/j7 tie
+      discipline);
+    - the matched view is ``last(view_struct)`` over RANGE
+      ``[-30 min, -1 µs]`` — the frame bounds ARE the pattern's time
+      window, in integer micros;
+    - "no error between" is a CUMULATIVE error counter (ROWS frame over
+      (ts, event_id) order) carried INSIDE the view struct: errors
+      between = counter at click − counter at matched view. Negation
+      over a sequence becomes a subtraction — no anti-join;
+    - "no purchase within 1 h" is ``first(marker)`` over RANGE
+      ``[+1 µs, +1 h]``.
+
+    Scale: one shuffle on user_id, three frames over the same sort
+    order, output rows = clicks with a qualifying view. The oracle
+    replays the pattern relationally (correlated EXISTS + row-value
+    comparisons) — same semantics, different plan family.
+    """
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "tsu", F.unix_micros("ts")
+    )
+    wt = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    is_view = F.col("event_type") == "view"
+    # collapse views per (user, ts); other rows keep rn=1 trivially
+    e = (
+        e.withColumn(
+            "rn", F.when(is_view, F.row_number().over(wt)).otherwise(F.lit(1))
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    order = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    cum_err = F.sum(
+        F.when(F.col("event_type") == "error", 1).otherwise(0)
+    ).over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    e = e.withColumn("cum_err", cum_err)
+
+    vframe = (
+        Window.partitionBy("user_id")
+        .orderBy("tsu")
+        .rangeBetween(-30 * 60 * 1_000_000, -1)
+    )
+    pframe = (
+        Window.partitionBy("user_id")
+        .orderBy("tsu")
+        .rangeBetween(1, 3600 * 1_000_000)
+    )
+    view_struct = F.when(
+        F.col("event_type") == "view",
+        F.struct(
+            F.col("tsu").alias("vtsu"),
+            F.col("event_id").alias("vid"),
+            F.col("cum_err").alias("vcum"),
+        ),
+    )
+    purchase_marker = F.when(F.col("event_type") == "purchase", F.lit(1))
+    scored = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "cum_err",
+        F.last(view_struct, ignorenulls=True).over(vframe).alias("v"),
+        F.first(purchase_marker, ignorenulls=True).over(pframe).alias("p"),
+    )
+    clicks = scored.filter(
+        (F.col("event_type") == "click") & F.col("v").isNotNull()
+    )
+    errors_between = (F.col("cum_err") - F.col("v.vcum")).cast("bigint")
+    has_purchase = F.col("p").isNotNull()
+    return clicks.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("v.vid").alias("view_id"),
+        errors_between.alias("errors_between"),
+        has_purchase.alias("has_purchase"),
+        (~has_purchase & (errors_between == 0)).alias("abandoned"),
+    )

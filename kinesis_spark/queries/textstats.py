@@ -715,3 +715,83 @@ def t11_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_logprob"
         ),
     )
+
+
+# ---- t12: hashing-trick linear classifier ---------------------------------
+
+HT_BUCKETS = 4096  # feature-hash space (fastText-style 2^k buckets)
+HT_GRAM = 3  # character n-gram width
+
+
+@register(
+    "t12_hashed_linear_score",
+    oracle=f"""
+SELECT doc_id,
+       CAST(LENGTH(text) - {HT_GRAM - 1} AS BIGINT) AS n_grams,
+       CAST(list_sum(list_transform(range(1, LENGTH(text) - {HT_GRAM - 2}),
+         i -> (CAST(('0x' || substr(md5('w#' || CAST(
+                 CAST(('0x' || substr(md5(substring(text, CAST(i AS INT), {HT_GRAM})), 1, 15)) AS BIGINT)
+                 % {HT_BUCKETS} AS VARCHAR)), 1, 15)) AS BIGINT) % 2001) - 1000))
+         AS BIGINT) AS score_milli,
+       CAST(CAST(list_sum(list_transform(range(1, LENGTH(text) - {HT_GRAM - 2}),
+         i -> (CAST(('0x' || substr(md5('w#' || CAST(
+                 CAST(('0x' || substr(md5(substring(text, CAST(i AS INT), {HT_GRAM})), 1, 15)) AS BIGINT)
+                 % {HT_BUCKETS} AS VARCHAR)), 1, 15)) AS BIGINT) % 2001) - 1000))
+         AS BIGINT) AS DOUBLE) / 1000.0 AS score,
+       list_sum(list_transform(range(1, LENGTH(text) - {HT_GRAM - 2}),
+         i -> (CAST(('0x' || substr(md5('w#' || CAST(
+                 CAST(('0x' || substr(md5(substring(text, CAST(i AS INT), {HT_GRAM})), 1, 15)) AS BIGINT)
+                 % {HT_BUCKETS} AS VARCHAR)), 1, 15)) AS BIGINT) % 2001) - 1000))
+         >= 0 AS accept
+FROM documents
+WHERE LENGTH(text) >= {HT_GRAM}
+""",
+    tags=("text", "classifier", "hashing-trick"),
+)
+def t12_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear text scorer — the fastText-shaped quality/
+    language filter every LLM ingest pipeline runs at full-corpus scale:
+    character {HT_GRAM}-grams hash into {HT_BUCKETS} weight buckets
+    (no vocabulary, no OOV problem) and the document score is the sum of
+    its grams' weights. The weight table here is a deterministic
+    pseudo-model (bucket -> md5-derived integer milli-weight in
+    [-1, 1]); swapping in trained weights changes ONE expression and no
+    plan shape.
+
+    Scale shape — strictly map-only: the gram->bucket->weight->sum chain
+    runs INSIDE one row via sequence/transform/aggregate (no explode, no
+    shuffle, no weight-table join at all — the "table" is a pure hash
+    function of the bucket id, the extreme end of the broadcast-a-model
+    spectrum). Weights are INTEGER millis summed exactly, so the score
+    is deterministic in any engine and the double rendering is one exact
+    division at the end. A trained-weights variant would broadcast a
+    {HT_BUCKETS}-row map instead — still corpus-scan x O(1) lookups.
+    """
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+
+    def h60(col):
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("text") - (HT_GRAM - 1)),
+        lambda i: F.substring(F.col("text"), i, HT_GRAM),
+    )
+    bucket = lambda g: h60(g) % HT_BUCKETS  # noqa: E731
+    w_milli = lambda g: (
+        h60(F.concat(F.lit("w#"), bucket(g).cast("string"))) % 2001
+    ) - 1000  # noqa: E731
+    score_milli = F.aggregate(
+        grams, F.lit(0).cast("bigint"), lambda acc, g: acc + w_milli(g)
+    )
+    return d.filter(F.length("text") >= HT_GRAM).select(
+        "doc_id",
+        (F.length("text") - (HT_GRAM - 1)).cast("bigint").alias("n_grams"),
+        score_milli.alias("score_milli"),
+        (score_milli.cast("double") / 1000.0).alias("score"),
+        (score_milli >= 0).alias("accept"),
+    )
+
+
+t12_hashed_linear_score.__doc__ = t12_hashed_linear_score.__doc__.format(
+    HT_GRAM=HT_GRAM, HT_BUCKETS=HT_BUCKETS
+)

@@ -84,6 +84,9 @@ OPERATORS = [
     "sim10_pq_adc",
     "t11_bigram_lm_score",
     "s13_temperature_mixture",
+    # r3: Lloyd refinement — per-round cost is (corpus x K) map-side
+    # argmin + a (K x 64)-cell aggregate; should scale ~linearly
+    "sim11_kmeans_refine",
 ]
 
 

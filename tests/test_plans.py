@@ -504,3 +504,22 @@ def test_sim11_assignment_broadcasts_centroids(plan_of):
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_t12_is_map_only(plan_of):
+    """Hashing-trick scoring must stay inside the scan's narrow pipeline:
+    no aggregate shuffle, no join — the only Exchange is the
+    ensure_min_partitions round-robin."""
+    plan = plan_of("t12_hashed_linear_score")
+    assert "HashAggregate" not in plan
+    assert "Join" not in plan
+    assert "Sort (" not in plan
+
+
+def test_e17_single_scan_partitioned_windows(plan_of):
+    """Pattern detection reads events ONCE and every window frame is
+    user-partitioned — no pairwise event join, no global window."""
+    plan = plan_of("e17_abandoned_checkout")
+    assert plan.count("events.parquet") == 1
+    assert "SinglePartition" not in plan
+    assert "Join" not in plan
