@@ -490,3 +490,73 @@ def a13_heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cnt").alias("est_cnt"))
         .withColumn("within_bound", F.col("est_cnt") >= F.col("true_cnt"))
     )
+
+
+@register(
+    "a14_theta_segment_algebra",
+    oracle="""
+WITH seg AS (SELECT DISTINCT event_type, user_id FROM events),
+pairs(seg_a, seg_b) AS (VALUES ('click', 'purchase'),
+                               ('view', 'click'),
+                               ('signup', 'error'))
+SELECT p.seg_a, p.seg_b,
+       (SELECT COUNT(DISTINCT s.user_id) FROM seg s
+         WHERE s.event_type IN (p.seg_a, p.seg_b)) AS union_users,
+       (SELECT COUNT(*) FROM
+          (SELECT user_id FROM seg WHERE event_type = p.seg_a
+           INTERSECT
+           SELECT user_id FROM seg WHERE event_type = p.seg_b))
+         AS intersect_users,
+       (SELECT COUNT(*) FROM
+          (SELECT user_id FROM seg WHERE event_type = p.seg_a
+           EXCEPT
+           SELECT user_id FROM seg WHERE event_type = p.seg_b))
+         AS only_a_users
+FROM pairs p
+""",
+    tags=("agg", "sketch", "theta", "setops"),
+)
+def a14_theta_segment_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience set algebra on Datasketches THETA sketches: per-segment
+    (event_type) sketches of the user id support UNION, INTERSECTION and
+    DIFFERENCE cardinalities — the "users in A ∩ B" question HLL cannot
+    answer (HLL only unions; a12 covers that face). One sketch per
+    segment, then pure sketch-on-sketch algebra per pair.
+
+    Scale shape: ``theta_sketch_agg`` partial-aggregates map-side (the
+    shuffle carries ≤ 4 KiB per (segment × task)); the pair table is a
+    3-row literal broadcast against the 5-row sketch relation, and the
+    set algebra runs on fixed-size sketch binaries — corpus cost is ONE
+    events scan no matter how many pair queries follow. At 100 TB the
+    same sketches persist to parquet and answer every segment-overlap
+    question without re-reading events (the a12/rollup.py pattern).
+
+    Exactness: theta sketches are exact below their nominal-entries
+    threshold (4096 here vs ≤1500 fixture users), so the estimates are
+    integers and the DuckDB oracle checks them bit-for-bit; above the
+    threshold the same plan degrades to ±1.6% estimates — that mode is
+    bounds-tested like a8 via tests/test_sketches.py.
+    """
+    e = load_table(spark, sf_dir, "events")
+    sk = e.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    pairs = spark.createDataFrame(
+        [("click", "purchase"), ("view", "click"), ("signup", "error")],
+        "seg_a string, seg_b string",
+    )
+    a = sk.select(F.col("event_type").alias("seg_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("event_type").alias("seg_b"), F.col("sk").alias("sk_b"))
+    joined = pairs.join(F.broadcast(a), "seg_a").join(F.broadcast(b), "seg_b")
+    est = F.theta_sketch_estimate
+    return joined.select(
+        "seg_a",
+        "seg_b",
+        est(F.theta_union("sk_a", "sk_b")).cast("bigint").alias("union_users"),
+        est(F.theta_intersection("sk_a", "sk_b"))
+        .cast("bigint")
+        .alias("intersect_users"),
+        est(F.theta_difference("sk_a", "sk_b"))
+        .cast("bigint")
+        .alias("only_a_users"),
+    )

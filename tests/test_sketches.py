@@ -154,3 +154,31 @@ def test_probe_bloom_preserves_duplicate_rows(spark):
     assert rows.count(("a", True)) == 2
     assert ("z", False) in rows
     assert len(rows) == 3
+
+
+def test_theta_sketch_above_threshold_bounds(spark):
+    """a14's sketches leave exact mode above ~4096 distinct keys; the
+    estimate error must stay within the published ±~1.6% (3-sigma ~5%)
+    envelope, and the set algebra must stay consistent."""
+    from pyspark.sql import functions as F
+
+    n = 20000
+    df = spark.range(n).select(
+        (F.col("id") % 2 == 0).alias("even"), F.col("id").alias("uid")
+    )
+    sk = df.groupBy("even").agg(F.theta_sketch_agg("uid").alias("sk"))
+    a = sk.filter("even").select(F.col("sk").alias("sk_a"))
+    b = sk.filter("NOT even").select(F.col("sk").alias("sk_b"))
+    row = (
+        a.crossJoin(b)
+        .select(
+            F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b")).alias("u"),
+            F.theta_sketch_estimate(
+                F.theta_intersection("sk_a", "sk_b")
+            ).alias("i"),
+        )
+        .collect()[0]
+    )
+    assert abs(row["u"] - n) / n < 0.05
+    # disjoint halves: intersection estimate must be ~0 relative to n
+    assert row["i"] / n < 0.01
