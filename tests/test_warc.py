@@ -1,0 +1,117 @@
+"""WARC reader (kinesis_spark/warc.py): framing parser, gzip members,
+malformed-record policy, distributed read, HTTP text extraction."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from kinesis_spark.warc import (
+    MalformedWarcError,
+    http_response_text,
+    parse_warc_bytes,
+    read_warc,
+)
+
+
+def _record(
+    rtype: str = "response",
+    uri: str = "https://example.com/",
+    payload: bytes = b"hello",
+    rec_id: str = "<urn:uuid:1>",
+    extra: str = "",
+) -> bytes:
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {rtype}\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Record-ID: {rec_id}\r\n"
+        f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        f"Content-Type: application/http; msgtype=response\r\n"
+        f"{extra}"
+        f"Content-Length: {len(payload)}\r\n"
+        f"\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+HTTP_PAYLOAD = (
+    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>Die Katze sitzt.</html>"
+)
+
+
+def _warc_file() -> bytes:
+    return (
+        _record("warcinfo", "", b"software: test", "<urn:uuid:0>")
+        + _record("response", "https://a.example/", HTTP_PAYLOAD, "<urn:uuid:1>")
+        + _record("request", "https://a.example/", b"GET / HTTP/1.1\r\n\r\n", "<urn:uuid:2>")
+        + _record("response", "https://b.example/", b"raw-bytes-no-http", "<urn:uuid:3>")
+    )
+
+
+def test_parse_warc_bytes_roundtrip():
+    recs, n_bad = parse_warc_bytes(_warc_file())
+    assert n_bad == 0
+    assert [r["warc_type"] for r in recs] == [
+        "warcinfo", "response", "request", "response",
+    ]
+    assert recs[1]["target_uri"] == "https://a.example/"
+    assert recs[1]["payload"] == HTTP_PAYLOAD
+    assert recs[1]["content_length"] == len(HTTP_PAYLOAD)
+    assert recs[3]["payload"] == b"raw-bytes-no-http"
+
+
+def test_parse_warc_strict_raises_and_skip_counts():
+    # corrupt the second record's Content-Length into garbage
+    good = _warc_file()
+    bad = good.replace(
+        f"Content-Length: {len(HTTP_PAYLOAD)}".encode(), b"Content-Length: x", 1
+    )
+    with pytest.raises(MalformedWarcError):
+        parse_warc_bytes(bad, mode="strict")
+    recs, n_bad = parse_warc_bytes(bad, mode="skip")
+    assert n_bad == 1
+    # resyncs at the next record: warcinfo + request + second response
+    assert [r["warc_type"] for r in recs] == ["warcinfo", "request", "response"]
+
+
+def test_parse_warc_truncated_payload():
+    full = _record(payload=b"0123456789")
+    truncated = full[:-8]  # cut into the payload
+    with pytest.raises(MalformedWarcError):
+        parse_warc_bytes(truncated, mode="strict")
+    recs, n_bad = parse_warc_bytes(truncated, mode="skip")
+    assert recs == [] and n_bad == 1
+
+
+def test_read_warc_distributed(spark, tmp_path):
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "seg-0.warc").write_bytes(_warc_file())
+    # per-record gzip members, the .warc.gz layout
+    recs = [
+        _record("response", "https://gz.example/", b"gzipped body", "<urn:uuid:9>")
+    ]
+    (d / "seg-1.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in recs)
+    )
+    df = read_warc(spark, str(d))
+    rows = {(r["path"].rsplit("/", 1)[-1], r["record_idx"]): r for r in df.collect()}
+    assert len(rows) == 5
+    assert bytes(rows[("seg-0.warc", 1)]["payload"]) == HTTP_PAYLOAD
+    assert bytes(rows[("seg-1.warc.gz", 0)]["payload"]) == b"gzipped body"
+    assert all(r["n_malformed"] == 0 for r in rows.values())
+
+
+def test_http_response_text(spark, tmp_path):
+    d = tmp_path / "crawl2"
+    d.mkdir()
+    (d / "seg.warc").write_bytes(_warc_file())
+    texts = {
+        r["target_uri"]: r["text"]
+        for r in http_response_text(read_warc(spark, str(d))).collect()
+    }
+    assert texts["https://a.example/"] == "<html>Die Katze sitzt.</html>"
+    # a response without an HTTP header block falls back to the raw body
+    assert texts["https://b.example/"] == "raw-bytes-no-http"
