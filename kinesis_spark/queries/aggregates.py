@@ -547,16 +547,33 @@ def a14_theta_segment_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = sk.select(F.col("event_type").alias("seg_a"), F.col("sk").alias("sk_a"))
     b = sk.select(F.col("event_type").alias("seg_b"), F.col("sk").alias("sk_b"))
-    joined = pairs.join(F.broadcast(a), "seg_a").join(F.broadcast(b), "seg_b")
+    # LEFT joins: a pair whose segment has zero events must still emit a
+    # row (the oracle always returns all 3 pairs) — a missing sketch is
+    # an empty set, handled by the when() arms below
+    joined = pairs.join(F.broadcast(a), "seg_a", "left").join(
+        F.broadcast(b), "seg_b", "left"
+    )
     est = F.theta_sketch_estimate
+    has_a = F.col("sk_a").isNotNull()
+    has_b = F.col("sk_b").isNotNull()
+    union_users = (
+        F.when(has_a & has_b, est(F.theta_union("sk_a", "sk_b")))
+        .when(has_a, est(F.col("sk_a")))
+        .when(has_b, est(F.col("sk_b")))
+        .otherwise(F.lit(0))
+    )
+    intersect_users = F.when(
+        has_a & has_b, est(F.theta_intersection("sk_a", "sk_b"))
+    ).otherwise(F.lit(0))
+    only_a_users = (
+        F.when(has_a & has_b, est(F.theta_difference("sk_a", "sk_b")))
+        .when(has_a, est(F.col("sk_a")))
+        .otherwise(F.lit(0))
+    )
     return joined.select(
         "seg_a",
         "seg_b",
-        est(F.theta_union("sk_a", "sk_b")).cast("bigint").alias("union_users"),
-        est(F.theta_intersection("sk_a", "sk_b"))
-        .cast("bigint")
-        .alias("intersect_users"),
-        est(F.theta_difference("sk_a", "sk_b"))
-        .cast("bigint")
-        .alias("only_a_users"),
+        union_users.cast("bigint").alias("union_users"),
+        intersect_users.cast("bigint").alias("intersect_users"),
+        only_a_users.cast("bigint").alias("only_a_users"),
     )

@@ -956,14 +956,16 @@ def e17_abandoned_checkout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wt = Window.partitionBy("user_id", "ts").orderBy("event_id")
     is_view = F.col("event_type") == "view"
-    # collapse views per (user, ts); other rows keep rn=1 trivially
-    e = (
-        e.withColumn(
-            "rn", F.when(is_view, F.row_number().over(wt)).otherwise(F.lit(1))
-        )
+    # collapse views per (user, ts) — ranked among VIEWS ONLY (a mixed
+    # (user, ts) partition would hand a co-timed non-view rn=1 and drop
+    # the view; the oracle ranks within its views CTE the same way)
+    views = (
+        e.filter(is_view)
+        .withColumn("rn", F.row_number().over(wt))
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+    e = views.unionByName(e.filter(~is_view))
     order = Window.partitionBy("user_id").orderBy("tsu", "event_id")
     cum_err = F.sum(
         F.when(F.col("event_type") == "error", 1).otherwise(0)

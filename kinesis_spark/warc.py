@@ -35,7 +35,6 @@ never silent).
 
 from __future__ import annotations
 
-import gzip
 import io
 import zlib
 from typing import Iterator
@@ -145,13 +144,23 @@ def parse_warc_bytes(
 
 def _gunzip_members(data: bytes) -> bytes:
     """Decompress concatenated gzip members (the .warc.gz layout) into
-    one plain byte stream."""
+    one plain byte stream. Slices through a memoryview — zero-copy per
+    member, so a 50k-member Common Crawl segment costs one linear pass,
+    not O(members x filesize) buffer copies. Corrupt members raise
+    :class:`MalformedWarcError` (callers map it through the strict/skip
+    policy)."""
     out = io.BytesIO()
+    view = memoryview(data)
     pos = 0
     while pos < len(data):
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        out.write(d.decompress(data[pos:]))
-        consumed = len(data[pos:]) - len(d.unused_data)
+        try:
+            out.write(d.decompress(view[pos:]))
+        except zlib.error as exc:
+            raise MalformedWarcError(
+                f"corrupt gzip member at byte {pos}: {exc}"
+            ) from exc
+        consumed = (len(data) - pos) - len(d.unused_data)
         if consumed <= 0:
             raise MalformedWarcError(f"gzip member at byte {pos} did not advance")
         pos += consumed
@@ -169,6 +178,8 @@ def read_warc(
     per WARC record, parsed executor-side with Arrow batching. One task
     per file; header columns are tiny, ``payload`` is the binary body.
     """
+    if mode not in ("strict", "skip"):
+        raise ValueError(f"mode must be 'strict' or 'skip', got {mode!r}")
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", path_glob)
@@ -183,9 +194,14 @@ def read_warc(
             rows = []
             for _, r in pdf.iterrows():
                 raw = bytes(r["content"])
-                if r["path"].endswith(".gz") or raw[:2] == b"\x1f\x8b":
-                    raw = _gunzip_members(raw)
-                recs, n_bad = parse_warc_bytes(raw, mode=mode)
+                try:
+                    if r["path"].endswith(".gz") or raw[:2] == b"\x1f\x8b":
+                        raw = _gunzip_members(raw)
+                    recs, n_bad = parse_warc_bytes(raw, mode=mode)
+                except MalformedWarcError:
+                    if mode == "strict":
+                        raise
+                    recs, n_bad = [], 1
                 for i, rec in enumerate(recs):
                     rows.append(
                         {
@@ -193,6 +209,17 @@ def read_warc(
                             "record_idx": i,
                             "n_malformed": n_bad,
                             **rec,
+                        }
+                    )
+                if not recs and n_bad:
+                    # audit sentinel: a wholly-malformed file must not
+                    # vanish silently in skip mode — one null-record row
+                    # carries its path and count
+                    rows.append(
+                        {
+                            "path": r["path"],
+                            "record_idx": -1,
+                            "n_malformed": n_bad,
                         }
                     )
             cols = [f.name for f in WARC_SCHEMA.fields]
@@ -206,12 +233,12 @@ def http_response_text(df: DataFrame) -> DataFrame:
     HTTP response: strip the HTTP header block and decode the body as
     UTF-8 (lossy) — the first step of every crawl-to-text pipeline.
     JVM-side expressions only (no UDF): locate the header/body split and
-    substring the binary."""
-    body_at = F.instr(F.col("payload").cast("string"), "\r\n\r\n")
+    substring the decoded payload — computed once, Column API only."""
+    raw = F.col("payload").cast("string")
+    body_at = F.instr(raw, "\r\n\r\n")
     text = F.when(
-        body_at > 0,
-        F.expr("substring(CAST(payload AS STRING), instr(CAST(payload AS STRING), '\r\n\r\n') + 4)"),
-    ).otherwise(F.col("payload").cast("string"))
+        body_at > 0, F.substring(raw, body_at + 4, F.length(raw))
+    ).otherwise(raw)
     return df.filter(F.col("warc_type") == "response").select(
         "path",
         "record_idx",

@@ -523,3 +523,36 @@ def test_e17_single_scan_partitioned_windows(plan_of):
     assert plan.count("events.parquet") == 1
     assert "SinglePartition" not in plan
     assert "Join" not in plan
+
+
+def test_e17_cotimed_view_survives_collapse(spark, tmp_path):
+    """A view sharing (user_id, ts) with a lower-id non-view must still
+    rank rn=1 among VIEWS and match a later click (regression: ranking
+    over the mixed partition dropped it)."""
+    import datetime
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from kinesis_spark.queries import get_registry
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 7, "click", 0.0, "{}"),           # co-timed, smaller id
+        (2, t0, 7, "view", 0.0, "{}"),            # the view to keep
+        (3, t0 + datetime.timedelta(minutes=10), 7, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{d}/events.parquet")
+    out = {
+        r["click_id"]: r
+        for r in get_registry()["e17_abandoned_checkout"]
+        .spark_fn(spark, d)
+        .collect()
+    }
+    assert 3 in out and out[3]["view_id"] == 2
+    assert out[3]["errors_between"] == 0 and out[3]["abandoned"]

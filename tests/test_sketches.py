@@ -182,3 +182,42 @@ def test_theta_sketch_above_threshold_bounds(spark):
     assert abs(row["u"] - n) / n < 0.05
     # disjoint halves: intersection estimate must be ~0 relative to n
     assert row["i"] / n < 0.01
+
+
+def test_a14_emits_all_pairs_when_segment_missing(spark, tmp_path):
+    """A pair whose segment has no events still emits a row with
+    empty-set semantics (union=|other|, intersect=0, only_a=0) — the
+    oracle always returns all three pairs."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from kinesis_spark.queries import get_registry
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10, "click", 0.0, "{}"),
+        (2, t0, 11, "click", 0.0, "{}"),
+        (3, t0, 10, "purchase", 0.0, "{}"),
+        (4, t0, 12, "error", 0.0, "{}"),   # no 'signup', no 'view'
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{d}/events.parquet")
+    got = {
+        (r["seg_a"], r["seg_b"]): r
+        for r in get_registry()["a14_theta_segment_algebra"]
+        .spark_fn(spark, d)
+        .collect()
+    }
+    assert len(got) == 3
+    r = got[("signup", "error")]  # signup absent entirely
+    assert (r["union_users"], r["intersect_users"], r["only_a_users"]) == (1, 0, 0)
+    r = got[("view", "click")]  # view absent
+    assert (r["union_users"], r["intersect_users"], r["only_a_users"]) == (2, 0, 0)
+    r = got[("click", "purchase")]
+    assert (r["union_users"], r["intersect_users"], r["only_a_users"]) == (2, 1, 1)

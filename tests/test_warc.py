@@ -115,3 +115,31 @@ def test_http_response_text(spark, tmp_path):
     assert texts["https://a.example/"] == "<html>Die Katze sitzt.</html>"
     # a response without an HTTP header block falls back to the raw body
     assert texts["https://b.example/"] == "raw-bytes-no-http"
+
+
+def test_read_warc_corrupt_gzip_policy(spark, tmp_path):
+    """A corrupted gzip member follows the malformed policy: strict
+    raises MalformedWarcError; skip emits an audit sentinel row (path +
+    count, record_idx=-1) instead of silently dropping the file."""
+    d = tmp_path / "crawl3"
+    d.mkdir()
+    (d / "good.warc").write_bytes(_warc_file())
+    blob = bytearray(gzip.compress(_record(payload=b"x" * 64)))
+    blob[len(blob) // 2] ^= 0xFF  # flip a byte mid-stream
+    (d / "bad.warc.gz").write_bytes(bytes(blob))
+
+    with pytest.raises(Exception) as ei:
+        read_warc(spark, str(d), mode="strict").collect()
+    assert "MalformedWarcError" in str(ei.value) or "corrupt gzip" in str(ei.value)
+
+    rows = read_warc(spark, str(d), mode="skip").collect()
+    bad = [r for r in rows if r["path"].endswith("bad.warc.gz")]
+    assert len(bad) == 1
+    assert bad[0]["record_idx"] == -1 and bad[0]["n_malformed"] == 1
+    assert bad[0]["warc_type"] is None
+    assert len([r for r in rows if r["path"].endswith("good.warc")]) == 4
+
+
+def test_read_warc_rejects_bad_mode(spark, tmp_path):
+    with pytest.raises(ValueError):
+        read_warc(spark, str(tmp_path), mode="lenient")
