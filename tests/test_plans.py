@@ -516,11 +516,12 @@ def test_t12_is_map_only(plan_of):
     assert "Sort (" not in plan
 
 
-def test_e17_single_scan_partitioned_windows(plan_of):
-    """Pattern detection reads events ONCE and every window frame is
-    user-partitioned — no pairwise event join, no global window."""
+def test_e17_partitioned_windows_no_pairwise_join(plan_of):
+    """Pattern detection unions a views branch (collapsed among views
+    only) with the non-view branch — two pruned scans of events, every
+    window frame user-partitioned, and never a pairwise event join."""
     plan = plan_of("e17_abandoned_checkout")
-    assert plan.count("events.parquet") == 1
+    assert plan.count("events.parquet") == 2
     assert "SinglePartition" not in plan
     assert "Join" not in plan
 

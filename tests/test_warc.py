@@ -143,3 +143,50 @@ def test_read_warc_corrupt_gzip_policy(spark, tmp_path):
 def test_read_warc_rejects_bad_mode(spark, tmp_path):
     with pytest.raises(ValueError):
         read_warc(spark, str(tmp_path), mode="lenient")
+
+
+def test_warc_to_prep_pipeline_composition(spark, tmp_path):
+    """End-to-end crawl intake: WARC records → HTTP body text → the
+    streaming-prep gate + exact dedup + bloom batch dedup — the
+    crawl-to-corpus path assembled from shipped pieces only."""
+    from pyspark.sql import functions as F
+
+    from kinesis_spark.bloom import bloom_dedup_batch
+
+    d = tmp_path / "crawl4"
+    d.mkdir()
+    body = ("the quick brown fox jumps over the lazy dog again and again "
+            "until the corpus is long enough to pass the token gate")
+    http = (
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    ).encode()
+    recs = b"".join(
+        _record("response", f"https://site{i}.example/", http, f"<urn:uuid:{i}>")
+        for i in range(4)  # 4 identical pages from different URIs
+    ) + _record(
+        "response", "https://short.example/",
+        b"HTTP/1.1 200 OK\r\n\r\ntoo short", "<urn:uuid:9>",
+    )
+    (d / "seg.warc").write_bytes(recs)
+
+    docs = (
+        http_response_text(read_warc(spark, str(d)))
+        .select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.col("target_uri").alias("source"),
+            "text",
+        )
+        .filter(F.size(F.split("text", r"\s+")) >= 10)  # the p1 token gate
+        .withColumn("h", F.sha2("text", 256))
+    )
+    # exact dedup across the crawl (keep one of the 4 identical pages)
+    kept = docs.dropDuplicates(["h"])
+    assert kept.count() == 1
+    # incremental: the deduped crawl batch vs an already-admitted corpus
+    corpus = spark.createDataFrame([(F"{'x'}",)], "h string").select(
+        F.sha2("h", 256).alias("h")
+    )
+    admitted = bloom_dedup_batch(corpus, kept.select("h", "source"), "h")
+    assert admitted.count() == 1  # new content → admitted
+    admitted2 = bloom_dedup_batch(kept.select("h"), kept.select("h", "source"), "h")
+    assert admitted2.count() == 0  # already in corpus → rejected
