@@ -73,16 +73,27 @@ def probe_bloom(
     """Append boolean ``maybe_member``: true iff all k probe bits are set
     in the (broadcast) bitmap. False ⇒ definitively not a member.
 
-    Row-preserving: the explode/regroup round trip keys on a per-row uid
-    so fully-identical input rows keep their multiplicity (a groupBy on
-    the visible columns alone would silently merge them)."""
+    Row-preserving AND payload-slim: only (uid, key) rides the k-way
+    explode/regroup; the verdict joins back on the per-row uid, so
+    payload columns cross the shuffle once (not k times as grouping-key
+    bytes), identical rows keep their multiplicity, and non-groupable
+    column types (maps) are supported."""
     out_cols = df.columns
     uid = "__probe_uid"
-    probed = (
-        df.withColumn(uid, F.monotonically_increasing_id())
-        .select(uid, *out_cols, F.explode(bloom_probes(F.col(key), m_bits, k)).alias("p"))
+    # lazy localCheckpoint: the uid column is referenced by BOTH join
+    # branches, and monotonically_increasing_id must not be re-evaluated
+    # per branch — the checkpoint pins one assignment (materialization is
+    # batch-scale by this function's contract; fact tables use
+    # probe_bloom_dense, which never shuffles or forks)
+    with_uid = df.withColumn(uid, F.monotonically_increasing_id()).localCheckpoint(
+        eager=False
+    )
+    verdict = (
+        with_uid.select(
+            uid, F.explode(bloom_probes(F.col(key), m_bits, k)).alias("p")
+        )
         .join(F.broadcast(bloom), F.col("p.word") == bloom.word, "left")
-        .groupBy(uid, *out_cols)
+        .groupBy(uid)
         .agg(
             F.bool_and(
                 F.coalesce(
@@ -91,9 +102,8 @@ def probe_bloom(
                 )
             ).alias("maybe_member")
         )
-        .drop(uid)
     )
-    return probed
+    return with_uid.join(verdict, uid).select(*out_cols, "maybe_member")
 
 
 def bloom_dedup_batch(
@@ -152,12 +162,13 @@ def probe_bloom_dense(
     k: int = DEFAULT_K,
 ) -> DataFrame:
     """Append ``maybe_member`` WITHOUT any shuffle of ``df``: the 1-row
-    dense bitmap broadcasts, and the k bit checks are row-local map
-    lookups (``forall`` over the probe array). This is the fact-side
-    shape for bloom-prefiltered joins: ``probe_bloom``'s
-    explode+groupBy re-keys the probed table, which is fine for
-    batch-sized inputs but would shuffle a 100 TB fact table twice;
-    this variant costs a scan and nothing else."""
+    dense bitmap broadcasts, and the k bit checks are a plain scalar
+    conjunction of array ``element_at`` lookups — whole-stage-codegen
+    friendly (see the inline comment). This is the fact-side shape for
+    bloom-prefiltered joins: ``probe_bloom``'s explode+regroup re-keys
+    the probed table, which is fine for batch-sized inputs but would
+    shuffle a 100 TB fact table; this variant costs a scan and nothing
+    else."""
     out_cols = df.columns
     # an explicit k-way conjunction, not forall() over a probe array:
     # higher-order functions run interpreted per row, while these plain

@@ -495,7 +495,8 @@ def a13_heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a14_theta_segment_algebra",
     oracle="""
-WITH seg AS (SELECT DISTINCT event_type, user_id FROM events),
+WITH seg AS (SELECT DISTINCT event_type, user_id FROM events
+             WHERE user_id IS NOT NULL),
 pairs(seg_a, seg_b) AS (VALUES ('click', 'purchase'),
                                ('view', 'click'),
                                ('signup', 'error'))

@@ -313,7 +313,12 @@ def p3_incremental_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
        window as p1.
     2. near-dup vs corpus: the batch's MinHash band keys equi-join the
        corpus band index (a production system persists that index
-       incrementally; here it is derived in-query). Any shared band
+       incrementally; here it is derived in-query, which costs extra
+       corpus scans — three total: bloom build, exact confirm, band
+       index. Measured cheaper at bench scale than checkpointing the
+       token-heavy intermediates; at 100 TB the persisted bitmap + band
+       index — streaming/bloom_dedup.py, ann.py — replace ALL corpus
+       rescans, which is the production point of this incremental mode). Any shared band
        drops the batch doc — conservative LSH admission, resolvable
        later by d4's exact verify.
     3. per (lang, source) admission report: batch size, exact-dup,

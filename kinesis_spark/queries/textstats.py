@@ -792,6 +792,7 @@ def t12_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-t12_hashed_linear_score.__doc__ = t12_hashed_linear_score.__doc__.format(
-    HT_GRAM=HT_GRAM, HT_BUCKETS=HT_BUCKETS
-)
+if t12_hashed_linear_score.__doc__:  # absent under python -OO
+    t12_hashed_linear_score.__doc__ = t12_hashed_linear_score.__doc__.format(
+        HT_GRAM=HT_GRAM, HT_BUCKETS=HT_BUCKETS
+    )
