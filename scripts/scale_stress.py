@@ -87,6 +87,10 @@ OPERATORS = [
     # r3: Lloyd refinement — per-round cost is (corpus x K) map-side
     # argmin + a (K x 64)-cell aggregate; should scale ~linearly
     "sim11_kmeans_refine",
+    # r3: bounded-cluster SemDedup — the sim9 mitigation measured: pair
+    # stage linear (cluster size pinned at ~64), residual growth is the
+    # flat O(n*K) Lloyd assignment (production: IVF coarse quantizer)
+    "sim12_semdedup_bounded",
 ]
 
 
