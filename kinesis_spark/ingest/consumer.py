@@ -268,10 +268,20 @@ class RetryingConsumer:
 
     def latest_sequence_numbers(self, stream_name: str) -> dict[str, str]:
         # proxy the connector helper too, so a retry-wrapped client works
-        # as the streaming source's backend (latestOffset calls this)
-        return self._with_retry(
-            lambda: self._inner.latest_sequence_numbers(stream_name)
-        )
+        # as the streaming source's backend (latestOffset calls this).
+        # Only tip-probing clients implement it (SpoolConsumerClient);
+        # the raw AWS API has no direct "tip sequence" call, so wrapping
+        # Boto3ConsumerClient surfaces a clear contract error instead of
+        # an AttributeError deep inside latestOffset
+        probe = getattr(self._inner, "latest_sequence_numbers", None)
+        if probe is None:
+            raise NotImplementedError(
+                f"{type(self._inner).__name__} has no tip probe "
+                "(latest_sequence_numbers); the streaming source needs a "
+                "client that can report per-shard tips — see "
+                "SpoolConsumerClient"
+            )
+        return self._with_retry(lambda: probe(stream_name))
 
 
 def make_boto3_consumer(region_name: str | None = None, **kwargs) -> Boto3ConsumerClient:

@@ -364,7 +364,14 @@ def run_to_completion(
         .start()
     )
     try:
-        query.awaitTermination(timeout_s)
+        finished = query.awaitTermination(timeout_s)
+        if not finished:
+            # a slow drain must be a LOUD timeout, not a silently
+            # truncated memory table handed to an oracle comparison
+            raise TimeoutError(
+                f"streaming query {query_name!r} did not drain within "
+                f"{timeout_s}s"
+            )
     finally:
         query.stop()
     return df.sparkSession.table(query_name)

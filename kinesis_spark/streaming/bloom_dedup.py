@@ -5,8 +5,11 @@ the always-on twin of ``d15_bloom_incremental_dedup`` / ``bloom_dedup_batch``
 ``streaming/prep.py`` already dedups across micro-batches with streaming
 ``dropDuplicates`` — state lives in the query's state store, scoped to
 one query and one checkpoint. This module keeps the dedup state OUTSIDE
-the query, as two parquet relations a whole fleet of jobs (batch
-backfills AND streaming intakes) can share:
+the query, as two parquet relations that survive restarts and that any
+number of READERS (batch backfills, audits) can consult; WRITES are
+single-writer by contract — one foreachBatch query owns a state_dir at
+a time (Structured Streaming serializes its batches; two concurrent
+writer jobs would race the bitmap swap):
 
 - ``<state_dir>/bloom``  — the (word, bits) bitmap relation, ≤ m_bits/64
   rows (8 KiB at the default size). Merging a batch's bitmap is
@@ -48,7 +51,6 @@ prov-family discipline).
 
 from __future__ import annotations
 
-import hashlib
 import os
 import shutil
 
@@ -99,7 +101,8 @@ class BloomDedupSink:
         id_col: str = "doc_id",
         m_bits: int = DEFAULT_M_BITS,
         k: int = DEFAULT_K,
-        run_token: str = "adhoc",
+        run_token: str | None = None,
+        checkpoint_dir: str | None = None,
     ) -> None:
         self.spark = spark
         self.state_dir = state_dir
@@ -108,7 +111,13 @@ class BloomDedupSink:
         self.id_col = id_col
         self.m_bits = m_bits
         self.k = k
-        self.run_token = run_token
+        # token identity: explicit > the streaming query's OWN id from
+        # the checkpoint metadata (stable across restarts of the same
+        # checkpoint, FRESH when the checkpoint is recreated — a path
+        # hash would wrongly survive rm -rf) > a per-instance nonce
+        self._fixed_token = run_token
+        self._checkpoint_dir = checkpoint_dir
+        self._resolved_token: str | None = None
         os.makedirs(state_dir, exist_ok=True)
 
     # -- state ------------------------------------------------------------
@@ -119,6 +128,29 @@ class BloomDedupSink:
     @property
     def _hash_dir(self) -> str:
         return os.path.join(self.state_dir, "hashes")
+
+    @property
+    def run_token(self) -> str:
+        if self._resolved_token is not None:
+            return self._resolved_token
+        if self._fixed_token is not None:
+            self._resolved_token = self._fixed_token
+        elif self._checkpoint_dir is not None:
+            import json
+            import uuid
+
+            try:
+                with open(os.path.join(self._checkpoint_dir, "metadata")) as f:
+                    self._resolved_token = json.load(f)["id"][:12]
+            except (OSError, ValueError, KeyError):
+                # first call can race the checkpoint bootstrap; fall back
+                # without caching so a later call picks the real id
+                return f"boot-{uuid.uuid4().hex[:12]}"
+        else:
+            import uuid
+
+            self._resolved_token = uuid.uuid4().hex[:12]
+        return self._resolved_token
 
     def _batch_key(self, batch_id: int) -> str:
         return f"{self.run_token}-{batch_id}"
@@ -170,10 +202,16 @@ class BloomDedupSink:
             if store is None:
                 admitted = clean.unionByName(cand)
             else:
-                # verify bloom-positives exactly: candidate keys are
-                # batch-scale -> broadcast them at the store, keep only
-                # candidates whose hash is genuinely new
-                fresh = cand.join(store, "h", "left_anti")
+                # verify bloom-positives exactly, the bloom_dedup_batch
+                # shape (bloom.py): the BATCH-scale candidate key set
+                # broadcasts against the store (which is scanned, never
+                # shuffled, never broadcast), then candidates anti-join
+                # the confirmed keys
+                cand_keys = cand.select("h").distinct()
+                confirmed = store.join(
+                    F.broadcast(cand_keys), "h", "left_semi"
+                ).distinct()
+                fresh = cand.join(F.broadcast(confirmed), "h", "left_anti")
                 admitted = clean.unionByName(fresh)
 
         # materialize once: admitted feeds three writes below
@@ -226,11 +264,11 @@ def start_bloom_dedup(
     trigger_available_now: bool = False,
 ):
     """Wire :class:`BloomDedupSink` into a streaming query. Returns the
-    started ``StreamingQuery``. The run token is derived from the
-    checkpoint location: the same checkpoint resumes the same batch
-    numbering (marker applies); a new checkpoint is a new run (its
-    batch 0 is new data, not a replay)."""
-    token = hashlib.sha1(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
+    started ``StreamingQuery``. The run token is the streaming query's
+    own id (read from the checkpoint metadata): the same checkpoint
+    resumes the same batch numbering (marker applies); a NEW or
+    recreated checkpoint gets a new query id, so its batch 0 is new
+    data to process, not a replay to skip."""
     sink = BloomDedupSink(
         spark,
         state_dir,
@@ -239,7 +277,7 @@ def start_bloom_dedup(
         id_col=id_col,
         m_bits=m_bits,
         k=k,
-        run_token=token,
+        checkpoint_dir=checkpoint_dir,
     )
     writer = (
         docs_stream.writeStream.foreachBatch(sink.process_batch)

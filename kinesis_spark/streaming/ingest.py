@@ -261,10 +261,18 @@ def start_ingest_query(
                 nonlocal batch, batch_bytes
                 if not batch:
                     return
-                if limiter is not None:
-                    limiter.acquire(len(batch), batch_bytes)
                 pending = batch
                 for _attempt in range(4):
+                    # pay the shard envelope on EVERY attempt (the
+                    # synchronous Writer does the same, writer.py: a
+                    # throttled retry that skips the limiter would both
+                    # hammer the throttled shard and exceed the
+                    # configured aggregate rate)
+                    if limiter is not None:
+                        limiter.acquire(
+                            len(pending),
+                            sum(key_len + len(r.data) for r in pending),
+                        )
                     responses = client.put_records(sname, pending)
                     acc_calls.add(1)
                     # positional per-record results (the Kinesis contract):
@@ -310,9 +318,16 @@ def start_ingest_query(
                 batch_bytes += rsize
             flush()
 
-        chunks.foreachPartition(put_partition)
-        if persisted is not None:
-            persisted.unpersist()
+        try:
+            chunks.foreachPartition(put_partition)
+        except Exception as exc:
+            # surface the failure in the metrics mirror before the query
+            # dies — operators see WHY, not just a stopped query
+            metrics.errors.append(str(exc)[:500])
+            raise
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
         # surface accumulator values driver-side after the batch completes
         metrics.rows_dropped = acc_rows_dropped.value
         metrics.bytes_dropped = acc_bytes_dropped.value

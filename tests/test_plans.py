@@ -557,3 +557,14 @@ def test_e17_cotimed_view_survives_collapse(spark, tmp_path):
     }
     assert 3 in out and out[3]["view_id"] == 2
     assert out[3]["errors_between"] == 0 and out[3]["abandoned"]
+
+
+def test_sim12_blocked_pair_join_not_cartesian(plan_of):
+    """Bounded SemDedup must pair ONLY within k-means cells: the pair
+    stage is an equi-join on the cluster id (shuffled hash/sort-merge),
+    never a cartesian product, and the Lloyd assignment broadcasts the
+    centroid row like sim11."""
+    plan = plan_of("sim12_semdedup_bounded")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # centroid broadcast
+    assert "SinglePartition" not in plan

@@ -100,7 +100,7 @@ def test_bloom_dedup_stream_matches_batch_keep_first(
 def test_bloom_dedup_replay_is_idempotent(spark, chunked_docs, tmp_path):
     state = str(tmp_path / "state")
     out = str(tmp_path / "out")
-    sink = BloomDedupSink(spark, state, out)
+    sink = BloomDedupSink(spark, state, out, run_token="adhoc")
     batch = spark.read.parquet(chunked_docs)
     sink.process_batch(batch, 0)
     n1 = spark.read.parquet(out).count()
@@ -156,7 +156,7 @@ def test_bloom_dedup_replay_after_partial_write(spark, chunked_docs, tmp_path):
     docs = spark.read.parquet(chunked_docs)
     b0 = docs.filter(F.col("doc_id") % 3 == 0)
     b1 = docs.filter(F.col("doc_id") % 3 == 1)
-    sink = BloomDedupSink(spark, state, out)
+    sink = BloomDedupSink(spark, state, out, run_token="adhoc")
     sink.process_batch(b0, 0)
     # simulate batch 1's first attempt dying after the hash write but
     # before the marker: its hashes exist, out rows exist, marker says 0
@@ -179,9 +179,40 @@ def test_bloom_dedup_bitmap_rebuilds_from_hash_store(spark, chunked_docs, tmp_pa
     state = str(tmp_path / "state")
     out = str(tmp_path / "out")
     docs = spark.read.parquet(chunked_docs)
-    sink = BloomDedupSink(spark, state, out)
+    sink = BloomDedupSink(spark, state, out, run_token="adhoc")
     sink.process_batch(docs, 0)
     n1 = spark.read.parquet(out).count()
     _sh.rmtree(f"{state}/bloom")
     sink.process_batch(docs, 1)  # all dups; bitmap must rebuild, not admit
     assert spark.read.parquet(out).count() == n1
+
+
+@pytest.mark.streaming
+def test_bloom_dedup_recreated_checkpoint_is_new_run(spark, chunked_docs, tmp_path):
+    """The run token is the streaming query id from the checkpoint
+    metadata: recreating the checkpoint (new id, batch ids restart)
+    must NOT let the old marker swallow the new run's batch 0."""
+    import json
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    (ckpt / "metadata").write_text(json.dumps({"id": "aaaaaaaaaaaaaaaa"}))
+    docs = spark.read.parquet(chunked_docs)
+    first = docs.filter(F.col("doc_id") % 3 == 0)
+    rest = docs.filter(F.col("doc_id") % 3 != 0)
+    s1 = BloomDedupSink(spark, state, out, checkpoint_dir=str(ckpt))
+    s1.process_batch(first, 5)
+    n1 = spark.read.parquet(out).count()
+    # same checkpoint, replay of batch 5: no-op
+    BloomDedupSink(spark, state, out, checkpoint_dir=str(ckpt)).process_batch(
+        first, 5
+    )
+    assert spark.read.parquet(out).count() == n1
+    # checkpoint recreated -> new query id -> batch 0 is NEW data
+    (ckpt / "metadata").write_text(json.dumps({"id": "bbbbbbbbbbbbbbbb"}))
+    BloomDedupSink(spark, state, out, checkpoint_dir=str(ckpt)).process_batch(
+        rest, 0
+    )
+    assert spark.read.parquet(out).count() > n1
