@@ -102,6 +102,10 @@ def query_ivf_index(
         .withColumn("crk", F.row_number().over(w_probe))
         .filter(F.col("crk") <= n_probe)
         .select("query_id", "qv", "cell")
+        # materialize once: the probes plan (queries x codebook crossJoin
+        # + window) feeds BOTH the probe-cell collect and the candidate
+        # join below — query-set-scale, cheap to pin
+        .localCheckpoint(eager=True)
     )
     # the probed-cell filter must be a literal IN list so it prunes
     # partitions at file listing; a join would read every cell directory

@@ -23,11 +23,34 @@ def dataset_bytes(spark: SparkSession, df: DataFrame) -> int:
     never reads data)."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
+    from urllib.parse import urlparse
+
+    files = df.inputFiles()
+    # compare scheme-less paths: inputFiles() URIs and listStatus paths
+    # render the same file with different scheme spellings
+    # (file:/ vs file:///); a silent mismatch would report 0 bytes
+    wanted = {urlparse(u).path for u in files}
+    # ONE listStatus per parent directory instead of one getFileStatus
+    # RPC per file: compacting 100k small files (this module's reason to
+    # exist) would otherwise stall the driver on 100k metadata calls
+    parents: dict[str, None] = {}
+    for uri in files:
+        parents.setdefault(uri.rsplit("/", 1)[0], None)
     total = 0
-    for uri in df.inputFiles():
-        path = jvm.org.apache.hadoop.fs.Path(uri)
-        fs = path.getFileSystem(conf)
-        total += fs.getFileStatus(path).getLen()
+    n_seen = 0
+    for parent in parents:
+        ppath = jvm.org.apache.hadoop.fs.Path(parent)
+        fs = ppath.getFileSystem(conf)
+        for st in fs.listStatus(ppath):
+            if st.getPath().toUri().getPath() in wanted:
+                total += st.getLen()
+                n_seen += 1
+    if n_seen != len(wanted):
+        raise RuntimeError(
+            f"dataset_bytes matched {n_seen}/{len(wanted)} input files in "
+            "directory listings — path scheme mismatch, refusing to size "
+            "the compaction from partial metadata"
+        )
     return total
 
 

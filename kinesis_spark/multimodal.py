@@ -129,7 +129,13 @@ def sample_frames(media: DataFrame, frame_bytes: int = 256, every_k: int = 4) ->
     scale this is the cheap pre-filter before a real decoder sees data:
     bytes shrink by ~1/k before any UDF runs."""
     n_frames = F.ceil(F.col("n_bytes") / F.lit(frame_bytes)).cast("int")
-    frame_idx = F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx")
+    # guard the empty payload: sequence(0, -1) steps DOWNWARD to [0, -1]
+    # rather than yielding an empty array, which would fabricate a
+    # phantom frame_idx=0 row for zero-byte media
+    idx_array = F.when(
+        n_frames > 0, F.sequence(F.lit(0), n_frames - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    frame_idx = F.explode(idx_array).alias("frame_idx")
     frames = media.select("media_id", "modality", "payload", frame_idx)
     return (
         frames.filter(F.col("frame_idx") % every_k == 0)

@@ -56,6 +56,13 @@ def salted_join(
     replica (up to ``num_salts`` spurious null-fact rows), which no
     post-filter can distinguish from genuine matches generically.
     """
+    for side, df in (("fact", fact), ("dim", dim)):
+        if "__salt" in df.columns:
+            raise ValueError(
+                f"{side} side already has a column named '__salt' — the "
+                "internal salt column would silently clobber and drop it; "
+                "rename the caller's column first"
+            )
     if how not in ("inner", "left", "left_outer", "leftouter"):
         raise ValueError(
             f"salted_join supports inner/left joins, got {how!r}: an outer "

@@ -129,7 +129,12 @@ def read_parquet(
         if schema is None:
             raise ValueError("streaming parquet requires an explicit schema")
         return spark.readStream.schema(schema).parquet(path)
-    return spark.read.parquet(path)
+    reader = spark.read
+    if schema is not None:
+        # enforce, don't infer: a caller passing a schema wants drifted
+        # files to fail loudly, not be silently widened/renamed
+        reader = reader.schema(schema)
+    return reader.parquet(path)
 
 
 BINARY_FILE_SCHEMA = T.StructType(
@@ -245,7 +250,10 @@ def read_orc(
         if schema is None:
             raise ValueError("streaming orc requires an explicit schema")
         return spark.readStream.schema(schema).orc(path)
-    return spark.read.orc(path)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
 
 
 def write_orc(

@@ -57,9 +57,16 @@ def upsert_partitioned(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         try:
-            target = spark.read.parquet(target_dir).filter(
-                F.col(partition_col).isin(parts)
+            # NULL-partition rows live in __HIVE_DEFAULT_PARTITION__,
+            # which the dynamic overwrite rewrites whenever the batch
+            # touches it — isin() never matches NULL, so the filter
+            # needs the explicit isNull arm (the rollup.py:69 fix)
+            touched = F.col(partition_col).isin(
+                [x for x in parts if x is not None]
             )
+            if any(x is None for x in parts):
+                touched = touched | F.col(partition_col).isNull()
+            target = spark.read.parquet(target_dir).filter(touched)
         except AnalysisException as exc:
             # bootstrap ONLY on a genuinely missing target — any other
             # analysis error (wrong partition_col, schema drift) must

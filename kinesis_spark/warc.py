@@ -160,6 +160,13 @@ def _gunzip_members(data: bytes) -> bytes:
             raise MalformedWarcError(
                 f"corrupt gzip member at byte {pos}: {exc}"
             ) from exc
+        if not d.eof:
+            # zlib returns partial output WITHOUT error on a truncated
+            # stream — a cut-off download must be loud, not a silently
+            # shorter archive
+            raise MalformedWarcError(
+                f"truncated gzip member at byte {pos} (stream ended mid-member)"
+            )
         consumed = (len(data) - pos) - len(d.unused_data)
         if consumed <= 0:
             raise MalformedWarcError(f"gzip member at byte {pos} did not advance")

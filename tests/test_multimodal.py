@@ -106,3 +106,20 @@ def test_resize_fake_nearest_neighbor_values(spark):
     r = resize_images(df, out_w=2, out_h=1, fake=True).collect()[0]
     # y=0 -> sy=0; x=0 -> sx=0 -> b[0]=2 ; x=1 -> sx=1 -> b[1]=1
     assert bytes(r.pixels) == bytes([2, 1])
+
+
+def test_sample_frames_empty_payload_yields_no_rows(spark):
+    """A zero-byte payload must produce zero frame rows (sequence(0,-1)
+    would otherwise fabricate a phantom frame_idx=0)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_spark.multimodal import sample_frames
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b""), 0), (2, "image", bytearray(b"abcd"), 4)],
+        "media_id long, modality string, payload binary, n_bytes long",
+    )
+    got = sample_frames(media, frame_bytes=2, every_k=1)
+    rows = got.select("media_id", "frame_idx").collect()
+    assert all(r["media_id"] == 2 for r in rows)
+    assert sorted(r["frame_idx"] for r in rows) == [0, 1]

@@ -190,3 +190,11 @@ def test_warc_to_prep_pipeline_composition(spark, tmp_path):
     assert admitted.count() == 1  # new content → admitted
     admitted2 = bloom_dedup_batch(kept.select("h"), kept.select("h", "source"), "h")
     assert admitted2.count() == 0  # already in corpus → rejected
+
+
+def test_gunzip_truncated_member_is_loud():
+    from kinesis_spark.warc import _gunzip_members
+
+    full = gzip.compress(_record(payload=b"y" * 128))
+    with pytest.raises(MalformedWarcError):
+        _gunzip_members(full[:-10])
