@@ -42,15 +42,16 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     times: dict[str, float] = {}
     for name, q in sorted(get_registry().items()):
         best = float("inf")
-        try:
-            for _ in range(2):
+        for _ in range(2):
+            try:
                 t0 = time.monotonic()
                 materialize(q.spark_fn(spark, sf_dir))
                 best = min(best, time.monotonic() - t0)
-            times[name] = round(best, 3)
-        except Exception as exc:  # keep the suite going; report the failure
-            times[name] = -1.0
-            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            except Exception as exc:  # keep the suite going; report it
+                print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+        # a transient failure on one run must not discard the other
+        # run's valid steady-state measurement
+        times[name] = round(best, 3) if best != float("inf") else -1.0
     return times
 
 
@@ -84,11 +85,16 @@ def bench_ingest_soak(spark, seconds: float = 6.0, rows_per_second: int = 100,
     # stream warmup doesn't dilute the rate
     t0 = time.monotonic()
     first_bytes = first_t = None
+    first_records = first_calls = 0
     try:
         while time.monotonic() - t0 < seconds + 4:
             time.sleep(0.25)
             if first_bytes is None and metrics.bytes_put > 0:
+                # snapshot ALL counters at the window start so every
+                # reported figure covers the same steady-state window
                 first_bytes, first_t = metrics.bytes_put, time.monotonic()
+                first_records = metrics.records_put
+                first_calls = metrics.put_calls
             if first_t is not None and time.monotonic() - first_t >= seconds:
                 break
     finally:
@@ -99,16 +105,20 @@ def bench_ingest_soak(spark, seconds: float = 6.0, rows_per_second: int = 100,
     elapsed = time.monotonic() - first_t
     return {
         "kib_per_s": round((metrics.bytes_put - first_bytes) / 1024.0 / elapsed, 1),
-        "records_put": metrics.records_put,
+        "records_put": metrics.records_put - first_records,
         "rows_dropped": metrics.rows_dropped,
-        "put_calls": metrics.put_calls,
+        "put_calls": metrics.put_calls - first_calls,
         "seconds": round(elapsed, 1),
     }
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", "") or 0.1)
+    except ValueError:
+        sf = -1.0  # cosmetic metadata only; never abort the suite over it
     spark = get_spark("kinesis_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = bench_queries(spark, sf_dir)

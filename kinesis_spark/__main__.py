@@ -46,15 +46,20 @@ def _consume(args, stdout) -> int:
     """Read side: every shard, TRIM_HORIZON to tip, this partition key's
     Data concatenated in sequence order (per-key order is total because
     one key maps to one shard's sequence)."""
+    from kinesis_spark.ingest.consumer import RetryingConsumer
+
     if args.fake_sink:
         from kinesis_spark.ingest.consumer import SpoolConsumerClient
 
-        consumer = SpoolConsumerClient(args.fake_sink)
+        consumer = RetryingConsumer(SpoolConsumerClient(args.fake_sink))
     else:
         try:
             from kinesis_spark.ingest.consumer import make_boto3_consumer
 
-            consumer = make_boto3_consumer(args.region)
+            # retry-wrapped: the tight drain loop below WILL hit the
+            # 5 reads/s/shard Kinesis cap on a real backlog; throttles
+            # must back off, not crash the CLI mid-stream
+            consumer = RetryingConsumer(make_boto3_consumer(args.region))
         except NotImplementedError as exc:
             raise SystemExit(str(exc)) from exc
     recs: list[tuple[str, bytes]] = []

@@ -12,7 +12,14 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+def _cpus() -> int:
+    # read at CALL time, not import time: the master local[N] below reads
+    # the same variable, and a split read would desynchronize shuffle
+    # partitions from core count
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+DEFAULT_SHUFFLE_PARTITIONS = _cpus()  # back-compat alias (import-time snapshot)
 
 
 def get_spark(app_name: str = "kinesis_spark", master: str | None = None) -> SparkSession:
@@ -37,11 +44,11 @@ def get_spark(app_name: str = "kinesis_spark", master: str | None = None) -> Spa
             f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
         )
 
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cpus = _cpus()
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -109,8 +109,10 @@ def _build(spark, out_dir: str, replicas: int) -> None:
             .alias("text"),
             "lang",
             "source",
-            "n_chars",
         )
+        # n_chars must agree with the suffixed text (metadata that lies
+        # about its row corrupts any length-validating operator)
+        .withColumn("n_chars", F.length("text").cast("long"))
         .repartition(32)
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "documents.parquet"))
@@ -148,9 +150,18 @@ def time_warm(spark, name: str, sf_dir: str) -> float:
 def main() -> None:
     spark = get_spark("kinesis_spark-scale-stress")
     spark.sparkContext.setLogLevel("ERROR")
-    if "--rebuild" in sys.argv or not os.path.isdir(SF1X):
+    def _complete(d: str) -> bool:
+        # a crash between the two table writes must trigger a rebuild,
+        # not wedge every later run on the missing half
+        return all(
+            os.path.isdir(os.path.join(d, t)) for t in ("documents.parquet", "embeddings.parquet")
+        ) or all(
+            os.path.exists(os.path.join(d, t)) for t in ("documents.parquet", "embeddings.parquet")
+        )
+
+    if "--rebuild" in sys.argv or not _complete(SF1X):
         _build(spark, SF1X, 1)
-    if "--rebuild" in sys.argv or not os.path.isdir(SF10X):
+    if "--rebuild" in sys.argv or not _complete(SF10X):
         _build(spark, SF10X, REPLICAS)
     for d in (SF1X, SF10X):  # warm footers
         load_table(spark, d, "documents").count()
