@@ -23,23 +23,32 @@ def dataset_bytes(spark: SparkSession, df: DataFrame) -> int:
     never reads data)."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     files = df.inputFiles()
-    # compare scheme-less paths: inputFiles() URIs and listStatus paths
-    # render the same file with different scheme spellings
-    # (file:/ vs file:///); a silent mismatch would report 0 bytes
-    wanted = {urlparse(u).path for u in files}
+    # compare scheme-less, DECODED paths: inputFiles() URIs keep percent
+    # escapes while the JVM's getPath().toUri().getPath() decodes them —
+    # a space or non-ASCII char in a path must not trip the n_seen guard.
+    # (Scheme spellings also differ: file:/ vs file:///.)
+    wanted = {unquote(urlparse(u).path) for u in files}
     # ONE listStatus per parent directory instead of one getFileStatus
     # RPC per file: compacting 100k small files (this module's reason to
     # exist) would otherwise stall the driver on 100k metadata calls
+    # parents keep the full URI (scheme intact, so getFileSystem resolves
+    # non-default filesystems); only the comparison is decoded
     parents: dict[str, None] = {}
     for uri in files:
         parents.setdefault(uri.rsplit("/", 1)[0], None)
     total = 0
     n_seen = 0
     for parent in parents:
-        ppath = jvm.org.apache.hadoop.fs.Path(parent)
+        # Hadoop Path(String) keeps percent escapes literal; build from a
+        # decoded java.net.URI so "a%20b" lists the real "a b" directory
+        p = urlparse(parent)
+        juri = jvm.java.net.URI(
+            p.scheme or None, p.netloc or None, unquote(p.path), None, None
+        )
+        ppath = jvm.org.apache.hadoop.fs.Path(juri)
         fs = ppath.getFileSystem(conf)
         for st in fs.listStatus(ppath):
             if st.getPath().toUri().getPath() in wanted:

@@ -152,8 +152,8 @@ class BloomDedupSink:
             self._resolved_token = uuid.uuid4().hex[:12]
         return self._resolved_token
 
-    def _batch_key(self, batch_id: int) -> str:
-        return f"{self.run_token}-{batch_id}"
+    def _batch_key(self, token: str, batch_id: int) -> str:
+        return f"{token}-{batch_id}"
 
     def _load_hashes(self) -> DataFrame | None:
         if not os.path.isdir(self._hash_dir):
@@ -172,10 +172,18 @@ class BloomDedupSink:
 
     # -- the batch hook ---------------------------------------------------
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        # resolve the token ONCE per batch: when the checkpoint metadata
+        # is briefly unreadable the boot fallback mints a fresh nonce per
+        # read, and the marker check, the batch subdirectory key, and the
+        # own-hash exclusion filter must all agree within one batch — a
+        # replay that keys its subdir under a different token than its
+        # first attempt would see its own partial hashes as "already
+        # admitted" and silently drop the replayed rows
+        token = self.run_token
         m_token, m_id = _read_marker(self.state_dir)
-        if m_token == self.run_token and batch_id <= m_id:
+        if m_token == token and batch_id <= m_id:
             return  # replay of a committed batch from THIS run: no-op
-        key = self._batch_key(batch_id)
+        key = self._batch_key(token, batch_id)
         hashed = batch.withColumn("h", F.sha2(self.text_col, 256))
         # within-batch winner per hash: smallest id (the d1 discipline)
         w = Window.partitionBy("h").orderBy(self.id_col)
@@ -222,7 +230,7 @@ class BloomDedupSink:
             # clear any partial first attempt, then commit the no-op
             shutil.rmtree(out_sub, ignore_errors=True)
             shutil.rmtree(hash_sub, ignore_errors=True)
-            _write_marker(self.state_dir, self.run_token, batch_id)
+            _write_marker(self.state_dir, token, batch_id)
             return
 
         # per-batch OVERWRITE: a replay rewrites, never duplicates
@@ -247,7 +255,7 @@ class BloomDedupSink:
             os.replace(self._bloom_dir, old)
         os.replace(tmp, self._bloom_dir)
         shutil.rmtree(old, ignore_errors=True)
-        _write_marker(self.state_dir, self.run_token, batch_id)
+        _write_marker(self.state_dir, token, batch_id)
 
 
 def start_bloom_dedup(

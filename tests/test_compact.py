@@ -49,6 +49,20 @@ def test_default_compaction_is_shuffle_free(spark, fragmented_dir):
     assert "Exchange" not in plan
 
 
+def test_dataset_bytes_handles_space_in_path(spark, tmp_path):
+    """inputFiles() returns percent-encoded URIs while the JVM listing
+    decodes them — a path with a space must still size correctly instead
+    of tripping the partial-metadata guard."""
+    src = str(tmp_path / "dir with space" / "data")
+    spark.range(100).coalesce(1).write.parquet(src)
+    df = spark.read.parquet(src)
+    total = dataset_bytes(spark, df)
+    on_disk = sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(src, "*.parquet"))
+    )
+    assert total == on_disk > 0
+
+
 def test_coalesce_count_clamped_to_input_partitions(spark, tmp_path):
     """A tiny target size cannot make coalesce split partitions — the
     returned count must match the files actually written."""

@@ -147,6 +147,42 @@ def test_bloom_dedup_new_run_token_is_not_a_replay(spark, chunked_docs, tmp_path
 
 
 @pytest.mark.streaming
+def test_bloom_dedup_boot_token_coherent_within_batch(
+    spark, chunked_docs, tmp_path
+):
+    """When checkpoint metadata is unreadable the token falls back to a
+    per-call boot nonce — but within ONE process_batch the output subdir,
+    the hash-store subdir, and the committed marker must all carry the
+    SAME token, or a replay's own-hash exclusion filter can't recognize
+    its first attempt's partial writes."""
+    import os
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    ckpt = tmp_path / "ckpt_without_metadata"
+    ckpt.mkdir()
+    sink = BloomDedupSink(spark, state, out, checkpoint_dir=str(ckpt))
+    batch = spark.read.parquet(chunked_docs)
+    sink.process_batch(batch, 0)
+    out_keys = {
+        d.split("=", 1)[1]
+        for d in os.listdir(out)
+        if d.startswith("ingest_batch=")
+    }
+    hash_keys = {
+        d.split("=", 1)[1]
+        for d in os.listdir(f"{state}/hashes")
+        if d.startswith("ingest_batch=")
+    }
+    with open(f"{state}/_last_batch") as f:
+        marker = f.read().strip()
+    assert len(out_keys) == 1 and out_keys == hash_keys
+    (key,) = out_keys
+    token, _, bid = key.rpartition("-")
+    assert marker == f"{token}:{bid}" == f"{token}:0"
+
+
+@pytest.mark.streaming
 def test_bloom_dedup_replay_after_partial_write(spark, chunked_docs, tmp_path):
     """Crash between the hash write and the marker: the replay must not
     count its own partial hashes as prior admissions (no row loss) and
