@@ -194,6 +194,21 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "u3_grouped_agg_pandas",
 )
 
+# Queries whose SEMANTICS changed after earning a driver-green row: the
+# old CORRECTNESS row validated the previous definition, so they must
+# re-enter the driver's window as if never verified. Remove a name once
+# a new green row lands.
+FORCE_REVERIFY: frozenset[str] = frozenset(
+    {
+        # r4: sim9 re-blocked on (label, scaled sign-LSH sub-bucket);
+        # sim12 assignment rerouted through the hierarchical two-level
+        # quantizer (cluster ids changed to coarse*2^20+fine)
+        "sim9_semdedup_prune",
+        "sim12_semdedup_bounded",
+    }
+)
+
+
 def _driver_verified_names() -> frozenset[str]:
     """Names that already have a CORRECTNESS row from ANY past round —
     read from the CORRECTNESS_r*.json files the harness drops in the
@@ -221,7 +236,9 @@ def _driver_verified_names() -> frozenset[str]:
             err = row.get("err")
             if err is None or err == "no_oracle":
                 seen.add(name)
-    return frozenset(seen) if seen else R1_VERIFIED
+    return (
+        frozenset(seen) - FORCE_REVERIFY if seen else R1_VERIFIED - FORCE_REVERIFY
+    )
 
 
 # Names the driver verified in round 1 (keys of CORRECTNESS_r01.json). These

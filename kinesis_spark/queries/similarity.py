@@ -604,17 +604,34 @@ def sim8_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEMDEDUP_TAU = 0.3  # prune threshold (fixture-scaled; production ~0.95+)
+SD_TARGET = 64  # target block population for the LSH sub-bucketing
 
 
 @register(
     "sim9_semdedup_prune",
     oracle=f"""
-WITH e AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+WITH e0 AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         list_aggregate(list_transform(range(1, 65),
+             i -> CASE WHEN embedding[CAST(i AS INT)] >= 0 THEN '1' ELSE '0' END),
+             'string_agg', '') AS signs
+  FROM embeddings
+),
+e AS (
+  SELECT vec_id, label, v,
+         substring(signs, 1,
+                   CASE WHEN m <= 1 THEN 0
+                        ELSE LEAST(length(bin(m - 1)), 64) END) AS bucket
+  FROM (
+    SELECT *, CAST(CEIL(COUNT(*) OVER (PARTITION BY label) / {SD_TARGET}.0)
+                   AS BIGINT) AS m
+    FROM e0
+  )
 ),
 dups AS (
   SELECT b.vec_id, MIN(a.vec_id) AS dup_of
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM e a JOIN e b
+    ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
   WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {SEMDEDUP_TAU}
   GROUP BY b.vec_id
 )
@@ -624,15 +641,31 @@ FROM e LEFT JOIN dups d USING (vec_id)
     tags=("similarity", "dedup", "semdedup"),
 )
 def sim9_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic pruning: within each embedding cluster
-    (the ``label`` column — at 100 TB, a k-means/IVF cell id, see
-    sim6/ann.py), a vector is pruned when a LOWER-id vector in the same
-    cluster is semantically near (cosine >= 0.3 here; production uses
-    ~0.95+). Greedy min-id survivorship makes the kept set deterministic
-    — every pruned row records its canonical ``dup_of``.
+    """SemDeDup-style semantic pruning with BOUNDED blocks: within each
+    embedding cluster (the ``label`` column — at 100 TB, a k-means/IVF
+    cell id, see sim6/ann.py) vectors are further sub-bucketed by
+    sign-LSH bits whose COUNT scales with the cluster's population —
+    b = ceil(log2(ceil(n_label / {SD_TARGET}))) hyperplane signs — so the
+    expected block size stays ~{SD_TARGET} no matter how large a cluster
+    grows and the pair stage is linear in n. A vector is pruned when a
+    LOWER-id vector in the same (label, bucket) block is semantically
+    near (cosine >= 0.3 here; production ~0.95+); greedy min-id
+    survivorship keeps the result deterministic and every pruned row
+    records its canonical ``dup_of``.
 
-    Scale shape: the pair space is blocked by cluster (same as
-    d5_embedding_near_dup — never an all-pairs product across clusters);
+    This replaces the earlier unbounded form (block = bare label), whose
+    within-cluster pair space grew quadratically when cluster size grew
+    with the corpus (measured 19.7x at 10x data in scripts/
+    scale_stress.py) — the same mitigation discipline as d14's capped
+    LSH buckets, applied adaptively. The bit count is integer-exact in
+    both engines (length(bin(m-1)), never float log2), so the blocking
+    is bit-identical to the oracle. Near neighbors that straddle a
+    hyperplane sign can escape the prune — the standard LSH recall
+    trade, priced against an unboundedly growing pair space; sim12
+    makes the complementary choice (refined k-means cells).
+
+    Scale shape: sub-bucketing is one window count per label + a
+    map-side substring — no extra shuffle beyond the label partition;
     norms are computed once per ROW below the self-join so only the
     dot-product fold runs per pair; the prune decision is a pair-scale
     groupBy + a left join back onto the corpus keyed on vec_id.
@@ -642,7 +675,26 @@ def sim9_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    e = e.withColumn("norm", _norm(F.col("v")))
+    signs = F.array_join(
+        F.transform("v", lambda x: F.when(x >= 0, "1").otherwise("0")), ""
+    )
+    m = F.ceil(
+        F.count(F.lit(1)).over(Window.partitionBy("label"))
+        / F.lit(float(SD_TARGET))
+    ).cast("bigint")
+    e = (
+        e.withColumn("signs", signs)
+        .withColumn("m", m)
+        .withColumn(
+            "nbits",
+            F.when(F.col("m") <= 1, F.lit(0)).otherwise(
+                F.least(F.length(F.bin(F.col("m") - 1)), F.lit(64))
+            ),
+        )
+        .withColumn("bucket", F.expr("substring(signs, 1, nbits)"))
+        .drop("signs", "m", "nbits")
+        .withColumn("norm", _norm(F.col("v")))
+    )
     a = e.alias("a")
     b = e.alias("b")
     cos = _cosine_pre(F.col("a.v"), F.col("b.v"), F.col("a.norm"), F.col("b.norm"))
@@ -650,6 +702,7 @@ def sim9_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(F.col("b.vec_id").alias("vec_id"), cos.alias("cos_sim"),
@@ -1029,6 +1082,38 @@ def sim11_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SD_TARGET_CLUSTER = 64  # bounded cluster size for sim12 (K scales with n)
+KM_FINE_ITERS = 1  # fine-level refinement rounds inside each coarse cell
+_FINE_MULT = 1048576  # 2^20: global cluster id = coarse * MULT + fine
+
+
+def _fassign_sql(n: int, fcents: str) -> str:
+    """Fine-level assignment CTE: every vector vs the fine centroids of
+    ITS coarse cell only (equi-join on coarse, never a cross product)."""
+    return f"""
+fa{n} AS (
+  SELECT vec_id, coarse, v, fcid FROM (
+    SELECT g.vec_id, g.coarse, g.v, f.fcid,
+           ROW_NUMBER() OVER (PARTITION BY g.vec_id
+                              ORDER BY {_km_d2_sql('g.v', 'f.cv')}, f.fcid) AS rn
+    FROM coarse g JOIN {fcents} f USING (coarse)
+  ) WHERE rn = 1
+)"""
+
+
+def _fmeans_sql(n: int, assigned: str) -> str:
+    return f"""
+f{n} AS (
+  SELECT coarse, fcid, list(c ORDER BY idx) AS cv FROM (
+    SELECT coarse, fcid, CAST(i AS INT) AS idx,
+           CAST(SUM(CAST(FLOOR(v[CAST(i AS INT)] * {KM_SCALE})
+                         AS DECIMAL(38,0))) AS DOUBLE)
+             / {KM_SCALE} / COUNT(*) AS c
+    FROM {assigned}, UNNEST(range(1, {_KM_DIM + 1})) AS t(i)
+    GROUP BY 1, 2, 3
+  )
+  GROUP BY coarse, fcid
+)"""
+
 
 _SD12_ORACLE = f"""
 WITH e AS (
@@ -1038,24 +1123,87 @@ kk AS (
   SELECT GREATEST(8, CAST(CEIL(COUNT(*) / {SD_TARGET_CLUSTER}.0) AS BIGINT)) AS k
   FROM e
 ),
+cc AS (
+  SELECT GREATEST(2, CAST(CEIL(SQRT(CAST(k AS DOUBLE))) AS BIGINT)) AS c
+  FROM kk
+),
 c0 AS (SELECT vec_id AS cid, v AS cv FROM e
-       WHERE vec_id < (SELECT k FROM kk)),
+       WHERE vec_id < (SELECT c FROM cc)),
 {",".join(
     _km_assign_sql(i, f"c{i}") + "," + _km_means_sql(i + 1, f"a{i}")
     for i in range(KM_ITERS)
 ).lstrip()},
 {_km_assign_sql(KM_ITERS, f"c{KM_ITERS}").lstrip()},
+coarse AS (SELECT vec_id, v, cluster AS coarse FROM a{KM_ITERS}),
+cellk AS (
+  SELECT coarse, CAST(CEIL(COUNT(*) / {SD_TARGET_CLUSTER}.0) AS BIGINT) AS kcell
+  FROM coarse GROUP BY coarse
+),
+f0 AS (
+  SELECT s.coarse, s.rn - 1 AS fcid, s.v AS cv FROM (
+    SELECT coarse, v,
+           ROW_NUMBER() OVER (PARTITION BY coarse ORDER BY vec_id) AS rn
+    FROM coarse
+  ) s JOIN cellk USING (coarse) WHERE s.rn <= cellk.kcell
+),
+{",".join(
+    _fassign_sql(i, f"f{i}") + "," + _fmeans_sql(i + 1, f"fa{i}")
+    for i in range(KM_FINE_ITERS)
+).lstrip()},
+{_fassign_sql(KM_FINE_ITERS, f"f{KM_FINE_ITERS}").lstrip()},
+fin AS (
+  SELECT vec_id, v, coarse * {_FINE_MULT} + fcid AS cluster
+  FROM fa{KM_FINE_ITERS}
+),
 dups AS (
   SELECT b.vec_id, MIN(a.vec_id) AS dup_of
-  FROM a{KM_ITERS} a JOIN a{KM_ITERS} b
+  FROM fin a JOIN fin b
     ON a.cluster = b.cluster AND a.vec_id < b.vec_id
   WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {SEMDEDUP_TAU}
   GROUP BY b.vec_id
 )
 SELECT f.vec_id, CAST(f.cluster AS BIGINT) AS cluster,
        d.dup_of IS NOT NULL AS pruned, d.dup_of
-FROM a{KM_ITERS} f LEFT JOIN dups d USING (vec_id)
+FROM fin f LEFT JOIN dups d USING (vec_id)
 """
+
+
+def _fine_assign(coarse_df: DataFrame, fcents: DataFrame) -> DataFrame:
+    """Assign each vector to the nearest fine centroid WITHIN its coarse
+    cell: an equi-join on the coarse id (shuffle-or-broadcast by
+    Catalyst's size stats — never a forced single-row broadcast of the
+    whole centroid set), then a per-vector argmin window."""
+    j = coarse_df.join(fcents, "coarse").withColumn(
+        "d2", _d2(F.col("v"), F.col("cv"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "fcid")
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "coarse", "v", "fcid")
+    )
+
+
+def _fine_means(assigned: DataFrame) -> DataFrame:
+    """Exact-decimal per-(coarse, fine) centroid recompute — sim11's
+    quantized means, keyed by cell instead of collapsed into one row."""
+    ex = assigned.select("coarse", "fcid", F.posexplode("v").alias("idx", "comp"))
+    cell = ex.groupBy("coarse", "fcid", "idx").agg(
+        (
+            F.sum(
+                F.floor(F.col("comp") * F.lit(KM_SCALE)).cast("decimal(38,0)")
+            ).cast("double")
+            / F.lit(KM_SCALE)
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    return (
+        cell.groupBy("coarse", "fcid")
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "c"))).alias("pairs"))
+        .select(
+            "coarse", "fcid", F.transform("pairs", lambda p: p["c"]).alias("cv")
+        )
+    )
 
 
 @register(
@@ -1064,38 +1212,85 @@ FROM a{KM_ITERS} f LEFT JOIN dups d USING (vec_id)
     tags=("similarity", "dedup", "semdedup", "kmeans"),
 )
 def sim12_semdedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup with BOUNDED clusters — the production shape whose
-    absence makes sim9 quadratic: the cluster count scales with the
-    corpus (K = max(8, ceil(n / 64)), two Lloyd refinement rounds over
-    first-K seeds), so per-cluster membership stays ~64 no matter how
-    big the corpus grows and the within-cluster pair work stays LINEAR
-    in n. The 1×/10× harness (scripts/scale_stress.py) measures it:
-    sim9's coarse fixed-label blocking blows up ~20× at 10× data; this
-    query holds ~6×. The remaining super-linear term is the FLAT Lloyd
-    assignment itself (O(n·K) with K ∝ n) — production removes that too
-    by assigning through the hierarchical IVF coarse quantizer
-    (ann.py's persisted, partition-pruned cells) instead of scanning
-    all K centroids per vector.
+    """SemDeDup with BOUNDED clusters via a HIERARCHICAL (two-level)
+    quantizer — the production shape whose absence makes the naive form
+    quadratic. Level 1: C = ceil(sqrt(K)) coarse centroids (K = max(8,
+    ceil(n / 64)) total target cells), refined with the shared Lloyd
+    machinery — the per-vector coarse scan costs O(sqrt(K)) against a
+    sqrt-scale broadcast row, never O(K). Level 2: within each coarse
+    cell, ceil(cell_n / 64) fine centroids seeded from the cell's
+    lowest vec_ids and refined per cell — fine centroids live as ROWS
+    equi-joined on the coarse id (Catalyst picks broadcast vs shuffle
+    from size stats), so no corpus-scale single-row broadcast exists
+    anywhere in the plan (plan-audited). Per-vector assignment work is
+    O(sqrt(K)) + O(sqrt(K)) instead of the flat O(K) with K ∝ n that
+    the previous registered form carried; the within-cluster pair stage
+    stays linear because cluster populations hold ~64 by construction.
+    This is the ann.py IVF coarse-quantizer discipline (assign through
+    a coarse cell, then work only within it) applied to clustering
+    itself.
 
     Same prune semantics as sim9 (cosine ≥ {tau} to a lower-id
     clustermate ⇒ pruned, canonical ``dup_of`` = smallest such id) —
-    only the blocking key changes, from the fixture label to refined
-    k-means cells. The driver-side ``count()`` that sizes K is a
+    only the blocking key changes, from sign-LSH sub-buckets to refined
+    hierarchical k-means cells (global cluster id = coarse * 2^20 +
+    fine seed index). The driver-side ``count()`` that sizes K is a
     metadata-cheap scalar (the production analog reads the corpus
     manifest).
 
     Determinism: inherits sim11's exact quantized means + rounded
-    argmin, and sim9's rounded-cosine prune — every stage bit-exact vs
-    the unrolled SQL oracle.
+    argmin at BOTH levels, and the rounded-cosine prune — every stage
+    bit-exact vs the unrolled SQL oracle. Fine cells emptied by a
+    refinement round drop out exactly as in sim11's Lloyd degeneracy.
     """
+    import math
+
     e = load_table(spark, sf_dir, "embeddings")
     vecs = e.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     n = vecs.count()
     k = max(8, -(-n // SD_TARGET_CLUSTER))
-    assigned = _lloyd_clusters(vecs, k, KM_ITERS).withColumn(
-        "norm", _norm(F.col("v"))
+    # ceil(sqrt(k)) in exact integer math == CEIL(SQRT(double)) for any
+    # k whose sqrt a double represents faithfully (all test/prod sizes)
+    c = max(2, math.isqrt(k - 1) + 1)
+    coarse = _lloyd_clusters(vecs, c, KM_ITERS).select(
+        "vec_id", "v", F.col("cluster").alias("coarse")
+    )
+    # corpus-scale intermediate reused by seeds + every fine round: pin
+    # it once (the d9/sim11 lineage-truncation discipline)
+    coarse = coarse.localCheckpoint(eager=True)
+
+    w_cnt = Window.partitionBy("coarse")
+    w_ord = Window.partitionBy("coarse").orderBy("vec_id")
+    kcell = F.ceil(
+        F.count(F.lit(1)).over(w_cnt) / F.lit(float(SD_TARGET_CLUSTER))
+    ).cast("bigint")
+    f0 = (
+        coarse.withColumn("_rn", F.row_number().over(w_ord))
+        .withColumn("_kcell", kcell)
+        .filter(F.col("_rn") <= F.col("_kcell"))
+        .select(
+            "coarse",
+            (F.col("_rn") - 1).alias("fcid"),
+            F.col("v").alias("cv"),
+        )
+    )
+    fcents = f0.localCheckpoint(eager=True)
+    for _ in range(KM_FINE_ITERS):
+        fcents = _fine_means(_fine_assign(coarse, fcents)).localCheckpoint(
+            eager=True
+        )
+    assigned = (
+        _fine_assign(coarse, fcents)
+        .select(
+            "vec_id",
+            "v",
+            (F.col("coarse") * F.lit(_FINE_MULT) + F.col("fcid")).alias(
+                "cluster"
+            ),
+        )
+        .withColumn("norm", _norm(F.col("v")))
     )
     a = assigned.select(
         F.col("cluster").alias("c"),

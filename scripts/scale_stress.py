@@ -71,6 +71,8 @@ OPERATORS = [
     # r3: bloom incremental dedup — the broadcast bitmap is fixed-size,
     # so x10 should cost ~one extra corpus scan, nothing superlinear
     "d15_bloom_incremental_dedup",
+    # r4: re-blocked on (label, scaled sign-LSH sub-bucket) — bucket count
+    # grows with the label population, so pair work should now be linear
     "sim9_semdedup_prune",
     "t9_repetition_signals",
     "s10_reproducible_shuffle",
@@ -87,9 +89,9 @@ OPERATORS = [
     # r3: Lloyd refinement — per-round cost is (corpus x K) map-side
     # argmin + a (K x 64)-cell aggregate; should scale ~linearly
     "sim11_kmeans_refine",
-    # r3: bounded-cluster SemDedup — the sim9 mitigation measured: pair
-    # stage linear (cluster size pinned at ~64), residual growth is the
-    # flat O(n*K) Lloyd assignment (production: IVF coarse quantizer)
+    # r4: bounded-cluster SemDedup through the HIERARCHICAL two-level
+    # quantizer — pair stage linear (cluster size pinned at ~64) and
+    # assignment O(n*sqrt(K)) instead of the removed flat O(n*K)
     "sim12_semdedup_bounded",
 ]
 

@@ -376,6 +376,34 @@ def test_s12_topk_heap_not_global_sort(plan_of):
     assert "hashpartitioning" not in plan
 
 
+def test_sim12_no_flat_centroid_broadcast(plan_of):
+    """The hierarchical rewrite must never collect the fine-centroid set
+    into one corpus-scale array row joined by nested loop (the flat
+    O(n*K) shape this query replaced): every join in the registered plan
+    is KEYED — the fine assignment on the coarse cell id, the prune
+    self-join on the cluster id — so Catalyst flips broadcast<->shuffle
+    from size stats instead of being forced to ship a row that grows
+    with the corpus."""
+    import re
+
+    plan = plan_of("sim12_semdedup_bounded")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the fine assignment is an equi-join keyed on the coarse cell
+    assert re.search(r"Left keys \[1\]: \[coarse#", plan), "fine join not keyed on coarse"
+    # per-vector argmin prunes to one row per vec_id BEFORE its exchange
+    assert "WindowGroupLimit" in plan
+
+
+def test_sim9_window_and_pairs_are_label_partitioned(plan_of):
+    """The sub-bucketing window and the pair join both partition on
+    label — never a single-partition window or an unkeyed pair join."""
+    plan = plan_of("sim9_semdedup_prune")
+    assert "SinglePartition" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_dq2_single_scan_expand(plan_of):
     """Profiling 5 columns x 4 stats must cost ONE scan of orders (the
     multi-distinct aggregate compiles to Expand over a single read),
@@ -559,12 +587,3 @@ def test_e17_cotimed_view_survives_collapse(spark, tmp_path):
     assert out[3]["errors_between"] == 0 and out[3]["abandoned"]
 
 
-def test_sim12_blocked_pair_join_not_cartesian(plan_of):
-    """Bounded SemDedup must pair ONLY within k-means cells: the pair
-    stage is an equi-join on the cluster id (shuffled hash/sort-merge),
-    never a cartesian product, and the Lloyd assignment broadcasts the
-    centroid row like sim11."""
-    plan = plan_of("sim12_semdedup_bounded")
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan  # centroid broadcast
-    assert "SinglePartition" not in plan
