@@ -80,6 +80,15 @@ class SpoolConsumerClient:
     token encodes (stream, shard, last-consumed seq) and the ``after``
     cursor advances per call exactly like a real shard iterator.
 
+    Resharding-aware: routing follows the spool's shard topology
+    (ingest/resharding.py — generations cut over by sequence number, the
+    spool analog of Kinesis routing by the topology active at write
+    time). Closed shards end with a null ``NextShardIterator``
+    (SHARD_END) once drained, and :meth:`describe_shards` exposes the
+    ListShards parent linkage consumers need to order parent before
+    child. A spool without a topology file keeps the legacy fixed
+    ``md5 % n_shards`` routing — nothing changes for existing spools.
+
     Each call re-lists the directory — O(spool files); fine for the test
     scale this fake exists for, and the only client a 100 TB deployment
     would swap out (for :class:`Boto3ConsumerClient`) anyway.
@@ -90,7 +99,15 @@ class SpoolConsumerClient:
         self.n_shards = n_shards
 
     # -- internal ---------------------------------------------------------
-    def _shard_records(self, stream: str, shard_id: str) -> list[dict]:
+    def _topology(self):
+        from kinesis_spark.ingest.resharding import load_topology
+
+        return load_topology(self.spool_dir, self.n_shards)
+
+    def _shard_records(
+        self, stream: str, shard_id: str, topo=None
+    ) -> list[dict]:
+        topo = topo or self._topology()
         recs = []
         if not os.path.isdir(self.spool_dir):
             return recs
@@ -104,7 +121,7 @@ class SpoolConsumerClient:
                     r = json.loads(line)
                     if r["stream"] != stream:
                         continue
-                    if shard_for_key(r["pk"], self.n_shards) != shard_id:
+                    if topo.shard_for(r["pk"], r["seq"]) != shard_id:
                         continue
                     recs.append(r)
         recs.sort(key=lambda r: r["seq"])
@@ -112,7 +129,23 @@ class SpoolConsumerClient:
 
     # -- AWS-shaped surface ----------------------------------------------
     def list_shards(self, stream_name: str) -> list[str]:
-        return [f"shardId-{i:012d}" for i in range(self.n_shards)]
+        # like ListShards: every shard within retention, closed ones
+        # included; generation order, so parents precede children
+        return [s.shard_id for s in self._topology().shard_infos()]
+
+    def describe_shards(self, stream_name: str) -> list[dict]:
+        """ListShards-shaped lineage: ``ShardId`` plus up to two parents
+        (``ParentShardId`` for a split, plus ``AdjacentParentShardId``
+        for a merge), in parent-before-child order."""
+        out = []
+        for s in self._topology().shard_infos():
+            d = {"ShardId": s.shard_id}
+            if s.parent_ids:
+                d["ParentShardId"] = s.parent_ids[0]
+            if len(s.parent_ids) > 1:
+                d["AdjacentParentShardId"] = s.parent_ids[1]
+            out.append(d)
+        return out
 
     def get_shard_iterator(
         self,
@@ -136,11 +169,21 @@ class SpoolConsumerClient:
 
     def get_records(self, shard_iterator: str, limit: int = 10000) -> dict:
         stream, shard_id, after = _decode_iter(shard_iterator)
-        recs = self._shard_records(stream, shard_id)
+        topo = self._topology()
+        recs = self._shard_records(stream, shard_id, topo)
         seqs = [r["seq"] for r in recs]
         i = bisect_right(seqs, after) if after else 0
         batch = recs[i : i + limit]
         new_after = batch[-1]["seq"] if batch else after
+        at_tip = i + len(batch) >= len(recs)
+        # SHARD_END: a CLOSED shard drained to its last record hands back
+        # a null iterator — the signal consumers use to move to children
+        closed = topo.close_seq(shard_id) is not None
+        next_iter = (
+            None
+            if closed and at_tip
+            else _encode_iter(stream, shard_id, new_after)
+        )
         return {
             "Records": [
                 {
@@ -150,20 +193,36 @@ class SpoolConsumerClient:
                 }
                 for r in batch
             ],
-            "NextShardIterator": _encode_iter(stream, shard_id, new_after),
-            "MillisBehindLatest": 0 if i + len(batch) >= len(recs) else 1,
+            "NextShardIterator": next_iter,
+            "MillisBehindLatest": 0 if at_tip else 1,
         }
 
     # -- connector helper (not an AWS API) -------------------------------
     def latest_sequence_numbers(self, stream_name: str) -> dict[str, str]:
         """Current tip (last sequence number, ``""`` when empty) per
         shard — what a real connector derives from a LATEST iterator /
-        MillisBehindLatest probing; the streaming source's latestOffset."""
-        out = {}
-        for sh in self.list_shards(stream_name):
-            recs = self._shard_records(stream_name, sh)
-            out[sh] = recs[-1]["seq"] if recs else ""
-        return out
+        MillisBehindLatest probing; the streaming source's latestOffset.
+        Closed shards report their FINAL sequence number (their tip never
+        moves again)."""
+        topo = self._topology()
+        tips: dict[str, str] = {s.shard_id: "" for s in topo.shard_infos()}
+        if not os.path.isdir(self.spool_dir):
+            return tips
+        # one pass over the spool for ALL shards (not one per shard)
+        for name in sorted(os.listdir(self.spool_dir)):
+            if name.startswith(".") or not name.endswith(".jsonl"):
+                continue
+            with open(os.path.join(self.spool_dir, name)) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    r = json.loads(line)
+                    if r["stream"] != stream_name:
+                        continue
+                    sh = topo.shard_for(r["pk"], r["seq"])
+                    if r["seq"] > tips.get(sh, ""):
+                        tips[sh] = r["seq"]
+        return tips
 
 
 class Boto3ConsumerClient:
@@ -175,11 +234,23 @@ class Boto3ConsumerClient:
         self._client = boto3_client
 
     def list_shards(self, stream_name: str) -> list[str]:
+        return [s["ShardId"] for s in self.describe_shards(stream_name)]
+
+    def describe_shards(self, stream_name: str) -> list[dict]:
+        """Full ListShards pagination, keeping the parent-linkage fields
+        (``ParentShardId`` / ``AdjacentParentShardId``) resharding-aware
+        consumers order on."""
         shards, token = [], None
         while True:
             kw = {"NextToken": token} if token else {"StreamName": stream_name}
             resp = self._client.list_shards(**kw)
-            shards += [s["ShardId"] for s in resp.get("Shards", [])]
+            for s in resp.get("Shards", []):
+                d = {"ShardId": s["ShardId"]}
+                if s.get("ParentShardId"):
+                    d["ParentShardId"] = s["ParentShardId"]
+                if s.get("AdjacentParentShardId"):
+                    d["AdjacentParentShardId"] = s["AdjacentParentShardId"]
+                shards.append(d)
             token = resp.get("NextToken")
             if not token:
                 return shards
@@ -255,6 +326,9 @@ class RetryingConsumer:
 
     def list_shards(self, stream_name: str) -> list[str]:
         return self._with_retry(lambda: self._inner.list_shards(stream_name))
+
+    def describe_shards(self, stream_name: str) -> list[dict]:
+        return self._with_retry(lambda: self._inner.describe_shards(stream_name))
 
     def get_shard_iterator(self, *args, **kwargs) -> str:
         return self._with_retry(

@@ -31,6 +31,18 @@ same protocol plus a tip probe; the spool client is the only backend
 constructible in this container (no AWS SDK/network) and the seam is the
 point — sequence-number offsets are backend-agnostic.
 
+Resharding (ingest/resharding.py): closed shards keep their final tip
+and end with SHARD_END; children appear via the ListShards parent
+linkage. The source orders PARENT BEFORE CHILD across micro-batches —
+``latestOffset`` holds a child shard at its committed position until
+every parent is consumed through its final sequence number, so a key's
+pre-split records always land in an earlier micro-batch than its
+post-split ones. The consumed-through state persists next to the spool
+(``_consumer_state/<stream>.json``, override with option
+``lineage_state_path``) because this reader is rebuilt blind on every
+restart — the KCL-lease-table analog, max-merged with the Spark
+checkpoint's own start offsets so a lost state file self-heals.
+
 Sequence numbers are fixed-width strings (streaming/spool.py:14), so the
 lexicographic comparisons here are chronological.
 """
@@ -90,7 +102,12 @@ class KinesisShardBatchReader(DataSourceReader):
         self._inner = KinesisShardStreamReader(options)
 
     def partitions(self):
-        tips = self._inner.latestOffset()
+        # raw tips, NOT the stream reader's lineage-gated latestOffset: a
+        # snapshot read covers parents and children in one job (order is
+        # irrelevant when everything lands in the same result)
+        tips = self._inner._client().latest_sequence_numbers(
+            self._inner._stream
+        )
         return [
             ShardRange(sh, "", end_seq)
             for sh, end_seq in tips.items()
@@ -113,20 +130,91 @@ class KinesisShardStreamReader(DataSourceStreamReader):
         self._stream = options.get("stream", "default")
         self._n_shards = int(options.get("n_shards", DEFAULT_N_SHARDS))
         self._limit = int(options.get("limit_per_call", 1000))
+        # KCL-style lineage checkpoint: the consumed-through state the
+        # parent-before-child gate needs. Persisted (tiny json, atomic
+        # rename) because the Python Data Source API rebuilds this reader
+        # on every restart with no access to the Spark checkpoint — an
+        # in-memory-only gate would hold children back FOREVER after a
+        # restart. Real consumers persist exactly this (KCL lease table).
+        import os
+
+        self._state_path = options.get(
+            "lineage_state_path",
+            os.path.join(self._spool_dir, "_consumer_state", f"{self._stream}.json"),
+        )
+        self._committed: dict = self._load_committed()
 
     def _client(self) -> SpoolConsumerClient:
         return SpoolConsumerClient(self._spool_dir, self._n_shards)
+
+    def _load_committed(self) -> dict:
+        import json
+        import os
+
+        try:
+            with open(self._state_path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
+    def _save_committed(self) -> None:
+        import json
+        import os
+        import uuid
+
+        os.makedirs(os.path.dirname(self._state_path), exist_ok=True)
+        tmp = f"{self._state_path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._committed, f)
+        os.replace(tmp, self._state_path)
 
     # -- offsets (driver side) -------------------------------------------
     def initialOffset(self) -> dict:
         return {sh: "" for sh in self._client().list_shards(self._stream)}
 
     def latestOffset(self) -> dict:
-        return self._client().latest_sequence_numbers(self._stream)
+        """Per-shard tips, with one resharding rule: a CHILD shard's
+        offset is held at its committed position until every parent is
+        fully consumed (committed through the parent's final sequence
+        number). That is the parent-before-child ordering Kinesis
+        requires — a key's pre-split records (parent) are always read in
+        an earlier micro-batch than its post-split records (child)."""
+        client = self._client()
+        tips = client.latest_sequence_numbers(self._stream)
+        parent_map = {
+            d["ShardId"]: [
+                p
+                for p in (d.get("ParentShardId"), d.get("AdjacentParentShardId"))
+                if p
+            ]
+            for d in client.describe_shards(self._stream)
+        }
+        held = {}
+        for sh, tip in tips.items():
+            parents = parent_map.get(sh, [])
+            if parents and any(
+                self._committed.get(p, "") < tips.get(p, "") for p in parents
+            ):
+                held[sh] = self._committed.get(sh, "")
+            else:
+                held[sh] = tip
+        return held
 
     def partitions(self, start: dict, end: dict) -> list[ShardRange]:
+        # the checkpoint's start is the truth about consumed-through —
+        # fold it into the lineage state (covers a restart whose state
+        # file lagged or was lost: monotonic max-merge)
+        changed = False
+        for sh, seq in start.items():
+            if seq > self._committed.get(sh, ""):
+                self._committed[sh] = seq
+                changed = True
+        if changed:
+            self._save_committed()
         # one partition per shard that actually advanced; an empty batch
-        # (start == end) plans zero partitions and costs nothing
+        # (start == end) plans zero partitions and costs nothing. A held
+        # child (end < start after a lineage-state lag) is skipped — its
+        # data stays in the stream for the batch after release.
         return [
             ShardRange(sh, start.get(sh, ""), end_seq)
             for sh, end_seq in end.items()
@@ -172,5 +260,13 @@ class KinesisShardStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         # offsets are durable in the streaming checkpoint; the spool
-        # retains records (like Kinesis retention), so nothing to ack
-        pass
+        # retains records (like Kinesis retention). The lineage state
+        # additionally records consumed-through so the parent-before-
+        # child gate survives restarts (monotonic max-merge).
+        changed = False
+        for sh, seq in end.items():
+            if seq > self._committed.get(sh, ""):
+                self._committed[sh] = seq
+                changed = True
+        if changed:
+            self._save_committed()

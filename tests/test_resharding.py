@@ -1,0 +1,256 @@
+"""Kinesis resharding on the read side: shard splits/merges close the
+parents (SHARD_END), children carry the ListShards parent linkage, and
+the streaming source consumes parent-before-child with no loss and no
+reorder within a shard lineage.
+
+The reference writer never needed this (server-side hashing,
+kinesis/kinesis.go:179); any long-lived consumer of a real stream does.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kinesis_spark.ingest.consumer import (
+    SpoolConsumerClient,
+    read_stream_batch,
+)
+from kinesis_spark.ingest.resharding import (
+    init_topology,
+    key_hash,
+    load_topology,
+    merge_shards,
+    split_shard,
+)
+from kinesis_spark.ingest.writer import Record
+from kinesis_spark.streaming.spool import SpoolStreamClient, reassemble_records
+
+STREAM = "reshard-stream"
+N_SHARDS = 4
+
+
+def _keys_for_shard(spool: str, shard_id: str, n: int, tag: str) -> list[str]:
+    """Deterministic partition keys that route to ``shard_id`` under the
+    CURRENT topology's newest generation."""
+    topo = load_topology(spool, N_SHARDS)
+    gen = topo.generations[-1]
+    keys, i = [], 0
+    while len(keys) < n:
+        pk = f"{tag}-{i}"
+        if gen.route(pk) == shard_id:
+            keys.append(pk)
+        i += 1
+    return keys
+
+
+def _put(spool: str, payloads: dict[str, bytes]) -> None:
+    sink = SpoolStreamClient(spool)
+    for pk, data in payloads.items():
+        sink.put_records(STREAM, [Record(data=data, partition_key=pk)])
+
+
+# -- topology unit tests ----------------------------------------------------
+
+
+def test_split_closes_parent_and_links_children(tmp_path):
+    spool = str(tmp_path / "spool")
+    shards = init_topology(spool, N_SHARDS)
+    c1, c2 = split_shard(spool, shards[0])
+    topo = load_topology(spool, N_SHARDS)
+    infos = {s.shard_id: s for s in topo.shard_infos()}
+    assert infos[shards[0]].closed
+    assert not infos[c1].closed and not infos[c2].closed
+    assert infos[c1].parent_ids == (shards[0],)
+    assert infos[c2].parent_ids == (shards[0],)
+    # uninvolved shards stay open with no parents
+    for sh in shards[1:]:
+        assert not infos[sh].closed and infos[sh].parent_ids == ()
+    # parents precede children in listing order
+    order = [s.shard_id for s in topo.shard_infos()]
+    assert order.index(shards[0]) < order.index(c1) < order.index(c2)
+
+
+def test_merge_links_both_parents(tmp_path):
+    spool = str(tmp_path / "spool")
+    shards = init_topology(spool, N_SHARDS)
+    child = merge_shards(spool, shards[1], shards[2])
+    infos = {s.shard_id: s for s in load_topology(spool, N_SHARDS).shard_infos()}
+    assert infos[shards[1]].closed and infos[shards[2]].closed
+    assert set(infos[child].parent_ids) == {shards[1], shards[2]}
+    assert not infos[child].closed
+
+
+def test_routing_cuts_over_at_reshard(tmp_path):
+    """A record written before the split routes to the parent; the same
+    key written after routes to a child — the per-key lineage Kinesis
+    maintains."""
+    spool = str(tmp_path / "spool")
+    shards = init_topology(spool, N_SHARDS)
+    pk = _keys_for_shard(spool, shards[0], 1, "pk")[0]
+    _put(spool, {pk: b"before"})
+    c1, c2 = split_shard(spool, shards[0])
+    _put(spool, {pk: b"after"})
+    client = SpoolConsumerClient(spool, N_SHARDS)
+    parent_recs = client._shard_records(STREAM, shards[0])
+    assert [r["pk"] for r in parent_recs] == [pk]
+    child = c1 if key_hash(pk) < load_topology(spool, N_SHARDS).generations[-1].range_of(c1)[1] else c2
+    child_recs = client._shard_records(STREAM, child)
+    assert [r["pk"] for r in child_recs] == [pk]
+    # within the lineage, parent seq < child seq (order preserved)
+    assert parent_recs[0]["seq"] < child_recs[0]["seq"]
+
+
+def test_closed_shard_ends_with_null_iterator(tmp_path):
+    spool = str(tmp_path / "spool")
+    shards = init_topology(spool, N_SHARDS)
+    pk = _keys_for_shard(spool, shards[0], 1, "pk")[0]
+    _put(spool, {pk: b"x"})
+    split_shard(spool, shards[0])
+    client = SpoolConsumerClient(spool, N_SHARDS)
+    it = client.get_shard_iterator(STREAM, shards[0], "TRIM_HORIZON")
+    resp = client.get_records(it)
+    assert [r["Data"] for r in resp["Records"]] == [b"x"]
+    assert resp["NextShardIterator"] is None  # SHARD_END
+    # an OPEN shard at its tip keeps a valid iterator
+    it2 = client.get_shard_iterator(STREAM, shards[1], "TRIM_HORIZON")
+    resp2 = client.get_records(it2)
+    assert resp2["NextShardIterator"] is not None
+
+
+def test_legacy_spool_without_topology_unchanged(tmp_path):
+    """No _shards.json => the old md5 % n routing, open shards, no
+    parents — existing spools read exactly as before."""
+    spool = str(tmp_path / "spool")
+    _put(spool, {"pk0": b"a"})
+    client = SpoolConsumerClient(spool, N_SHARDS)
+    assert client.list_shards(STREAM) == [
+        f"shardId-{i:012d}" for i in range(N_SHARDS)
+    ]
+    assert all("ParentShardId" not in d for d in client.describe_shards(STREAM))
+
+
+# -- Spark read paths -------------------------------------------------------
+
+
+def test_batch_read_across_split_and_merge_byte_exact(spark, tmp_path):
+    """Produce across a split AND a merge; the snapshot batch read must
+    reassemble every key byte-exact (no loss, per-key order kept)."""
+    spool = str(tmp_path / "spool")
+    shards = init_topology(spool, N_SHARDS)
+    pks = [_keys_for_shard(spool, sh, 1, f"s{i}")[0] for i, sh in enumerate(shards)]
+    _put(spool, {pk: f"pre-{pk}|".encode() for pk in pks})
+    split_shard(spool, shards[0])
+    _put(spool, {pk: f"mid-{pk}|".encode() for pk in pks})
+    merge_shards(spool, shards[1], shards[2])
+    _put(spool, {pk: f"post-{pk}|".encode() for pk in pks})
+    df = read_stream_batch(
+        spark, lambda: SpoolConsumerClient(spool, N_SHARDS), STREAM, limit_per_call=2
+    )
+    got = {r.pk: bytes(r.stream_bytes) for r in reassemble_records(df).collect()}
+    assert got == {
+        pk: f"pre-{pk}|mid-{pk}|post-{pk}|".encode() for pk in pks
+    }
+
+
+@pytest.mark.streaming
+def test_streaming_consumes_parent_before_child(spark, tmp_path):
+    """Produce across a split; the streaming source must emit every
+    parent record in an EARLIER micro-batch than any record of its
+    children, lose nothing, and keep per-key order."""
+    from kinesis_spark.streaming.kinesis_source import KinesisConsumerDataSource
+
+    spool = str(tmp_path / "spool")
+    shards = init_topology(spool, N_SHARDS)
+    pks = _keys_for_shard(spool, shards[0], 2, "k")
+    other = _keys_for_shard(spool, shards[3], 1, "o")[0]
+    _put(spool, {pk: f"pre-{pk}|".encode() for pk in pks + [other]})
+    c1, c2 = split_shard(spool, shards[0])
+    _put(spool, {pk: f"post-{pk}|".encode() for pk in pks + [other]})
+
+    spark.dataSource.register(KinesisConsumerDataSource)
+    seen: list[tuple[int, str, str]] = []  # (batch_id, shard_id, seq)
+    rows_acc = []
+
+    def sink(batch, batch_id):
+        rows = batch.collect()
+        rows_acc.extend(rows)
+        seen.extend((batch_id, r.shard_id, r.seq) for r in rows)
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("kinesis_consumer")
+            .option("spool_dir", spool)
+            .option("stream", STREAM)
+            .option("n_shards", str(N_SHARDS))
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1 consumes the parents (children gated); run 2 (a RESTART — a
+    # fresh reader that must reload lineage state) releases the children
+    drain()
+    drain()
+
+    expected = 2 * (len(pks) + 1)
+    assert len(rows_acc) == expected, seen
+    parent_batches = [b for b, sh, _ in seen if sh == shards[0]]
+    child_batches = [b for b, sh, _ in seen if sh in (c1, c2)]
+    assert parent_batches and child_batches
+    assert max(parent_batches) < min(child_batches), seen
+    # byte-exact reassembly incl. per-key order across the lineage
+    df = spark.createDataFrame(rows_acc)
+    got = {r.pk: bytes(r.stream_bytes) for r in reassemble_records(df).collect()}
+    assert got == {
+        pk: f"pre-{pk}|post-{pk}|".encode() for pk in pks + [other]
+    }
+
+
+@pytest.mark.streaming
+def test_streaming_merge_waits_for_both_parents(spark, tmp_path):
+    from kinesis_spark.streaming.kinesis_source import KinesisConsumerDataSource
+
+    spool = str(tmp_path / "spool")
+    shards = init_topology(spool, N_SHARDS)
+    pk_a = _keys_for_shard(spool, shards[1], 1, "a")[0]
+    pk_b = _keys_for_shard(spool, shards[2], 1, "b")[0]
+    _put(spool, {pk_a: b"A1|", pk_b: b"B1|"})
+    child = merge_shards(spool, shards[1], shards[2])
+    _put(spool, {pk_a: b"A2|", pk_b: b"B2|"})
+
+    spark.dataSource.register(KinesisConsumerDataSource)
+    seen: list[tuple[int, str]] = []
+    rows_acc = []
+
+    def sink(batch, batch_id):
+        rows = batch.collect()
+        rows_acc.extend(rows)
+        seen.extend((batch_id, r.shard_id) for r in rows)
+
+    ckpt = str(tmp_path / "ckpt")
+    for _ in range(2):
+        q = (
+            spark.readStream.format("kinesis_consumer")
+            .option("spool_dir", spool)
+            .option("stream", STREAM)
+            .option("n_shards", str(N_SHARDS))
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    parent_batches = [b for b, sh in seen if sh in (shards[1], shards[2])]
+    child_batches = [b for b, sh in seen if sh == child]
+    assert parent_batches and child_batches
+    assert max(parent_batches) < min(child_batches), seen
+    df = spark.createDataFrame(rows_acc)
+    got = {r.pk: bytes(r.stream_bytes) for r in reassemble_records(df).collect()}
+    assert got == {pk_a: b"A1|A2|", pk_b: b"B1|B2|"}
