@@ -13,6 +13,10 @@ materialization cost). Per-query time is the best of 2 back-to-back runs
 — the steady-state number; a single-shot measure on a shared machine
 conflates scheduler noise and first-use JIT with the plan's actual cost.
 "value" is the sum of per-query times plus the two ingest soaks.
+
+Two JSON lines go to stdout: the full per-query payload (also persisted
+to BENCH_full.json) and, LAST, a compact per-family digest — harnesses
+that keep only the tail of stdout always capture a parseable object.
 """
 
 from __future__ import annotations
@@ -153,6 +157,38 @@ def main() -> None:
     # front of the (long) queries dict — persist the full line too
     with open(os.path.join(REPO, "BENCH_full.json"), "w") as f:
         f.write(payload + "\n")
+    # ... and print a COMPACT digest as the LAST line so the captured
+    # tail is always a parseable JSON object in the documented shape:
+    # "queries" aggregated per family (sim/d/t/q/...) instead of the
+    # 160-entry per-query dict; full per-query numbers stay in
+    # BENCH_full.json
+    import re
+
+    fams: dict[str, dict] = {}
+    for name, t in queries.items():
+        fam = re.match(r"[a-z]+", name).group(0)
+        f = fams.setdefault(fam, {"n": 0, "sec": 0.0, "failed": 0})
+        f["n"] += 1
+        if t > 0:
+            f["sec"] = round(f["sec"] + t, 3)
+        else:
+            f["failed"] += 1
+    digest = json.dumps(
+        {
+            "metric": "suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: v["sec"] for k, v in sorted(fams.items())},
+            "families": fams,
+            "n_queries": len(queries),
+            "n_failed": sum(f["failed"] for f in fams.values()),
+            "sf": sf,
+            "ingest": ingest,
+            "ingest_headroom": headroom,
+            "full": "BENCH_full.json",
+        }
+    )
+    print(digest)
     spark.stop()
 
 

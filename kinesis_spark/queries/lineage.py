@@ -230,12 +230,13 @@ FROM agg a,
 """,
     tags=("quality", "profile"),
 )
-def dq2_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-column dataset profile of ``orders`` — null count, exact
-    distinct count, min and max (rendered to strings so heterogeneous
-    column types stack into one relation) — the first look any pipeline
-    takes at a new snapshot, and the input to drift checks between
-    releases.
+def dq2_column_profile(
+    spark: SparkSession, sf_dir: str, *, exact: bool = True
+) -> DataFrame:
+    """Per-column dataset profile of ``orders`` — null count, distinct
+    count, min and max (rendered to strings so heterogeneous column
+    types stack into one relation) — the first look any pipeline takes
+    at a new snapshot, and the input to drift checks between releases.
 
     ONE aggregation pass produces all 5 columns x 4 stats: Catalyst
     compiles the multi-distinct aggregate into a single scan with an
@@ -243,11 +244,17 @@ def dq2_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns costs one read plus an N-way expanded shuffle of the
     grouped values — never a job per column. The stats row then pivots
     to per-column rows via a literal array + explode (5 rows, free).
-    At 100 TB swap the exact COUNT(DISTINCT) for approx_count_distinct
-    to drop the Expand; exact here so the DuckDB oracle can verify
-    values bit-for-bit. Doubles are profiled through DECIMAL(14,2) —
-    engines disagree on shortest-roundtrip double formatting, decimals
-    render identically.
+
+    ``exact=False`` is the 100 TB mode: ``approx_count_distinct`` (HLL++,
+    default 5% rsd) replaces the exact COUNT(DISTINCT), which drops the
+    Expand entirely — the scan partial-aggregates fixed-size sketches
+    map-side and the shuffle carries one sketch per column per task
+    instead of every grouped value. Exact stays the registered default
+    so the DuckDB oracle verifies values bit-for-bit; both modes are
+    tested (tests/test_quality.py asserts the approx plan is Expand-free
+    and its counts are within HLL error of exact). Doubles are profiled
+    through DECIMAL(14,2) — engines disagree on shortest-roundtrip
+    double formatting, decimals render identically.
     """
     o = load_table(spark, sf_dir, "orders")
     price = F.col("o_totalprice").cast("decimal(14,2)")
@@ -259,11 +266,12 @@ def dq2_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice": price,
         "o_orderdate": odate,
     }
+    distinct_of = F.count_distinct if exact else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for name, c in cols.items():
         aggs += [
             F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("bigint").alias(f"{name}__null"),
-            F.count_distinct(c).cast("bigint").alias(f"{name}__dist"),
+            distinct_of(c).cast("bigint").alias(f"{name}__dist"),
             F.min(c).cast("string").alias(f"{name}__min"),
             F.max(c).cast("string").alias(f"{name}__max"),
         ]

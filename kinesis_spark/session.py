@@ -22,6 +22,44 @@ def _cpus() -> int:
 DEFAULT_SHUFFLE_PARTITIONS = _cpus()  # back-compat alias (import-time snapshot)
 
 
+def _avro_package() -> str | None:
+    """Self-provision the spark-avro package when it can actually be
+    resolved — either the ivy cache already holds it (offline OK) or a
+    Maven mirror is reachable. Returns the coordinate to put in
+    ``spark.jars.packages``, or None to fall back to the classpath gate
+    in sources.py (read_avro/write_avro raise a clear
+    NotImplementedError there). Probing BEFORE configuring matters: an
+    unconditional package coordinate makes JVM startup fail outright in
+    an offline container, taking every non-Avro query down with it.
+
+    Opt out with SPARK_GRAFT_AVRO_PROVISION=off (e.g. air-gapped
+    clusters with a curated spark.jars path).
+    """
+    if os.environ.get("SPARK_GRAFT_AVRO_PROVISION", "auto") == "off":
+        return None
+    import glob
+
+    import pyspark
+
+    version = pyspark.__version__
+    coord = f"org.apache.spark:spark-avro_2.13:{version}"
+    ivy = os.path.expanduser("~/.ivy2")
+    cached = glob.glob(
+        os.path.join(ivy, "**", f"spark-avro_2.13*{version}*.jar"), recursive=True
+    ) or glob.glob(
+        os.path.join(ivy, "jars", f"org.apache.spark_spark-avro_2.13-{version}.jar")
+    )
+    if cached:
+        return coord
+    import socket
+
+    try:
+        socket.create_connection(("repo1.maven.org", 443), timeout=2).close()
+        return coord
+    except OSError:
+        return None
+
+
 def get_spark(app_name: str = "kinesis_spark", master: str | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with scale-aware defaults.
 
@@ -45,23 +83,41 @@ def get_spark(app_name: str = "kinesis_spark", master: str | None = None) -> Spa
         )
 
     cpus = _cpus()
-    builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.parquet.filterPushdown", "true")
-        # default 100 drops wide plans out of whole-stage codegen; the
-        # engine's wide aggregates (60-bit simhash votes, 16-bin
-        # histograms) are 2.5x slower interpreted (measured at sf0.1)
-        .config("spark.sql.codegen.maxFields", "400")
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-    )
-    return builder.getOrCreate()
+
+    def _builder(avro_pkg: str | None):
+        b = (
+            SparkSession.builder.appName(app_name)
+            .master(master or f"local[{cpus}]")
+            .config("spark.sql.shuffle.partitions", str(cpus))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+            .config("spark.sql.adaptive.skewJoin.enabled", "true")
+            .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.sql.parquet.filterPushdown", "true")
+            # default 100 drops wide plans out of whole-stage codegen; the
+            # engine's wide aggregates (60-bit simhash votes, 16-bin
+            # histograms) are 2.5x slower interpreted (measured at sf0.1)
+            .config("spark.sql.codegen.maxFields", "400")
+            .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+            .config(
+                "spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            )
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+        )
+        if avro_pkg:
+            b = b.config("spark.jars.packages", avro_pkg)
+        return b
+
+    avro_pkg = _avro_package()
+    try:
+        return _builder(avro_pkg).getOrCreate()
+    except Exception:
+        if avro_pkg is None:
+            raise
+        # resolution can still fail after a positive probe (captive
+        # proxy, artifact missing for this version): Avro is optional,
+        # the session is not — retry bare and let sources.py gate Avro
+        return _builder(None).getOrCreate()

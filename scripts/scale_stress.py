@@ -149,6 +149,76 @@ def time_warm(spark, name: str, sf_dir: str) -> float:
     return round(best, 2)
 
 
+# Streaming twins: the stateful always-on operators whose batch siblings
+# are measured above. Each drains the corpus as a 4-micro-batch
+# availableNow run (maxFilesPerTrigger=8 over the 32-file layout — same
+# batch COUNT at both scales, 10x the data per batch, so the ratio
+# isolates data volume, not trigger overhead) with fresh state dirs per
+# run. Bounds under test: bloom's fixed 8 KiB bitmap + hash-store verify,
+# neardup's per-bucket canonical state, prep's chained dedup+LSH state.
+STREAMING_TWINS = [
+    "stream_bloom_dedup",
+    "stream_neardup",
+    "stream_prep_intake",
+]
+
+
+def _docs_stream(spark, sf_dir: str, mfpt: int = 8):
+    d = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(d).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", mfpt)
+        .parquet(d)
+    )
+
+
+def time_streaming_twin(spark, name: str, sf_dir: str) -> float:
+    import shutil
+    import tempfile
+
+    best = float("inf")
+    for _ in range(2):
+        work = tempfile.mkdtemp(prefix=f"scale-{name}-")
+        try:
+            docs = _docs_stream(spark, sf_dir)
+            t0 = time.monotonic()
+            if name == "stream_bloom_dedup":
+                from kinesis_spark.streaming.bloom_dedup import start_bloom_dedup
+
+                q = start_bloom_dedup(
+                    spark,
+                    docs,
+                    os.path.join(work, "state"),
+                    os.path.join(work, "out"),
+                    os.path.join(work, "ckpt"),
+                    trigger_available_now=True,
+                )
+            else:
+                if name == "stream_neardup":
+                    from kinesis_spark.streaming.neardup import (
+                        streaming_near_dup_candidates,
+                    )
+
+                    out = streaming_near_dup_candidates(docs)
+                else:
+                    from kinesis_spark.streaming.prep import near_dup_flags_stream
+
+                    out = near_dup_flags_stream(docs)
+                q = (
+                    out.writeStream.format("noop")
+                    .outputMode("update")
+                    .option("checkpointLocation", os.path.join(work, "ckpt"))
+                    .trigger(availableNow=True)
+                    .start()
+                )
+            q.awaitTermination(600)
+            best = min(best, time.monotonic() - t0)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    return round(best, 2)
+
+
 def main() -> None:
     spark = get_spark("kinesis_spark-scale-stress")
     spark.sparkContext.setLogLevel("ERROR")
@@ -172,6 +242,11 @@ def main() -> None:
     for name in OPERATORS:
         x1 = time_warm(spark, name, SF1X)
         x10 = time_warm(spark, name, SF10X)
+        out[name] = {"x1": x1, "x10": x10, "ratio": round(x10 / max(x1, 1e-9), 1)}
+        print(f"# {name}: {x1}s -> {x10}s ({out[name]['ratio']}x)", file=sys.stderr)
+    for name in STREAMING_TWINS:
+        x1 = time_streaming_twin(spark, name, SF1X)
+        x10 = time_streaming_twin(spark, name, SF10X)
         out[name] = {"x1": x1, "x10": x10, "ratio": round(x10 / max(x1, 1e-9), 1)}
         print(f"# {name}: {x1}s -> {x10}s ({out[name]['ratio']}x)", file=sys.stderr)
     print(json.dumps({"replicas": REPLICAS, "queries": out}))

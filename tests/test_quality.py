@@ -71,3 +71,40 @@ def test_validate_empty_input_zero_violations(spark):
     empty = spark.createDataFrame([], "amount DOUBLE")
     rows = validate(empty, {"pos": F.col("amount") > 0}).collect()
     assert [(r.n_rows, r.n_violations, r.pass_rate) for r in rows] == [(0, 0, 1.0)]
+
+
+def test_dq2_approx_mode_drops_expand_and_bounds_error(spark, sf_dir):
+    """The 100 TB profile mode: approx_count_distinct must compile
+    WITHOUT the Expand operator (the exact multi-distinct's N-way row
+    replication) and land within HLL++ error (5% rsd default, allow 15%)
+    of the exact counts; every non-distinct stat stays identical."""
+    import contextlib
+    import io
+
+    from kinesis_spark.queries.lineage import dq2_column_profile
+
+    exact = dq2_column_profile(spark, sf_dir).collect()
+    approx_df = dq2_column_profile(spark, sf_dir, exact=False)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        approx_df.explain("formatted")
+    assert "Expand" not in buf.getvalue()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dq2_column_profile(spark, sf_dir).explain("formatted")
+    assert "Expand" in buf.getvalue()  # the cost approx mode removes
+
+    e = {r.col_name: r for r in exact}
+    for r in approx_df.collect():
+        x = e[r.col_name]
+        assert (r.n_rows, r.n_null, r.min_val, r.max_val) == (
+            x.n_rows,
+            x.n_null,
+            x.min_val,
+            x.max_val,
+        )
+        assert abs(r.n_distinct - x.n_distinct) <= max(1, 0.15 * x.n_distinct), (
+            r.col_name,
+            r.n_distinct,
+            x.n_distinct,
+        )

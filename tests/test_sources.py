@@ -138,6 +138,47 @@ def test_orc_stream_requires_schema(spark, tmp_path):
         read_orc(spark, str(tmp_path), streaming=True)
 
 
+def test_avro_provision_decision(monkeypatch, tmp_path):
+    """Self-provision attempts the spark-avro coordinate ONLY when it is
+    resolvable (ivy cache hit or Maven reachable) — an unconditional
+    coordinate would fail JVM startup offline — and honors the opt-out."""
+    import socket
+
+    import pyspark
+
+    from kinesis_spark.session import _avro_package
+
+    monkeypatch.setenv("HOME", str(tmp_path))  # empty ivy cache
+
+    def refuse(*a, **k):
+        raise OSError("offline")
+
+    monkeypatch.setattr(socket, "create_connection", refuse)
+    assert _avro_package() is None  # offline, no cache → gate path
+
+    # a cached jar provisions even offline
+    jars = tmp_path / ".ivy2" / "jars"
+    jars.mkdir(parents=True)
+    coord = f"org.apache.spark:spark-avro_2.13:{pyspark.__version__}"
+    (jars / f"org.apache.spark_spark-avro_2.13-{pyspark.__version__}.jar").touch()
+    assert _avro_package() == coord
+
+    # explicit opt-out wins over everything
+    monkeypatch.setenv("SPARK_GRAFT_AVRO_PROVISION", "off")
+    assert _avro_package() is None
+
+    # reachable network provisions without a cache
+    monkeypatch.delenv("SPARK_GRAFT_AVRO_PROVISION")
+    monkeypatch.setenv("HOME", str(tmp_path / "nohome"))
+
+    class FakeSock:
+        def close(self):
+            pass
+
+    monkeypatch.setattr(socket, "create_connection", lambda *a, **k: FakeSock())
+    assert _avro_package() == coord
+
+
 def test_avro_roundtrip_or_gate(spark, flat_events, tmp_path):
     import pytest as _pytest
 
