@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kinesis_spark.io import load_table
 from kinesis_spark.queries import register
@@ -565,3 +566,157 @@ def s13_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_chars").cast("bigint").alias("kept_chars"),
     )
+
+
+def _s14_oracle() -> str:
+    from kinesis_spark.queries.dedup import N_HASHES, _minhash_sig_sql
+
+    sigs = ", ".join(_minhash_sig_sql(s) for s in range(N_HASHES))
+    return f"""
+WITH RECURSIVE
+sigs AS (
+  SELECT doc_id, {sigs}
+  FROM documents
+  WHERE len(regexp_split_to_array(text, '\\s+')) >= 3
+),
+bands AS (
+  SELECT doc_id,
+         unnest([mh0 || '|' || mh1, mh2 || '|' || mh3,
+                 mh4 || '|' || mh5, mh6 || '|' || mh7]) AS band_key
+  FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(v, u) AS (
+  SELECT doc_id, doc_id FROM sigs
+  UNION
+  SELECT r.v, e.dst FROM reach r JOIN edges e ON r.u = e.src
+),
+comp AS (SELECT v AS doc_id, MIN(u) AS component FROM reach GROUP BY v),
+labeled AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+assigned AS (
+  SELECT doc_id, component,
+         CAST(('0x' || substr(md5('split:' || CAST(component AS VARCHAR)), 1, 15))
+              AS BIGINT) % 100 AS bucket
+  FROM labeled
+)
+SELECT doc_id, component, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM assigned
+"""
+
+
+@register(
+    "s14_leakage_free_split",
+    oracle=_s14_oracle(),
+    tags=("setop", "split", "dedup", "training"),
+)
+def s14_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split: the split is a pure function
+    of the NEAR-DUP GROUP, not the document — every member of a MinHash
+    connected component (d9) lands in the same split, so a test document
+    can never have a near-duplicate in train. This is the eval-integrity
+    property s9's per-document hash split cannot give (a near-dup pair
+    straddling the 80/20 line leaks the test answer into training); the
+    contamination literature calls the per-doc version "split leakage".
+
+    Composition, all registered operators: d9's component labels (LSH
+    banding → iterative min-label propagation) define the group; the
+    group's canonical id feeds s9's salted-md5 bucket (shards.py) so the
+    assignment stays append-stable and engine-independent. Documents
+    below d9's token gate are their own singleton groups.
+
+    Scale shape: inherits d9's shape (banded equi-join, no all-pairs;
+    per-iteration localCheckpoint); the split assignment itself adds one
+    row-local md5 — no extra shuffle beyond d9's. The oracle replays the
+    whole composition (recursive reachability CTE + the same md5 bucket
+    arithmetic) bit-for-bit.
+    """
+    from kinesis_spark.queries.dedup import d9_dedup_components
+    from kinesis_spark.shards import split_bucket, split_name
+
+    comp = d9_dedup_components(spark, sf_dir).select("doc_id", "component")
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    labeled = d.join(comp, "doc_id", "left").withColumn(
+        "component", F.coalesce("component", F.col("doc_id"))
+    )
+    bucket = split_bucket(F.col("component"))
+    return labeled.select(
+        "doc_id",
+        "component",
+        bucket.alias("bucket"),
+        split_name(bucket).alias("split"),
+    )
+
+
+DOMAIN_CAP = 80  # max documents admitted per source
+
+
+@register(
+    "s15_domain_cap",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS source_total
+  FROM documents
+)
+SELECT doc_id, source, CAST(source_total AS BIGINT) AS source_total,
+       CAST(rk AS BIGINT) AS priority, rk <= {DOMAIN_CAP} AS admitted
+FROM ranked
+""",
+    tags=("setop", "sampling", "training"),
+)
+def s15_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain admission cap: at most {cap} documents per source,
+    chosen by a deterministic salted-md5 priority — the crawl-pipeline
+    guard against a single domain dominating the training mixture
+    (boilerplate-heavy mega-domains otherwise drown the tail). Every row
+    is kept with its admission verdict so the report doubles as the
+    drop manifest.
+
+    The priority is a pure function of doc_id (append-stable: adding
+    documents never flips an existing admit to drop unless the cap
+    crowds it out, and re-runs are reproducible across engines); ties
+    are impossible at the md5 level but doc_id breaks them bit-stably
+    anyway.
+
+    Scale shape: ONE hash shuffle on source + a per-source sort —
+    row_number over a partitioned window, never a global sort; at 100 TB
+    sources are many and the per-source groups bounded, so the window
+    parallelizes across the shuffle. A skewed mega-source is exactly the
+    d14/j6 salting case; the cap itself bounds what survives downstream.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    prio = F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(prio, F.col("doc_id"))
+    return d.select(
+        "doc_id",
+        "source",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .cast("bigint")
+        .alias("source_total"),
+        F.row_number().over(w).cast("bigint").alias("priority"),
+        (F.row_number().over(w) <= DOMAIN_CAP).alias("admitted"),
+    )
+
+
+if s15_domain_cap.__doc__:  # absent under python -OO
+    s15_domain_cap.__doc__ = s15_domain_cap.__doc__.format(cap=DOMAIN_CAP)

@@ -587,3 +587,11 @@ def test_e17_cotimed_view_survives_collapse(spark, tmp_path):
     assert out[3]["errors_between"] == 0 and out[3]["abandoned"]
 
 
+
+
+def test_s15_cap_window_is_source_partitioned(plan_of):
+    """The per-domain cap is a source-partitioned window — one hash
+    shuffle on source, never a single-partition global sort."""
+    plan = plan_of("s15_domain_cap")
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(source" in plan

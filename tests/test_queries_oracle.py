@@ -28,3 +28,18 @@ def test_query_runs(spark, sf_dir, name):
     df = q.spark_fn(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_s14_no_near_dup_pair_straddles_splits(spark, sf_dir):
+    """The property s14 exists for: every MinHash candidate pair (d3)
+    lands in ONE split — zero train/test leakage through near-dups."""
+    from kinesis_spark.queries.dedup import d3_minhash_lsh_pairs
+
+    split_of = {
+        r.doc_id: r.split
+        for r in REGISTRY["s14_leakage_free_split"].spark_fn(spark, sf_dir).collect()
+    }
+    pairs = d3_minhash_lsh_pairs(spark, sf_dir).collect()
+    assert pairs, "fixture should contain near-dup candidates"
+    for p in pairs:
+        assert split_of[p.doc_a] == split_of[p.doc_b], (p.doc_a, p.doc_b)
