@@ -45,7 +45,10 @@ def _boto3_client_factory(region: str | None):
 def _consume(args, stdout) -> int:
     """Read side: every shard, TRIM_HORIZON to tip, this partition key's
     Data concatenated in sequence order (per-key order is total because
-    one key maps to one shard's sequence)."""
+    one key maps to one shard LINEAGE — after a reshard the key's records
+    span parent then child, and sequence numbers are monotone across the
+    cutover; closed shards end with a null NextShardIterator and the
+    walk moves on)."""
     from kinesis_spark.ingest.consumer import RetryingConsumer
 
     if args.fake_sink:

@@ -36,3 +36,19 @@ def test_round2_window_is_the_priority_list():
     if any(n in verified for n in DRIVER_PRIORITY):
         return  # later round already verified them; rotation moved on
     assert list(get_registry_ordered())[:50] == list(DRIVER_PRIORITY)
+
+
+def test_force_reverify_reenters_the_window():
+    """A query whose semantics changed after earning a green row must be
+    treated as never-verified: it appears before every verified name
+    even though CORRECTNESS_r*.json has a passing row for it."""
+    from kinesis_spark.queries import FORCE_REVERIFY
+
+    verified = _driver_verified_names()
+    assert FORCE_REVERIFY.isdisjoint(verified)
+    names = list(get_registry_ordered())
+    reg = get_registry()
+    first_verified = next(i for i, n in enumerate(names) if n in verified)
+    for n in FORCE_REVERIFY:
+        if n in reg:
+            assert names.index(n) < first_verified, n

@@ -254,3 +254,25 @@ def test_streaming_merge_waits_for_both_parents(spark, tmp_path):
     df = spark.createDataFrame(rows_acc)
     got = {r.pk: bytes(r.stream_bytes) for r in reassemble_records(df).collect()}
     assert got == {pk_a: b"A1|A2|", pk_b: b"B1|B2|"}
+
+
+def test_cli_consume_across_reshard_byte_exact(tmp_path):
+    """The CLI's --consume drain walks closed parents to SHARD_END and
+    children after, reassembling the key's bytes exactly."""
+    import io
+
+    from kinesis_spark.__main__ import main as cli_main
+
+    spool = str(tmp_path / "spool")
+    shards = init_topology(spool, N_SHARDS)
+    pk = _keys_for_shard(spool, shards[0], 1, "cli")[0]
+    _put(spool, {pk: b"hello "})
+    split_shard(spool, shards[0])
+    _put(spool, {pk: b"world"})
+    out = io.BytesIO()
+    rc = cli_main(
+        [STREAM, "-p", pk, "--fake-sink", spool, "--consume"],
+        stdout=out,
+    )
+    assert rc == 0
+    assert out.getvalue() == b"hello world"
