@@ -104,13 +104,12 @@ class SpoolConsumerClient:
 
         return load_topology(self.spool_dir, self.n_shards)
 
-    def _shard_records(
-        self, stream: str, shard_id: str, topo=None
-    ) -> list[dict]:
-        topo = topo or self._topology()
-        recs = []
+    def _iter_spool_records(self, stream: str):
+        """ONE definition of the spool parsing rules (hidden-file skip,
+        .jsonl filter, blank lines, stream filter) — every reader path
+        goes through here so tips and record reads can never drift."""
         if not os.path.isdir(self.spool_dir):
-            return recs
+            return
         for name in sorted(os.listdir(self.spool_dir)):
             if name.startswith(".") or not name.endswith(".jsonl"):
                 continue
@@ -119,11 +118,18 @@ class SpoolConsumerClient:
                     if not line.strip():
                         continue
                     r = json.loads(line)
-                    if r["stream"] != stream:
-                        continue
-                    if topo.shard_for(r["pk"], r["seq"]) != shard_id:
-                        continue
-                    recs.append(r)
+                    if r["stream"] == stream:
+                        yield r
+
+    def _shard_records(
+        self, stream: str, shard_id: str, topo=None
+    ) -> list[dict]:
+        topo = topo or self._topology()
+        recs = [
+            r
+            for r in self._iter_spool_records(stream)
+            if topo.shard_for(r["pk"], r["seq"]) == shard_id
+        ]
         recs.sort(key=lambda r: r["seq"])
         return recs
 
@@ -206,22 +212,11 @@ class SpoolConsumerClient:
         moves again)."""
         topo = self._topology()
         tips: dict[str, str] = {s.shard_id: "" for s in topo.shard_infos()}
-        if not os.path.isdir(self.spool_dir):
-            return tips
         # one pass over the spool for ALL shards (not one per shard)
-        for name in sorted(os.listdir(self.spool_dir)):
-            if name.startswith(".") or not name.endswith(".jsonl"):
-                continue
-            with open(os.path.join(self.spool_dir, name)) as f:
-                for line in f:
-                    if not line.strip():
-                        continue
-                    r = json.loads(line)
-                    if r["stream"] != stream_name:
-                        continue
-                    sh = topo.shard_for(r["pk"], r["seq"])
-                    if r["seq"] > tips.get(sh, ""):
-                        tips[sh] = r["seq"]
+        for r in self._iter_spool_records(stream_name):
+            sh = topo.shard_for(r["pk"], r["seq"])
+            if r["seq"] > tips.get(sh, ""):
+                tips[sh] = r["seq"]
         return tips
 
 
@@ -328,7 +323,19 @@ class RetryingConsumer:
         return self._with_retry(lambda: self._inner.list_shards(stream_name))
 
     def describe_shards(self, stream_name: str) -> list[dict]:
-        return self._with_retry(lambda: self._inner.describe_shards(stream_name))
+        # defensive like latest_sequence_numbers below: a minimal
+        # ShardIteratorClient need not carry lineage metadata, and the
+        # failure should be a clear contract error at the seam, not an
+        # AttributeError inside a retry lambda
+        describe = getattr(self._inner, "describe_shards", None)
+        if describe is None:
+            raise NotImplementedError(
+                f"{type(self._inner).__name__} has no describe_shards "
+                "(ListShards parent linkage); resharding-aware consumers "
+                "need a client that exposes it — see SpoolConsumerClient "
+                "or Boto3ConsumerClient"
+            )
+        return self._with_retry(lambda: describe(stream_name))
 
     def get_shard_iterator(self, *args, **kwargs) -> str:
         return self._with_retry(

@@ -194,34 +194,40 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "u3_grouped_agg_pandas",
 )
 
-# Queries whose SEMANTICS changed after earning a driver-green row: the
-# old CORRECTNESS row validated the previous definition, so they must
-# re-enter the driver's window as if never verified. Remove a name once
-# a new green row lands.
-FORCE_REVERIFY: frozenset[str] = frozenset(
-    {
-        # r4: sim9 re-blocked on (label, scaled sign-LSH sub-bucket);
-        # sim12 assignment rerouted through the hierarchical two-level
-        # quantizer (cluster ids changed to coarse*2^20+fine)
-        "sim9_semdedup_prune",
-        "sim12_semdedup_bounded",
-    }
-)
+# Queries whose SEMANTICS changed after earning a driver-green row,
+# mapped to the LAST round whose CORRECTNESS rows validated the OLD
+# definition. A row from a LATER round re-verifies the new semantics
+# and clears the entry automatically — no manual edit, no permanently
+# burned window slots.
+FORCE_REVERIFY: dict[str, int] = {
+    # changed in r4: sim9 re-blocked on (label, scaled sign-LSH
+    # sub-bucket); sim12 assignment rerouted through the hierarchical
+    # two-level quantizer (cluster ids now coarse*2^20+fine). Rows from
+    # rounds <= 3 validated the old definitions.
+    "sim9_semdedup_prune": 3,
+    "sim12_semdedup_bounded": 3,
+}
 
 
 def _driver_verified_names() -> frozenset[str]:
-    """Names that already have a CORRECTNESS row from ANY past round —
-    read from the CORRECTNESS_r*.json files the harness drops in the
-    repo root. Used to rotate never-verified queries into the driver's
-    fixed-size window automatically each round; falls back to the static
-    round-1 list when the files are unreadable."""
+    """Names that already have a CORRECTNESS row validating their
+    CURRENT semantics — read from the CORRECTNESS_r*.json files the
+    harness drops in the repo root. Used to rotate never-verified
+    queries into the driver's fixed-size window automatically each
+    round; falls back to the static round-1 list when the files are
+    unreadable. A FORCE_REVERIFY name counts only when its green row
+    comes from a round AFTER the semantics change, so the entry
+    self-clears the moment the driver re-verifies it."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     seen: set[str] = set()
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -233,12 +239,14 @@ def _driver_verified_names() -> frozenset[str]:
             # query in the front of the window for re-verification
             if not isinstance(row, dict):
                 continue
+            if rnd <= FORCE_REVERIFY.get(name, 0):
+                continue  # row validated the OLD semantics
             err = row.get("err")
             if err is None or err == "no_oracle":
                 seen.add(name)
-    return (
-        frozenset(seen) - FORCE_REVERIFY if seen else R1_VERIFIED - FORCE_REVERIFY
-    )
+    if not seen:
+        return R1_VERIFIED - {n for n, r in FORCE_REVERIFY.items() if r >= 1}
+    return frozenset(seen)
 
 
 # Names the driver verified in round 1 (keys of CORRECTNESS_r01.json). These

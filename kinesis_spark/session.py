@@ -21,6 +21,9 @@ def _cpus() -> int:
 
 DEFAULT_SHUFFLE_PARTITIONS = _cpus()  # back-compat alias (import-time snapshot)
 
+_UNRESOLVED = object()
+_AVRO_DECISION: object = _UNRESOLVED
+
 
 def _avro_package() -> str | None:
     """Self-provision the spark-avro package when it can actually be
@@ -37,27 +40,44 @@ def _avro_package() -> str | None:
     """
     if os.environ.get("SPARK_GRAFT_AVRO_PROVISION", "auto") == "off":
         return None
-    import glob
-
+    # memoized per process: get_spark() runs per test module / CLI call,
+    # and neither the cache layouts nor the network reachability change
+    # within one process — without this every session creation would pay
+    # the probe (up to 2 s offline)
+    global _AVRO_DECISION
+    if _AVRO_DECISION is not _UNRESOLVED:
+        return _AVRO_DECISION
     import pyspark
 
     version = pyspark.__version__
     coord = f"org.apache.spark:spark-avro_2.13:{version}"
     ivy = os.path.expanduser("~/.ivy2")
-    cached = glob.glob(
-        os.path.join(ivy, "**", f"spark-avro_2.13*{version}*.jar"), recursive=True
-    ) or glob.glob(
+    # the two layouts ivy actually uses, checked non-recursively (a
+    # populated ~/.ivy2 holds tens of thousands of files; a recursive
+    # walk per session would dwarf the work it gates)
+    cached = os.path.exists(
         os.path.join(ivy, "jars", f"org.apache.spark_spark-avro_2.13-{version}.jar")
+    ) or os.path.exists(
+        os.path.join(
+            ivy,
+            "cache",
+            "org.apache.spark",
+            "spark-avro_2.13",
+            "jars",
+            f"spark-avro_2.13-{version}.jar",
+        )
     )
     if cached:
+        _AVRO_DECISION = coord
         return coord
     import socket
 
     try:
         socket.create_connection(("repo1.maven.org", 443), timeout=2).close()
-        return coord
+        _AVRO_DECISION = coord
     except OSError:
-        return None
+        _AVRO_DECISION = None
+    return _AVRO_DECISION
 
 
 def get_spark(app_name: str = "kinesis_spark", master: str | None = None) -> SparkSession:

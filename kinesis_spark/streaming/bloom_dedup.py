@@ -111,10 +111,11 @@ class BloomDedupSink:
         self.id_col = id_col
         self.m_bits = m_bits
         self.k = k
-        # token identity: explicit > the streaming query's OWN id from
-        # the checkpoint metadata (stable across restarts of the same
-        # checkpoint, FRESH when the checkpoint is recreated — a path
-        # hash would wrongly survive rm -rf) > a per-instance nonce
+        # token identity: explicit > a sidecar file inside the
+        # checkpoint dir seeded from the query's metadata id (stable
+        # across restarts AND replay attempts of the same checkpoint,
+        # FRESH when the checkpoint is recreated — a path hash would
+        # wrongly survive rm -rf) > a per-instance nonce
         self._fixed_token = run_token
         self._checkpoint_dir = checkpoint_dir
         self._resolved_token: str | None = None
@@ -136,21 +137,47 @@ class BloomDedupSink:
         if self._fixed_token is not None:
             self._resolved_token = self._fixed_token
         elif self._checkpoint_dir is not None:
-            import json
-            import uuid
-
-            try:
-                with open(os.path.join(self._checkpoint_dir, "metadata")) as f:
-                    self._resolved_token = json.load(f)["id"][:12]
-            except (OSError, ValueError, KeyError):
-                # first call can race the checkpoint bootstrap; fall back
-                # without caching so a later call picks the real id
-                return f"boot-{uuid.uuid4().hex[:12]}"
+            self._resolved_token = self._checkpoint_token()
         else:
             import uuid
 
             self._resolved_token = uuid.uuid4().hex[:12]
         return self._resolved_token
+
+    def _checkpoint_token(self) -> str:
+        """A token with exactly the checkpoint's lifecycle, stable across
+        every attempt and restart of the same checkpoint. A sidecar file
+        INSIDE the checkpoint dir is the source of truth (created once,
+        O_EXCL, from the query id when the metadata is readable or a
+        nonce when the bootstrap races it); `rm -rf checkpoint` removes
+        it, so a recreated checkpoint gets a fresh token. Resolving the
+        metadata id directly on a later attempt would be WRONG: an
+        attempt that crashed mid-write under a bootstrap nonce must be
+        recognized by its replay, which requires the replay to read the
+        SAME token, not a newly-readable query id."""
+        import json
+        import uuid
+
+        side = os.path.join(self._checkpoint_dir, ".kinesis_spark_run_token")
+        try:
+            with open(side) as f:
+                return f.read().strip()
+        except OSError:
+            pass
+        try:
+            with open(os.path.join(self._checkpoint_dir, "metadata")) as f:
+                token = json.load(f)["id"][:12]
+        except (OSError, ValueError, KeyError):
+            token = f"boot-{uuid.uuid4().hex[:12]}"
+        os.makedirs(self._checkpoint_dir, exist_ok=True)
+        try:
+            fd = os.open(side, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError:
+            with open(side) as f:  # lost the create race: theirs wins
+                return f.read().strip()
+        with os.fdopen(fd, "w") as f:
+            f.write(token)
+        return token
 
     def _batch_key(self, token: str, batch_id: int) -> str:
         return f"{token}-{batch_id}"
@@ -272,10 +299,10 @@ def start_bloom_dedup(
     trigger_available_now: bool = False,
 ):
     """Wire :class:`BloomDedupSink` into a streaming query. Returns the
-    started ``StreamingQuery``. The run token is the streaming query's
-    own id (read from the checkpoint metadata): the same checkpoint
-    resumes the same batch numbering (marker applies); a NEW or
-    recreated checkpoint gets a new query id, so its batch 0 is new
+    started ``StreamingQuery``. The run token shares the checkpoint's
+    lifecycle (a sidecar file seeded from the query id): the same
+    checkpoint resumes the same batch numbering (marker applies); a NEW
+    or recreated checkpoint gets a new token, so its batch 0 is new
     data to process, not a replay to skip."""
     sink = BloomDedupSink(
         spark,

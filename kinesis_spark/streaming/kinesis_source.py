@@ -41,7 +41,14 @@ post-split ones. The consumed-through state persists next to the spool
 (``_consumer_state/<stream>.json``, override with option
 ``lineage_state_path``) because this reader is rebuilt blind on every
 restart — the KCL-lease-table analog, max-merged with the Spark
-checkpoint's own start offsets so a lost state file self-heals.
+checkpoint's own start offsets so a lost state file self-heals. Like a
+KCL lease table, the state path defines the CONSUMER-GROUP scope: one
+query per state path by contract. A brand-new query pointed at a used
+path re-reads everything (initialOffset resets the state; nothing is
+skipped or lost) but its very first batch may interleave a parent with
+its children, because Spark resolves that batch's end offset before the
+reader can learn the query is new — give each application its own
+``lineage_state_path`` for strict first-batch ordering.
 
 Sequence numbers are fixed-width strings (streaming/spool.py:14), so the
 lexicographic comparisons here are chronological.
@@ -170,6 +177,20 @@ class KinesisShardStreamReader(DataSourceStreamReader):
 
     # -- offsets (driver side) -------------------------------------------
     def initialOffset(self) -> dict:
+        # Spark calls this ONLY for a brand-new query (no checkpoint) —
+        # the one reliable signal that lineage state on disk belongs to
+        # a PREVIOUS query. Reset it so every batch AFTER the first
+        # gates on THIS query's own progress. It cannot protect batch 0
+        # itself: Spark resolves the batch's END (latestOffset) before
+        # it asks for the initial offset, so a fresh query sharing a
+        # previous query's state path re-reads everything (no loss —
+        # start is TRIM_HORIZON) but may interleave a parent and its
+        # children inside that first batch. That is exactly KCL's
+        # semantics for a shared lease table; for strict first-batch
+        # ordering give each application its own ``lineage_state_path``
+        # (the lease-table-per-application analog).
+        self._committed = {}
+        self._save_committed()
         return {sh: "" for sh in self._client().list_shards(self._stream)}
 
     def latestOffset(self) -> dict:

@@ -212,7 +212,13 @@ def time_streaming_twin(spark, name: str, sf_dir: str) -> float:
                     .trigger(availableNow=True)
                     .start()
                 )
-            q.awaitTermination(600)
+            finished = q.awaitTermination(600)
+            if not finished:
+                # loud, never silent: a timed-out drain is not a
+                # measurement, and rmtree'ing a LIVE query's checkpoint
+                # corrupts every later run
+                q.stop()
+                raise RuntimeError(f"{name} drain exceeded 600s at {sf_dir}")
             best = min(best, time.monotonic() - t0)
         finally:
             shutil.rmtree(work, ignore_errors=True)

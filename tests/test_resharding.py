@@ -276,3 +276,71 @@ def test_cli_consume_across_reshard_byte_exact(tmp_path):
     )
     assert rc == 0
     assert out.getvalue() == b"hello world"
+
+
+@pytest.mark.streaming
+def test_fresh_query_lineage_state_scoping(spark, tmp_path):
+    """The lineage state path is the consumer-group scope (KCL lease
+    table analog). A NEW query (fresh checkpoint) over a spool another
+    query already drained must (a) re-read EVERYTHING when sharing the
+    default state path — no rows skipped because of the other query's
+    consumed-through marks (initialOffset resets them) — and (b) get
+    strict parent-before-child ordering when given its OWN
+    lineage_state_path."""
+    from kinesis_spark.streaming.kinesis_source import KinesisConsumerDataSource
+
+    spool = str(tmp_path / "spool")
+    shards = init_topology(spool, N_SHARDS)
+    pk = _keys_for_shard(spool, shards[0], 1, "f")[0]
+    _put(spool, {pk: b"pre|"})
+    c1, c2 = split_shard(spool, shards[0])
+    _put(spool, {pk: b"post|"})
+    spark.dataSource.register(KinesisConsumerDataSource)
+
+    def run(ckpt, sink, state_path=None):
+        reader = (
+            spark.readStream.format("kinesis_consumer")
+            .option("spool_dir", spool)
+            .option("stream", STREAM)
+            .option("n_shards", str(N_SHARDS))
+        )
+        if state_path:
+            reader = reader.option("lineage_state_path", state_path)
+        q = (
+            reader.load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # query A drains everything (two runs: parents then children)
+    a_rows = []
+    for _ in range(2):
+        run(str(tmp_path / "ckptA"), lambda b, i: a_rows.extend(b.collect()))
+    assert len(a_rows) == 2
+
+    # (a) query B: fresh checkpoint, SHARED default state path. Must see
+    # all the data again — A's consumed-through marks cannot make B skip
+    # rows. (Its batch 0 may interleave parent and child: Spark fixes
+    # the batch end before the reader learns the query is new — the
+    # documented shared-lease-table semantics.)
+    b_rows = []
+    for _ in range(2):
+        run(str(tmp_path / "ckptB"), lambda b, i: b_rows.extend(b.collect()))
+    assert sorted(bytes(r.data) for r in b_rows) == [b"post|", b"pre|"]
+
+    # (b) query C: fresh checkpoint, OWN state path — strict ordering
+    seen_c: list[tuple[int, str]] = []
+
+    def sink_c(batch, batch_id):
+        seen_c.extend((batch_id, r.shard_id) for r in batch.collect())
+
+    own_state = str(tmp_path / "lineageC.json")
+    for _ in range(2):
+        run(str(tmp_path / "ckptC"), sink_c, state_path=own_state)
+    parent_c = [b for b, sh in seen_c if sh == shards[0]]
+    child_c = [b for b, sh in seen_c if sh in (c1, c2)]
+    assert parent_c and child_c, seen_c
+    assert max(parent_c) < min(child_c), seen_c

@@ -146,7 +146,11 @@ def test_avro_provision_decision(monkeypatch, tmp_path):
 
     import pyspark
 
+    import kinesis_spark.session as sess
     from kinesis_spark.session import _avro_package
+
+    def fresh():  # the decision memoizes per process; reset between cases
+        monkeypatch.setattr(sess, "_AVRO_DECISION", sess._UNRESOLVED)
 
     monkeypatch.setenv("HOME", str(tmp_path))  # empty ivy cache
 
@@ -154,6 +158,7 @@ def test_avro_provision_decision(monkeypatch, tmp_path):
         raise OSError("offline")
 
     monkeypatch.setattr(socket, "create_connection", refuse)
+    fresh()
     assert _avro_package() is None  # offline, no cache → gate path
 
     # a cached jar provisions even offline
@@ -161,10 +166,12 @@ def test_avro_provision_decision(monkeypatch, tmp_path):
     jars.mkdir(parents=True)
     coord = f"org.apache.spark:spark-avro_2.13:{pyspark.__version__}"
     (jars / f"org.apache.spark_spark-avro_2.13-{pyspark.__version__}.jar").touch()
+    fresh()
     assert _avro_package() == coord
 
     # explicit opt-out wins over everything
     monkeypatch.setenv("SPARK_GRAFT_AVRO_PROVISION", "off")
+    fresh()
     assert _avro_package() is None
 
     # reachable network provisions without a cache
@@ -176,6 +183,11 @@ def test_avro_provision_decision(monkeypatch, tmp_path):
             pass
 
     monkeypatch.setattr(socket, "create_connection", lambda *a, **k: FakeSock())
+    fresh()
+    assert _avro_package() == coord
+
+    # memoized: a flipped environment does NOT change the decision
+    monkeypatch.setattr(socket, "create_connection", refuse)
     assert _avro_package() == coord
 
 

@@ -183,6 +183,43 @@ def test_bloom_dedup_boot_token_coherent_within_batch(
 
 
 @pytest.mark.streaming
+def test_bloom_dedup_boot_token_stable_across_attempts(
+    spark, chunked_docs, tmp_path
+):
+    """A replay ATTEMPT (new sink instance, same checkpoint) must resolve
+    the SAME token as the crashed first attempt even when the checkpoint
+    metadata was unreadable at both — otherwise the replay's own-hash
+    exclusion cannot recognize the first attempt's partial hash subdir
+    and its rows are masked as already admitted (row loss)."""
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    ckpt = tmp_path / "ckpt_without_metadata"
+    ckpt.mkdir()
+    batch = spark.read.parquet(chunked_docs)
+    s1 = BloomDedupSink(spark, state, out, checkpoint_dir=str(ckpt))
+    t1 = s1.run_token
+    s1.process_batch(batch, 0)
+    n1 = spark.read.parquet(out).count()
+    # crash analog: fresh instance, metadata STILL unreadable
+    s2 = BloomDedupSink(spark, state, out, checkpoint_dir=str(ckpt))
+    assert s2.run_token == t1
+    s2.process_batch(batch, 0)  # replay: same token => marker no-op
+    assert spark.read.parquet(out).count() == n1
+    # once Spark writes the real metadata, the sidecar still wins —
+    # switching tokens mid-run would orphan the first attempts' subdirs
+    (ckpt / "metadata").write_text('{"id": "deadbeefdeadbeef"}')
+    s3 = BloomDedupSink(spark, state, out, checkpoint_dir=str(ckpt))
+    assert s3.run_token == t1
+    # a RECREATED checkpoint is a new run: fresh token
+    import shutil as _shutil
+
+    _shutil.rmtree(ckpt)
+    ckpt.mkdir()
+    s4 = BloomDedupSink(spark, state, out, checkpoint_dir=str(ckpt))
+    assert s4.run_token != t1
+
+
+@pytest.mark.streaming
 def test_bloom_dedup_replay_after_partial_write(spark, chunked_docs, tmp_path):
     """Crash between the hash write and the marker: the replay must not
     count its own partial hashes as prior admissions (no row loss) and
@@ -225,10 +262,12 @@ def test_bloom_dedup_bitmap_rebuilds_from_hash_store(spark, chunked_docs, tmp_pa
 
 @pytest.mark.streaming
 def test_bloom_dedup_recreated_checkpoint_is_new_run(spark, chunked_docs, tmp_path):
-    """The run token is the streaming query id from the checkpoint
-    metadata: recreating the checkpoint (new id, batch ids restart)
-    must NOT let the old marker swallow the new run's batch 0."""
+    """The run token shares the checkpoint's LIFECYCLE (sidecar file
+    inside the checkpoint dir, seeded from the query id): recreating the
+    checkpoint directory (rm -rf + new query id, batch ids restart) must
+    NOT let the old marker swallow the new run's batch 0."""
     import json
+    import shutil as _shutil
 
     state = str(tmp_path / "state")
     out = str(tmp_path / "out")
@@ -246,7 +285,10 @@ def test_bloom_dedup_recreated_checkpoint_is_new_run(spark, chunked_docs, tmp_pa
         first, 5
     )
     assert spark.read.parquet(out).count() == n1
-    # checkpoint recreated -> new query id -> batch 0 is NEW data
+    # checkpoint RECREATED (the directory, as rm -rf does — the sidecar
+    # token dies with it) -> new query id -> batch 0 is NEW data
+    _shutil.rmtree(ckpt)
+    ckpt.mkdir()
     (ckpt / "metadata").write_text(json.dumps({"id": "bbbbbbbbbbbbbbbb"}))
     BloomDedupSink(spark, state, out, checkpoint_dir=str(ckpt)).process_batch(
         rest, 0
