@@ -399,3 +399,78 @@ def p3_incremental_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("admitted_tokens"),
     )
+
+
+@register(
+    "p4_length_bucketing",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+  FROM documents
+),
+bucketed AS (
+  SELECT source, n_tokens,
+         length(bin(CAST(n_tokens AS BIGINT))) AS bucket
+  FROM toks
+)
+SELECT source, CAST(bucket AS BIGINT) AS bucket,
+       CAST((1 << bucket) - 1 AS BIGINT) AS bucket_cap,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(COUNT(*) * ((1 << bucket) - 1) AS BIGINT) AS padded_tokens,
+       CAST(COUNT(*) * ((1 << bucket) - 1) - SUM(n_tokens) AS BIGINT)
+         AS wasted_tokens,
+       CAST(COUNT(*) * ((1 << bucket) - 1) - SUM(n_tokens) AS DOUBLE)
+         / (COUNT(*) * ((1 << bucket) - 1)) AS waste_rate
+FROM bucketed
+GROUP BY source, bucket
+""",
+    tags=("pipeline", "training", "bucketing"),
+)
+def p4_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing report: documents grouped into
+    power-of-two token-length buckets per source, with the padding waste
+    each bucket would incur if its batch were padded to the bucket cap
+    (2^b - 1 tokens). This is the batching-efficiency companion to p2's
+    packing: packing concatenates into fixed windows, bucketing keeps
+    documents whole and batches similar lengths together — the standard
+    alternative when truncation/concatenation is unacceptable (SFT,
+    eval) — and this report is what picks the bucket boundaries.
+
+    The bucket is ``length(bin(n_tokens))`` = floor(log2(n)) + 1 —
+    integer bit math, never float log2, so Spark and DuckDB agree
+    bit-for-bit (the sim9 discipline). ``waste_rate`` is one double
+    division of identical exact integers — deterministic.
+
+    Scale shape: map-only tokenize + a (source, bucket)-keyed partial
+    aggregation; cardinality is #sources x ~12 buckets, so the shuffle
+    carries aggregate buffers only. At 100 TB this runs as a by-product
+    of any corpus scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.size(F.split("text", r"\s+")).cast("bigint").alias("n_tokens")
+    )
+    bucketed = toks.withColumn("bucket", F.length(F.bin("n_tokens")).cast("bigint"))
+    # shiftleft's bit count must be a column here; the SQL form takes one
+    cap = F.expr("CAST(shiftleft(1L, CAST(bucket AS INT)) - 1 AS BIGINT)")
+    agg = bucketed.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+    )
+    return agg.select(
+        "source",
+        "bucket",
+        cap.alias("bucket_cap"),
+        "n_docs",
+        "sum_tokens",
+        (F.col("n_docs") * cap).cast("bigint").alias("padded_tokens"),
+        (F.col("n_docs") * cap - F.col("sum_tokens"))
+        .cast("bigint")
+        .alias("wasted_tokens"),
+        (
+            (F.col("n_docs") * cap - F.col("sum_tokens")).cast("double")
+            / (F.col("n_docs") * cap)
+        ).alias("waste_rate"),
+    )

@@ -595,3 +595,13 @@ def test_s15_cap_window_is_source_partitioned(plan_of):
     plan = plan_of("s15_domain_cap")
     assert "SinglePartition" not in plan
     assert "hashpartitioning(source" in plan
+
+
+def test_p4_partial_agg_tiny_shuffle(plan_of):
+    """Length bucketing is one scan + a (source, bucket)-keyed partial
+    aggregation — the exchange carries aggregate buffers for ~sources x
+    12 buckets, never raw rows; no window, no join."""
+    plan = plan_of("p4_length_bucketing")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan

@@ -344,3 +344,63 @@ def test_fresh_query_lineage_state_scoping(spark, tmp_path):
     child_c = [b for b, sh in seen_c if sh in (c1, c2)]
     assert parent_c and child_c, seen_c
     assert max(parent_c) < min(child_c), seen_c
+
+
+# -- property tests ---------------------------------------------------------
+
+
+def test_topology_routing_invariants_under_random_reshards(tmp_path):
+    """Hypothesis-style invariants over random reshard sequences: every
+    key routes to exactly ONE shard in every generation (full hash-space
+    coverage, no overlap), parents always precede children, and every
+    closed shard's range is exactly covered by its successors."""
+    import random
+
+    from kinesis_spark.ingest.resharding import HASH_SPACE
+
+    rng = random.Random(42)
+    spool = str(tmp_path / "spool")
+    init_topology(spool, N_SHARDS)
+    for step in range(12):
+        topo = load_topology(spool, N_SHARDS)
+        gen = topo.generations[-1]
+        open_shards = gen.shard_ids()
+        if rng.random() < 0.6 or len(open_shards) < 2:
+            victim = rng.choice(open_shards)
+            try:
+                split_shard(spool, victim)
+            except ValueError:
+                pass  # range too narrow — legal no-op
+        else:
+            # pick two adjacent shards by range order
+            ordered = sorted(open_shards, key=lambda s: gen.range_of(s)[0])
+            i = rng.randrange(len(ordered) - 1)
+            merge_shards(spool, ordered[i], ordered[i + 1])
+
+    topo = load_topology(spool, N_SHARDS)
+    for gen in topo.generations:
+        ranges = sorted(gen.range_of(s) for s in gen.shard_ids())
+        # exact partition of the hash space: no gap, no overlap
+        assert ranges[0][0] == 0 and ranges[-1][1] == HASH_SPACE
+        for (a0, a1), (b0, b1) in zip(ranges, ranges[1:]):
+            assert a1 == b0, (a0, a1, b0, b1)
+        # spot keys route uniquely
+        for i in range(50):
+            owners = [
+                s for s in gen.shard_ids()
+                if gen.range_of(s)[0] <= key_hash(f"k{i}") < gen.range_of(s)[1]
+            ]
+            assert len(owners) == 1
+
+    infos = topo.shard_infos()
+    order = [s.shard_id for s in infos]
+    for s in infos:
+        for p in s.parent_ids:
+            assert order.index(p) < order.index(s.shard_id)
+    # every closed shard's successors exactly cover its range
+    by_id = {s.shard_id: s for s in infos}
+    for s in infos:
+        if not s.closed:
+            continue
+        heirs = [c for c in infos if s.shard_id in c.parent_ids]
+        assert heirs, f"closed {s.shard_id} has no children"
