@@ -90,10 +90,17 @@ def query_ivf_index(
     Result: (query_id, match_id, cos_sim, rank<=top_k), identical to
     sim6's contract."""
     cent = spark.read.parquet(f"{index_dir}/codebook")
-    dist2 = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # ROUNDED squared distance, matching ivf_assign's build-side argmin
+    # (the file-wide 6-dp fp bridge): probe ranking and cell ownership
+    # must agree on near-tie centroids or a query can probe a cell its
+    # true neighbors were not assigned to
+    dist2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
     )
     w_probe = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
     probes = (

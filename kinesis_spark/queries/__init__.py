@@ -202,10 +202,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 FORCE_REVERIFY: dict[str, int] = {
     # changed in r4: sim9 re-blocked on (label, scaled sign-LSH
     # sub-bucket); sim12 assignment rerouted through the hierarchical
-    # two-level quantizer (cluster ids now coarse*2^20+fine). Rows from
+    # two-level quantizer (cluster ids now coarse*2^20+fine); sim6's
+    # cell argmin now ranks on the ROUNDED squared distance (the
+    # file-wide fp bridge, oracle changed in lockstep). Rows from
     # rounds <= 3 validated the old definitions.
     "sim9_semdedup_prune": 3,
     "sim12_semdedup_bounded": 3,
+    "sim6_ivf_ann": 3,
 }
 
 

@@ -84,6 +84,28 @@ def _doubled(df):
     return d.withColumn("norm", _norm(F.col("v")))
 
 
+Q_SCALE = 1073741824.0  # 2^30 — the exact-mean quantization scale
+
+
+def _exact_mean_cells(df, keys: list[str], scale: float = Q_SCALE):
+    """THE determinism-critical centroid kernel, one definition for every
+    consumer (sim3's stats, the IVF codebook, both Lloyd levels):
+    per-(keys, idx) component means computed as floor(comp * scale)
+    (scaling by a power of two and floor are both exact double ops),
+    summed exactly as DECIMAL(38,0), divided back — bit-identical in any
+    IEEE-754 engine regardless of partial-aggregation order. Input needs
+    columns (*keys, idx, comp); output (*keys, idx, c, n)."""
+    return df.groupBy(*keys, "idx").agg(
+        (
+            F.sum(F.floor(F.col("comp") * F.lit(scale)).cast("decimal(38,0)"))
+            .cast("double")
+            / F.lit(scale)
+            / F.count(F.lit(1))
+        ).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 @register("sim1_topk_cosine", oracle=_TOPK_ORACLE, tags=("similarity", "topk"))
 def sim1_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the (tiny) query set against the
@@ -206,15 +228,13 @@ def sim3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "label",
         (F.col("idx0") + 1).cast("bigint").alias("idx"),
-        F.floor(F.col("comp").cast("double") * F.lit(1073741824.0))
-        .cast("decimal(38,0)")
-        .alias("qcomp"),
+        F.col("comp").cast("double").alias("comp"),
     )
-    return exploded.groupBy("label", "idx").agg(
-        (
-            F.sum("qcomp").cast("double") / F.lit(1073741824.0) / F.count(F.lit(1))
-        ).alias("mean_component"),
-        F.count(F.lit(1)).alias("n_vecs"),
+    return _exact_mean_cells(exploded, ["label"]).select(
+        "label",
+        "idx",
+        F.col("c").alias("mean_component"),
+        F.col("n").alias("n_vecs"),
     )
 
 
@@ -257,18 +277,29 @@ def sim4_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
             sims = qn @ cn.T  # (k, batch)
             k, n = sims.shape
+            flat = sims.ravel()
+            # HALF-AWAY-FROM-ZERO rounding, matching Spark's F.round and
+            # DuckDB's ROUND — np.round is half-to-even and can diverge
+            # on exact .5 boundaries (dyadic cosines), breaking the
+            # shared oracle's ranking
+            rounded = np.copysign(np.floor(np.abs(flat) * 1e6 + 0.5) / 1e6, flat)
             out = pd.DataFrame(
                 {
                     "query_id": np.repeat(qid_arr, n),
                     "match_id": np.tile(ids, k),
-                    "cos_sim": np.round(sims.ravel(), 6),
+                    "cos_sim": rounded,
                 }
             )
             out = out[out.query_id != out.match_id]
-            # per-batch prune: keep top_k per query to shrink the shuffle
+            # per-batch prune: keep top_k per query to shrink the
+            # shuffle. na_position='first' ranks NaN cosines (zero-norm
+            # or NaN-component vectors) HIGHEST, matching Spark's desc
+            # and DuckDB's ORDER BY DESC NaN semantics — the default
+            # 'last' would silently drop rows the final window keeps
             out = (
                 out.sort_values(["query_id", "cos_sim", "match_id"],
-                                ascending=[True, False, True])
+                                ascending=[True, False, True],
+                                na_position="first")
                 .groupby("query_id", sort=False)
                 .head(top_k)
             )
@@ -289,23 +320,18 @@ N_PROBE = 2  # IVF cells searched per query
 
 
 def ivf_codebook(e):
-    """Coarse codebook: exact per-label centroids via sim3's decimal
-    quantization (both engines compute identical component means).
-    Input: (vec_id, label, v double[]); output: (cell, cv double[])."""
-    exploded = e.select(
-        "label", F.posexplode("v").alias("idx0", "comp")
-    ).select(
-        "label", F.col("idx0").alias("idx"),
-        F.floor(F.col("comp") * F.lit(1073741824.0)).cast("decimal(38,0)").alias("qc"),
-    )
+    """Coarse codebook: exact per-label centroids via the shared
+    quantized-mean kernel (both engines compute identical component
+    means). Input: (vec_id, label, v double[]); output: (cell, cv
+    double[])."""
+    exploded = e.select("label", F.posexplode("v").alias("idx", "comp"))
     return (
-        exploded.groupBy("label", "idx")
-        .agg((F.sum("qc").cast("double") / F.lit(1073741824.0) / F.count(F.lit(1))).alias("mc"))
+        _exact_mean_cells(exploded, ["label"])
         .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("idx", "mc"))).alias("pairs"))
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "c"))).alias("pairs"))
         .select(
             F.col("label").alias("cell"),
-            F.transform("pairs", lambda p: p["mc"]).alias("cv"),
+            F.transform("pairs", lambda p: p["c"]).alias("cv"),
         )
     )
 
@@ -313,15 +339,14 @@ def ivf_codebook(e):
 def ivf_assign(e, cent):
     """Rank every vector against every (broadcast) centroid: crk=1 is
     the owning cell, crk<=nprobe are a query's probe cells. Squared
-    euclidean argmin, cell-id tiebreak — deterministic."""
-    dist2 = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
+    euclidean argmin ROUNDED to 6 dp (the file-wide fp bridge — an
+    unrounded ranking can tie-break differently from the oracle's
+    sqrt-space comparison on near-tie centroids), cell-id tiebreak —
+    deterministic."""
     w_assign = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
     return (
         e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "v", "cell", dist2.alias("d2"))
+        .select("vec_id", "v", "cell", _d2(F.col("v"), F.col("cv")).alias("d2"))
         .withColumn("crk", F.row_number().over(w_assign))
     )
 
@@ -348,7 +373,11 @@ centroids AS (
 assign AS (
   SELECT e.vec_id, e.v, c.label AS cell,
          ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                            ORDER BY list_distance(e.v, c.cv), c.label) AS crk
+                            ORDER BY ROUND(list_sum(list_transform(
+                                range(1, len(e.v) + 1),
+                                i -> (e.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)])
+                                   * (e.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))), 6),
+                            c.label) AS crk
   FROM e CROSS JOIN centroids c
 ),
 cells AS (SELECT vec_id, v, cell FROM assign WHERE crk = 1),
@@ -386,24 +415,39 @@ def sim6_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
     cent = ivf_codebook(e)
-    assign = ivf_assign(e, cent)
+    # pin the assignment once: cells (crk==1) and probes (crk<=N_PROBE)
+    # would otherwise each replay the crossJoin + per-vector window.
+    # persist (not localCheckpoint) keeps the subtree visible to plan
+    # audits; this is the self-contained demo of what ann.py amortizes
+    # properly (build the index once on disk, probe it many times).
+    assign = (
+        ivf_assign(e, cent)
+        .filter(F.col("crk") <= max(1, N_PROBE))
+        .withColumn("norm", _norm(F.col("v")))
+        .persist()
+    )
     cells = assign.filter(F.col("crk") == 1).select(
-        F.col("vec_id").alias("match_id"), F.col("v").alias("cv_vec"), "cell"
+        F.col("vec_id").alias("match_id"), F.col("v").alias("cv_vec"),
+        F.col("norm").alias("cnorm"), "cell",
     )
     probes = assign.filter(
         (F.col("vec_id") < N_QUERIES) & (F.col("crk") <= N_PROBE)
-    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cell")
-    # rerank within probed cells by exact cosine (same fold as sim1)
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("cv_vec"), lambda x, y: x * y),
-        F.lit(0.0), lambda a, x: a + x,
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"), "cell",
     )
-    nq = F.sqrt(F.aggregate(F.transform(F.col("qv"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
-    nc = F.sqrt(F.aggregate(F.transform(F.col("cv_vec"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    # rerank within probed cells by exact cosine; norms computed once per
+    # ROW above the join (the _cosine_pre discipline), not per pair
     scored = (
         probes.join(cells, "cell")
         .filter(F.col("match_id") != F.col("query_id"))
-        .select("query_id", "match_id", F.round(dot / (nq * nc), 6).alias("cos_sim"))
+        .select(
+            "query_id",
+            "match_id",
+            _cosine_pre(
+                F.col("qv"), F.col("cv_vec"), F.col("qnorm"), F.col("cnorm")
+            ).alias("cos_sim"),
+        )
     )
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("match_id"))
     return (
@@ -928,7 +972,7 @@ def sim10c_pq_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KM_K = 8  # clusters; seeds = the first KM_K vec_ids (deterministic init)
 KM_ITERS = 2  # assignment->recompute rounds before the reported assignment
-KM_SCALE = 1073741824.0  # 2^30 — the sim3 exact-mean quantization scale
+KM_SCALE = Q_SCALE  # SQL-template alias for the shared quantization scale
 _KM_DIM = 64
 
 
@@ -1009,15 +1053,7 @@ def _lloyd_clusters(vecs: DataFrame, k, iters: int) -> DataFrame:
 
     def means(assigned: DataFrame) -> DataFrame:
         ex = assigned.select("cluster", F.posexplode("v").alias("idx", "comp"))
-        cell = ex.groupBy("cluster", "idx").agg(
-            (
-                F.sum(
-                    F.floor(F.col("comp") * F.lit(KM_SCALE)).cast("decimal(38,0)")
-                ).cast("double")
-                / F.lit(KM_SCALE)
-                / F.count(F.lit(1))
-            ).alias("c")
-        )
+        cell = _exact_mean_cells(ex, ["cluster"])
         per = cell.groupBy("cluster").agg(
             F.array_sort(F.collect_list(F.struct("idx", "c"))).alias("pairs")
         )
@@ -1185,18 +1221,11 @@ def _fine_assign(coarse_df: DataFrame, fcents: DataFrame) -> DataFrame:
 
 
 def _fine_means(assigned: DataFrame) -> DataFrame:
-    """Exact-decimal per-(coarse, fine) centroid recompute — sim11's
-    quantized means, keyed by cell instead of collapsed into one row."""
+    """Exact-decimal per-(coarse, fine) centroid recompute — the shared
+    quantized-mean kernel, keyed by cell instead of collapsed into one
+    row."""
     ex = assigned.select("coarse", "fcid", F.posexplode("v").alias("idx", "comp"))
-    cell = ex.groupBy("coarse", "fcid", "idx").agg(
-        (
-            F.sum(
-                F.floor(F.col("comp") * F.lit(KM_SCALE)).cast("decimal(38,0)")
-            ).cast("double")
-            / F.lit(KM_SCALE)
-            / F.count(F.lit(1))
-        ).alias("c")
-    )
+    cell = _exact_mean_cells(ex, ["coarse", "fcid"])
     return (
         cell.groupBy("coarse", "fcid")
         .agg(F.array_sort(F.collect_list(F.struct("idx", "c"))).alias("pairs"))
@@ -1251,6 +1280,17 @@ def sim12_semdedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = vecs.count()
     k = max(8, -(-n // SD_TARGET_CLUSTER))
+    # the packed cluster id is coarse * 2^20 + fcid; fcid is bounded by
+    # the largest per-cell seed count, itself <= ceil(n / 64) = k. Fail
+    # LOUDLY before ids could collide across coarse cells (needs a
+    # ~67M-vector corpus routed into one coarse cell) instead of
+    # silently merging unrelated dedup blocks — at that scale raise
+    # _FINE_MULT or widen the id to a (coarse, fcid) struct key.
+    if k >= _FINE_MULT:
+        raise ValueError(
+            f"corpus of {n} vectors can produce fine ids >= {_FINE_MULT}; "
+            "packed cluster ids would collide across coarse cells"
+        )
     # ceil(sqrt(k)) in exact integer math == CEIL(SQRT(double)) for any
     # k whose sqrt a double represents faithfully (all test/prod sizes)
     c = max(2, math.isqrt(k - 1) + 1)
