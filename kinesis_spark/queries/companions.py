@@ -41,7 +41,7 @@ from kinesis_spark.queries.dedup import _SHINGLES_SQL, _shingles_of, _tokens_bar
 WITH sh AS (
   SELECT doc_id, {_SHINGLES_SQL} AS shingles
   FROM documents
-  WHERE len(regexp_split_to_array(text, '\\s+')) >= 3
+  WHERE len(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+')) >= 3
 ),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -47,7 +47,7 @@ def _tokens_barrier(d: DataFrame, min_words: int | None = None) -> DataFrame:
     sf0.1 vs ~1 s with the barrier.
     """
     out = ensure_min_partitions(d).select(
-        "doc_id", F.explode(F.array(F.split("text", r"\s+"))).alias("toks")
+        "doc_id", F.explode(F.array(F.split("text", r"[ \t\n\f\r\x0B]+"))).alias("toks")
     )
     if min_words is not None:
         out = out.filter(F.size("toks") >= min_words)
@@ -55,32 +55,104 @@ def _tokens_barrier(d: DataFrame, min_words: int | None = None) -> DataFrame:
 
 
 def _shingles_of(toks, k: int = 3):
-    """Distinct word-k-gram shingle array (sorted for determinism) from a
-    pre-tokenized array column (see _tokens_barrier)."""
+    """DISTINCT word-k-gram shingle array from a pre-tokenized array
+    column (see _tokens_barrier). Deliberately unsorted: every consumer
+    is order-insensitive (explode→groupBy-min for minhash, sizes and
+    intersect-sizes for Jaccard), so a per-document O(g log g) sort on
+    the hottest path would buy nothing — array_distinct alone shrinks
+    the explode volume and pins d4's set sizes."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (k - 1)),
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, i + j) for j in range(k)]
         ),
     )
-    return F.array_sort(F.array_distinct(grams))
+    return F.array_distinct(grams)
 
 
 _SHINGLES_SQL = (
     "list_sort(list_distinct(list_transform("
-    "range(1, len(regexp_split_to_array(text, '\\s+')) - 1), "
-    "i -> regexp_split_to_array(text, '\\s+')[i] || ' ' || "
-    "regexp_split_to_array(text, '\\s+')[i+1] || ' ' || "
-    "regexp_split_to_array(text, '\\s+')[i+2])))"
+    "range(1, len(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+')) - 1), "
+    "i -> regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+')[i] || ' ' || "
+    "regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+')[i+1] || ' ' || "
+    "regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+')[i+2])))"
 )
+
+
+def _ordered_pairs(members, pair_of=None):
+    """ONE definition of the within-bucket ordered-pair expansion (all
+    i < j pairs of a SORTED member array, as an array of structs) shared
+    by d3/d7/d14/d16 — a drift in the slice bounds or pair semantics
+    would otherwise need four synchronized edits. ``pair_of(x, y)``
+    builds the pair struct; default is plain (doc_a, doc_b) ids."""
+    if pair_of is None:
+        def pair_of(x, y):
+            return F.struct(x.alias("doc_a"), y.alias("doc_b"))
+
+    return F.flatten(
+        F.transform(
+            members,
+            lambda x, i: F.transform(
+                F.slice(members, i + 2, F.size(members)),
+                lambda y: pair_of(x, y),
+            ),
+        )
+    )
+
+
+def _lsh_band_buckets(docs: DataFrame, max_bucket: int | None = None) -> DataFrame:
+    """ONE definition of the MinHash({n})+LSH banding pipeline shared by
+    d3 (uncapped) and d14 (capped): tokenize barrier → shingle explode →
+    per-doc min-hash signature → band keys → per-bucket SORTED member
+    arrays with >= 2 members (and <= max_bucket when capped).
+
+    Plan shape (the reason this is grouped, not self-joined): explode
+    shingles, hash each once per seed, min-agg per doc — tokenization
+    runs once per document and the groupBy shuffles only (doc_id,
+    {n}x32-B hash) partial mins; a band self-join would run the whole
+    signature pipeline twice (plan audits count the scans). Grouping on
+    band_key shuffles the same key the join would and collects each
+    bucket's members for :func:`_ordered_pairs`.
+    """
+    tokd = _tokens_barrier(docs, min_words=3)
+    exploded = tokd.select(
+        "doc_id", F.explode(_shingles_of(F.col("toks"))).alias("s")
+    )
+    sigs = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{seed}#"), F.col("s")))).alias(f"mh{seed}")
+            for seed in range(N_HASHES)
+        ]
+    )
+    band_key = F.explode(
+        F.array(
+            *[
+                F.concat_ws("|", f"mh{2 * b}", f"mh{2 * b + 1}")
+                for b in range(N_HASHES // BAND_ROWS)
+            ]
+        )
+    )
+    bands = sigs.select("doc_id", band_key.alias("band_key"))
+    keep = F.size("ids") >= 2
+    if max_bucket is not None:
+        keep = keep & (F.size("ids") <= max_bucket)
+    return (
+        bands.groupBy("band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(keep)
+    )
+
+
+if _lsh_band_buckets.__doc__:  # absent under python -OO
+    _lsh_band_buckets.__doc__ = _lsh_band_buckets.__doc__.format(n=N_HASHES)
 
 # 2-gram variant for Jaccard verification (3-gram overlap is near zero in
 # the fixture corpus; bigrams exercise the operator with real matches)
 _SHINGLES2_SQL = (
     "list_sort(list_distinct(list_transform("
-    "range(1, len(regexp_split_to_array(text, '\\s+'))), "
-    "i -> regexp_split_to_array(text, '\\s+')[i] || ' ' || "
-    "regexp_split_to_array(text, '\\s+')[i+1])))"
+    "range(1, len(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+'))), "
+    "i -> regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+')[i] || ' ' || "
+    "regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+')[i+1])))"
 )
 
 
@@ -144,81 +216,50 @@ def _minhash_sig_sql(seed: int) -> str:
     )
 
 
-@register(
-    "d3_minhash_lsh_pairs",
-    oracle=f"""
-WITH sigs AS (
+# ONE definition of the oracle-side signature/banding/pair CTE chain —
+# d3/d9/d10/d13/d14 (and setops' s14) compose from these instead of five
+# spelled-out copies whose banding scheme could silently drift.
+_SIGS_BANDS_SQL = f"""sigs AS (
   SELECT doc_id,
          {", ".join(_minhash_sig_sql(s) for s in range(N_HASHES))}
   FROM documents
-  WHERE len(regexp_split_to_array(text, '\\s+')) >= 3
+  WHERE len(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+')) >= 3
 ),
 bands AS (
   SELECT doc_id,
          unnest([mh0 || '|' || mh1, mh2 || '|' || mh3,
                  mh4 || '|' || mh5, mh6 || '|' || mh7]) AS band_key
   FROM sigs
+)"""
+
+_PAIRS_SQL = (
+    _SIGS_BANDS_SQL
+    + """,
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
 )
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+
+
+@register(
+    "d3_minhash_lsh_pairs",
+    oracle=f"""
+WITH {_PAIRS_SQL}
+SELECT doc_a, doc_b FROM pairs
 """,
     tags=("dedup", "minhash", "lsh"),
 )
 def d3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8) + LSH banding (4 bands × 2 rows): candidate near-dup
-    pairs = docs sharing at least one band. The join is an equi-join on
-    band_key — no all-pairs blowup; at 100 TB the band join shuffles only
-    (doc_id, 64-B key) pairs."""
-    tokd = _tokens_barrier(load_table(spark, sf_dir, "documents"), min_words=3)
-    # Explode shingles, hash each once per seed, min-agg per doc:
-    # tokenization runs once per document (barrier), each shingle is
-    # hashed 8× (vs the naive sibling-array form where CollapseProject
-    # inlines the whole shingle pipeline into each of the 8 minhash
-    # expressions — ~100 s at sf0.1; ~2 s this way). The groupBy
-    # shuffles only (doc_id, 8×32-B hash) partial mins.
-    exploded = tokd.select(
-        "doc_id", F.explode(_shingles_of(F.col("toks"))).alias("s")
-    )
-    sigs = exploded.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{seed}#"), F.col("s")))).alias(f"mh{seed}")
-            for seed in range(N_HASHES)
-        ]
-    )
-    band_key = F.explode(
-        F.array(
-            *[
-                F.concat_ws("|", f"mh{2 * b}", f"mh{2 * b + 1}")
-                for b in range(N_HASHES // BAND_ROWS)
-            ]
-        )
-    )
-    bands = sigs.select("doc_id", band_key.alias("band_key"))
-    # Within-bucket pair expansion instead of a band self-join: Spark
-    # does not reuse the shared signature subtree, so the join form runs
-    # the whole tokenize/shingle/minhash pipeline TWICE (plan audit
-    # counts the scans). Grouping on band_key shuffles the same key the
-    # join would, collects each bucket's (sorted) members, and emits the
-    # ordered pairs with array HOFs — one scan, identical pair set, and
-    # the output complexity is the join's anyway (n² within a bucket).
-    buckets = (
-        bands.groupBy("band_key")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    ids = F.col("ids")
-    pair_arr = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
+    pairs = docs sharing at least one band. The band grouping shuffles
+    only (doc_id, 64-B key) pairs — no all-pairs blowup; pipeline and
+    pair expansion live in the shared :func:`_lsh_band_buckets` /
+    :func:`_ordered_pairs` helpers (one definition for d3 and d14)."""
+    buckets = _lsh_band_buckets(load_table(spark, sf_dir, "documents"))
     return (
-        buckets.select(F.explode(pair_arr).alias("p"))
+        buckets.select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
@@ -230,7 +271,7 @@ def d3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH sh AS (
   SELECT doc_id, {_SHINGLES2_SQL} AS shingles
   FROM documents
-  WHERE len(regexp_split_to_array(text, '\\s+')) >= 3
+  WHERE len(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+')) >= 3
 ),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -289,7 +330,7 @@ def _simhash_sums_sql() -> str:
 
 _SIMHASH_ORACLE = f"""
 WITH toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+  SELECT doc_id, unnest(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+')) AS tok
   FROM documents
 ),
 hashed AS (
@@ -313,7 +354,7 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, 60 longs) per doc regardless of document size."""
     d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     toks = d.select(
-        "doc_id", F.explode(F.split("text", r"\s+")).alias("tok")
+        "doc_id", F.explode(F.split("text", r"[ \t\n\f\r\x0B]+")).alias("tok")
     ).filter(F.col("tok") != "")
     h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
     # per-bit vote s_j = (+1 per set bit, -1 per clear bit) reduces to
@@ -401,21 +442,15 @@ def d7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ms"))
         .filter(F.size("ms") >= 2)
     )
-    ms = F.col("ms")
-    pair_arr = F.flatten(
-        F.transform(
-            ms,
-            lambda x, i: F.transform(
-                F.slice(ms, i + 2, F.size(ms)),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
-                    .cast("bigint")
-                    .alias("hamming"),
-                ),
-            ),
-        )
+    pair_arr = _ordered_pairs(
+        F.col("ms"),
+        pair_of=lambda x, y: F.struct(
+            x["doc_id"].alias("doc_a"),
+            y["doc_id"].alias("doc_b"),
+            F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
+            .cast("bigint")
+            .alias("hamming"),
+        ),
     )
     return (
         buckets.select(F.explode(pair_arr).alias("p"))
@@ -490,23 +525,7 @@ MAX_CC_ITERS = 20
     "d9_dedup_components",
     oracle=f"""
 WITH RECURSIVE
-sigs AS (
-  SELECT doc_id,
-         {", ".join(_minhash_sig_sql(s) for s in range(N_HASHES))}
-  FROM documents
-  WHERE len(regexp_split_to_array(text, '\\s+')) >= 3
-),
-bands AS (
-  SELECT doc_id,
-         unnest([mh0 || '|' || mh1, mh2 || '|' || mh3,
-                 mh4 || '|' || mh5, mh6 || '|' || mh7]) AS band_key
-  FROM sigs
-),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
+{_PAIRS_SQL},
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL
@@ -577,6 +596,17 @@ def d9_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = stepped.drop("prev")
         if changed == 0:
             break
+    else:
+        # LOUD, never silent: returning unconverged labels would split a
+        # component into several "clusters" with wrong sizes while the
+        # oracle computes the exact closure — a chain-shaped candidate
+        # graph longer than MAX_CC_ITERS hops is the trigger (near-dup
+        # graphs are near-cliques, so 20 is enormous headroom, but a
+        # pathological corpus must fail, not lie)
+        raise RuntimeError(
+            f"component propagation did not converge in {MAX_CC_ITERS} "
+            f"iterations ({changed} labels still moving)"
+        )
     sizes = labels.groupBy("component").agg(
         F.count(F.lit(1)).cast("bigint").alias("component_size")
     )
@@ -592,23 +622,7 @@ def d9_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d10_edit_distance_verify",
     oracle=f"""
-WITH sigs AS (
-  SELECT doc_id,
-         {", ".join(_minhash_sig_sql(s) for s in range(N_HASHES))}
-  FROM documents
-  WHERE len(regexp_split_to_array(text, '\\s+')) >= 3
-),
-bands AS (
-  SELECT doc_id,
-         unnest([mh0 || '|' || mh1, mh2 || '|' || mh3,
-                 mh4 || '|' || mh5, mh6 || '|' || mh7]) AS band_key
-  FROM sigs
-),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-)
+WITH {_PAIRS_SQL}
 SELECT p.doc_a, p.doc_b,
        CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
        CAST(greatest(length(da.text), length(db.text)) AS BIGINT) AS max_len,
@@ -629,10 +643,15 @@ def d10_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     Join shape: the PAIR side is the broadcast side — pairs are melted
     to (doc_a, doc_b, doc_id) and broadcast against ONE streamed corpus
     scan, so matching rows are selected map-side; the corpus is never
-    shuffled and never broadcast. The only shuffle regroups the
-    pair-scale match set (≤ 2 rows per candidate pair) back into
-    (text_a, text_b) rows — its width is bounded by the candidate
-    count, not the corpus.
+    shuffled and never broadcast (plan-audited: no BroadcastExchange
+    carries text). The broadcast is bounded by the CANDIDATE-PAIR
+    count, which is the right bound to accept: a corpus whose uncapped
+    pair set approached the broadcast cap would be un-verifiable anyway
+    (this operator's own edit-distance cost is linear in the same
+    quantity) — the production answer for duplicate-heavy corpora is to
+    cap hot buckets FIRST (d14) and verify the capped set. The only
+    shuffle regroups the pair-scale match set (≤ 2 rows per candidate
+    pair) back into (text_a, text_b) rows.
     """
     pairs = d3_minhash_lsh_pairs(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -665,7 +684,7 @@ def d10_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH canon AS (
   SELECT doc_id,
-         md5(array_to_string(list_sort(regexp_split_to_array(text, '\\s+')), ' '))
+         md5(array_to_string(list_sort(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+')), ' '))
            AS bag_hash
   FROM documents
 )
@@ -674,7 +693,6 @@ SELECT bag_hash,
        COUNT(*) AS n_docs
 FROM canon
 GROUP BY bag_hash
-HAVING COUNT(*) >= 1
 """,
     tags=("dedup", "canonical", "bag"),
 )
@@ -686,7 +704,7 @@ def d11_bag_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     as d2: the shuffle key is a 32-char hash, never the document."""
     d = load_table(spark, sf_dir, "documents")
     canon = F.md5(
-        F.array_join(F.array_sort(F.split("text", r"\s+")), " ")
+        F.array_join(F.array_sort(F.split("text", r"[ \t\n\f\r\x0B]+")), " ")
     )
     return (
         d.select(canon.alias("bag_hash"), "doc_id")
@@ -741,7 +759,9 @@ def d12_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     base = F.concat(
         F.lit("/"), "lang", F.lit("/doc/"),
-        (F.col("doc_id") / 4).cast("long").cast("string"),
+        # integer div, NOT /: long/int promotes to double and loses
+        # exactness above 2^53 (the io.py discipline); the oracle uses //
+        F.expr("doc_id div 4").cast("string"),
     )
     variant = F.col("doc_id") % 4
     url = (
@@ -779,23 +799,7 @@ def d12_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _D9_COMPONENTS_CTE = f"""
 WITH RECURSIVE
-sigs AS (
-  SELECT doc_id,
-         {", ".join(_minhash_sig_sql(s) for s in range(N_HASHES))}
-  FROM documents
-  WHERE len(regexp_split_to_array(text, '\\s+')) >= 3
-),
-bands AS (
-  SELECT doc_id,
-         unnest([mh0 || '|' || mh1, mh2 || '|' || mh3,
-                 mh4 || '|' || mh5, mh6 || '|' || mh7]) AS band_key
-  FROM sigs
-),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
+{_PAIRS_SQL},
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL
@@ -865,18 +869,7 @@ MAX_BUCKET = 4  # LSH bucket-size cap: bigger buckets are dropped wholesale
 @register(
     "d14_capped_lsh_pairs",
     oracle=f"""
-WITH sigs AS (
-  SELECT doc_id,
-         {", ".join(_minhash_sig_sql(s) for s in range(N_HASHES))}
-  FROM documents
-  WHERE len(regexp_split_to_array(text, '\\s+')) >= 3
-),
-bands AS (
-  SELECT doc_id,
-         unnest([mh0 || '|' || mh1, mh2 || '|' || mh3,
-                 mh4 || '|' || mh5, mh6 || '|' || mh7]) AS band_key
-  FROM sigs
-),
+WITH {_SIGS_BANDS_SQL},
 kept AS (
   SELECT band_key FROM bands
   GROUP BY band_key
@@ -904,42 +897,11 @@ def d14_capped_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation d3 already does, so the plan shape (one scan, one
     band-key shuffle) is unchanged.
     """
-    tokd = _tokens_barrier(load_table(spark, sf_dir, "documents"), min_words=3)
-    exploded = tokd.select(
-        "doc_id", F.explode(_shingles_of(F.col("toks"))).alias("s")
-    )
-    sigs = exploded.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{seed}#"), F.col("s")))).alias(f"mh{seed}")
-            for seed in range(N_HASHES)
-        ]
-    )
-    band_key = F.explode(
-        F.array(
-            *[
-                F.concat_ws("|", f"mh{2 * b}", f"mh{2 * b + 1}")
-                for b in range(N_HASHES // BAND_ROWS)
-            ]
-        )
-    )
-    bands = sigs.select("doc_id", band_key.alias("band_key"))
-    buckets = (
-        bands.groupBy("band_key")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= MAX_BUCKET))
-    )
-    ids = F.col("ids")
-    pair_arr = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
+    buckets = _lsh_band_buckets(
+        load_table(spark, sf_dir, "documents"), max_bucket=MAX_BUCKET
     )
     return (
-        buckets.select(F.explode(pair_arr).alias("p"))
+        buckets.select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
@@ -1026,7 +988,7 @@ FP_MIN_SHARED = 2  # pair survives with >= this many shared fingerprints
     "d16_fingerprint_overlap",
     oracle=f"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents
+  SELECT doc_id, regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+') AS ts FROM documents
 ),
 grams AS (
   SELECT doc_id,
@@ -1088,18 +1050,8 @@ def d16_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
-    ds = F.col("ds")
-    pair_arr = F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + 2, F.size(ds)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
     return (
-        buckets.select(F.explode(pair_arr).alias("p"))
+        buckets.select(F.explode(_ordered_pairs(F.col("ds"))).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= FP_MIN_SHARED)

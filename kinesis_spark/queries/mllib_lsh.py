@@ -39,7 +39,7 @@ def _shingle_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     toks = d.select(
-        "doc_id", F.explode(F.array(F.split("text", r"\s+"))).alias("toks")
+        "doc_id", F.explode(F.array(F.split("text", r"[ \t\n\f\r\x0B]+"))).alias("toks")
     ).filter(F.size("toks") >= 3)
     sh = toks.select(
         "doc_id",

@@ -42,11 +42,11 @@ _LANGS_SQL = ", ".join(f"'{x}'" for x in _KEEP_LANGS)
     oracle=f"""
 WITH base AS (
   SELECT doc_id, text, lang, source,
-         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_toks,
+         CAST(len(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+')) AS BIGINT) AS n_toks,
          CAST(LENGTH(text) AS BIGINT) AS n_chars
   FROM documents
   WHERE lang IN ({_LANGS_SQL})
-    AND len(regexp_split_to_array(text, '\\s+')) >= {_MIN_TOKENS}
+    AND len(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+')) >= {_MIN_TOKENS}
 ),
 exact AS (
   SELECT b.* FROM base b
@@ -103,7 +103,7 @@ def p1_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         "lang",
         "source",
-        F.explode(F.array(F.split("text", r"\s+"))).alias("toks"),
+        F.explode(F.array(F.split("text", r"[ \t\n\f\r\x0B]+"))).alias("toks"),
     ).filter(
         F.col("lang").isin(*_KEEP_LANGS) & (F.size("toks") >= _MIN_TOKENS)
     )
@@ -170,7 +170,7 @@ _CTX_TOKENS = 256  # context-window budget (tokens) for p2 packing
     oracle=f"""
 WITH toks AS (
   SELECT doc_id, source,
-         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_toks
+         CAST(len(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+')) AS BIGINT) AS n_toks
   FROM documents
 ),
 cum AS (
@@ -210,7 +210,7 @@ def p2_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id",
         "source",
-        F.size(F.split("text", r"\s+")).cast("bigint").alias("n_toks"),
+        F.size(F.split("text", r"[ \t\n\f\r\x0B]+")).cast("bigint").alias("n_toks"),
     )
     w = (
         Window.partitionBy("source")
@@ -239,10 +239,10 @@ def p2_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH base AS (
   SELECT doc_id, text, lang, source,
-         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_toks
+         CAST(len(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+')) AS BIGINT) AS n_toks
   FROM documents
   WHERE lang IN ({_LANGS_SQL})
-    AND len(regexp_split_to_array(text, '\\s+')) >= {_MIN_TOKENS}
+    AND len(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+')) >= {_MIN_TOKENS}
 ),
 corpus AS (SELECT * FROM base WHERE doc_id % 10 != 0),
 batch AS (
@@ -333,7 +333,7 @@ def p3_incremental_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     base = d.select(
         "doc_id", "text", "lang", "source",
-        F.explode(F.array(F.split("text", r"\s+"))).alias("toks"),
+        F.explode(F.array(F.split("text", r"[ \t\n\f\r\x0B]+"))).alias("toks"),
     ).filter(F.col("lang").isin(*_KEEP_LANGS) & (F.size("toks") >= _MIN_TOKENS))
     corpus = base.filter(F.col("doc_id") % 10 != 0)
     batch = base.filter(F.col("doc_id") % 10 == 0)
@@ -406,7 +406,7 @@ def p3_incremental_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH toks AS (
   SELECT doc_id, source,
-         len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+         len(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+')) AS n_tokens
   FROM documents
 ),
 bucketed AS (
@@ -450,7 +450,7 @@ def p4_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
-        "source", F.size(F.split("text", r"\s+")).cast("bigint").alias("n_tokens")
+        "source", F.size(F.split("text", r"[ \t\n\f\r\x0B]+")).cast("bigint").alias("n_tokens")
     )
     bucketed = toks.withColumn("bucket", F.length(F.bin("n_tokens")).cast("bigint"))
     # shiftleft's bit count must be a column here; the SQL form takes one

@@ -569,38 +569,11 @@ def s13_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _s14_oracle() -> str:
-    from kinesis_spark.queries.dedup import N_HASHES, _minhash_sig_sql
+    # the component computation is d9's, verbatim — compose from its
+    # shared CTE constant instead of restating the banding scheme
+    from kinesis_spark.queries.dedup import _D9_COMPONENTS_CTE
 
-    sigs = ", ".join(_minhash_sig_sql(s) for s in range(N_HASHES))
-    return f"""
-WITH RECURSIVE
-sigs AS (
-  SELECT doc_id, {sigs}
-  FROM documents
-  WHERE len(regexp_split_to_array(text, '\\s+')) >= 3
-),
-bands AS (
-  SELECT doc_id,
-         unnest([mh0 || '|' || mh1, mh2 || '|' || mh3,
-                 mh4 || '|' || mh5, mh6 || '|' || mh7]) AS band_key
-  FROM sigs
-),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION ALL
-  SELECT doc_b AS src, doc_a AS dst FROM pairs
-),
-reach(v, u) AS (
-  SELECT doc_id, doc_id FROM sigs
-  UNION
-  SELECT r.v, e.dst FROM reach r JOIN edges e ON r.u = e.src
-),
-comp AS (SELECT v AS doc_id, MIN(u) AS component FROM reach GROUP BY v),
+    return f"""{_D9_COMPONENTS_CTE},
 labeled AS (
   SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
   FROM documents d LEFT JOIN comp c USING (doc_id)

@@ -26,11 +26,11 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in")
     "t1_token_stats",
     oracle="""
 SELECT doc_id, lang, source,
-       CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+')) AS BIGINT) AS n_tokens,
        LENGTH(text) AS n_chars,
-       CAST(len(list_distinct(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+       CAST(len(list_distinct(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+'))) AS BIGINT)
          AS n_unique_tokens,
-       CAST(list_sum(list_transform(regexp_split_to_array(text, '\\s+'),
+       CAST(list_sum(list_transform(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+'),
                                     t -> LENGTH(t))) AS BIGINT) AS total_token_chars
 FROM documents
 """,
@@ -50,7 +50,7 @@ def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         F.length("text").cast("bigint").alias("n_chars"),
-        F.explode(F.array(F.split("text", r"\s+"))).alias("toks"),
+        F.explode(F.array(F.split("text", r"[ \t\n\f\r\x0B]+"))).alias("toks"),
     )
     return b.select(
         "doc_id",
@@ -73,11 +73,11 @@ def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH f AS (
   SELECT doc_id, lang,
          LENGTH(text) AS n_chars,
-         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
-         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         CAST(len(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+'),
                    t -> list_contains({list(STOPWORDS)!r}, t))) AS BIGINT) AS n_stop,
          LENGTH(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
-         CAST(len(list_distinct(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+         CAST(len(list_distinct(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+'))) AS BIGINT)
            AS n_unique
   FROM documents
 )
@@ -105,7 +105,7 @@ def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.regexp_replace("text", r"[^.!?,;:]", ""))
         .cast("bigint")
         .alias("n_punct"),
-        F.explode(F.array(F.split("text", r"\s+"))).alias("toks"),
+        F.explode(F.array(F.split("text", r"[ \t\n\f\r\x0B]+"))).alias("toks"),
     )
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_tokens = F.size("toks").cast("bigint")
@@ -139,13 +139,13 @@ def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH scored AS (
   SELECT doc_id, lang,
-         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+'),
                    t -> list_contains(['the','a','of'], t))) AS BIGINT) AS s_en,
-         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+'),
                    t -> list_contains(['der','die','das','und'], t))) AS BIGINT) AS s_de,
-         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+'),
                    t -> list_contains(['el','los','las','y'], t))) AS BIGINT) AS s_es,
-         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+'),
                    t -> list_contains(['le','les','et','une'], t))) AS BIGINT) AS s_fr
   FROM documents
 )
@@ -172,7 +172,7 @@ def t3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split re-runs 4x per document (no CSE across HOF lambdas) — measured
     # 6.5 s -> ~1.5 s at sf0.1 (see dedup._tokens_barrier).
     b = d.select(
-        "doc_id", "lang", F.explode(F.array(F.split("text", r"\s+"))).alias("toks")
+        "doc_id", "lang", F.explode(F.array(F.split("text", r"[ \t\n\f\r\x0B]+"))).alias("toks")
     )
 
     def marker_count(words: list[str]):
@@ -264,7 +264,7 @@ def t5_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t6_tfidf_top_terms",
     oracle="""
 WITH toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term
+  SELECT doc_id, unnest(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+')) AS term
   FROM documents
 ),
 tf AS (
@@ -305,7 +305,7 @@ def t6_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count()  # scalar; one job, not a crossJoin of a 1-row frame
     toks = d.select(
-        "doc_id", F.explode(F.split("text", r"\s+")).alias("term")
+        "doc_id", F.explode(F.split("text", r"[ \t\n\f\r\x0B]+")).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.distinct().groupBy("term").agg(
@@ -341,18 +341,18 @@ bgrams AS (
   SELECT DISTINCT b.doc_id AS bench_id, g.gram
   FROM bench b,
        UNNEST(list_transform(
-         range(1, len(regexp_split_to_array(b.text, '\\s+')) - 2),
+         range(1, len(regexp_split_to_array(b.text, '[ \\t\\n\\f\\r\\x0B]+')) - 2),
          i -> array_to_string(
-           list_slice(regexp_split_to_array(b.text, '\\s+'), i, i + 3), ' ')
+           list_slice(regexp_split_to_array(b.text, '[ \\t\\n\\f\\r\\x0B]+'), i, i + 3), ' ')
        )) AS g(gram)
 ),
 cgrams AS (
   SELECT DISTINCT c.doc_id AS corpus_id, g.gram
   FROM corpus c,
        UNNEST(list_transform(
-         range(1, len(regexp_split_to_array(c.text, '\\s+')) - 2),
+         range(1, len(regexp_split_to_array(c.text, '[ \\t\\n\\f\\r\\x0B]+')) - 2),
          i -> array_to_string(
-           list_slice(regexp_split_to_array(c.text, '\\s+'), i, i + 3), ' ')
+           list_slice(regexp_split_to_array(c.text, '[ \\t\\n\\f\\r\\x0B]+'), i, i + 3), ' ')
        )) AS g(gram)
 )
 SELECT c.corpus_id, b.bench_id, COUNT(*) AS n_shared_grams
@@ -376,7 +376,7 @@ def t7_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     def grams_of(df, id_alias):
         tokd = df.select(
             F.col("doc_id").alias(id_alias),
-            F.explode(F.array(F.split("text", r"\s+"))).alias("toks"),
+            F.explode(F.array(F.split("text", r"[ \t\n\f\r\x0B]+"))).alias("toks"),
         ).filter(F.size("toks") >= k)
         g = F.transform(
             F.sequence(F.lit(1), F.size("toks") - (k - 1)),
@@ -401,7 +401,7 @@ def t7_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH toks AS (
   SELECT doc_id, LENGTH(text) AS n_chars,
          LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_symbols,
-         regexp_split_to_array(text, '\\s+') AS t
+         regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+') AS t
   FROM documents
 ),
 base AS (
@@ -453,7 +453,7 @@ def t9_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
         .cast("bigint")
         .alias("n_symbols"),
-        F.explode(F.array(F.split("text", r"\s+"))).alias("toks"),
+        F.explode(F.array(F.split("text", r"[ \t\n\f\r\x0B]+"))).alias("toks"),
     ).filter(F.size("toks") >= 2)
     grams = b.select(
         "doc_id",
@@ -586,7 +586,13 @@ def t10_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contraction suffixes | space?-letters | space?-digits | space?-other | runs
 # of whitespace. Verified bit-identical between Java regex and RE2 across
 # the fixture corpus (0/500 count mismatches at sf0.01).
-_BPE_PAT = r"'(s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+# whitespace spelled as an explicit class (not \s): Java's \s includes
+# U+000B vertical tab, RE2's excludes it — the one divergence between the
+# engines' \s, removed so the shared pattern tokenizes identically
+_BPE_PAT = (
+    r"'(s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"
+    r"| ?[^ \t\n\f\r\x0B\p{L}\p{N}]+|[ \t\n\f\r\x0B]+"
+)
 _BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
 
 
@@ -597,7 +603,7 @@ SELECT doc_id,
        lang,
        CAST(len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS BIGINT)
          AS n_bpe_tokens,
-       CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+')) AS BIGINT) AS n_ws_tokens,
        CAST(LENGTH(text) AS BIGINT) AS n_chars,
        LENGTH(text) / len(regexp_extract_all(text, '{_BPE_PAT_SQL}'))
          AS chars_per_bpe_token
@@ -621,7 +627,7 @@ def t8_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         n_bpe.cast("bigint").alias("n_bpe_tokens"),
-        F.size(F.split("text", r"\s+")).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.split("text", r"[ \t\n\f\r\x0B]+")).cast("bigint").alias("n_ws_tokens"),
         F.length("text").cast("bigint").alias("n_chars"),
         (F.length("text") / n_bpe).alias("chars_per_bpe_token"),
     )
@@ -631,7 +637,7 @@ def t8_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t11_bigram_lm_score",
     oracle="""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents
+  SELECT doc_id, regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+') AS ts FROM documents
 ),
 bg AS (
   SELECT doc_id,
@@ -679,7 +685,7 @@ def t11_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the average divides the exact sum by an exact count."""
     d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     b = d.select(
-        "doc_id", F.explode(F.array(F.split("text", r"\s+"))).alias("ts")
+        "doc_id", F.explode(F.array(F.split("text", r"[ \t\n\f\r\x0B]+"))).alias("ts")
     )
     # guard: F.sequence(1, 0) would count DOWN for 1-token docs (DuckDB's
     # range(1, 1) is empty) — make "no bigrams" explicit on both engines

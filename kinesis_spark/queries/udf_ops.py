@@ -33,7 +33,7 @@ CHUNK_WORDS = 8
     "u1_word_chunk_udtf",
     oracle=f"""
 WITH t AS (
-  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+  SELECT doc_id, regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+') AS toks FROM documents
 ),
 i AS (
   SELECT doc_id, toks,
@@ -63,7 +63,7 @@ def u1_word_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, text: str):
             import re
 
-            toks = re.split(r"\s+", text)
+            toks = re.split(r"[ \t\n\f\r\x0B]+", text)
             for i in range(0, len(toks), CHUNK_WORDS):
                 chunk = toks[i : i + CHUNK_WORDS]
                 yield i // CHUNK_WORDS + 1, " ".join(chunk), len(chunk)

@@ -59,7 +59,7 @@ def band_keys(docs: DataFrame) -> DataFrame:
     explode + groupBy-min, behind a Generate barrier so the shingle
     pipeline evaluates once per document)."""
     toks = docs.select(
-        "doc_id", F.explode(F.array(F.split("text", r"\s+"))).alias("toks")
+        "doc_id", F.explode(F.array(F.split("text", r"[ \t\n\f\r\x0B]+"))).alias("toks")
     ).filter(F.size("toks") >= 3)
     sh = toks.select(
         "doc_id", F.explode(F.array(_shingles_of(F.col("toks")))).alias("sh")

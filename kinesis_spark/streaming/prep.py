@@ -31,7 +31,7 @@ def gate(docs: DataFrame) -> DataFrame:
     filter)."""
     return docs.filter(
         F.col("lang").isin(*_KEEP_LANGS)
-        & (F.size(F.split("text", r"\s+")) >= _MIN_TOKENS)
+        & (F.size(F.split("text", r"[ \t\n\f\r\x0B]+")) >= _MIN_TOKENS)
     )
 
 

@@ -23,3 +23,31 @@ def test_query_is_deterministic(spark, sf_dir, name):
     a = sorted(map(str, fn(spark, sf_dir).collect()))
     b = sorted(map(str, fn(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_tokenizer_class_agrees_on_vertical_tab(spark):
+    """Java's \\s includes U+000B, RE2's excludes it — the explicit
+    whitespace class used by every tokenizing query must make Spark and
+    DuckDB split IDENTICALLY on text containing a vertical tab (the one
+    character the engines' \\s definitions disagree on)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    text = "alpha\x0bbeta gamma\tdelta\nepsilon"
+    cls = r"[ \t\n\f\r\x0B]+"
+    spark_toks = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(F.split("text", cls).alias("t"))
+        .first()[0]
+    )
+    duck_toks = duckdb.connect().execute(
+        "SELECT regexp_split_to_array(?, '[ \\t\\n\\f\\r\\x0B]+')", [text]
+    ).fetchone()[0]
+    assert spark_toks == duck_toks == [
+        "alpha", "beta", "gamma", "delta", "epsilon"
+    ]
+    # the old spelling is the regression this guards against
+    duck_old = duckdb.connect().execute(
+        "SELECT regexp_split_to_array(?, '\\s+')", [text]
+    ).fetchone()[0]
+    assert duck_old != spark_toks  # RE2 \s keeps \x0b inside a token
