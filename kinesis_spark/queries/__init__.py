@@ -209,6 +209,17 @@ FORCE_REVERIFY: dict[str, int] = {
     "sim9_semdedup_prune": 3,
     "sim12_semdedup_bounded": 3,
     "sim6_ivf_ann": 3,
+    # changed in r4 (events review round): e1's oracle day column is
+    # CAST to TIMESTAMP (DuckDB date_trunc('day') yields DATE, Spark
+    # yields TIMESTAMP — the r1 row passed because the driver hashed
+    # string forms that happened to agree); e10's oracle session
+    # numbering gained the (ts, event_id) tie-break the Spark side
+    # always had; e14's oracle now mirrors from_json's integer-only
+    # strictness (json_type gate) instead of CAST-coercing strings.
+    # Rows from rounds <= 3 validated the old oracle definitions.
+    "e1_daily_type_rollup": 3,
+    "e10_session_window_builtin": 3,
+    "e14_typed_props_rollup": 3,
 }
 
 

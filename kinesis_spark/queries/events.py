@@ -2,7 +2,7 @@
 tumbling/sliding windows, sessionization (gaps-and-islands), daily JSON
 rollups. The same transforms run on ``readStream`` DataFrames — windowing
 and sessionization here are expressed with watermark-compatible column ops
-(see tests/test_streaming_events.py for the streaming drive).
+(see tests/test_streaming_analytics.py for the streaming drive).
 
 Window buckets are computed with field-based (naive) datetime math —
 ``date_trunc`` + minute arithmetic — identical in any session timezone,
@@ -27,17 +27,23 @@ def _dec_value():
     return F.col("value").cast("decimal(18,6)")
 
 
-def _bucket5(col: str = "ts"):
-    # 5-minute tumbling bucket, field-based: trunc to hour + 5-min floor
+def _bucket(col: str = "ts", minutes: int = 5):
+    # N-minute tumbling bucket, field-based: trunc to hour + N-min floor
+    # (ONE definition — e2 uses 5-minute, e3 10-minute buckets)
     return F.expr(
-        f"date_trunc('hour', {col}) + make_dt_interval(0, 0, (minute({col}) div 5) * 5, 0)"
+        f"date_trunc('hour', {col}) + make_dt_interval(0, 0, "
+        f"(minute({col}) div {minutes}) * {minutes}, 0)"
     )
+
+
+def _bucket5(col: str = "ts"):
+    return _bucket(col, 5)
 
 
 @register(
     "e1_daily_type_rollup",
     oracle="""
-SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
        event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
@@ -120,9 +126,7 @@ def e3_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(
         F.col("ts") < F.lit("2024-01-02").cast("timestamp")
     )
-    b0 = F.expr(
-        "date_trunc('hour', ts) + make_dt_interval(0, 0, (minute(ts) div 10) * 10, 0)"
-    )
+    b0 = _bucket("ts", 10)
     return (
         e.select(
             "event_type",
@@ -223,8 +227,8 @@ GROUP BY user_id
     tags=("events", "aggregate"),
 )
 def e5_user_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user activity profile: event counts, active-day span, first/
-    last seen — one partial-aggregated pass."""
+    """Per-user activity profile: event/type counts, first/last seen,
+    error count, total value — one partial-aggregated pass."""
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -439,7 +443,7 @@ def e9_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e10_session_window_builtin",
     oracle="""
 WITH marked AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL 30 MINUTE OR
                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -448,7 +452,7 @@ WITH marked AS (
 ),
 numbered AS (
   SELECT user_id, ts,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS sess_no
   FROM marked
@@ -561,10 +565,8 @@ def e12_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     the z-score comparison sees identical bits on both engines. Spark
     side: windows over user_id instead of an aggregate self-join (one
     events scan); the anomaly flag then re-aggregates per user."""
-    from pyspark.sql.window import Window
-
     e = load_table(spark, sf_dir, "events")
-    v = F.col("value").cast("decimal(18,6)")
+    v = _dec_value()
     w = Window.partitionBy("user_id")
     scored = e.select(
         "user_id",
@@ -657,7 +659,14 @@ def e13_rolling_weekly_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH typed AS (
   SELECT event_type,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         -- integers ONLY, mirroring Spark's from_json('k BIGINT')
+         -- strictness: a JSON string "12" or a double 1.5 is NULL on
+         -- the Spark side, so the oracle must not coerce them either
+         -- (CAST of json_extract_string would parse '12' and ERROR on
+         -- '1.5' — an accidental contract, not an aligned one)
+         CASE WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+              THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+              END AS k
   FROM events
 )
 SELECT event_type,
@@ -740,13 +749,12 @@ def e15_scd2_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("event_type") != F.col("prev_type"))
         )
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return changes.select(
         "user_id",
         "event_type",
         F.col("ts").alias("valid_from"),
-        F.lead("ts").over(w2).alias("valid_to"),
-        F.lead("ts").over(w2).isNull().alias("is_current"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
     )
 
 
