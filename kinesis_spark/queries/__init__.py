@@ -26,6 +26,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
+# The engine-identical whitespace class: Java's \s includes U+000B while
+# RE2's excludes it, so every tokenizer spells the class explicitly. The
+# raw string renders the SAME literal text for Spark (Java regex) and the
+# DuckDB oracles (RE2), so f-string-interpolating it into an oracle keeps
+# the two engines byte-for-byte aligned. WS_CHARS is the class body, for
+# composing larger classes (e.g. t9's [A-Za-z0-9<ws>] symbol filter).
+WS_CHARS = r" \t\n\f\r\x0B"
+WS_RE = rf"[{WS_CHARS}]+"
+
 
 @dataclass(frozen=True)
 class Query:

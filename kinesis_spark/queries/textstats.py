@@ -17,20 +17,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kinesis_spark.io import ensure_min_partitions, load_table
-from kinesis_spark.queries import register
+from kinesis_spark.queries import WS_CHARS, WS_RE, register
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
 
 @register(
     "t1_token_stats",
-    oracle="""
+    oracle=f"""
 SELECT doc_id, lang, source,
-       CAST(len(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_split_to_array(text, '{WS_RE}')) AS BIGINT) AS n_tokens,
        LENGTH(text) AS n_chars,
-       CAST(len(list_distinct(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+'))) AS BIGINT)
+       CAST(len(list_distinct(regexp_split_to_array(text, '{WS_RE}'))) AS BIGINT)
          AS n_unique_tokens,
-       CAST(list_sum(list_transform(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+'),
+       CAST(list_sum(list_transform(regexp_split_to_array(text, '{WS_RE}'),
                                     t -> LENGTH(t))) AS BIGINT) AS total_token_chars
 FROM documents
 """,
@@ -50,7 +50,7 @@ def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         F.length("text").cast("bigint").alias("n_chars"),
-        F.explode(F.array(F.split("text", r"[ \t\n\f\r\x0B]+"))).alias("toks"),
+        F.explode(F.array(F.split("text", WS_RE))).alias("toks"),
     )
     return b.select(
         "doc_id",
@@ -73,11 +73,11 @@ def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH f AS (
   SELECT doc_id, lang,
          LENGTH(text) AS n_chars,
-         CAST(len(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+')) AS BIGINT) AS n_tokens,
-         CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+'),
+         CAST(len(regexp_split_to_array(text, '{WS_RE}')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(regexp_split_to_array(text, '{WS_RE}'),
                    t -> list_contains({list(STOPWORDS)!r}, t))) AS BIGINT) AS n_stop,
          LENGTH(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
-         CAST(len(list_distinct(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+'))) AS BIGINT)
+         CAST(len(list_distinct(regexp_split_to_array(text, '{WS_RE}'))) AS BIGINT)
            AS n_unique
   FROM documents
 )
@@ -105,7 +105,7 @@ def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.regexp_replace("text", r"[^.!?,;:]", ""))
         .cast("bigint")
         .alias("n_punct"),
-        F.explode(F.array(F.split("text", r"[ \t\n\f\r\x0B]+"))).alias("toks"),
+        F.explode(F.array(F.split("text", WS_RE))).alias("toks"),
     )
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_tokens = F.size("toks").cast("bigint")
@@ -136,16 +136,16 @@ def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t3_lang_id",
-    oracle="""
+    oracle=f"""
 WITH scored AS (
   SELECT doc_id, lang,
-         CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+'),
+         CAST(len(list_filter(regexp_split_to_array(text, '{WS_RE}'),
                    t -> list_contains(['the','a','of'], t))) AS BIGINT) AS s_en,
-         CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+'),
+         CAST(len(list_filter(regexp_split_to_array(text, '{WS_RE}'),
                    t -> list_contains(['der','die','das','und'], t))) AS BIGINT) AS s_de,
-         CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+'),
+         CAST(len(list_filter(regexp_split_to_array(text, '{WS_RE}'),
                    t -> list_contains(['el','los','las','y'], t))) AS BIGINT) AS s_es,
-         CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+'),
+         CAST(len(list_filter(regexp_split_to_array(text, '{WS_RE}'),
                    t -> list_contains(['le','les','et','une'], t))) AS BIGINT) AS s_fr
   FROM documents
 )
@@ -172,7 +172,7 @@ def t3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split re-runs 4x per document (no CSE across HOF lambdas) — measured
     # 6.5 s -> ~1.5 s at sf0.1 (see dedup._tokens_barrier).
     b = d.select(
-        "doc_id", "lang", F.explode(F.array(F.split("text", r"[ \t\n\f\r\x0B]+"))).alias("toks")
+        "doc_id", "lang", F.explode(F.array(F.split("text", WS_RE))).alias("toks")
     )
 
     def marker_count(words: list[str]):
@@ -262,9 +262,9 @@ def t5_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t6_tfidf_top_terms",
-    oracle="""
+    oracle=f"""
 WITH toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+')) AS term
+  SELECT doc_id, unnest(regexp_split_to_array(text, '{WS_RE}')) AS term
   FROM documents
 ),
 tf AS (
@@ -296,19 +296,23 @@ def t6_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio of integer counts, so it's bit-identical across engines,
     unlike log-idf whose libm varies).
 
-    Scale shape: tf is a (doc, term) aggregation; df is a vocabulary-
-    sized aggregate joined back to the tf side un-hinted — vocabulary
-    is much smaller than the corpus but still GROWS with it (Heaps' law),
-    so the broadcast decision belongs to stats/AQE, not a static hint;
-    per-doc top-k is a window partitioned by doc_id — no global sort, no
-    driver collection."""
-    d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()  # scalar; one job, not a crossJoin of a 1-row frame
+    Scale shape: tf is a (doc, term) aggregation; df is derived FROM tf
+    (tf has exactly one row per (doc, term), so counting tf rows per
+    term IS the distinct-document frequency) — one tokenize/explode pass
+    over the corpus, not two, and the second aggregate runs over the
+    already-collapsed (doc, term) pairs. The tf-df join is un-hinted:
+    vocabulary is much smaller than the corpus but still GROWS with it
+    (Heaps' law), so the broadcast decision belongs to stats/AQE, not a
+    static hint; per-doc top-k is a window partitioned by doc_id — no
+    global sort, no driver collection."""
+    raw = load_table(spark, sf_dir, "documents")
+    n_docs = raw.count()  # metadata-only count; one job, no crossJoin
+    d = ensure_min_partitions(raw)
     toks = d.select(
-        "doc_id", F.explode(F.split("text", r"[ \t\n\f\r\x0B]+")).alias("term")
+        "doc_id", F.explode(F.split("text", WS_RE)).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.distinct().groupBy("term").agg(
+    df = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
     scored = tf.join(df, "term").select(
@@ -330,7 +334,7 @@ def t6_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t7_decontamination",
-    oracle="""
+    oracle=f"""
 WITH bench AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0
 ),
@@ -341,18 +345,18 @@ bgrams AS (
   SELECT DISTINCT b.doc_id AS bench_id, g.gram
   FROM bench b,
        UNNEST(list_transform(
-         range(1, len(regexp_split_to_array(b.text, '[ \\t\\n\\f\\r\\x0B]+')) - 2),
+         range(1, len(regexp_split_to_array(b.text, '{WS_RE}')) - 2),
          i -> array_to_string(
-           list_slice(regexp_split_to_array(b.text, '[ \\t\\n\\f\\r\\x0B]+'), i, i + 3), ' ')
+           list_slice(regexp_split_to_array(b.text, '{WS_RE}'), i, i + 3), ' ')
        )) AS g(gram)
 ),
 cgrams AS (
   SELECT DISTINCT c.doc_id AS corpus_id, g.gram
   FROM corpus c,
        UNNEST(list_transform(
-         range(1, len(regexp_split_to_array(c.text, '[ \\t\\n\\f\\r\\x0B]+')) - 2),
+         range(1, len(regexp_split_to_array(c.text, '{WS_RE}')) - 2),
          i -> array_to_string(
-           list_slice(regexp_split_to_array(c.text, '[ \\t\\n\\f\\r\\x0B]+'), i, i + 3), ' ')
+           list_slice(regexp_split_to_array(c.text, '{WS_RE}'), i, i + 3), ' ')
        )) AS g(gram)
 )
 SELECT c.corpus_id, b.bench_id, COUNT(*) AS n_shared_grams
@@ -374,9 +378,9 @@ def t7_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = 4
 
     def grams_of(df, id_alias):
-        tokd = df.select(
+        tokd = ensure_min_partitions(df).select(
             F.col("doc_id").alias(id_alias),
-            F.explode(F.array(F.split("text", r"[ \t\n\f\r\x0B]+"))).alias("toks"),
+            F.explode(F.array(F.split("text", WS_RE))).alias("toks"),
         ).filter(F.size("toks") >= k)
         g = F.transform(
             F.sequence(F.lit(1), F.size("toks") - (k - 1)),
@@ -397,11 +401,11 @@ def t7_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t9_repetition_signals",
-    oracle="""
+    oracle=f"""
 WITH toks AS (
   SELECT doc_id, LENGTH(text) AS n_chars,
-         LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_symbols,
-         regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+') AS t
+         LENGTH(regexp_replace(text, '[A-Za-z0-9{WS_CHARS}]', '', 'g')) AS n_symbols,
+         regexp_split_to_array(text, '{WS_RE}') AS t
   FROM documents
 ),
 base AS (
@@ -450,10 +454,12 @@ def t9_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     b = d.select(
         "doc_id",
-        F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+        # explicit whitespace chars, NOT \s: Java's \s includes U+000B,
+        # RE2's excludes it — the one char the engines disagree on
+        F.length(F.regexp_replace("text", rf"[A-Za-z0-9{WS_CHARS}]", ""))
         .cast("bigint")
         .alias("n_symbols"),
-        F.explode(F.array(F.split("text", r"[ \t\n\f\r\x0B]+"))).alias("toks"),
+        F.explode(F.array(F.split("text", WS_RE))).alias("toks"),
     ).filter(F.size("toks") >= 2)
     grams = b.select(
         "doc_id",
@@ -591,7 +597,7 @@ def t10_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines' \s, removed so the shared pattern tokenizes identically
 _BPE_PAT = (
     r"'(s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"
-    r"| ?[^ \t\n\f\r\x0B\p{L}\p{N}]+|[ \t\n\f\r\x0B]+"
+    + rf"| ?[^{WS_CHARS}\p{{L}}\p{{N}}]+|[{WS_CHARS}]+"
 )
 _BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
 
@@ -603,7 +609,7 @@ SELECT doc_id,
        lang,
        CAST(len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS BIGINT)
          AS n_bpe_tokens,
-       CAST(len(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_split_to_array(text, '{WS_RE}')) AS BIGINT) AS n_ws_tokens,
        CAST(LENGTH(text) AS BIGINT) AS n_chars,
        LENGTH(text) / len(regexp_extract_all(text, '{_BPE_PAT_SQL}'))
          AS chars_per_bpe_token
@@ -627,7 +633,7 @@ def t8_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         n_bpe.cast("bigint").alias("n_bpe_tokens"),
-        F.size(F.split("text", r"[ \t\n\f\r\x0B]+")).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.split("text", WS_RE)).cast("bigint").alias("n_ws_tokens"),
         F.length("text").cast("bigint").alias("n_chars"),
         (F.length("text") / n_bpe).alias("chars_per_bpe_token"),
     )
@@ -635,9 +641,9 @@ def t8_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t11_bigram_lm_score",
-    oracle="""
+    oracle=f"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+') AS ts FROM documents
+  SELECT doc_id, regexp_split_to_array(text, '{WS_RE}') AS ts FROM documents
 ),
 bg AS (
   SELECT doc_id,
@@ -673,9 +679,11 @@ def t11_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V).
 
     Scale shape: bigrams come from a row-local array transform (no
-    window, no per-doc shuffle); the model is two token-keyed
-    aggregations of the same bigram stream (map-side partials shrink
-    them to vocabulary size); scoring re-joins the stream to the model
+    window, no per-doc shuffle); the model is ONE token-keyed
+    aggregation of the bigram stream (c2, map-side partials shrink it
+    to vocabulary size) — c1 and the vocab scalar fold out of c2's
+    vocabulary-sized result, so the corpus tokenizes twice (model +
+    scoring), not four times. Scoring re-joins the stream to the model
     on token equi-keys. Head-token skew in the c1 join is the classic
     AQE-skew-split case. Nothing broadcasts with corpus cardinality —
     the only broadcast is the 1-row vocab scalar.
@@ -685,7 +693,7 @@ def t11_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the average divides the exact sum by an exact count."""
     d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     b = d.select(
-        "doc_id", F.explode(F.array(F.split("text", r"[ \t\n\f\r\x0B]+"))).alias("ts")
+        "doc_id", F.explode(F.array(F.split("text", WS_RE))).alias("ts")
     )
     # guard: F.sequence(1, 0) would count DOWN for 1-token docs (DuckDB's
     # range(1, 1) is empty) — make "no bigrams" explicit on both engines
@@ -703,8 +711,11 @@ def t11_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("g"),
     ).select("doc_id", "g.w1", "g.w2")
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    v = bg.agg(F.count_distinct("w1").alias("vocab"))
+    # c1 and vocab fold out of the vocabulary-sized c2 — summing c2 per
+    # w1 IS the context count, and counting c1 rows IS |{w1}| — so the
+    # corpus-scale bigram explode feeds exactly one aggregation
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    v = c1.agg(F.count(F.lit(1)).alias("vocab"))
     term = F.round(
         F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("vocab"))), 6
     ).cast("decimal(18,6)")

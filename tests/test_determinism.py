@@ -51,3 +51,41 @@ def test_tokenizer_class_agrees_on_vertical_tab(spark):
         "SELECT regexp_split_to_array(?, '\\s+')", [text]
     ).fetchone()[0]
     assert duck_old != spark_toks  # RE2 \s keeps \x0b inside a token
+
+
+def test_symbol_class_agrees_on_vertical_tab(spark):
+    """t9's symbol counter strips [A-Za-z0-9<whitespace>] with the same
+    explicit class on both engines — a \\s spelling would count \\x0B as
+    a symbol in DuckDB but not in Spark."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from kinesis_spark.queries import WS_CHARS
+
+    text = "ab\x0bc! d,e\tf"
+    cls = rf"[A-Za-z0-9{WS_CHARS}]"
+    n_spark = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(F.length(F.regexp_replace("text", cls, "")).alias("n"))
+        .first()[0]
+    )
+    n_duck = duckdb.connect().execute(
+        f"SELECT LENGTH(regexp_replace(?, '{cls}', '', 'g'))", [text]
+    ).fetchone()[0]
+    assert n_spark == n_duck == 2  # '!' and ',' only; \x0b is whitespace
+    # the old \s spelling diverges: RE2 keeps \x0b (counts 3 symbols)
+    n_old = duckdb.connect().execute(
+        "SELECT LENGTH(regexp_replace(?, '[A-Za-z0-9\\s]', '', 'g'))", [text]
+    ).fetchone()[0]
+    assert n_old == 3
+
+
+def test_no_bare_backslash_s_in_any_oracle():
+    """No registered oracle may use RE2's \\s — Java and RE2 disagree on
+    U+000B, so every whitespace class must be spelled explicitly (the
+    shared WS_RE / WS_CHARS constants)."""
+    for q in REGISTRY.values():
+        if q.oracle:
+            assert r"\s" not in q.oracle, (
+                f"{q.name}: oracle uses bare \\s; use WS_RE/WS_CHARS"
+            )
