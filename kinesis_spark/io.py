@@ -34,13 +34,16 @@ _PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # re-pin UTC on EVERY load, not just the uncached first one: the
+    # timezone conf is read at execution time, so a caller changing
+    # session timeZone between loads would otherwise silently shift
+    # results on a plan-cache hit. This covers ALL tables, not just
+    # events — lineitem/orders store naive TIMESTAMP dates too, and the
+    # oracles compare their wall-clock values verbatim (a non-UTC
+    # session would shift year() buckets and date-literal filters).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # re-pin on EVERY load, not just the uncached first one: the
-        # timezone conf is read at execution time, so a caller changing
-        # session timeZone between loads would otherwise silently shift
-        # event-time results on a plan-cache hit
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _PLAN_CACHE.get(key)
     if cached is not None:

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kinesis_spark.io import load_table
 from kinesis_spark.queries import register
@@ -273,21 +274,36 @@ GROUP BY supp_nation, cust_nation, l_year
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 analog: bilateral trade volume between two nations by
-    ship year. Both nation dims hint-broadcast; customer/supplier are
-    un-hinted (corpus-linear); the remaining shuffles are the fact joins
-    on their natural keys."""
-    s = load_table(spark, sf_dir, "supplier")
+    ship year.
+
+    Scale shape: the two-nation pair predicate is an OR-of-ANDs over
+    BOTH sides, so Catalyst cannot push it anywhere on its own — but
+    its single-side implication (each side's nation IN the pair) is
+    derivable by hand, so supplier and customer join their broadcast
+    nation dims FIRST, restricted to the two nations. The fact joins
+    then see ~2/25ths of suppliers and customers instead of all of
+    them, and only the residual cross-pair filter runs post-join."""
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    n1 = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    nations = ("NATION_1", "NATION_2")
+    n1 = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*nations))
+        .select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
     )
-    n2 = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    n2 = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*nations))
+        .select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")
+    )
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
     )
     vol = _dec("l_extendedprice") * (_one() - _dec("l_discount", 4, 2))
     pair = (
@@ -297,8 +313,6 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(s, l.l_suppkey == s.s_suppkey)
         .join(o, o.o_orderkey == l.l_orderkey)
         .join(c, c.c_custkey == o.o_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
         .groupBy(
             "supp_nation",
@@ -342,7 +356,13 @@ GROUP BY o_year
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 analog: one nation's share of a region's ECONOMY-part
     order volume per year. Share = exact decimal sums cast to double,
-    then one double division — deterministic across engines."""
+    then one double division — deterministic across engines.
+
+    Scale shape: the ASIA restriction lives on the customer side, so
+    customers pre-join their broadcast nation-in-region dim BEFORE the
+    fact joins — the order/customer shuffle then carries only the
+    region's customers instead of all of them (same early-filter
+    convention as q7/q12)."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
@@ -350,14 +370,18 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
-    c = load_table(spark, sf_dir, "customer")
-    n2 = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n2 = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("n2_key"))
+    )
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
     )
     n1 = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
     )
-    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     vol = (_dec("l_extendedprice") * (_one() - _dec("l_discount", 4, 2))).cast(
         "decimal(18,4)"
     )
@@ -367,8 +391,6 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, l.l_suppkey == s.s_suppkey)
         .join(o, o.o_orderkey == l.l_orderkey)
         .join(c, c.c_custkey == o.o_custkey)
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
-        .join(F.broadcast(r), F.col("n2_region") == F.col("r_regionkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .select(
             F.year("o_orderdate").cast("bigint").alias("o_year"),
@@ -485,8 +507,6 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 analog: supplier(s) with max quarterly revenue. The max
     is a rank-1 window over the aggregated (tiny) revenue relation — no
     second scan of lineitem for the scalar subquery."""
-    from pyspark.sql.window import Window
-
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
@@ -529,7 +549,14 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     The HAVING subquery becomes a semi join of the qualifying-key set
     against orders — un-hinted: the q>200 filter is highly selective so
     AQE broadcasts it at runtime when it fits, but the key set scales
-    with SF, so the choice is left to the optimizer rather than forced."""
+    with SF, so the choice is left to the optimizer rather than forced.
+
+    Deliberate two-scan trade: folding the HAVING into the final
+    aggregate would touch lineitem once but force a full l-o sort-merge
+    shuffle before any filtering. The extra scan is a map-side partial
+    aggregate whose shuffle is orders-sized, and it lets the filtered
+    (tiny) order set broadcast into the main join — at 100 TB, shuffle
+    bytes dominate scan bytes, so the semi shape wins."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
@@ -649,22 +676,23 @@ WHERE p.p_brand = 'Brand#13'
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 analog: revenue from below-average-quantity line items
-    of one brand. The correlated scalar subquery is expressed as a
-    pre-aggregated per-part threshold joined back to lineitem — the
-    de-correlated form Catalyst would produce, stated explicitly (one
-    aggregation + one join instead of a per-row subquery). The average
-    is an exact decimal sum / count in double — deterministic."""
+    of one brand. The correlated scalar subquery becomes a per-part
+    window average over the ALREADY part-joined lineitems: the join on
+    p_partkey keeps every lineitem of each Brand#13 part, so the window
+    sees exactly the rows the correlated subquery would — and lineitem
+    is scanned ONCE (the aggregate-then-join-back form scans it twice,
+    and aggregates ALL parts when only the brand's ~1/25th matter; the
+    window shuffle carries only the brand's lineitems). The average is
+    an exact decimal sum / count in double — deterministic."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
-    thresh = l.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        (
-            F.lit(0.2)
-            * (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)))
-        ).alias("qty_threshold")
-    )
+    w = Window.partitionBy("l_partkey")
+    avg_q = F.sum(_dec("l_quantity")).over(w).cast("double") / F.count(
+        F.lit(1)
+    ).over(w)
     return (
         l.join(p, l.l_partkey == p.p_partkey)
-        .join(thresh, l.l_partkey == thresh.t_partkey)
+        .withColumn("qty_threshold", F.lit(0.2) * avg_q)
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
@@ -774,8 +802,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated (part, supplier) relation — no second scan of lineitem.
     Constant dims hint-broadcast; part/supplier join un-hinted; the
     only fact shuffle is the (partkey, suppkey) aggregation."""
-    from pyspark.sql.window import Window
-
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
@@ -816,53 +842,53 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH value_by_part AS (
   SELECT l.l_partkey,
-         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-               * CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS part_value
+         SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+             * CAST(l.l_quantity AS DECIMAL(12,2))) AS pv_dec
   FROM lineitem l
   JOIN supplier s ON s.s_suppkey = l.l_suppkey
   JOIN nation n   ON n.n_nationkey = s.s_nationkey
   WHERE n.n_name = 'NATION_3'
   GROUP BY l.l_partkey
 )
-SELECT l_partkey, part_value
+SELECT l_partkey, CAST(pv_dec AS DOUBLE) AS part_value
 FROM value_by_part
-WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM value_by_part)
+WHERE pv_dec * 1000 > (SELECT SUM(pv_dec) FROM value_by_part)
 """,
     tags=("join", "aggregate", "subquery", "tpch"),
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 analog (lineitem stands in for partsupp): per-part value
     held by NATION_3 suppliers, keeping parts above 0.1% of the total.
-    The scalar subquery total is an aggregate of the ALREADY-aggregated
-    per-part relation (parts-sized, tiny) cross-joined back as a
-    broadcast literal — lineitem is scanned once. Both engines compute
-    the exact DECIMAL sum, cast to double, then scale — identical bits."""
+
+    The per-part value stays DECIMAL through the unpartitioned window
+    total, and the 0.1% comparison is multiplied through by 1000 so it
+    is a pure decimal-vs-decimal compare — exact, associative, and
+    order-independent on both engines. (A double window sum would be
+    order-dependent: a part within ulps of the threshold could be kept
+    by one engine and dropped by the other.) Double appears only in the
+    output cast.
+
+    Scale shape: global-window total instead of a crossJoin with a
+    re-aggregation — Spark does not reuse the shared aggregation
+    subtree, so the crossJoin form scans lineitem TWICE (caught by the
+    plan audit). The unpartitioned window runs over the parts-sized
+    aggregate — a single-task pass over (key, decimal) pairs, fine at
+    any lineitem scale; lineitem itself is scanned exactly once."""
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
-    from pyspark.sql.window import Window
 
     supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
     by_part = (
         l.join(supp, l.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
-        .agg(
-            F.sum(_dec("l_extendedprice") * _dec("l_quantity"))
-            .cast("double")
-            .alias("part_value")
-        )
+        .agg(F.sum(_dec("l_extendedprice") * _dec("l_quantity")).alias("pv_dec"))
     )
-    # global-window total instead of a crossJoin with a re-aggregation:
-    # Spark does not reuse the shared aggregation subtree, so the
-    # crossJoin form scans lineitem TWICE (caught by the plan audit).
-    # The unpartitioned window runs over the parts-sized aggregate — a
-    # single-task pass over (key, double) pairs, fine at any lineitem
-    # scale; lineitem itself is scanned exactly once.
     w = Window.partitionBy()
     return (
-        by_part.withColumn("threshold", F.sum("part_value").over(w) * F.lit(0.001))
-        .filter(F.col("part_value") > F.col("threshold"))
-        .select("l_partkey", "part_value")
+        by_part.withColumn("total_dec", F.sum("pv_dec").over(w))
+        .filter(F.col("pv_dec") * F.lit(1000) > F.col("total_dec"))
+        .select("l_partkey", F.col("pv_dec").cast("double").alias("part_value"))
     )
 
 
@@ -1004,8 +1030,6 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = load_table(spark, sf_dir, "supplier")
-    from pyspark.sql.window import Window
-
     per_line = (
         l.join(o, (l.l_orderkey == o.o_orderkey))
         .groupBy("l_orderkey", "l_suppkey")

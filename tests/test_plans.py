@@ -123,10 +123,35 @@ def test_q2_dims_broadcast_single_lineitem_scan(plan_of):
 
 def test_q11_single_scan_threshold_broadcast(plan_of):
     plan = plan_of("q11_important_stock")
-    # the 0.1% threshold is an aggregate of the already-aggregated
-    # per-part relation joined back as a broadcast — one lineitem scan
+    # the 0.1% threshold is a global window over the already-aggregated
+    # per-part relation — one lineitem scan; the nation-filtered
+    # supplier side arrives broadcast
     assert plan.count("lineitem.parquet") == 1
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    # the threshold compare is decimal-exact: no double sum feeds it
+    assert "Window" in plan
+
+
+def test_q17_single_lineitem_scan_window_threshold(plan_of):
+    plan = plan_of("q17_small_quantity_revenue")
+    # the correlated avg-quantity subquery is a per-part window over the
+    # part-joined lineitems — ONE lineitem scan, no aggregate-then-join
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+
+
+def test_q7_q8_sides_prefilter_before_fact_joins(plan_of):
+    # q7: the two-nation pair predicate's single-side implication joins
+    # supplier/customer to their (filtered, broadcast) nation dims, so
+    # the n_name IN filter sits below the fact joins, not above them
+    plan = plan_of("q7_volume_shipping")
+    flat = plan.replace(" ", "")
+    assert "n_name" in flat and plan.count("BroadcastHashJoin") >= 2
+    assert flat.count("In(n_name") + flat.count("n_nameIN") >= 1
+    # q8: the ASIA restriction reaches the customer side pre-join
+    plan8 = plan_of("q8_market_share")
+    flat8 = plan8.replace(" ", "")
+    assert "EqualTo(r_name,ASIA)" in flat8 or "r_name=ASIA" in flat8
 
 
 def test_q20_part_filter_semi_join_broadcast(plan_of):

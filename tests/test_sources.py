@@ -398,3 +398,21 @@ def test_xml_stream_requires_schema(spark, tmp_path):
 
     with pytest.raises(ValueError, match="explicit schema"):
         read_xml(spark, str(tmp_path), "row", streaming=True)
+
+
+def test_load_table_repins_utc_for_every_table(spark, sf_dir):
+    """The external driver owns the session and may run it in any
+    timezone; load_table must re-pin UTC on EVERY load (all tables, not
+    just events) so TIMESTAMP-typed date columns keep the wall-clock
+    values the DuckDB oracles compare verbatim. The fixtures currently
+    load as TIMESTAMP_NTZ (naive either way), but older/other parquet
+    encodings load as TIMESTAMP, where a non-UTC session would shift
+    year() buckets and date-literal filters."""
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for table in ("lineitem", "orders", "events"):
+            spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+            load_table(spark, sf_dir, table)
+            assert spark.conf.get("spark.sql.session.timeZone") == "UTC", table
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
