@@ -14,6 +14,41 @@ from kinesis_spark.io import load_table
 from kinesis_spark.queries import register
 
 
+def _asof_merged(
+    e: DataFrame,
+    anchor_type: str,
+    cand_type: str,
+    anchor_prefix: str,
+    cand_prefix: str,
+    anchor_marker: int,
+) -> DataFrame:
+    """The shared as-of scaffold (j4 backward, j7 forward, j8 nearest):
+    ONE events scan filtered to the two participating types, with the
+    anchor/candidate projections made CONDITIONAL on event_type — no
+    union of two separately filtered reads, so the fact table's columns
+    are read once, not twice, and the isin filter pushes to the scan.
+
+    Emits user_id, ts, marker, tie, {cand}_id/_ts, {anchor}_id/_ts.
+    ``anchor_marker`` fixes the sort position at equal ts (0 ⇒ anchor
+    first, candidates land in its FOLLOWING frame; 1 ⇒ candidates
+    first, visible to the PRECEDING frame — i.e. >= semantics).
+    ``tie`` (event_id) is the final window order key in every consumer,
+    so equal-(user_id, ts, type) rows pick deterministically."""
+    is_anchor = F.col("event_type") == anchor_type
+    return e.filter(F.col("event_type").isin(anchor_type, cand_type)).select(
+        "user_id",
+        "ts",
+        F.when(is_anchor, F.lit(anchor_marker))
+        .otherwise(F.lit(1 - anchor_marker))
+        .alias("marker"),
+        F.col("event_id").alias("tie"),
+        F.when(~is_anchor, F.col("event_id")).alias(f"{cand_prefix}_id"),
+        F.when(~is_anchor, F.col("ts")).alias(f"{cand_prefix}_ts"),
+        F.when(is_anchor, F.col("event_id")).alias(f"{anchor_prefix}_id"),
+        F.when(is_anchor, F.col("ts")).alias(f"{anchor_prefix}_ts"),
+    )
+
+
 @register(
     "j1_left_outer_order_counts",
     oracle="""
@@ -140,33 +175,17 @@ def j4_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
     each user partition, one shuffle total, versus the naive join+rank
     which materializes every (purchase, earlier-click) pair.
 
-    (user_id, ts) pairs are unique in the fixture, so the as-of pick is
-    deterministic; ties would be broken by the marker ordering (clicks
-    sort before the purchase at equal ts, matching ASOF's >= semantics).
+    Ties: clicks sort before the purchase at equal ts (marker order,
+    matching ASOF's >= semantics), and event_id is the final order key
+    so equal-(user_id, ts) clicks pick deterministically (largest id
+    wins backward) — (user_id, ts) is unique in today's fixture, but
+    the pick must not depend on partition order if that changes.
     """
     e = load_table(spark, sf_dir, "events")
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        F.lit(0).alias("marker"),
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("click_ts"),
-        F.lit(None).cast("long").alias("purchase_id"),
-        F.lit(None).cast("timestamp").alias("purchase_ts"),
-    )
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.lit(1).alias("marker"),
-        F.lit(None).cast("long").alias("click_id"),
-        F.lit(None).cast("timestamp").alias("click_ts"),
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("purchase_ts"),
-    )
-    merged = clicks.unionByName(purchases)
+    merged = _asof_merged(e, "purchase", "click", "purchase", "click", 1)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "marker")
+        .orderBy("ts", "marker", "tie")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
@@ -286,27 +305,7 @@ def j7_asof_forward_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
     forward) — the oracle encodes the same rank-1 choice.
     """
     e = load_table(spark, sf_dir, "events")
-    views = e.filter(F.col("event_type") == "view").select(
-        "user_id",
-        "ts",
-        F.lit(1).alias("marker"),
-        F.col("event_id").alias("tie"),
-        F.col("event_id").alias("view_id"),
-        F.col("ts").alias("view_ts"),
-        F.lit(None).cast("long").alias("purchase_id"),
-        F.lit(None).cast("timestamp").alias("purchase_ts"),
-    )
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.lit(0).alias("marker"),
-        F.col("event_id").alias("tie"),
-        F.lit(None).cast("long").alias("view_id"),
-        F.lit(None).cast("timestamp").alias("view_ts"),
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("purchase_ts"),
-    )
-    merged = views.unionByName(purchases)
+    merged = _asof_merged(e, "purchase", "view", "purchase", "view", 0)
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "marker", "tie")
@@ -383,27 +382,7 @@ def j8_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest forward) — mirrored by the oracle's rank-1 ordering.
     """
     e = load_table(spark, sf_dir, "events")
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        F.lit(0).alias("marker"),
-        F.col("event_id").alias("tie"),
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("click_ts"),
-        F.lit(None).cast("long").alias("purchase_id"),
-        F.lit(None).cast("timestamp").alias("purchase_ts"),
-    )
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.lit(1).alias("marker"),
-        F.col("event_id").alias("tie"),
-        F.lit(None).cast("long").alias("click_id"),
-        F.lit(None).cast("timestamp").alias("click_ts"),
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("purchase_ts"),
-    )
-    merged = clicks.unionByName(purchases)
+    merged = _asof_merged(e, "purchase", "click", "purchase", "click", 1)
     order = Window.partitionBy("user_id").orderBy("ts", "marker", "tie")
     wb = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wf = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
@@ -540,7 +519,7 @@ def j10_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders x lineitem, where the build side's join keys are first
     aggregated into an 8 KiB bloom bitmap that prefilters lineitem
     ROW-LOCALLY before the shuffle (kinesis_spark.bloom.probe_bloom_dense
-    — a map lookup per row, no explode, no extra shuffle of the fact
+    — a broadcast dense-array index per row, no explode, no extra shuffle of the fact
     table). False positives survive the prefilter and are dropped by the
     exact join, so the result is identical to the plain join — the bloom
     only sheds shuffle volume (here ~80% of lineitem rows; at 100 TB

@@ -240,13 +240,21 @@ def test_p2_packing_is_per_shard(plan_of):
 
 
 def test_j7_j8_single_shuffle_no_pair_join(plan_of):
-    # the as-of variants must keep the union+window shape: no join at all,
-    # one Exchange (hash on user_id) feeding the window sort
-    for name in ("j7_asof_forward_fulfillment", "j8_asof_nearest_click"):
+    # the as-of variants must keep the merged-stream+window shape: no
+    # join at all, one Exchange (hash on user_id) feeding the window
+    # sort — and ONE events scan: the anchor/candidate projections are
+    # conditional on event_type, not a union of two separate reads
+    # ("Scan parquet" prints twice per node: tree + detail)
+    for name in (
+        "j4_asof_click_before_purchase",
+        "j7_asof_forward_fulfillment",
+        "j8_asof_nearest_click",
+    ):
         plan = plan_of(name)
         assert "Join" not in plan, name
         # formatted explain prints each node twice (tree + detail)
         assert plan.count("hashpartitioning(user_id") == 1, name
+        assert plan.count("Scan parquet") == 2, name
 
 
 def test_s9_split_is_map_only(plan_of):
