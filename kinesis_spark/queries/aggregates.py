@@ -157,7 +157,9 @@ def a6_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy("user_id")
         .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
-        .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
+        .agg(F.count(F.lit(1)))
+        # absent pivot cells surface as NULL after the agg — count itself
+        # never returns NULL, so this is the one null-handling layer
         .fillna(0, subset=["click", "error", "purchase", "signup", "view"])
     )
 
@@ -313,11 +315,8 @@ def a11_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     division at the end is deterministic — the pattern for any exact
     weighted statistic at scale."""
     l = load_table(spark, sf_dir, "lineitem")
-    wsum = F.sum(
-        F.col("l_extendedprice").cast("decimal(14,2)")
-        * F.col("l_quantity").cast("decimal(12,2)")
-    )
-    w = F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+    wsum = F.sum(_dec("l_extendedprice", 14) * _dec("l_quantity"))
+    w = F.sum(_dec("l_quantity"))
     return l.groupBy("l_returnflag").agg(
         (wsum.cast("double") / w.cast("double")).alias("qty_weighted_price"),
         w.cast("double").alias("total_weight"),
@@ -357,9 +356,8 @@ def a12_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("exact_users"),
     )
     rolled = per_type.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_total"),
-        F.sum("exact_users").alias("_ignore"),
-    ).select("approx_total")
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_total")
+    )
     exact_total = e.agg(F.count_distinct("user_id").alias("exact_total"))
     tol = lambda exact: F.greatest(F.lit(16.0), 0.05 * exact)  # noqa: E731
     return (
@@ -394,7 +392,7 @@ CM_WIDTH = 64  # buckets per row
 @register(
     "a13_heavy_hitters_countmin",
     oracle=f"""
-WITH u AS (SELECT user_id FROM events),
+WITH u AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
 js AS (SELECT unnest(range({CM_DEPTH})) AS j),
 hashed AS (
   SELECT user_id, j,
@@ -433,8 +431,17 @@ def a13_heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     join of 20x4 keys against those cells. The true-count pass exists
     only to verify the estimate; a production pipeline ships the 256-cell
     sketch alone (mergeable across shards by cell-wise addition).
+
+    NULL user_ids are excluded on BOTH engines (a14's convention): a
+    NULL tying at the top-20 boundary would otherwise be picked by
+    Spark's nulls-first ascending order but skipped by DuckDB's
+    nulls-last, diverging the heavy-hitter sets.
     """
-    u = load_table(spark, sf_dir, "events").select("user_id")
+    u = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .filter(F.col("user_id").isNotNull())
+    )
 
     def bucket(j: int, col: str):
         return F.pmod(
