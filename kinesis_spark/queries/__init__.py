@@ -233,6 +233,11 @@ FORCE_REVERIFY: dict[str, int] = {
     # compare moved from an order-dependent double window sum to an
     # exact decimal compare (pv*1000 > total) on both engines.
     "q11_important_stock": 3,
+    # changed in r4 (setops review round): s12's A-Res priority now
+    # rounds ln(u) to 6 dp through an exact decimal before the /w
+    # division (JVM Math.log vs libm differ in the last ulp on ~7% of
+    # inputs — measured; the rounded chain is bit-identical).
+    "s12_weighted_sample": 3,
 }
 
 

@@ -10,6 +10,7 @@ from pyspark.sql.window import Window
 
 from kinesis_spark.io import load_table
 from kinesis_spark.queries import register
+from kinesis_spark.shards import hash_bucket, hash_u32
 
 
 def _custkeys_in_year(spark, sf_dir, year: int) -> DataFrame:
@@ -115,9 +116,7 @@ def s5_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the key (stable across runs, engines, and repartitioning), unlike
     df.sample whose RNG stream is engine- and partitioning-dependent."""
     o = load_table(spark, sf_dir, "orders")
-    bucket = F.conv(
-        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
-    ).cast("bigint") % 20
+    bucket = hash_bucket(F.col("o_orderkey"), 20)
     return o.filter(bucket == 0).select("o_orderkey", "o_custkey", "o_totalprice")
 
 
@@ -134,18 +133,20 @@ b AS (
   FROM orders WHERE o_orderkey <= 3000
 )
 SELECT 'only_in_a' AS side, o_orderkey, o_custkey, o_orderstatus
-FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
 UNION ALL
 SELECT 'only_in_b' AS side, o_orderkey, o_custkey, o_orderstatus
-FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+FROM (SELECT * FROM b EXCEPT ALL SELECT * FROM a)
 """,
     tags=("setop", "diff", "audit"),
 )
 def s6_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset diff (symmetric difference with provenance): the audit
     operator for pipeline changes — rows only in A union rows only in B,
-    each tagged with its side. Implemented as two anti-directional
-    EXCEPTs; at scale both sides hash-partition on the full row once."""
+    each tagged with its side. MULTISET semantics (exceptAll / EXCEPT
+    ALL on both engines): duplicate rows diff by multiplicity, which is
+    what a row-count audit needs; at scale both sides hash-partition on
+    the full row once."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
     a = o.select("o_orderkey", "o_custkey", "o_orderstatus")
     b = o.select(
@@ -193,9 +194,7 @@ def s7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast map lookup, the filter is map-side, and only survivors
     reach the aggregation shuffle."""
     c = load_table(spark, sf_dir, "customer")
-    bucket = F.conv(
-        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8), 16, 10
-    ).cast("bigint") % 100
+    bucket = hash_bucket(F.col("c_custkey"), 100)
     rate = (
         F.when(F.col("c_mktsegment") == "BUILDING", 50)
         .when(F.col("c_mktsegment") == "MACHINERY", 20)
@@ -275,11 +274,7 @@ def s8_domain_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("threshold_pm"),
         )
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % 10000
-    )
+    bucket = hash_bucket(F.col("doc_id"), 10000)
     kept = d.join(F.broadcast(rates), "source").filter(bucket < F.col("threshold_pm"))
     return kept.groupBy("source").agg(
         F.max("cnt").cast("bigint").alias("n_docs"),
@@ -357,8 +352,6 @@ def s10_reproducible_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-shard ROW_NUMBER window parallelizes across shards (no
     partition-less window).
     """
-    from pyspark.sql.window import Window
-
     from kinesis_spark.shards import shard_of, shuffle_key
 
     d = load_table(spark, sf_dir, "documents")
@@ -416,8 +409,10 @@ WEIGHTED_K = 100  # weighted-sample size
     oracle=f"""
 SELECT doc_id, source, n_chars
 FROM documents
-ORDER BY ln((CAST(('0x' || substr(md5('ws#' || CAST(doc_id AS VARCHAR)), 1, 8))
-                  AS BIGINT) + 1) / 4294967297.0) / n_chars DESC,
+ORDER BY CAST(CAST(ROUND(
+           ln((CAST(('0x' || substr(md5('ws#' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) + 1) / 4294967297.0), 6)
+           AS DECIMAL(9,6)) AS DOUBLE) / n_chars DESC,
          doc_id
 LIMIT {WEIGHTED_K}
 """,
@@ -437,22 +432,25 @@ def s12_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     across runs, engines, partitionings, and cluster sizes, which is
     what makes a weighted subsample reproducible in a release manifest.
 
+    Cross-engine bit-determinism: u itself is exact (integer hash + one
+    correctly-rounded IEEE division), but ln is NOT correctly rounded
+    in either engine — JVM Math.log and libm differ in the last ulp on
+    ~7% of these inputs (measured), so the raw ln(u)/w ordering could
+    flip at a rank-k boundary on an unlucky fixture. The file-wide fp
+    bridge fixes it: ln is rounded to 6 dp THROUGH AN EXACT DECIMAL
+    (t11's pattern) and the /w division of the identical doubles is
+    correctly rounded — the whole priority is then bit-identical. The
+    1e-6 granularity costs nothing statistically: |ln u| ≤ 22.2 spans
+    22M grid points, and doc_id breaks the rare grid collision.
+
     Scale shape: identical to s11 — orderBy(priority).limit(k) compiles
     to TakeOrderedAndProject (per-task k-row heaps, no global sort, no
     full shuffle); the priority itself is a map-side expression.
     """
     d = load_table(spark, sf_dir, "documents")
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("ws#"), F.col("doc_id").cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        + 1
-    ) / 4294967297.0
-    priority = F.log(u) / F.col("n_chars")
+    u = (hash_u32(F.col("doc_id"), salt="ws#") + 1) / 4294967297.0
+    ln6 = F.round(F.log(u), 6).cast("decimal(9,6)")
+    priority = ln6.cast("double") / F.col("n_chars")
     return (
         d.select("doc_id", "source", "n_chars")
         .orderBy(priority.desc(), F.col("doc_id").asc())
@@ -549,16 +547,7 @@ def s13_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("threshold_pm"),
     )
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("temp#"), F.col("doc_id").cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 10000
-    )
+    bucket = hash_bucket(F.col("doc_id"), 10000, salt="temp#")
     kept = d.join(F.broadcast(rates), "source").filter(bucket < F.col("threshold_pm"))
     return kept.groupBy("source").agg(
         F.max("cnt").cast("bigint").alias("n_docs"),
@@ -679,6 +668,7 @@ def s15_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     prio = F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
     w = Window.partitionBy("source").orderBy(prio, F.col("doc_id"))
+    rk = F.row_number().over(w).cast("bigint")  # ONE rank definition
     return d.select(
         "doc_id",
         "source",
@@ -686,8 +676,8 @@ def s15_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("source"))
         .cast("bigint")
         .alias("source_total"),
-        F.row_number().over(w).cast("bigint").alias("priority"),
-        (F.row_number().over(w) <= DOMAIN_CAP).alias("admitted"),
+        rk.alias("priority"),
+        (rk <= DOMAIN_CAP).alias("admitted"),
     )
 
 

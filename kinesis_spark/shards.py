@@ -18,6 +18,23 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def hash_u32(key: Column, salt: str = "") -> Column:
+    """First-8-hex-chars md5 of (salt || key) as a BIGINT in [0, 2^32):
+    the shared sampling-decision hash. ONE definition for every
+    hash-gated sampler (s5/s7/s8/s12/s13 in queries/setops.py) — the
+    salt and the modulus are the only things that vary per consumer, so
+    a width or formula change is a single edit, mirrored in each
+    oracle's SQL spelling."""
+    s = F.concat(F.lit(salt), key.cast("string")) if salt else key.cast("string")
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+
+
+def hash_bucket(key: Column, modulo: int, salt: str = "") -> Column:
+    """hash_u32 reduced to [0, modulo) — the per-mille/per-myriad keep
+    decision. Plain % is safe: the hash is non-negative."""
+    return hash_u32(key, salt) % modulo
+
+
 def split_bucket(key: Column) -> Column:
     """Stable 0-99 bucket from a salted md5 of the row key (pure function
     of the key: append-stable, engine-independent)."""
