@@ -238,6 +238,11 @@ FORCE_REVERIFY: dict[str, int] = {
     # division (JVM Math.log vs libm differ in the last ulp on ~7% of
     # inputs — measured; the rounded chain is bit-identical).
     "s12_weighted_sample": 3,
+    # changed in r4 (scalars review round): sc1 gained trim/pad/split
+    # columns (schema change); sc2's oracle month_start is CAST to
+    # TIMESTAMP (DuckDB DATE_TRUNC yields DATE — e1's fix, same class).
+    "sc1_string_funcs": 3,
+    "sc2_date_funcs": 3,
 }
 
 

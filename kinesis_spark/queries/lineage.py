@@ -21,7 +21,10 @@ from kinesis_spark.queries import register
 
 
 def _docs_with_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    # through load_table: plan-memo cache (no re-listing/footer reads per
+    # call) + the per-load UTC re-pin; the hidden _metadata struct is
+    # still selectable on the cached raw file-source DataFrame
+    return load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
         "n_chars",
@@ -144,7 +147,8 @@ def dq1_validation_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT source,
        COUNT(*) AS n_docs,
        bit_xor(CAST(('0x' || substr(
-         md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15)) AS BIGINT))
+         md5(CAST(doc_id AS VARCHAR) || '|' || COALESCE(text, chr(0))), 1, 15))
+         AS BIGINT))
          AS content_fingerprint
 FROM documents
 GROUP BY source
@@ -163,9 +167,21 @@ def prov3_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads only doc_id + text. Rehashing per row is the cost — ~the same
     single pass any content checksum needs."""
     d = load_table(spark, sf_dir, "documents")
+    # NULL text hashes as a NUL byte on BOTH engines: concat_ws would
+    # silently collapse NULL to the separator-only form on the Spark
+    # side while the oracle's || would null-propagate and bit_xor would
+    # SKIP the row — a NULL-text row must move the fingerprint, and
+    # identically in both engines. chr(0) is distinct from '' and never
+    # organic in this corpus.
     row_hash = F.conv(
         F.substring(
-            F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text"))),
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("|"),
+                    F.coalesce(F.col("text"), F.lit("\x00")),
+                )
+            ),
             1,
             15,
         ),

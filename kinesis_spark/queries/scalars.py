@@ -26,7 +26,10 @@ SELECT p_partkey,
        SUBSTRING(p_type, 1, 4) AS type_prefix,
        CONCAT(p_brand, '/', p_type) AS brand_type,
        REPLACE(p_type, 'ECONOMY', 'ECO') AS type_short,
-       CAST(CASE WHEN p_name LIKE '%red%' THEN 1 ELSE 0 END AS BIGINT) AS has_red
+       CAST(CASE WHEN p_name LIKE '%red%' THEN 1 ELSE 0 END AS BIGINT) AS has_red,
+       TRIM(' ' || p_name || ' ') AS name_trimmed,
+       LPAD(p_brand, 12, '*') AS brand_padded,
+       str_split(p_name, ' ')[1] AS first_word
 FROM part
 WHERE p_partkey <= 500
 """,
@@ -45,6 +48,10 @@ def sc1_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
         F.regexp_replace("p_type", "ECONOMY", "ECO").alias("type_short"),
         F.when(F.col("p_name").like("%red%"), 1).otherwise(0).cast("bigint").alias("has_red"),
+        # trim demonstrated on a padded value (p_name has no edge spaces)
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("name_trimmed"),
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
     )
 
 
@@ -56,7 +63,7 @@ SELECT o_orderkey,
        CAST(MONTH(o_orderdate) AS BIGINT) AS order_month,
        CAST(QUARTER(o_orderdate) AS BIGINT) AS order_quarter,
        CAST(DAY(o_orderdate) AS BIGINT) AS order_day,
-       DATE_TRUNC('month', o_orderdate) AS month_start,
+       CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
        o_orderdate + INTERVAL 90 DAY AS due_date,
        DATE_DIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_start
 FROM orders
@@ -65,8 +72,10 @@ WHERE o_orderkey <= 1000
     tags=("scalar", "date"),
 )
 def sc2_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date/time function battery (trunc, extract, add/diff, format)
-    on UTC-pinned timestamps."""
+    """Date/time function battery (trunc, extract, add/diff) on
+    UTC-pinned timestamps. The oracle's DATE_TRUNC is CAST to TIMESTAMP
+    (DuckDB yields DATE, Spark TIMESTAMP — same class of accidental
+    string-form agreement the e1 fix removed)."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
     return o.select(
         "o_orderkey",
@@ -99,8 +108,11 @@ WHERE l_orderkey <= 600
     tags=("scalar", "math"),
 )
 def sc3_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math function battery (round, floor/ceil, abs, power, mod, log,
-    trig) with bit-deterministic cross-engine results."""
+    """Math function battery (round, floor/ceil, abs, sqrt, power, mod)
+    with bit-deterministic cross-engine results. log/trig are
+    DELIBERATELY absent: transcendentals are not correctly rounded and
+    differ between JVM and libm in the last ulp (module header; s12's
+    review measured it) — sqrt/power-of-2 are the IEEE-exact subset."""
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 600)
     return l.select(
         "l_orderkey",
@@ -135,7 +147,9 @@ def sc4_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.size("embedding").cast("bigint").alias("dim"),
-        F.element_at("embedding", 1).cast("double").alias("first_component"),
+        # try_element_at: ANSI element_at would THROW on an empty array
+        # while the oracle's embedding[1] returns NULL — try_ matches
+        F.try_element_at("embedding", F.lit(1)).cast("double").alias("first_component"),
         F.array_max("embedding").cast("double").alias("max_component"),
         F.array_min("embedding").cast("double").alias("min_component"),
         F.size(F.filter("embedding", lambda x: x > 0)).cast("bigint").alias("n_positive"),
@@ -189,18 +203,22 @@ GROUP BY n.n_name
 def sql1_pure_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL entry point: tables registered as temp views, the query
     authored as ANSI SQL via spark.sql — same Catalyst plan space as the
-    DataFrame API (dims still broadcast, aggregates still two-phase)."""
+    DataFrame API (dims still broadcast, aggregates still two-phase).
+
+    Views are NAMESPACED (sql1_*): a bare-named temp view would shadow
+    any catalog table of the same name for the rest of the shared
+    driver session, pinned to whichever sf_dir ran last."""
     for t in ("nation", "customer", "orders"):
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"sql1_{t}")
     return spark.sql("""
         SELECT n.n_name AS nation,
                COUNT(DISTINCT c.c_custkey) AS n_customers,
                COUNT(o.o_orderkey) AS n_orders,
                CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
                  AS total_spend
-        FROM nation n
-        JOIN customer c ON c.c_nationkey = n.n_nationkey
-        JOIN orders o   ON o.o_custkey = c.c_custkey
+        FROM sql1_nation n
+        JOIN sql1_customer c ON c.c_nationkey = n.n_nationkey
+        JOIN sql1_orders o   ON o.o_custkey = c.c_custkey
         WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
         GROUP BY n.n_name
     """)
