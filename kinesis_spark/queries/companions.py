@@ -181,12 +181,17 @@ def a8c_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
     )
     distinct_users = (
-        e.groupBy("event_type", "user_id")
-        .agg(F.lit(1))
+        e.select("event_type", "user_id")
+        .distinct()
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("exact_users"))
     )
-    g = base.join(distinct_users, "event_type")
+    # eqNullSafe: a NULL event_type group survives the oracle's GROUP BY
+    # but a null-rejecting equi-join would silently drop it here
+    g = base.join(
+        distinct_users,
+        base["event_type"].eqNullSafe(distinct_users["event_type"]),
+    ).drop(distinct_users["event_type"])
     hll_tol = F.greatest(F.lit(2.0), 0.05 * F.col("exact_users"))
     p50_tol = 0.02 * F.greatest(F.lit(1.0), F.abs(F.col("exact_p50")))
     return g.select(

@@ -100,6 +100,24 @@ def _ordered_pairs(members, pair_of=None):
     )
 
 
+def _band_key_expr():
+    """The exploded LSH band-key column — BAND_ROWS adjacent minhash
+    columns concatenated per band. ONE definition for every consumer
+    (here, pipelines.p1/p3, streaming/neardup): a BAND_ROWS or N_HASHES
+    change must re-band every member of the family in lockstep, or
+    their candidate sets silently diverge."""
+    return F.explode(
+        F.array(
+            *[
+                F.concat_ws(
+                    "|", *[f"mh{BAND_ROWS * b + r}" for r in range(BAND_ROWS)]
+                )
+                for b in range(N_HASHES // BAND_ROWS)
+            ]
+        )
+    )
+
+
 def _lsh_band_buckets(docs: DataFrame, max_bucket: int | None = None) -> DataFrame:
     """ONE definition of the MinHash({n})+LSH banding pipeline shared by
     d3 (uncapped) and d14 (capped): tokenize barrier → shingle explode →
@@ -124,15 +142,7 @@ def _lsh_band_buckets(docs: DataFrame, max_bucket: int | None = None) -> DataFra
             for seed in range(N_HASHES)
         ]
     )
-    band_key = F.explode(
-        F.array(
-            *[
-                F.concat_ws("|", f"mh{2 * b}", f"mh{2 * b + 1}")
-                for b in range(N_HASHES // BAND_ROWS)
-            ]
-        )
-    )
-    bands = sigs.select("doc_id", band_key.alias("band_key"))
+    bands = sigs.select("doc_id", _band_key_expr().alias("band_key"))
     keep = F.size("ids") >= 2
     if max_bucket is not None:
         keep = keep & (F.size("ids") <= max_bucket)
@@ -216,6 +226,17 @@ def _minhash_sig_sql(seed: int) -> str:
     )
 
 
+# ONE definition of the oracle-side band unnest — generated from
+# BAND_ROWS/N_HASHES so the SQL banding can never drift from
+# _band_key_expr's Spark banding (consumers: the CTE below + the
+# p1/p3 pipeline oracles).
+_BAND_UNNEST_SQL = "unnest([{}]) AS band_key".format(
+    ", ".join(
+        " || '|' || ".join(f"mh{BAND_ROWS * b + r}" for r in range(BAND_ROWS))
+        for b in range(N_HASHES // BAND_ROWS)
+    )
+)
+
 # ONE definition of the oracle-side signature/banding/pair CTE chain —
 # d3/d9/d10/d13/d14 (and setops' s14) compose from these instead of five
 # spelled-out copies whose banding scheme could silently drift.
@@ -227,8 +248,7 @@ _SIGS_BANDS_SQL = f"""sigs AS (
 ),
 bands AS (
   SELECT doc_id,
-         unnest([mh0 || '|' || mh1, mh2 || '|' || mh3,
-                 mh4 || '|' || mh5, mh6 || '|' || mh7]) AS band_key
+         {_BAND_UNNEST_SQL}
   FROM sigs
 )"""
 

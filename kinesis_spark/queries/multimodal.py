@@ -91,10 +91,10 @@ def mm2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm3_frame_sample",
-    oracle="""
+    oracle=f"""
 WITH m AS (
   SELECT doc_id AS media_id,
-         (['image','audio','video'])[doc_id % 3 + 1] AS modality,
+         {_MODALITY_SQL} AS modality,
          text, length(text) AS nb
   FROM documents
 ),
@@ -138,7 +138,7 @@ _NIB_SQL = ", ".join(
     oracle=f"""
 WITH h AS (
   SELECT doc_id AS media_id,
-         (['image','audio','video'])[doc_id % 3 + 1] AS modality,
+         {_MODALITY_SQL} AS modality,
          CAST(length(text) AS BIGINT) AS n_bytes,
          hex(encode(text)) AS hx
   FROM documents
@@ -156,10 +156,10 @@ def mm4_nibble_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm5_frame_energy",
-    oracle="""
+    oracle=f"""
 WITH m AS (
   SELECT doc_id AS media_id,
-         (['image','audio','video'])[doc_id % 3 + 1] AS modality,
+         {_MODALITY_SQL} AS modality,
          text, length(text) AS nb
   FROM documents
 ),

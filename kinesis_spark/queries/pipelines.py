@@ -23,12 +23,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis_spark.io import ensure_min_partitions, load_table
-from kinesis_spark.queries import register
+from kinesis_spark.queries import WS_RE, register
 from kinesis_spark.queries.dedup import (
+    _BAND_UNNEST_SQL,
+    _band_key_expr,
     _minhash_sig_sql,
     _minhash_sig_spark,
     _shingles_of,
-    BAND_ROWS,
     N_HASHES,
 )
 
@@ -36,18 +37,47 @@ _KEEP_LANGS = ("en", "de", "fr", "es")
 _MIN_TOKENS = 10
 _LANGS_SQL = ", ".join(f"'{x}'" for x in _KEEP_LANGS)
 
+# ONE definition of the language/length gate, Spark + oracle: the shared
+# head of p1 (full build) and p3 (incremental batch-vs-corpus).
+_BASE_CTE_SQL = f"""base AS (
+  SELECT doc_id, text, lang, source,
+         CAST(len(regexp_split_to_array(text, '{WS_RE}')) AS BIGINT) AS n_toks,
+         CAST(LENGTH(text) AS BIGINT) AS n_chars
+  FROM documents
+  WHERE lang IN ({_LANGS_SQL})
+    AND len(regexp_split_to_array(text, '{WS_RE}')) >= {_MIN_TOKENS}
+)"""
+
+
+def _gated_base(d: DataFrame) -> DataFrame:
+    """Tokens barrier + language/min-length gate (the Spark side of
+    _BASE_CTE_SQL). toks is carried for every downstream consumer so
+    the regex split evaluates once per document."""
+    return d.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        F.explode(F.array(F.split("text", WS_RE))).alias("toks"),
+    ).filter(F.col("lang").isin(*_KEEP_LANGS) & (F.size("toks") >= _MIN_TOKENS))
+
+
+def _band_keys_of(df: DataFrame, *carry: str) -> DataFrame:
+    """shingle barrier → minhash signature → exploded band keys. ONE
+    definition for p1 (carries the stats columns) and p3 (bare doc_id);
+    the banding itself is dedup._band_key_expr, shared with d3/d14 and
+    the streaming near-dup."""
+    shb = df.select(
+        "doc_id", *carry, F.explode(F.array(_shingles_of(F.col("toks")))).alias("shb")
+    )
+    sigs = shb.select("doc_id", *carry, *_minhash_sig_spark(F.col("shb")))
+    return sigs.select("doc_id", *carry, _band_key_expr().alias("band_key"))
+
 
 @register(
     "p1_llm_prep_pipeline",
     oracle=f"""
-WITH base AS (
-  SELECT doc_id, text, lang, source,
-         CAST(len(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+')) AS BIGINT) AS n_toks,
-         CAST(LENGTH(text) AS BIGINT) AS n_chars
-  FROM documents
-  WHERE lang IN ({_LANGS_SQL})
-    AND len(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+')) >= {_MIN_TOKENS}
-),
+WITH {_BASE_CTE_SQL},
 exact AS (
   SELECT b.* FROM base b
   JOIN (
@@ -62,8 +92,7 @@ sigs AS (
 ),
 bands AS (
   SELECT doc_id,
-         unnest([mh0 || '|' || mh1, mh2 || '|' || mh3,
-                 mh4 || '|' || mh5, mh6 || '|' || mh7]) AS band_key
+         {_BAND_UNNEST_SQL}
   FROM sigs
 ),
 drops AS (
@@ -95,18 +124,7 @@ def p1_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scan count in the join formulation of this pipeline. Windows
     # keep it at ONE scan + four narrow shuffles (hash, band key, doc
     # id, rollup key).
-    #
-    # tokens barrier: toks referenced by the gate, the stats, and the
-    # shingle pipeline — evaluate the split once
-    base = d.select(
-        "doc_id",
-        "text",
-        "lang",
-        "source",
-        F.explode(F.array(F.split("text", r"[ \t\n\f\r\x0B]+"))).alias("toks"),
-    ).filter(
-        F.col("lang").isin(*_KEEP_LANGS) & (F.size("toks") >= _MIN_TOKENS)
-    )
+    base = _gated_base(d)
 
     # exact dedup: first doc_id per content hash (window, not agg+join);
     # the shuffle carries toks (needed downstream) but drops text
@@ -125,27 +143,7 @@ def p1_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
     )
 
-    # shingle barrier so the 8 minhash expressions bind one array
-    shb = exact.select(
-        "doc_id", "lang", "source", "n_toks", "n_chars",
-        F.explode(F.array(_shingles_of(F.col("toks")))).alias("shb"),
-    )
-    sigs = shb.select(
-        "doc_id", "lang", "source", "n_toks", "n_chars",
-        *_minhash_sig_spark(F.col("shb")),
-    )
-    band_key = F.explode(
-        F.array(
-            *[
-                F.concat_ws("|", f"mh{BAND_ROWS * b}", f"mh{BAND_ROWS * b + 1}")
-                for b in range(N_HASHES // BAND_ROWS)
-            ]
-        )
-    )
-    bands = sigs.select(
-        "doc_id", "lang", "source", "n_toks", "n_chars",
-        band_key.alias("band_key"),
-    )
+    bands = _band_keys_of(exact, "lang", "source", "n_toks", "n_chars")
     # near-dup drop: a doc survives iff it is the minimal member of
     # EVERY bucket it lands in (same keep-lowest-id contract as the
     # oracle's a.doc_id < b.doc_id drop set)
@@ -237,13 +235,7 @@ def p2_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "p3_incremental_prep",
     oracle=f"""
-WITH base AS (
-  SELECT doc_id, text, lang, source,
-         CAST(len(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+')) AS BIGINT) AS n_toks
-  FROM documents
-  WHERE lang IN ({_LANGS_SQL})
-    AND len(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+')) >= {_MIN_TOKENS}
-),
+WITH {_BASE_CTE_SQL},
 corpus AS (SELECT * FROM base WHERE doc_id % 10 != 0),
 batch AS (
   SELECT *, sha256(text) AS h,
@@ -267,13 +259,11 @@ csigs AS (
   FROM corpus
 ),
 rbands AS (
-  SELECT doc_id, unnest([mh0 || '|' || mh1, mh2 || '|' || mh3,
-                         mh4 || '|' || mh5, mh6 || '|' || mh7]) AS band_key
+  SELECT doc_id, {_BAND_UNNEST_SQL}
   FROM rsigs
 ),
 cbands AS (
-  SELECT unnest([mh0 || '|' || mh1, mh2 || '|' || mh3,
-                 mh4 || '|' || mh5, mh6 || '|' || mh7]) AS band_key
+  SELECT {_BAND_UNNEST_SQL}
   FROM csigs
 ),
 near AS (
@@ -331,10 +321,7 @@ def p3_incremental_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_spark.bloom import build_bloom, densify_bloom, probe_bloom_dense
 
     d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
-    base = d.select(
-        "doc_id", "text", "lang", "source",
-        F.explode(F.array(F.split("text", r"[ \t\n\f\r\x0B]+"))).alias("toks"),
-    ).filter(F.col("lang").isin(*_KEEP_LANGS) & (F.size("toks") >= _MIN_TOKENS))
+    base = _gated_base(d)
     corpus = base.filter(F.col("doc_id") % 10 != 0)
     batch = base.filter(F.col("doc_id") % 10 == 0)
 
@@ -361,25 +348,10 @@ def p3_incremental_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
-    def bands_of(df):
-        shb = df.select(
-            "doc_id", F.explode(F.array(_shingles_of(F.col("toks")))).alias("shb")
-        )
-        sigs = shb.select("doc_id", *_minhash_sig_spark(F.col("shb")))
-        key = F.explode(
-            F.array(
-                *[
-                    F.concat_ws("|", f"mh{BAND_ROWS * b}", f"mh{BAND_ROWS * b + 1}")
-                    for b in range(N_HASHES // BAND_ROWS)
-                ]
-            )
-        )
-        return sigs.select("doc_id", key.alias("band_key"))
-
     rem = flagged.filter(~F.col("exact_dup"))
-    cband_keys = bands_of(corpus).select("band_key").distinct()
+    cband_keys = _band_keys_of(corpus).select("band_key").distinct()
     near = (
-        bands_of(rem)
+        _band_keys_of(rem)
         .join(cband_keys, "band_key", "left_semi")
         .select("doc_id")
         .distinct()

@@ -63,6 +63,11 @@ def u1_word_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, text: str):
             import re
 
+            if text is None:
+                # mirror the oracle: regexp_split_to_array(NULL) -> NULL
+                # -> unnest emits no rows (re.split(None) would raise,
+                # killing the whole job on one NULL document)
+                return
             toks = re.split(r"[ \t\n\f\r\x0B]+", text)
             for i in range(0, len(toks), CHUNK_WORDS):
                 chunk = toks[i : i + CHUNK_WORDS]
@@ -141,8 +146,11 @@ GROUP BY source
 def u3_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-AGGREGATE pandas UDF (the third Arrow UDF shape next to
     u1's UDTF and u2's grouped map): per-source moment sums computed in
-    numpy. Integer-only accumulation (int64) so the result is exact and
-    order-insensitive — a float sum would vary with Arrow batch order.
+    numpy/Python ints. Integer-only accumulation so the result is exact
+    and order-insensitive — a float sum would vary with Arrow batch
+    order; the squared sum runs in arbitrary-precision Python ints
+    because numpy int64 would WRAP silently past 2^63 (the oracle's
+    HUGEINT stays exact and its BIGINT cast fails loudly instead).
 
     Scale shape: Spark evaluates grouped-agg pandas UDFs with partial
     Arrow batches per partition ONLY for window frames; in groupBy().agg
@@ -164,8 +172,9 @@ def u3_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @SF.pandas_udf("bigint")
     def sumsq(v: pd.Series) -> int:
-        a = v.to_numpy(dtype="int64")
-        return int((a * a).sum())
+        # Python ints, not numpy: (a*a).sum() in int64 wraps silently
+        # once sum(n_chars^2) passes 2^63 — plausible at corpus scale
+        return sum(int(x) * int(x) for x in v.to_list())
 
     d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
     return d.groupBy("source").agg(

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from kinesis_spark.queries.dedup import BAND_ROWS, N_HASHES, _shingles_of
+from kinesis_spark.queries.dedup import N_HASHES, _band_key_expr, _shingles_of
 
 CANDIDATE_SCHEMA = T.StructType(
     [
@@ -75,15 +75,7 @@ def band_keys(docs: DataFrame) -> DataFrame:
 
     mh = [_mh(i) for i in range(N_HASHES)]
     sigs = sh.select("doc_id", *mh)
-    band = F.explode(
-        F.array(
-            *[
-                F.concat_ws("|", f"mh{BAND_ROWS * b}", f"mh{BAND_ROWS * b + 1}")
-                for b in range(N_HASHES // BAND_ROWS)
-            ]
-        )
-    )
-    return sigs.select("doc_id", band.alias("band_key"))
+    return sigs.select("doc_id", _band_key_expr().alias("band_key"))
 
 
 def _bucket_memory_fn(
