@@ -44,10 +44,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, name)
     cached = _PLAN_CACHE.get(key)
     if cached is not None:
         return cached
+    # evict plans of OTHER (stopped) applications: a process that
+    # creates and stops many sessions (pytest across modules) would
+    # otherwise accumulate dead plans and their JVM-side references
+    # without bound
+    for k in [k for k in _PLAN_CACHE if k[0] != app_id]:
+        del _PLAN_CACHE[k]
     df = _load_table_uncached(spark, sf_dir, name)
     _PLAN_CACHE[key] = df
     return df
@@ -74,6 +81,9 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
 
 
 def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # conf pinning (UTC, nanosAsLong) happens in load_table — the only
+    # caller — unconditionally on every load; no second copy here to
+    # drift from it.
     if name == "events":
         # The driver has shipped events.ts under two parquet encodings
         # across rounds: TIMESTAMP(NANOS) (which Spark's vectorized reader
@@ -81,12 +91,6 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
         # plain TIMESTAMP(MICROS) / TIMESTAMP_NTZ. Detect from the read
         # schema and normalize both to Spark's native TimestampType so
         # every downstream query sees one shape.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # Event-time functions (year/date_trunc/window) on TimestampType
-        # read the session timezone; the DuckDB oracle is timezone-naive.
-        # Pin UTC here so results don't depend on the caller's session
-        # config (the driver harness calls queries() with ITS session).
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         return normalize_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

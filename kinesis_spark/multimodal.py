@@ -65,9 +65,13 @@ def media_table(documents: DataFrame) -> DataFrame:
     """
     return documents.select(
         F.col("doc_id").alias("media_id"),
+        # pmod, not %: a negative doc_id under sign-preserving % would
+        # index 0/negative (ANSI element_at throws / silently wraps);
+        # len(MODALITIES), not a literal, so adding a modality cannot
+        # silently skip it (the oracle constant is generated in lockstep)
         F.element_at(
             F.array(*[F.lit(m) for m in MODALITIES]),
-            (F.col("doc_id") % 3 + 1).cast("int"),
+            (F.pmod(F.col("doc_id"), F.lit(len(MODALITIES))) + 1).cast("int"),
         ).alias("modality"),
         F.encode("text", "UTF-8").alias("payload"),
         F.octet_length(F.encode("text", "UTF-8")).cast("bigint").alias("n_bytes"),
@@ -104,19 +108,35 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
+            # null payload -> null features (MEDIA_SCHEMA allows null
+            # payloads; len(None)/md5(None) would kill the whole job
+            # with an opaque executor TypeError)
             payloads = pdf["payload"]
-            first = payloads.map(lambda b: b[0] if len(b) > 0 else 0).astype("int64")
-            second = payloads.map(lambda b: b[1] if len(b) > 1 else 0).astype("int64")
-            n_bytes = payloads.map(len).astype("int64")
+            first = payloads.map(
+                lambda b: b[0] if b is not None and len(b) > 0 else 0
+            ).astype("int64")
+            second = payloads.map(
+                lambda b: b[1] if b is not None and len(b) > 1 else 0
+            ).astype("int64")
+            n_bytes = payloads.map(
+                lambda b: len(b) if b is not None else 0
+            ).astype("int64")
+            null_mask = payloads.isna()
             yield _pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
-                    "n_bytes": n_bytes,
-                    "width": first + 1,
-                    "height": second + 1,
-                    "n_frames": n_bytes // 64 + 1,
-                    "checksum": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
+                    # nullable Int64 (not .where on int64, which would
+                    # yield float64 NaN that Arrow refuses to cast back)
+                    "n_bytes": n_bytes.astype("Int64").where(~null_mask),
+                    "width": (first + 1).astype("Int64").where(~null_mask),
+                    "height": (second + 1).astype("Int64").where(~null_mask),
+                    "n_frames": (n_bytes // 64 + 1).astype("Int64").where(~null_mask),
+                    "checksum": payloads.map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                        if b is not None
+                        else None
+                    ),
                 }
             )
 
@@ -211,6 +231,8 @@ def resize_images(
         import pandas as _pd
 
         def nn_sample(b: bytes) -> bytes:
+            if b is None:
+                return None  # null payload -> null pixels (decode parity)
             w = (b[0] if len(b) > 0 else 0) + 1   # fake-decode dims
             h = (b[1] if len(b) > 1 else 0) + 1   # (decode_media parity)
             out = bytearray(out_w * out_h)

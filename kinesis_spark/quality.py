@@ -68,6 +68,13 @@ def violating_rows(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     problem, not as the routine check)."""
     if not rules:
         raise ValueError("violating_rows() needs at least one rule")
+    if "failed_rules" in df.columns:
+        # withColumn would silently clobber it (validate() uses
+        # collision-proof _dq_ aliases for the same reason)
+        raise ValueError(
+            "input already has a 'failed_rules' column; rename it before "
+            "calling violating_rows()"
+        )
     failed = F.filter(
         F.array(
             *[

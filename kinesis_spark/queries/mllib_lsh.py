@@ -55,7 +55,11 @@ def _shingle_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = HashingTF(inputCol="shingles", outputCol="features",
                    numFeatures=1 << 18, binary=True)
-    return tf.transform(sh).select("doc_id", "features")
+    # persist: fit() (dimension probe), and BOTH sides of the self
+    # approxSimilarityJoin would otherwise each re-run the tokenize/
+    # shingle/TF map stage — three evaluations of the most expensive
+    # stage per query run. Vector rows are small (sparse binary TF).
+    return tf.transform(sh).select("doc_id", "features").persist()
 
 
 @register(
@@ -65,7 +69,8 @@ def _shingle_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d8_minhash_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via MLlib MinHashLSH.approxSimilarityJoin at
-    Jaccard distance ≤ 0.6 over word-3-shingle sets."""
+    Jaccard distance < 0.6 over word-3-shingle sets (MLlib's join is
+    STRICT: a pair at exactly 0.6 is excluded)."""
     from pyspark.ml.feature import MinHashLSH
 
     vecs = _shingle_vectors(spark, sf_dir)
@@ -98,11 +103,17 @@ def sim5_brp_ann_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql.window import Window
 
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        array_to_vector(
-            F.transform("embedding", lambda x: x.cast("double"))
-        ).alias("features"),
+    e = (
+        ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+        .select(
+            "vec_id",
+            array_to_vector(
+                F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("features"),
+        )
+        # persist: fit() + both approxSimilarityJoin sides re-run the
+        # vector transform otherwise (same reuse as _shingle_vectors)
+        .persist()
     )
     brp = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=2.0,

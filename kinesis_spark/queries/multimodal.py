@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from kinesis_spark.io import ensure_min_partitions, load_table
 from kinesis_spark.multimodal import (
+    MODALITIES,
     decode_media,
     media_table,
     nibble_histogram,
@@ -27,7 +28,12 @@ from kinesis_spark.multimodal import (
 )
 from kinesis_spark.queries import register
 
-_MODALITY_SQL = "(['image','audio','video'])[doc_id % 3 + 1]"
+# generated from MODALITIES so the oracle can never drift from
+# media_table's Spark-side assignment (fixture doc_ids are >= 0, so
+# DuckDB's sign-preserving % equals Spark's pmod here)
+_MODALITY_SQL = "([{}])[doc_id % {} + 1]".format(
+    ",".join(f"'{m}'" for m in MODALITIES), len(MODALITIES)
+)
 
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -51,20 +51,27 @@ def _avro_package() -> str | None:
 
     version = pyspark.__version__
     coord = f"org.apache.spark:spark-avro_2.13:{version}"
-    ivy = os.path.expanduser("~/.ivy2")
-    # the two layouts ivy actually uses, checked non-recursively (a
-    # populated ~/.ivy2 holds tens of thousands of files; a recursive
-    # walk per session would dwarf the work it gates)
-    cached = os.path.exists(
-        os.path.join(ivy, "jars", f"org.apache.spark_spark-avro_2.13-{version}.jar")
-    ) or os.path.exists(
-        os.path.join(
-            ivy,
-            "cache",
-            "org.apache.spark",
-            "spark-avro_2.13",
-            "jars",
-            f"spark-avro_2.13-{version}.jar",
+    # BOTH ivy roots: Spark 4 defaults spark.jars.ivy to ~/.ivy2.5.2
+    # (legacy Spark/manual ivy used ~/.ivy2) — a cache Spark itself
+    # populated would otherwise never hit the offline fast path.
+    # Checked non-recursively (a populated cache holds tens of
+    # thousands of files; a recursive walk per session would dwarf the
+    # work it gates).
+    cached = any(
+        os.path.exists(p)
+        for ivy in (os.path.expanduser("~/.ivy2.5.2"), os.path.expanduser("~/.ivy2"))
+        for p in (
+            os.path.join(
+                ivy, "jars", f"org.apache.spark_spark-avro_2.13-{version}.jar"
+            ),
+            os.path.join(
+                ivy,
+                "cache",
+                "org.apache.spark",
+                "spark-avro_2.13",
+                "jars",
+                f"spark-avro_2.13-{version}.jar",
+            ),
         )
     )
     if cached:
@@ -139,5 +146,10 @@ def get_spark(app_name: str = "kinesis_spark", master: str | None = None) -> Spa
             raise
         # resolution can still fail after a positive probe (captive
         # proxy, artifact missing for this version): Avro is optional,
-        # the session is not — retry bare and let sources.py gate Avro
+        # the session is not — retry bare and let sources.py gate Avro.
+        # Make the fallback STICKY: without resetting the memo, every
+        # later get_spark() in this process would repeat the failing
+        # (slow) resolution before falling back again.
+        global _AVRO_DECISION
+        _AVRO_DECISION = None
         return _builder(None).getOrCreate()

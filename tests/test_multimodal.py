@@ -123,3 +123,27 @@ def test_sample_frames_empty_payload_yields_no_rows(spark):
     rows = got.select("media_id", "frame_idx").collect()
     assert all(r["media_id"] == 2 for r in rows)
     assert sorted(r["frame_idx"] for r in rows) == [0, 1]
+
+
+def test_null_payload_yields_null_features_not_crash(spark):
+    """MEDIA_SCHEMA allows null payloads: the fake decode and resize
+    must emit null features for them instead of dying in the Python
+    worker with TypeError(len(None))."""
+    from kinesis_spark.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        resize_images,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "image", b"\x05\x03abcdef", 8), (2, "image", None, None)],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in decode_media(media, fake=True).collect()}
+    assert rows[1].checksum is not None and rows[1].n_bytes == 8
+    assert rows[2].checksum is None
+    assert rows[2].n_bytes is None and rows[2].width is None
+
+    rz = {r.media_id: r for r in resize_images(media, fake=True).collect()}
+    assert rz[1].pixels is not None
+    assert rz[2].pixels is None
