@@ -27,9 +27,9 @@ The streaming half lives in ``kinesis_spark/streaming/kinesis_source.py``
 from __future__ import annotations
 
 import base64
-import hashlib
 import json
 import os
+import time
 from bisect import bisect_right
 from typing import Callable, Protocol
 
@@ -58,9 +58,12 @@ class ShardIteratorClient(Protocol):
 def shard_for_key(pk: str, n_shards: int = DEFAULT_N_SHARDS) -> str:
     """Kinesis routes a record by MD5(partition key) over the stream's
     hash-key space; with ``n_shards`` equal ranges that reduces to a
-    modulus of the 128-bit digest."""
-    h = int.from_bytes(hashlib.md5(pk.encode("utf-8")).digest(), "big")
-    return f"shardId-{h % n_shards:012d}"
+    modulus of the 128-bit digest. ONE hash definition — shared with the
+    topology router (resharding.key_hash), so writer-side routing and
+    the reshard generations can never drift."""
+    from kinesis_spark.ingest.resharding import key_hash
+
+    return f"shardId-{key_hash(pk) % n_shards:012d}"
 
 
 def _encode_iter(stream: str, shard_id: str, after: str) -> str:
@@ -94,9 +97,23 @@ class SpoolConsumerClient:
     would swap out (for :class:`Boto3ConsumerClient`) anyway.
     """
 
-    def __init__(self, spool_dir: str, n_shards: int = DEFAULT_N_SHARDS):
+    def __init__(
+        self,
+        spool_dir: str,
+        n_shards: int = DEFAULT_N_SHARDS,
+        seal_grace_ns: int = 250_000_000,
+    ):
         self.spool_dir = spool_dir
         self.n_shards = n_shards
+        # SHARD_END seal grace: a writer captures its time-prefixed seq
+        # BEFORE renaming the spool file, so a put in flight across the
+        # reshard cutover can land (with seq < cutover, i.e. routed to
+        # the closed parent) shortly AFTER a reader drained the parent.
+        # Real Kinesis seals a closed shard before signalling SHARD_END;
+        # the emulation instead refuses to hand back the null iterator
+        # until the cutover is comfortably in the past. Tests that need
+        # an immediate SHARD_END pass seal_grace_ns=0.
+        self.seal_grace_ns = seal_grace_ns
 
     # -- internal ---------------------------------------------------------
     def _topology(self):
@@ -183,11 +200,19 @@ class SpoolConsumerClient:
         new_after = batch[-1]["seq"] if batch else after
         at_tip = i + len(batch) >= len(recs)
         # SHARD_END: a CLOSED shard drained to its last record hands back
-        # a null iterator — the signal consumers use to move to children
-        closed = topo.close_seq(shard_id) is not None
+        # a null iterator — the signal consumers use to move to children.
+        # Held open through the seal grace after the cutover (see
+        # __init__) so an in-flight pre-cutover write cannot land behind
+        # a reader that already moved past SHARD_END.
+        close_seq = topo.close_seq(shard_id)
+        sealed = close_seq is not None and (
+            self.seal_grace_ns == 0
+            or not close_seq
+            or time.time_ns() - int(close_seq.split("-")[0]) >= self.seal_grace_ns
+        )
         next_iter = (
             None
-            if closed and at_tip
+            if sealed and at_tip
             else _encode_iter(stream, shard_id, new_after)
         )
         return {
@@ -228,6 +253,23 @@ class Boto3ConsumerClient:
     def __init__(self, boto3_client) -> None:
         self._client = boto3_client
 
+    @staticmethod
+    def _call(fn, **kw):
+        """Normalize the SDK's throttle types (matched by name so this
+        module never imports boto3) to the retryable contract error —
+        for EVERY consumer API, not just GetRecords: ListShards raises
+        LimitExceededException and GetShardIterator
+        ProvisionedThroughputExceededException under load, and an
+        un-normalized throttle would crash straight through
+        RetryingConsumer instead of backing off."""
+        try:
+            return fn(**kw)
+        except Exception as exc:
+            name = type(exc).__name__
+            if "ProvisionedThroughputExceeded" in name or "LimitExceeded" in name:
+                raise ThrottledError(str(exc)) from exc
+            raise
+
     def list_shards(self, stream_name: str) -> list[str]:
         return [s["ShardId"] for s in self.describe_shards(stream_name)]
 
@@ -238,7 +280,7 @@ class Boto3ConsumerClient:
         shards, token = [], None
         while True:
             kw = {"NextToken": token} if token else {"StreamName": stream_name}
-            resp = self._client.list_shards(**kw)
+            resp = self._call(self._client.list_shards, **kw)
             for s in resp.get("Shards", []):
                 d = {"ShardId": s["ShardId"]}
                 if s.get("ParentShardId"):
@@ -264,17 +306,12 @@ class Boto3ConsumerClient:
         )
         if starting_sequence_number is not None:
             kw["StartingSequenceNumber"] = starting_sequence_number
-        return self._client.get_shard_iterator(**kw)["ShardIterator"]
+        return self._call(self._client.get_shard_iterator, **kw)["ShardIterator"]
 
     def get_records(self, shard_iterator: str, limit: int = 10000) -> dict:
-        try:
-            return self._client.get_records(ShardIterator=shard_iterator, Limit=limit)
-        except Exception as exc:
-            # normalize the SDK's throttle type (matched by name so this
-            # module never imports boto3) to the retryable contract error
-            if "ProvisionedThroughputExceeded" in type(exc).__name__:
-                raise ThrottledError(str(exc)) from exc
-            raise
+        return self._call(
+            self._client.get_records, ShardIterator=shard_iterator, Limit=limit
+        )
 
 
 class ThrottledError(RuntimeError):

@@ -209,26 +209,101 @@ def _now_seq() -> str:
     return f"{time.time_ns():020d}"
 
 
+class _TopologyLock:
+    """Exclusive advisory lock for topology read-modify-write: Kinesis
+    serializes reshards per stream (one at a time); two concurrent
+    split/merge calls here would otherwise both load next_id, and the
+    loser's os.replace would silently erase the winner's generation
+    while both callers hold shard ids they believe exist."""
+
+    def __init__(self, spool_dir: str, timeout_s: float = 5.0):
+        self._path = os.path.join(spool_dir, TOPOLOGY_FILE + ".lock")
+        self._timeout = timeout_s
+
+    def __enter__(self):
+        os.makedirs(os.path.dirname(self._path), exist_ok=True)
+        deadline = time.monotonic() + self._timeout
+        while True:
+            try:
+                fd = os.open(self._path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                return self
+            except FileExistsError:
+                # break a stale lock (holder crashed mid-reshard)
+                try:
+                    if time.time() - os.path.getmtime(self._path) > self._timeout:
+                        os.unlink(self._path)
+                        continue
+                except OSError:
+                    continue  # raced with the holder's release
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"topology lock {self._path} held too long — "
+                        "another reshard in progress?"
+                    ) from None
+                time.sleep(0.02)
+
+    def __exit__(self, *exc):
+        try:
+            os.unlink(self._path)
+        except OSError:
+            pass
+
+
+def _spool_has_records(spool_dir: str) -> bool:
+    try:
+        return any(
+            not n.startswith(".") and n.endswith(".jsonl")
+            for n in os.listdir(spool_dir)
+        )
+    except OSError:
+        return False
+
+
 def init_topology(spool_dir: str, n_shards: int) -> list[str]:
-    """Provision a ranges-kind generation 0 with ``n_shards`` equal
-    hash ranges (the real Kinesis layout; required before split/merge).
-    Must run before any reshard; returns the shard ids."""
+    """Provision a ranges-kind generation with ``n_shards`` equal hash
+    ranges (the real Kinesis layout; required before split/merge),
+    returning the shard ids.
+
+    On an EMPTY spool this is generation 0 (``from_seq=""``). On a spool
+    that already holds records, the ranges generation is appended as a
+    CUTOVER above the legacy mod generation instead of replacing it:
+    ``digest % n`` and ``digest // step`` route the same key to
+    DIFFERENT shard ids, so rewriting history would silently re-route
+    every existing record — committed per-shard offsets would then skip
+    moved-in records (loss) and re-read moved-out ones (duplicates).
+    With the cutover, history keeps its mod routing (the old shards
+    close, becoming parents) and only records written after the cutover
+    use the range layout."""
     step = HASH_SPACE // n_shards
-    shards = [
-        {
-            "id": f"shardId-{i:012d}",
-            "start": i * step,
-            "end": (i + 1) * step if i < n_shards - 1 else HASH_SPACE,
-        }
-        for i in range(n_shards)
-    ]
-    _save(
-        spool_dir,
-        Topology(
-            [Generation(from_seq="", kind="ranges", shards=shards)],
-            next_id=n_shards,
-        ),
-    )
+    with _TopologyLock(spool_dir):
+        has_history = _spool_has_records(spool_dir) or os.path.exists(
+            _topology_path(spool_dir)
+        )
+        base = topo = None
+        if has_history:
+            topo = load_topology(spool_dir, n_shards)
+            base = topo.generations
+            first_new = topo.next_id or max(
+                len(g.shard_ids()) for g in base
+            )
+        else:
+            first_new = 0
+        shards = [
+            {
+                "id": f"shardId-{first_new + i:012d}",
+                "start": i * step,
+                "end": (i + 1) * step if i < n_shards - 1 else HASH_SPACE,
+            }
+            for i in range(n_shards)
+        ]
+        if has_history:
+            gens = base + [
+                Generation(from_seq=_now_seq(), kind="ranges", shards=shards)
+            ]
+        else:
+            gens = [Generation(from_seq="", kind="ranges", shards=shards)]
+        _save(spool_dir, Topology(gens, next_id=first_new + n_shards))
     return [s["id"] for s in shards]
 
 
@@ -241,23 +316,30 @@ def split_shard(spool_dir: str, shard_id: str, n_shards_default: int = 4) -> tup
     children take [start, mid) and [mid, end). Records already written
     stay with the parent (seq < cutover); later writes route to the
     children. Returns (low_child, high_child)."""
-    topo = load_topology(spool_dir, n_shards_default)
-    last = topo.generations[-1]
-    if last.kind != "ranges":
-        raise ValueError("split requires a ranges-kind topology (init_topology)")
-    lo, hi = last.range_of(shard_id)
-    mid = (lo + hi) // 2
-    if mid == lo:
-        raise ValueError(f"{shard_id} range too narrow to split")
-    c1 = f"shardId-{topo.next_id:012d}"
-    c2 = f"shardId-{topo.next_id + 1:012d}"
-    new_shards = [s for s in last.shards if s["id"] != shard_id] + [
-        {"id": c1, "start": lo, "end": mid},
-        {"id": c2, "start": mid, "end": hi},
-    ]
-    topo.generations.append(_next_generation(topo, new_shards))
-    topo.next_id += 2
-    _save(spool_dir, topo)
+    with _TopologyLock(spool_dir):
+        topo = load_topology(spool_dir, n_shards_default)
+        last = topo.generations[-1]
+        if last.kind != "ranges":
+            raise ValueError("split requires a ranges-kind topology (init_topology)")
+        try:
+            lo, hi = last.range_of(shard_id)
+        except KeyError:
+            raise ValueError(
+                f"{shard_id} is not an open shard in the latest generation "
+                "(already closed by an earlier reshard, or unknown)"
+            ) from None
+        mid = (lo + hi) // 2
+        if mid == lo:
+            raise ValueError(f"{shard_id} range too narrow to split")
+        c1 = f"shardId-{topo.next_id:012d}"
+        c2 = f"shardId-{topo.next_id + 1:012d}"
+        new_shards = [s for s in last.shards if s["id"] != shard_id] + [
+            {"id": c1, "start": lo, "end": mid},
+            {"id": c2, "start": mid, "end": hi},
+        ]
+        topo.generations.append(_next_generation(topo, new_shards))
+        topo.next_id += 2
+        _save(spool_dir, topo)
     return c1, c2
 
 
@@ -266,18 +348,25 @@ def merge_shards(
 ) -> str:
     """Merge two ADJACENT open shards: both parents close, one child
     takes the union range. Returns the child id."""
-    topo = load_topology(spool_dir, n_shards_default)
-    last = topo.generations[-1]
-    if last.kind != "ranges":
-        raise ValueError("merge requires a ranges-kind topology (init_topology)")
-    ra, rb = last.range_of(shard_a), last.range_of(shard_b)
-    if ra[1] != rb[0] and rb[1] != ra[0]:
-        raise ValueError(f"{shard_a} and {shard_b} are not adjacent")
-    child = f"shardId-{topo.next_id:012d}"
-    new_shards = [
-        s for s in last.shards if s["id"] not in (shard_a, shard_b)
-    ] + [{"id": child, "start": min(ra[0], rb[0]), "end": max(ra[1], rb[1])}]
-    topo.generations.append(_next_generation(topo, new_shards))
-    topo.next_id += 1
-    _save(spool_dir, topo)
+    with _TopologyLock(spool_dir):
+        topo = load_topology(spool_dir, n_shards_default)
+        last = topo.generations[-1]
+        if last.kind != "ranges":
+            raise ValueError("merge requires a ranges-kind topology (init_topology)")
+        try:
+            ra, rb = last.range_of(shard_a), last.range_of(shard_b)
+        except KeyError as exc:
+            raise ValueError(
+                f"{exc.args[0]} is not an open shard in the latest generation "
+                "(already closed by an earlier reshard, or unknown)"
+            ) from None
+        if ra[1] != rb[0] and rb[1] != ra[0]:
+            raise ValueError(f"{shard_a} and {shard_b} are not adjacent")
+        child = f"shardId-{topo.next_id:012d}"
+        new_shards = [
+            s for s in last.shards if s["id"] not in (shard_a, shard_b)
+        ] + [{"id": child, "start": min(ra[0], rb[0]), "end": max(ra[1], rb[1])}]
+        topo.generations.append(_next_generation(topo, new_shards))
+        topo.next_id += 1
+        _save(spool_dir, topo)
     return child

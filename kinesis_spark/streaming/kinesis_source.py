@@ -210,12 +210,26 @@ class KinesisShardStreamReader(DataSourceStreamReader):
             ]
             for d in client.describe_shards(self._stream)
         }
+        # the gate is TRANSITIVE over the ancestry: a record-less
+        # intermediate shard (split A->B,C then B->D,E before anything
+        # routed to B) must not break the chain — D stays held while
+        # grandparent A is unconsumed, or a key's pre-split records
+        # could land in the same batch as its post-split ones
+        blocked: dict[str, bool] = {}
+
+        def _is_blocked(sh: str) -> bool:
+            if sh in blocked:
+                return blocked[sh]
+            blocked[sh] = False  # no cycles in shard lineage
+            for p in parent_map.get(sh, []):
+                if self._committed.get(p, "") < tips.get(p, "") or _is_blocked(p):
+                    blocked[sh] = True
+                    break
+            return blocked[sh]
+
         held = {}
         for sh, tip in tips.items():
-            parents = parent_map.get(sh, [])
-            if parents and any(
-                self._committed.get(p, "") < tips.get(p, "") for p in parents
-            ):
+            if parent_map.get(sh) and _is_blocked(sh):
                 held[sh] = self._committed.get(sh, "")
             else:
                 held[sh] = tip
@@ -236,11 +250,21 @@ class KinesisShardStreamReader(DataSourceStreamReader):
         # (start == end) plans zero partitions and costs nothing. A held
         # child (end < start after a lineage-state lag) is skipped — its
         # data stays in the stream for the batch after release.
-        return [
-            ShardRange(sh, start.get(sh, ""), end_seq)
-            for sh, end_seq in end.items()
-            if end_seq > start.get(sh, "")
-        ]
+        #
+        # start_after takes the MAX of the checkpoint start and the
+        # lineage state: after a lost state file, latestOffset can have
+        # recorded a REGRESSED end ("" for a held child) into Spark's
+        # offset log, which becomes a later batch's start — without
+        # the floor, the released child would re-emit every record the
+        # previous run already delivered. The lineage state is rebuilt
+        # from checkpoint starts (max-merge above) and committed ends
+        # (commit()), so it is never ahead of what was truly delivered.
+        out = []
+        for sh, end_seq in end.items():
+            floor = max(start.get(sh, ""), self._committed.get(sh, ""))
+            if end_seq > floor:
+                out.append(ShardRange(sh, floor, end_seq))
+        return out
 
     # -- data (executor side) --------------------------------------------
     def read(self, partition: ShardRange):

@@ -106,7 +106,9 @@ def test_closed_shard_ends_with_null_iterator(tmp_path):
     pk = _keys_for_shard(spool, shards[0], 1, "pk")[0]
     _put(spool, {pk: b"x"})
     split_shard(spool, shards[0])
-    client = SpoolConsumerClient(spool, N_SHARDS)
+    # seal_grace_ns=0: this test wants the immediate SHARD_END signal;
+    # the grace (in-flight-writer guard) has its own test below
+    client = SpoolConsumerClient(spool, N_SHARDS, seal_grace_ns=0)
     it = client.get_shard_iterator(STREAM, shards[0], "TRIM_HORIZON")
     resp = client.get_records(it)
     assert [r["Data"] for r in resp["Records"]] == [b"x"]
@@ -115,6 +117,33 @@ def test_closed_shard_ends_with_null_iterator(tmp_path):
     it2 = client.get_shard_iterator(STREAM, shards[1], "TRIM_HORIZON")
     resp2 = client.get_records(it2)
     assert resp2["NextShardIterator"] is not None
+
+
+def test_seal_grace_keeps_closed_shard_open_for_inflight_writes(tmp_path):
+    """A put that captured its time-prefixed seq just before the reshard
+    cutover can rename its spool file just after a reader drained the
+    closed parent. Within the seal grace the parent's iterator stays
+    valid, so the late-landing record is still delivered; after the
+    grace the shard seals (SHARD_END)."""
+    import time as _time
+
+    spool = str(tmp_path / "spool")
+    shards = init_topology(spool, N_SHARDS)
+    pk = _keys_for_shard(spool, shards[0], 1, "pk")[0]
+    _put(spool, {pk: b"x"})
+    split_shard(spool, shards[0])
+    client = SpoolConsumerClient(spool, N_SHARDS, seal_grace_ns=400_000_000)
+    it = client.get_shard_iterator(STREAM, shards[0], "TRIM_HORIZON")
+    resp = client.get_records(it)
+    assert [r["Data"] for r in resp["Records"]] == [b"x"]
+    # within the grace: NOT sealed — the reader can keep polling
+    assert resp["NextShardIterator"] is not None
+    # ...and a pre-cutover record landing late is still picked up
+    resp2 = client.get_records(resp["NextShardIterator"])
+    assert resp2["NextShardIterator"] is not None
+    _time.sleep(0.45)
+    resp3 = client.get_records(resp2["NextShardIterator"])
+    assert resp3["NextShardIterator"] is None  # sealed after the grace
 
 
 def test_legacy_spool_without_topology_unchanged(tmp_path):
@@ -404,3 +433,93 @@ def test_topology_routing_invariants_under_random_reshards(tmp_path):
             continue
         heirs = [c for c in infos if s.shard_id in c.parent_ids]
         assert heirs, f"closed {s.shard_id} has no children"
+
+
+def test_gate_is_transitive_across_recordless_intermediate(tmp_path):
+    """split A->B,C then B->D,E before anything routed to B: B has no
+    records, so a gate that checks only IMMEDIATE parents would release
+    D while grandparent A is still unconsumed — a key's pre-split
+    records could then land in the same batch as its post-split ones.
+    The gate must walk the whole ancestry."""
+    from kinesis_spark.streaming.kinesis_source import KinesisShardStreamReader
+
+    spool = str(tmp_path / "spool")
+    shards = init_topology(spool, N_SHARDS)
+    pk = _keys_for_shard(spool, shards[0], 1, "k")[0]
+    _put(spool, {pk: b"pre"})          # lands in A = shards[0]
+    b, c = split_shard(spool, shards[0])
+    d, e = split_shard(spool, b)       # B closed record-less
+    _put(spool, {pk: b"post"})         # routes to one of D/E now
+
+    reader = KinesisShardStreamReader(
+        {"spool_dir": spool, "stream": STREAM, "n_shards": str(N_SHARDS)}
+    )
+    off = reader.latestOffset()
+    client = SpoolConsumerClient(spool, N_SHARDS)
+    tips = client.latest_sequence_numbers(STREAM)
+    assert tips[shards[0]]             # A has unconsumed data
+    post_shard = next(sh for sh in (d, e) if tips[sh])
+    # every descendant of A is held at its committed position ("")
+    assert off[post_shard] == "", off
+    assert off[c] == "", off
+    # ...until A (and then the intermediate lineage) is consumed
+    reader._committed = dict(tips)
+    off2 = reader.latestOffset()
+    assert off2[post_shard] == tips[post_shard]
+
+
+def test_offset_floor_prevents_replay_after_state_loss(tmp_path):
+    """Lost lineage state + restart: latestOffset can record a REGRESSED
+    end ("" for a held child) into Spark's offset log, which becomes the
+    next batch's start. The lineage floor (rebuilt from checkpoint
+    starts) must stop the released child from re-emitting records the
+    previous run already delivered."""
+    from kinesis_spark.streaming.kinesis_source import KinesisShardStreamReader
+
+    spool = str(tmp_path / "spool")
+    init_topology(spool, N_SHARDS)
+    reader = KinesisShardStreamReader(
+        {"spool_dir": spool, "stream": STREAM, "n_shards": str(N_SHARDS)}
+    )
+    sh = "shardId-000000000000"
+    # batch with a regressed end (checkpoint start ahead of end): plans
+    # nothing, but TEACHES the lineage state the consumed-through point
+    assert reader.partitions({sh: "50"}, {sh: ""}) == []
+    # next batch starts from the regressed ""; the floor holds at 50
+    parts = reader.partitions({sh: ""}, {sh: "70"})
+    assert len(parts) == 1 and parts[0].start_after == "50", parts
+
+
+def test_init_topology_on_used_spool_appends_cutover(tmp_path):
+    """init_topology on a spool that already holds records must NOT
+    rewrite history: digest%n and digest//step route the same key to
+    DIFFERENT shard ids, so replacing the legacy mod generation would
+    silently re-route every existing record under the same shard names
+    (committed offsets would skip moved-in records and re-read moved-out
+    ones). The ranges generation is appended as a cutover instead —
+    history keeps its mod routing and the old shards become parents."""
+    spool = str(tmp_path / "spool")
+    _put(spool, {f"pk{i}": b"old" for i in range(20)})  # legacy mod spool
+    client = SpoolConsumerClient(spool, N_SHARDS)
+    before = {
+        sh: [r["seq"] for r in client._shard_records(STREAM, sh)]
+        for sh in client.list_shards(STREAM)
+    }
+    new_ids = init_topology(spool, N_SHARDS)
+    # every pre-existing record still routes exactly as before
+    after = {
+        sh: [r["seq"] for r in client._shard_records(STREAM, sh)] for sh in before
+    }
+    assert after == before
+    # the new range shards are fresh ids with the old shards as parents
+    assert not set(new_ids) & set(before)
+    infos = {s.shard_id: s for s in load_topology(spool, N_SHARDS).shard_infos()}
+    assert all(infos[sh].closed for sh in before)
+    assert all(infos[sid].parent_ids for sid in new_ids)
+    # new writes route by the range layout
+    _put(spool, {"pk0": b"new"})
+    routed = load_topology(spool, N_SHARDS).generations[-1].route("pk0")
+    assert routed in new_ids
+    assert any(
+        r["data"] for r in client._shard_records(STREAM, routed)
+    )
