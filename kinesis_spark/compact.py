@@ -77,7 +77,15 @@ def compact_dataset(
     input splits merge into output tasks. ``rebalance=True``: round-robin
     ``repartition`` — one shuffle, but output files are even when the
     input is skewed.
+
+    In-place compaction (``out_dir == in_dir`` — the canonical
+    maintenance use) materializes the shaped data first: Spark refuses
+    to overwrite a path it is still reading from, so the rewrite goes
+    through a ``localCheckpoint`` (the upsert/rollup pattern) before
+    the overwrite.
     """
+    import os
+
     df = spark.read.parquet(in_dir)
     total = dataset_bytes(spark, df)
     n_files = max(1, math.ceil(total / target_file_bytes))
@@ -88,5 +96,7 @@ def compact_dataset(
         # the returned count matches the files actually written
         n_files = min(n_files, df.rdd.getNumPartitions())
         shaped = df.coalesce(n_files)
+    if os.path.abspath(out_dir) == os.path.abspath(in_dir):
+        shaped = shaped.localCheckpoint(eager=True)
     shaped.write.mode("overwrite").parquet(out_dir)
     return n_files

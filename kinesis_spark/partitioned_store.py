@@ -1,0 +1,46 @@
+"""Shared scaffolding for partition-selective rewrites of plain-parquet
+stores (upsert.py, rollup.py): dynamic-partition-overwrite mode handling,
+the NULL-partition-aware touched filter, and the missing-store bootstrap
+gate. ONE definition — the NULL-partition fix historically had to be
+applied to both consumers separately, and the next overwrite-mode or
+bootstrap change must not depend on remembering every copy.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+
+def touched_partition_filter(partition_col: str, values: list) -> Column:
+    """Filter matching exactly the given partition values, INCLUDING a
+    NULL partition: NULL rows live in ``__HIVE_DEFAULT_PARTITION__``,
+    which the dynamic overwrite rewrites whenever the batch touches it —
+    ``isin()`` never matches NULL, so the filter needs the explicit
+    ``isNull`` arm."""
+    cond = F.col(partition_col).isin([v for v in values if v is not None])
+    if any(v is None for v in values):
+        cond = cond | F.col(partition_col).isNull()
+    return cond
+
+
+@contextmanager
+def dynamic_partition_overwrite(spark: SparkSession):
+    """Scope ``partitionOverwriteMode=dynamic`` to the block, restoring
+    the caller's previous mode on every exit path."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def is_missing_store(exc: AnalysisException) -> bool:
+    """True only for a genuinely missing target path — any other
+    analysis error (wrong partition column, schema drift, unreadable
+    store) must raise, never silently trigger a bootstrap overwrite."""
+    return "PATH_NOT_FOUND" in (exc.getCondition() or "")

@@ -16,6 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesis_spark.partitioned_store import (
+    dynamic_partition_overwrite,
+    is_missing_store,
+    touched_partition_filter,
+)
+
 #: rollup schema: day (date), event_type, n_events (long), sum_value decimal
 _STATE_COLS = ("day", "event_type", "n_events", "sum_value")
 
@@ -66,16 +72,9 @@ def refresh_daily_rollup(
     days = [r[0] for r in batch.select("day").distinct().collect()]
     if not days:
         return 0
-    # NULL-day rows (null ts) overwrite a real partition
-    # (__HIVE_DEFAULT_PARTITION__), so they must merge too — isin()
-    # never matches NULL, the filter needs the explicit isNull arm
-    touched = F.col("day").isin([d for d in days if d is not None])
-    if any(d is None for d in days):
-        touched = touched | F.col("day").isNull()
+    touched = touched_partition_filter("day", days)
 
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    with dynamic_partition_overwrite(spark):
         from pyspark.errors import AnalysisException
 
         try:
@@ -86,12 +85,10 @@ def refresh_daily_rollup(
         except AnalysisException as exc:
             # bootstrap ONLY on a genuinely missing store; schema drift or
             # an unreadable store must raise, never silently discard state
-            if "PATH_NOT_FOUND" not in (exc.getCondition() or ""):
+            if not is_missing_store(exc):
                 raise
             merged = batch
         merged.write.mode("overwrite").partitionBy("day").parquet(rollup_dir)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     return len(days)
 
 

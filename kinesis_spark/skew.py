@@ -72,6 +72,15 @@ def salted_join(
         # name-based downstream access must stay unambiguous: join drops
         # the dim's copy of the key like df.join(..., on=name) would
         d_key = f"{dim_key}__dim"
+        if d_key in dim.columns:
+            # withColumnRenamed would silently create a duplicate name
+            # and every later d[d_key] reference becomes ambiguous —
+            # same guard as '__salt' above
+            raise ValueError(
+                f"dim side already has a column named {d_key!r} — the "
+                "internal key rename would collide; rename the caller's "
+                "column first"
+            )
         dim = dim.withColumnRenamed(dim_key, d_key)
     else:
         d_key = dim_key

@@ -10,9 +10,11 @@ to the changed partitions, never the table.
 Scale shape: the affected-partition list is a distinct-collect of the
 update batch's partition values (bounded by the batch, not the table);
 the target read prunes to those partitions at file listing; the merge is
-one left-anti join (update keys broadcast when small) + union. The
-``localCheckpoint`` before the write breaks the read-from/overwrite-to
-cycle on the same path by materializing the merged partitions.
+one left-anti join + union, UN-hinted — stats/AQE broadcast the key set
+while it fits and fall back to a shuffle join for a huge CDC backfill
+(a forced broadcast would OOM exactly there). The ``localCheckpoint``
+before the write breaks the read-from/overwrite-to cycle on the same
+path by materializing the merged partitions.
 """
 
 from __future__ import annotations
@@ -20,6 +22,12 @@ from __future__ import annotations
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from kinesis_spark.partitioned_store import (
+    dynamic_partition_overwrite,
+    is_missing_store,
+    touched_partition_filter,
+)
 
 
 def upsert_partitioned(
@@ -53,32 +61,27 @@ def upsert_partitioned(
     if not parts:
         return 0
 
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    with dynamic_partition_overwrite(spark):
         try:
-            # NULL-partition rows live in __HIVE_DEFAULT_PARTITION__,
-            # which the dynamic overwrite rewrites whenever the batch
-            # touches it — isin() never matches NULL, so the filter
-            # needs the explicit isNull arm (the rollup.py:69 fix)
-            touched = F.col(partition_col).isin(
-                [x for x in parts if x is not None]
-            )
-            if any(x is None for x in parts):
-                touched = touched | F.col(partition_col).isNull()
+            touched = touched_partition_filter(partition_col, parts)
             target = spark.read.parquet(target_dir).filter(touched)
         except AnalysisException as exc:
-            # bootstrap ONLY on a genuinely missing target — any other
-            # analysis error (wrong partition_col, schema drift) must
-            # raise, not silently overwrite an existing table
-            if "PATH_NOT_FOUND" not in (exc.getCondition() or ""):
+            if not is_missing_store(exc):
                 raise
             updates.write.mode("overwrite").partitionBy(partition_col).parquet(
                 target_dir
             )
             return len(parts)
+        # eqNullSafe, not plain equality: a NULL-key update must REPLACE
+        # the target's NULL-key row — `key = key` never matches NULL, so
+        # the old row would survive the anti join and the new row union
+        # in beside it, silently duplicating every batch. Join un-hinted
+        # (see module docstring).
+        upd_keys = updates.select(key)
         merged = (
-            target.join(F.broadcast(updates.select(key)), key, "left_anti")
+            target.join(
+                upd_keys, target[key].eqNullSafe(upd_keys[key]), "left_anti"
+            )
             .unionByName(updates.select(*target.columns))
             # materialize before overwriting the directory we just read
             .localCheckpoint(eager=True)
@@ -88,8 +91,6 @@ def upsert_partitioned(
             .partitionBy(partition_col)
             .parquet(target_dir)
         )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     return len(parts)
 
 

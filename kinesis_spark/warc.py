@@ -105,7 +105,14 @@ def parse_warc_bytes(
                 "utf-8", "replace"
             ).strip()
         length_s = headers.get("content-length")
-        if not ok or length_s is None or not length_s.isdigit():
+        # isascii+isdigit, not bare isdigit: Unicode digits (e.g. '²')
+        # pass isdigit but make int() raise — skip mode must count such
+        # a record as malformed, not die on an uncaught ValueError
+        if (
+            not ok
+            or length_s is None
+            or not (length_s.isascii() and length_s.isdigit())
+        ):
             if mode == "strict":
                 raise MalformedWarcError(
                     f"bad headers for record at byte {pos}: "
@@ -142,36 +149,51 @@ def parse_warc_bytes(
     return records, n_bad
 
 
-def _gunzip_members(data: bytes) -> bytes:
+def _gunzip_members(data: bytes, mode: str = "strict") -> tuple[bytes, int]:
     """Decompress concatenated gzip members (the .warc.gz layout) into
-    one plain byte stream. Slices through a memoryview — zero-copy per
-    member, so a 50k-member Common Crawl segment costs one linear pass,
-    not O(members x filesize) buffer copies. Corrupt members raise
-    :class:`MalformedWarcError` (callers map it through the strict/skip
-    policy)."""
+    one plain byte stream; returns ``(bytes, n_bad_members)``. Slices
+    through a memoryview — zero-copy per member, so a 50k-member Common
+    Crawl segment costs one linear pass, not O(members x filesize)
+    buffer copies.
+
+    A corrupt/truncated member raises :class:`MalformedWarcError` in
+    strict mode; in skip mode the GOOD PREFIX survives with the bad
+    member counted — a cut-off download of a 50k-member segment must
+    not silently discard the 50k-1 intact members (decompression cannot
+    resync past a corrupt member, so the tail after it is lost and the
+    count says so)."""
     out = io.BytesIO()
     view = memoryview(data)
     pos = 0
     while pos < len(data):
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
         try:
-            out.write(d.decompress(view[pos:]))
+            chunk = d.decompress(view[pos:])
         except zlib.error as exc:
-            raise MalformedWarcError(
-                f"corrupt gzip member at byte {pos}: {exc}"
-            ) from exc
+            if mode == "strict":
+                raise MalformedWarcError(
+                    f"corrupt gzip member at byte {pos}: {exc}"
+                ) from exc
+            return out.getvalue(), 1
         if not d.eof:
             # zlib returns partial output WITHOUT error on a truncated
             # stream — a cut-off download must be loud, not a silently
             # shorter archive
-            raise MalformedWarcError(
-                f"truncated gzip member at byte {pos} (stream ended mid-member)"
-            )
+            if mode == "strict":
+                raise MalformedWarcError(
+                    f"truncated gzip member at byte {pos} (stream ended mid-member)"
+                )
+            return out.getvalue(), 1
+        out.write(chunk)
         consumed = (len(data) - pos) - len(d.unused_data)
         if consumed <= 0:
-            raise MalformedWarcError(f"gzip member at byte {pos} did not advance")
+            if mode == "strict":
+                raise MalformedWarcError(
+                    f"gzip member at byte {pos} did not advance"
+                )
+            return out.getvalue(), 1
         pos += consumed
-    return out.getvalue()
+    return out.getvalue(), 0
 
 
 def read_warc(
@@ -202,9 +224,14 @@ def read_warc(
             for _, r in pdf.iterrows():
                 raw = bytes(r["content"])
                 try:
+                    gz_bad = 0
                     if r["path"].endswith(".gz") or raw[:2] == b"\x1f\x8b":
-                        raw = _gunzip_members(raw)
+                        # skip mode keeps the good member prefix and
+                        # counts the bad member instead of losing the
+                        # whole file to one truncated tail
+                        raw, gz_bad = _gunzip_members(raw, mode=mode)
                     recs, n_bad = parse_warc_bytes(raw, mode=mode)
+                    n_bad += gz_bad
                 except MalformedWarcError:
                     if mode == "strict":
                         raise
@@ -242,10 +269,16 @@ def http_response_text(df: DataFrame) -> DataFrame:
     JVM-side expressions only (no UDF): locate the header/body split and
     substring the decoded payload — computed once, Column API only."""
     raw = F.col("payload").cast("string")
-    body_at = F.instr(raw, "\r\n\r\n")
-    text = F.when(
-        body_at > 0, F.substring(raw, body_at + 4, F.length(raw))
-    ).otherwise(raw)
+    body_crlf = F.instr(raw, "\r\n\r\n")
+    # bare-LF fallback: lenient servers separate headers with \n\n; a
+    # CRLF-terminated header block contains no bare \n\n, so the CRLF
+    # arm always wins when both match
+    body_lf = F.instr(raw, "\n\n")
+    text = (
+        F.when(body_crlf > 0, F.substring(raw, body_crlf + 4, F.length(raw)))
+        .when(body_lf > 0, F.substring(raw, body_lf + 2, F.length(raw)))
+        .otherwise(raw)
+    )
     return df.filter(F.col("warc_type") == "response").select(
         "path",
         "record_idx",

@@ -23,14 +23,29 @@ ZBITS = 16  # per-dimension resolution; 2 dims → 32-bit Morton keys
 
 
 def _scale_to_bits(col: Column, vmin: float, vmax: float, bits: int) -> Column:
-    """Affine-map [vmin, vmax] onto the integer grid [0, 2^bits)."""
+    """Affine-map [vmin, vmax] onto the integer grid [0, 2^bits).
+
+    NaN/NULL rows map to grid cell 0 (an arbitrary but stable corner):
+    under ANSI mode ``round(NaN).cast('bigint')`` THROWS before the
+    clamp could apply, killing the whole export for one bad row — and
+    NaN bounds from an aggregate over such a column would poison the
+    scale factor the same way."""
+    import math
+
     top = (1 << bits) - 1
-    if vmax == vmin:
+    if (
+        vmin is None
+        or vmax is None
+        or math.isnan(float(vmin))
+        or math.isnan(float(vmax))
+        or vmax == vmin
+    ):
         return F.lit(0).cast("bigint")
     scaled = (col.cast("double") - F.lit(float(vmin))) * (
         top / (float(vmax) - float(vmin))
     )
-    return F.least(F.greatest(F.round(scaled).cast("bigint"), F.lit(0)), F.lit(top))
+    safe = F.when(F.isnan(scaled) | scaled.isNull(), F.lit(0.0)).otherwise(scaled)
+    return F.least(F.greatest(F.round(safe).cast("bigint"), F.lit(0)), F.lit(top))
 
 
 def _interleave(a: Column, b: Column, bits: int) -> Column:
@@ -47,8 +62,16 @@ def _interleave(a: Column, b: Column, bits: int) -> Column:
 def zorder_key(df: DataFrame, col_a: str, col_b: str, bits: int = ZBITS) -> Column:
     """Morton key column for two numeric columns of ``df`` (bounds taken
     from one min/max aggregate over the frame)."""
+    # bounds over the NaN-free values (Spark's max treats NaN as the
+    # largest double, so one NaN row would otherwise poison vmax and
+    # collapse the whole grid); all-NaN/empty frames yield None bounds
+    def _clean(c: str) -> Column:
+        cc = F.col(c).cast("double")
+        return F.when(F.isnan(cc), None).otherwise(cc)
+
     row = df.agg(
-        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+        F.min(_clean(col_a)), F.max(_clean(col_a)),
+        F.min(_clean(col_b)), F.max(_clean(col_b)),
     ).first()
     a = _scale_to_bits(F.col(col_a), row[0], row[1], bits)
     b = _scale_to_bits(F.col(col_b), row[2], row[3], bits)

@@ -76,3 +76,20 @@ def test_coalesce_count_clamped_to_input_partitions(spark, tmp_path):
     n = compact_dataset(spark, src, out, target_file_bytes=64)  # absurdly small
     written = len(glob.glob(out + "/part-*.parquet"))
     assert n == written == 1
+
+
+def test_in_place_compaction(spark, sf_dir, tmp_path):
+    """out_dir == in_dir is the canonical maintenance call: the shaped
+    data materializes (localCheckpoint) before the overwrite, so Spark's
+    cannot-overwrite-a-path-being-read guard doesn't abort it. (Own
+    fragmented copy — the shared fixture is module-scoped and must not
+    be mutated.)"""
+    d = str(tmp_path / "frag_inplace")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(16).write.mode("overwrite").parquet(d)
+    ids = sorted(r.doc_id for r in spark.read.parquet(d).select("doc_id").collect())
+    n = compact_dataset(spark, d, d)
+    after = spark.read.parquet(d)
+    assert sorted(r.doc_id for r in after.select("doc_id").collect()) == ids
+    assert n >= 1
+    assert len(_parquet_files(d)) < 16

@@ -200,3 +200,25 @@ def test_upsert_wrong_partition_col_raises_not_bootstraps(spark, day_partitioned
     with pytest.raises(AnalysisException):
         upsert_partitioned(spark, day_partitioned, bad, "o_orderkey", "mnth")
     assert spark.read.parquet(day_partitioned).count() == before
+
+
+def test_null_key_update_replaces_not_duplicates(spark, tmp_path):
+    """A NULL-key update must REPLACE the target's NULL-key row: plain
+    key equality never matches NULL in the anti join, so the old row
+    would survive and the new row union in beside it — duplicating
+    silently every batch."""
+    out = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(None, 1.0, "2024-01"), (7, 2.0, "2024-01")],
+        "k int, v double, month string",
+    )
+    base.write.mode("overwrite").partitionBy("month").parquet(out)
+    upd = spark.createDataFrame(
+        [(None, 9.0, "2024-01")], "k int, v double, month string"
+    )
+    upsert_partitioned(spark, out, upd, key="k", partition_col="month")
+    rows = sorted(
+        ((r.k, r.v) for r in spark.read.parquet(out).collect()),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    assert rows == [(7, 2.0), (None, 9.0)]  # one NULL row, the new one

@@ -198,3 +198,33 @@ def test_gunzip_truncated_member_is_loud():
     full = gzip.compress(_record(payload=b"y" * 128))
     with pytest.raises(MalformedWarcError):
         _gunzip_members(full[:-10])
+
+
+def test_skip_mode_keeps_good_members_before_truncated_tail(spark, tmp_path):
+    """One truncated gzip member must not discard the whole file in skip
+    mode: the intact member prefix survives, the bad member is counted."""
+    import gzip as _gzip
+
+    from kinesis_spark.warc import read_warc
+
+    good1 = _gzip.compress(_record(payload=b"a" * 32))
+    good2 = _gzip.compress(_record(payload=b"b" * 32))
+    bad = _gzip.compress(_record(payload=b"c" * 512))[:-10]  # truncated
+    p = tmp_path / "part.warc.gz"
+    p.write_bytes(good1 + good2 + bad)
+    df = read_warc(spark, str(p), mode="skip")
+    rows = df.collect()
+    recs = [r for r in rows if r.record_idx >= 0]
+    assert len(recs) == 2  # the good prefix survives
+    assert all(r.n_malformed == 1 for r in rows)  # ...and the loss is counted
+
+
+def test_unicode_digit_content_length_is_malformed_not_crash():
+    """'²'.isdigit() is True but int('²') raises — skip mode must count
+    the record as malformed instead of dying on the ValueError."""
+    from kinesis_spark.warc import parse_warc_bytes
+
+    rec = _record(payload=b"x")
+    rec = rec.replace(b"Content-Length: 1", "Content-Length: ²".encode())
+    recs, n_bad = parse_warc_bytes(rec, mode="skip")
+    assert recs == [] and n_bad == 1

@@ -119,3 +119,17 @@ def test_spark_interleave_matches_python(spark):
 
     for r in df.collect():
         assert r["z"] == interleave(r["a"], r["b"]), (r["a"], r["b"])
+
+
+def test_nan_rows_do_not_crash_or_poison_bounds(spark, tmp_path):
+    """Under ANSI mode round(NaN).cast('bigint') throws; one NaN row
+    must map to a stable grid corner instead of killing the export, and
+    NaN must not become vmax (which would collapse the whole grid)."""
+    df = spark.createDataFrame(
+        [(float("nan"), 1.0), (10.0, 2.0), (20.0, 3.0), (30.0, float("nan"))],
+        "a double, b double",
+    )
+    out = str(tmp_path / "z")
+    zorder_export(df, "a", "b", out, n_files=2)
+    back = spark.read.parquet(out)
+    assert back.count() == 4  # every row written, NaN rows included
