@@ -44,3 +44,36 @@ def is_missing_store(exc: AnalysisException) -> bool:
     analysis error (wrong partition column, schema drift, unreadable
     store) must raise, never silently trigger a bootstrap overwrite."""
     return "PATH_NOT_FOUND" in (exc.getCondition() or "")
+
+
+def diff_by_key(a, b, key: str, fingerprint: Column):
+    """Snapshot reconciliation: classify every key as added / removed /
+    changed between two corpus snapshots, by comparing a row fingerprint
+    (e.g. ``F.md5("text")``) computed on each side. Returns
+    ``(key, status)`` rows for every key whose status is not
+    'unchanged'.
+
+    Scale shape (the 100 TB snapshot-diff): the fingerprint is computed
+    MAP-SIDE on each snapshot scan, so only (key, 16-byte hash, flag)
+    ever shuffles — document bodies never leave their scan. One
+    full-outer shuffle join on the unique key (skew-free by
+    construction); output is proportional to the churn, not the corpus.
+    Presence is tracked with explicit flags, not hash nullness, so a
+    NULL payload (fingerprint NULL) still diffs correctly.
+    """
+    fa = a.select(F.col(key), fingerprint.alias("_h_a"), F.lit(True).alias("_in_a"))
+    fb = b.select(F.col(key), fingerprint.alias("_h_b"), F.lit(True).alias("_in_b"))
+    joined = fa.join(fb, key, "full_outer")
+    status = (
+        F.when(F.col("_in_a").isNull(), F.lit("added"))
+        .when(F.col("_in_b").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("_h_a").eqNullSafe(F.col("_h_b")), F.lit("changed")
+        )  # eqNullSafe: NULL payload on one side only is a change
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status") != "unchanged")
+        .select(key, "status")
+    )

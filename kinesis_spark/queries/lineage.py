@@ -407,3 +407,51 @@ def dq3_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in parts[1:]:
         out = out.unionByName(df)
     return out
+
+
+@register(
+    "prov4_snapshot_diff",
+    oracle="""
+WITH a AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 != 0
+),
+b AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END) AS h
+  FROM documents WHERE doc_id % 10 != 5
+)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.h != b.h
+""",
+    tags=("provenance", "snapshot", "diff"),
+)
+def prov4_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot reconciliation — the dataset-versioning diff a
+    training pipeline runs between two corpus publishes (what changed
+    since the run that trained the last model?). Two snapshot views are
+    derived deterministically from the documents fixture (A drops
+    doc_id%10==0, B drops %10==5 and revises %7==0 bodies — a stand-in
+    for two partitioned-store publishes); the diff itself is the
+    generic ``partitioned_store.diff_by_key``: map-side md5 fingerprints,
+    ONE full-outer shuffle join carrying (key, 16-byte hash) — bodies
+    never shuffle — emitting only churned keys (added/removed/changed).
+    The fixture has non-null text, so the oracle's null-free CASE is
+    exact; diff_by_key itself is null-payload-proof via presence flags.
+    """
+    from kinesis_spark.partitioned_store import diff_by_key
+
+    d = load_table(spark, sf_dir, "documents")
+    snap_a = d.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    snap_b = d.filter(F.col("doc_id") % 10 != 5).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return diff_by_key(snap_a, snap_b, "doc_id", F.md5("text"))

@@ -283,12 +283,21 @@ def w8_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer. Unlike w4's ROWS frame, RANGE bounds are value-based — all
     orders within the interval enter the frame, however many rows that
     is; ties on o_orderdate share a frame so the result is deterministic
-    without a unique-key tiebreak. Exact decimal sums, cast at the end."""
+    without a unique-key tiebreak. Exact decimal sums, cast at the end.
+
+    The RANGE key is unix_date over the date part (days since epoch),
+    not an epoch-seconds cast: o_orderdate is TIMESTAMP_NTZ, and
+    NTZ->TIMESTAMP->long goes through the session timezone, so a DST
+    gap inside the 30-day window would make two midnights 30*86400±3600
+    apart and silently shift the frame boundary vs the oracle's pure
+    interval arithmetic. Day arithmetic has no such hazard; the fixture
+    timestamps are midnight-only (asserted in tests), so day granularity
+    is lossless vs the oracle's second-granularity INTERVAL frame."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
-        .rangeBetween(-30 * 86400, 0)
+        .orderBy(F.unix_date(F.col("o_orderdate").cast("date")))
+        .rangeBetween(-30, 0)
     )
     return o.select(
         "o_custkey",

@@ -93,6 +93,11 @@ OPERATORS = [
     # quantizer — pair stage linear (cluster size pinned at ~64) and
     # assignment O(n*sqrt(K)) instead of the removed flat O(n*K)
     "sim12_semdedup_bounded",
+    # r4: snapshot diff shuffles (key, 16-byte md5) only — linear; the
+    # filtered ANN adds a 1/TENANTS-selective key next to the cell id,
+    # so candidate volume (and the rerank fold) should scale ~linearly
+    "prov4_snapshot_diff",
+    "sim13_filtered_ann",
 ]
 
 

@@ -638,3 +638,23 @@ def test_p4_partial_agg_tiny_shuffle(plan_of):
     assert "partial_count" in plan or "partial_sum" in plan
     assert "Join" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_prov4_bodies_never_shuffle(plan_of):
+    # the snapshot diff joins (key, md5) projections: document text must
+    # be consumed map-side by the fingerprint, never carried through the
+    # full-outer shuffle
+    plan = plan_of("prov4_snapshot_diff")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "text" in line:
+            raise AssertionError(f"document body in shuffle: {line}")
+
+
+def test_sim13_tenant_rides_the_cell_join_key(plan_of):
+    # the metadata filter must shrink the candidate join, not post-filter
+    # reranked pairs: tenant appears in the join's partitioning key
+    plan = plan_of("sim13_filtered_ann")
+    assert "hashpartitioning(cell" in plan and "tenant" in plan
+    # codebook side of the assignment broadcasts; corpus never does
+    assert "BroadcastExchange" in plan

@@ -43,3 +43,19 @@ def test_s14_no_near_dup_pair_straddles_splits(spark, sf_dir):
     assert pairs, "fixture should contain near-dup candidates"
     for p in pairs:
         assert split_of[p.doc_a] == split_of[p.doc_b], (p.doc_a, p.doc_b)
+
+
+def test_w8_fixture_timestamps_are_midnight_only(spark, sf_dir):
+    """w8's RANGE frame keys on unix_date over the DATE part of
+    o_orderdate (timezone-proof day arithmetic). That is lossless vs the
+    oracle's second-granularity INTERVAL 30 DAY frame only while the
+    fixture timestamps carry no time-of-day — pin that precondition."""
+    from pyspark.sql import functions as F
+
+    from kinesis_spark.io import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    n = o.filter(
+        F.col("o_orderdate") != F.date_trunc("day", F.col("o_orderdate"))
+    ).count()
+    assert n == 0
