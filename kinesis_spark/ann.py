@@ -16,6 +16,8 @@ touch ~nprobe/n_cells of a 100 TB corpus instead of scanning it.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -23,23 +25,83 @@ from pyspark.sql.window import Window
 from kinesis_spark.queries.similarity import ivf_assign, ivf_codebook
 
 
-def build_ivf_index(embeddings: DataFrame, index_dir: str) -> None:
+def _write_layout(
+    spark: SparkSession,
+    index_dir: str,
+    metadata_cols: tuple[str, ...],
+    partition_metadata: str | None,
+) -> None:
+    spark.createDataFrame(
+        [
+            (
+                json.dumps(
+                    {
+                        "metadata_cols": list(metadata_cols),
+                        "partition_metadata": partition_metadata,
+                    }
+                ),
+            )
+        ],
+        "layout string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/layout")
+
+
+def _read_layout(spark: SparkSession, index_dir: str) -> dict:
+    try:
+        row = spark.read.parquet(f"{index_dir}/layout").head()
+        return json.loads(row["layout"])
+    except Exception:  # pre-layout index directories
+        return {"metadata_cols": [], "partition_metadata": None}
+
+
+def _cells_of(e: DataFrame, cent: DataFrame, metadata_cols: tuple[str, ...]) -> DataFrame:
+    """crk==1 assignment rows with the metadata columns joined back on
+    the unique vec_id (ivf_assign deliberately carries only the vector;
+    the join is build-time-only, never on the probe path)."""
+    assign = ivf_assign(e.select("vec_id", "v"), cent)
+    cells = assign.filter(F.col("crk") == 1).select(
+        F.col("vec_id").alias("match_id"), "v", "cell"
+    )
+    if metadata_cols:
+        meta = e.select(F.col("vec_id").alias("match_id"), *metadata_cols)
+        cells = cells.join(meta, "match_id")
+    return cells
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    index_dir: str,
+    metadata_cols: tuple[str, ...] = (),
+    partition_metadata: str | None = None,
+) -> None:
     """Build and persist the index from (vec_id, label, embedding
     float[]) rows. One assignment pass; the codebook is written
-    alongside so queries never touch the raw corpus table."""
+    alongside so queries never touch the raw corpus table.
+
+    ``metadata_cols`` (extra columns on ``embeddings``) are stored in
+    the cell rows so probes can filter on them (sim13's tenant-scoped
+    retrieval). A HIGH-selectivity filter column should additionally be
+    named as ``partition_metadata``: the cells are then PARTITIONED BY
+    (cell, <col>), so a metadata-scoped probe prunes its directories at
+    file listing exactly like the cell id — the layout the sim13
+    docstring promises at 100 TB. The layout choice is persisted next to
+    the codebook so appends can never silently diverge from it."""
+    if partition_metadata is not None and partition_metadata not in metadata_cols:
+        raise ValueError("partition_metadata must be one of metadata_cols")
     e = embeddings.select(
         "vec_id",
-        "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        "label",
+        *[c for c in metadata_cols if c != "label"],
     )
     cent = ivf_codebook(e)
     cent.write.mode("overwrite").parquet(f"{index_dir}/codebook")
-    assign = ivf_assign(e, cent)
+    _write_layout(embeddings.sparkSession, index_dir, metadata_cols, partition_metadata)
+    parts = ["cell"] + ([partition_metadata] if partition_metadata else [])
     (
-        assign.filter(F.col("crk") == 1)
-        .select(F.col("vec_id").alias("match_id"), "v", "cell")
+        _cells_of(e, cent, metadata_cols)
         .write.mode("overwrite")
-        .partitionBy("cell")
+        .partitionBy(*parts)
         .parquet(f"{index_dir}/cells")
     )
 
@@ -57,23 +119,30 @@ def append_to_ivf_index(
 
     Centroids deliberately do NOT move (standard serving practice —
     IVF lists drift slowly; rebuild on a cadence, not per batch).
-    Returns the number of vectors appended."""
+    The metadata layout comes from the PERSISTED index config (written
+    at build), so an append can never partition or project differently
+    from the files already on disk. Returns the number of vectors
+    appended."""
+    layout = _read_layout(spark, index_dir)
+    metadata_cols = tuple(layout["metadata_cols"])
     e = new_embeddings.select(
         "vec_id",
-        "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        "label",
+        *[c for c in metadata_cols if c != "label"],
     )
     cent = spark.read.parquet(f"{index_dir}/codebook")
-    assign = ivf_assign(e, cent)
     batch = (
-        assign.filter(F.col("crk") == 1)
-        .select(F.col("vec_id").alias("match_id"), "v", "cell")
+        _cells_of(e, cent, metadata_cols)
         # materialize once: count + write would otherwise each run the
         # full assignment join
         .localCheckpoint(eager=True)
     )
     n = batch.count()
-    batch.write.mode("append").partitionBy("cell").parquet(f"{index_dir}/cells")
+    parts = ["cell"] + (
+        [layout["partition_metadata"]] if layout["partition_metadata"] else []
+    )
+    batch.write.mode("append").partitionBy(*parts).parquet(f"{index_dir}/cells")
     return n
 
 
@@ -83,12 +152,24 @@ def query_ivf_index(
     queries: DataFrame,
     top_k: int = 5,
     n_probe: int = 2,
+    where=None,
+    match_metadata: tuple[str, ...] = (),
 ) -> DataFrame:
     """ANN top-k for (query_id, qv double[]) rows against a persisted
     index: rank cells per query against the broadcast codebook, read
     ONLY the probed cell partitions, rerank candidates by exact cosine.
     Result: (query_id, match_id, cos_sim, rank<=top_k), identical to
-    sim6's contract."""
+    sim6's contract.
+
+    Filtered search (sim13's serving shape): ``where`` is a uniform
+    Column predicate over stored metadata applied to the cell scan
+    (a partition filter when it hits the ``partition_metadata`` column,
+    a parquet row-group predicate otherwise); ``match_metadata`` names
+    metadata columns that must EQUAL the query's same-named columns —
+    per-query scoping that rides the candidate equi-join key, with the
+    query set's distinct values pushed into the scan as a literal IN
+    list so a partitioned metadata column prunes at file listing just
+    like the probed cells. Widen ``n_probe`` to pay for selectivity."""
     cent = spark.read.parquet(f"{index_dir}/codebook")
     # ROUNDED squared distance, matching ivf_assign's build-side argmin
     # (the file-wide 6-dp fp bridge): probe ranking and cell ownership
@@ -105,10 +186,10 @@ def query_ivf_index(
     w_probe = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
     probes = (
         queries.crossJoin(F.broadcast(cent))
-        .select("query_id", "qv", "cell", dist2.alias("d2"))
+        .select("query_id", "qv", *match_metadata, "cell", dist2.alias("d2"))
         .withColumn("crk", F.row_number().over(w_probe))
         .filter(F.col("crk") <= n_probe)
-        .select("query_id", "qv", "cell")
+        .select("query_id", "qv", *match_metadata, "cell")
         # materialize once: the probes plan (queries x codebook crossJoin
         # + window) feeds BOTH the probe-cell collect and the candidate
         # join below — query-set-scale, cheap to pin
@@ -120,6 +201,14 @@ def query_ivf_index(
     cells = spark.read.parquet(f"{index_dir}/cells").filter(
         F.col("cell").isin(probe_cells)
     )
+    if where is not None:
+        cells = cells.filter(where)
+    for c in match_metadata:
+        # same literal-IN discipline as probe_cells: a query-set-scale
+        # collect that lets a partitioned metadata column prune at
+        # file listing (row-group predicate otherwise)
+        vals = [r[c] for r in probes.select(c).distinct().collect()]
+        cells = cells.filter(F.col(c).isin(vals))
     dot = F.aggregate(
         F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
         F.lit(0.0),
@@ -132,7 +221,7 @@ def query_ivf_index(
         F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     )
     scored = (
-        probes.join(cells, "cell")
+        probes.join(cells, ["cell", *match_metadata])
         .filter(F.col("match_id") != F.col("query_id"))
         .select("query_id", "match_id", F.round(dot / (nq * nc), 6).alias("cos_sim"))
     )

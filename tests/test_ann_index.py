@@ -94,3 +94,74 @@ def test_append_to_index_probes_see_new_vectors(spark, sf_dir, tmp_path):
     res = query_ivf_index(spark, d, _queries(spark, sf_dir), top_k=1, n_probe=N_PROBE)
     top1 = {r.query_id: r.match_id for r in res.collect()}
     assert top1[0] == 10_000_000  # the appended clone is query 0's new top-1
+
+
+def test_filtered_index_matches_sim13_and_prunes_metadata(spark, sf_dir, tmp_path):
+    """The persisted (cell, tenant)-partitioned index probed with
+    match_metadata must reproduce the registered sim13 operator exactly,
+    AND the tenant scoping must reach the scan as a partition filter —
+    the 100 TB layout sim13's docstring promises, as running code."""
+    from kinesis_spark.queries.similarity import (
+        N_PROBE_FILTERED,
+        TENANTS,
+        sim13_filtered_ann,
+    )
+
+    d = str(tmp_path / "ivf_tenant")
+    base = load_table(spark, sf_dir, "embeddings").withColumn(
+        "tenant", F.pmod(F.col("vec_id"), F.lit(TENANTS))
+    )
+    build_ivf_index(base, d, metadata_cols=("tenant",), partition_metadata="tenant")
+
+    q = _queries(spark, sf_dir).withColumn(
+        "tenant", F.pmod(F.col("query_id"), F.lit(TENANTS))
+    )
+    df = query_ivf_index(
+        spark, d, q, top_k=TOP_K, n_probe=N_PROBE_FILTERED,
+        match_metadata=("tenant",),
+    )
+    got = sorted(
+        (r["query_id"], r["match_id"], r["cos_sim"], r["rank"]) for r in df.collect()
+    )
+    want = sorted(
+        (r["query_id"], r["match_id"], r["cos_sim"], r["rank"])
+        for r in sim13_filtered_ann(spark, sf_dir).collect()
+    )
+    assert got == want
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    scan = plan[plan.index("cells") :]
+    seg = scan[scan.index("PartitionFilters: [") :].split("]")[0]
+    assert "cell" in seg and "tenant" in seg
+
+
+def test_append_respects_persisted_metadata_layout(spark, sf_dir, tmp_path):
+    """An append to a metadata-partitioned index must read the layout
+    from disk and land inside the existing (cell, tenant) directories."""
+    import glob
+
+    from kinesis_spark.ann import append_to_ivf_index
+
+    d = str(tmp_path / "ivf_tenant_inc")
+    base = load_table(spark, sf_dir, "embeddings").withColumn(
+        "tenant", F.pmod(F.col("vec_id"), F.lit(3))
+    )
+    build_ivf_index(base, d, metadata_cols=("tenant",), partition_metadata="tenant")
+
+    clone = base.filter(F.col("vec_id") == 0).select(
+        F.lit(10_000_002).alias("vec_id"), "label", "embedding", "tenant"
+    )
+    assert append_to_ivf_index(spark, clone, d) == 1
+    # the clone kept vec 0's tenant (pmod(0,3)=0) and must land in a
+    # tenant=0 subdirectory of its cell
+    new_files = glob.glob(f"{d}/cells/cell=*/tenant=0/*.parquet")
+    assert new_files, "append did not land in the (cell, tenant) layout"
+
+    q = _queries(spark, sf_dir).filter(F.col("query_id") == 0).withColumn(
+        "tenant", F.lit(0)
+    )
+    res = query_ivf_index(spark, d, q, top_k=1, n_probe=3, match_metadata=("tenant",))
+    assert {r.match_id for r in res.collect()} == {10_000_002}

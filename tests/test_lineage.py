@@ -109,3 +109,35 @@ def test_sim13_filtered_ann_respects_tenant_and_recall(spark, sf_dir):
             hits[r.query_id] += 1
     total_truth = sum(len(v) for v in truth.values())
     assert sum(hits.values()) >= 0.4 * total_truth, hits
+
+
+def test_diff_by_key_matches_python_reference_on_random_snapshots(spark):
+    """Deterministic randomized check: 300 keys, independent presence and
+    payload choices per side (seeded), compared against a dict-based
+    reference diff."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kinesis_spark.partitioned_store import diff_by_key
+
+    rng = random.Random(20260814)
+    payloads = [None, "alpha", "beta", "gamma"]
+    a = {k: rng.choice(payloads) for k in range(300) if rng.random() < 0.8}
+    b = {k: rng.choice(payloads) for k in range(300) if rng.random() < 0.8}
+
+    def ref() -> dict[int, str]:
+        out = {}
+        for k in set(a) | set(b):
+            if k not in a:
+                out[k] = "added"
+            elif k not in b:
+                out[k] = "removed"
+            elif a[k] != b[k]:
+                out[k] = "changed"
+        return out
+
+    df_a = spark.createDataFrame(list(a.items()), "k int, text string")
+    df_b = spark.createDataFrame(list(b.items()), "k int, text string")
+    got = {r.k: r.status for r in diff_by_key(df_a, df_b, "k", F.md5("text")).collect()}
+    assert got == ref()
