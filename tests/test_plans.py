@@ -651,7 +651,11 @@ def test_prov4_bodies_never_shuffle(plan_of):
             raise AssertionError(f"document body in shuffle: {line}")
 
 
-def test_sim13_tenant_rides_the_cell_join_key(plan_of):
+def test_sim13_tenant_rides_the_cell_join_key(spark, plan_of):
+    # sim13 persists its assignment subtree; a prior test's cache entry
+    # would replace it with an InMemoryTableScan and hide the broadcast
+    # this audit asserts on — clear the cache so the FULL plan shows
+    spark.catalog.clearCache()
     # the metadata filter must shrink the candidate join, not post-filter
     # reranked pairs: tenant appears in the join's partitioning key
     plan = plan_of("sim13_filtered_ann")
