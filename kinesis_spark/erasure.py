@@ -142,3 +142,30 @@ def erase_by_key(
             )
         )
     return spark.createDataFrame(audit, AUDIT_SCHEMA)
+
+
+def streaming_erasure_query(
+    spark: SparkSession,
+    requests_stream: DataFrame,
+    target_dir: str,
+    key: str,
+    partition_col: str,
+    checkpoint_dir: str,
+):
+    """The compliance apply loop: each micro-batch of erasure requests is
+    applied to the partitioned store via ``foreachBatch`` — the streaming
+    face of :func:`erase_by_key`, mirroring ``streaming_upsert_query``
+    (upsert.py). Erasure is idempotent per batch (erasing an
+    already-erased key matches nothing and rewrites nothing), so a
+    checkpoint replay of a whole micro-batch converges to the same
+    store. Returns the started StreamingQuery."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        erase_by_key(spark, target_dir, batch_df, key, partition_col)
+
+    return (
+        requests_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -93,3 +93,34 @@ def test_erase_missing_store_raises(spark, tmp_path):
             "user_id",
             "lang",
         )
+
+
+def test_streaming_erasure_applies_and_replays_idempotently(spark, tmp_path):
+    """The foreachBatch face: a drained stream of requests erases the
+    same rows erase_by_key would, and re-draining the SAME requests
+    (fresh checkpoint = full replay) leaves the store unchanged."""
+    from kinesis_spark.erasure import streaming_erasure_query
+
+    d = str(tmp_path / "store")
+    _store(spark, d)
+    req_dir = str(tmp_path / "requests")
+    spark.createDataFrame([(1,), (4,)], "user_id int").write.parquet(req_dir)
+
+    def drain(cp: str) -> None:
+        q = streaming_erasure_query(
+            spark,
+            spark.readStream.schema("user_id int").parquet(req_dir),
+            d, "user_id", "lang", str(tmp_path / cp),
+        )
+        q.awaitTermination(120)
+
+    drain("cp1")
+    left = spark.read.parquet(d)
+    assert left.filter(F.col("user_id").isin([1, 4])).count() == 0
+    assert left.count() == 4  # 9 - (3 rows of user 1) - (2 rows of user 4)
+    assert not os.path.isdir(f"{d}/lang=fr")
+    files = sorted(glob.glob(f"{d}/lang=*/*.parquet"))
+
+    drain("cp2")  # full replay of the same requests
+    assert sorted(glob.glob(f"{d}/lang=*/*.parquet")) == files
+    assert spark.read.parquet(d).count() == 4
