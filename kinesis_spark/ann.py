@@ -230,3 +230,37 @@ def query_ivf_index(
         scored.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
         .filter(F.col("rank") <= top_k)
     )
+
+
+def ivf_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Per-cell health of a persisted index: (cell, n_vectors, frac) —
+    the signal that schedules the cadence rebuild the append path
+    defers (append_to_ivf_index freezes centroids, so a drifting corpus
+    concentrates new vectors into whatever cells are nearest TODAY's
+    codebook). A cheap metadata-grade scan: cell is a partition column,
+    so the aggregate reads footers + one grouping, never vectors."""
+    cells = spark.read.parquet(f"{index_dir}/cells").groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    total = F.sum("n_vectors").over(Window.partitionBy())
+    return cells.select(
+        "cell", "n_vectors", (F.col("n_vectors") / total).alias("frac")
+    )
+
+
+def ivf_imbalance(spark: SparkSession, index_dir: str) -> float:
+    """max/mean cell occupancy: 1.0 = perfectly balanced lists; probing
+    cost of the hottest cell grows with this factor (a probe reads whole
+    cells), so serving stacks rebuild when it crosses a small threshold
+    (~4 is a common rule of thumb)."""
+    row = (
+        ivf_index_stats(spark, index_dir)
+        .agg(
+            F.max("n_vectors").alias("mx"),
+            (F.sum("n_vectors") / F.count(F.lit(1))).alias("mean"),
+        )
+        .head()
+    )
+    if row is None or not row["mean"]:
+        return 0.0
+    return float(row["mx"] / row["mean"])

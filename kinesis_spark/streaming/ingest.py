@@ -128,6 +128,7 @@ def start_ingest_query(
     put_records_limit: int = PUT_RECORDS_LIMIT,
     put_records_size_limit: int = PUT_RECORDS_SIZE_LIMIT,
     trigger_seconds: float = 1.0,
+    available_now: bool = False,
     max_bytes_per_batch: int | None = None,
     shard_rate_limits: tuple[float, float] | None = None,
     checkpoint_dir: str | None = None,
@@ -336,11 +337,13 @@ def start_ingest_query(
         metrics.put_calls = acc_calls.value
         metrics.records_retried = acc_retried.value
 
-    writer = (
-        source.writeStream.queryName(query_name)
-        .foreachBatch(process_batch)
-        .trigger(processingTime=f"{trigger_seconds} seconds")
-    )
+    writer = source.writeStream.queryName(query_name).foreachBatch(process_batch)
+    if available_now:
+        # bounded drain (replay/backfill): process everything currently
+        # in the source, then stop — the §2A-9 graceful-drain trigger
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start(), metrics

@@ -193,3 +193,39 @@ def test_uniform_where_predicate_scopes_results(spark, sf_dir, tmp_path):
         per_q[r.query_id] = max(per_q.get(r.query_id, 0), r.rank)
     assert set(per_q) == set(range(N_QUERIES))
     assert all(v == TOP_K for v in per_q.values())
+
+
+def test_index_stats_and_imbalance_track_appends(spark, sf_dir, tmp_path):
+    """Stats cover every cell and sum to the corpus; cloning one
+    vector's embedding 30x into its cell raises the imbalance factor —
+    the rebuild-cadence signal appends rely on."""
+    from kinesis_spark.ann import (
+        append_to_ivf_index,
+        ivf_imbalance,
+        ivf_index_stats,
+    )
+
+    d = str(tmp_path / "ivf_stats")
+    base = load_table(spark, sf_dir, "embeddings")
+    n = base.count()
+    build_ivf_index(base, d)
+
+    stats = ivf_index_stats(spark, d).collect()
+    assert sum(r.n_vectors for r in stats) == n
+    assert abs(sum(r.frac for r in stats) - 1.0) < 1e-9
+    before = ivf_imbalance(spark, d)
+    assert before >= 1.0
+
+    clones = (
+        base.filter(F.col("vec_id") == 0)
+        .crossJoin(spark.range(30).select(F.col("id").alias("_i")))
+        .select(
+            (F.lit(20_000_000) + F.col("_i")).alias("vec_id"),
+            "label",
+            "embedding",
+        )
+    )
+    assert append_to_ivf_index(spark, clones, d) == 30
+    after = ivf_imbalance(spark, d)
+    assert after > before
+    assert sum(r.n_vectors for r in ivf_index_stats(spark, d).collect()) == n + 30
