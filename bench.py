@@ -48,6 +48,15 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         best = float("inf")
         for _ in range(2):
             try:
+                # isolate queries from each other: several registry
+                # queries persist() an internal subtree (sim6/sim13,
+                # MLlib vector pipelines); 160+ queries of accumulated
+                # cache entries evict under memory pressure and inflate
+                # LATER queries' times by up to ~2x (measured: d13 4.6 s
+                # in-sequence vs 2.5 s isolated). Clearing per attempt
+                # measures each query cold-cache and reproducibly —
+                # a query's own persist still helps within its run.
+                spark.catalog.clearCache()
                 t0 = time.monotonic()
                 materialize(q.spark_fn(spark, sf_dir))
                 best = min(best, time.monotonic() - t0)
