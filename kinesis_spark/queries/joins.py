@@ -562,3 +562,63 @@ def j10_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             rev.cast("double").alias("urgent_revenue"),
         )
     )
+
+
+@register(
+    "j11_asof_tolerance",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       p.ts AS purchase_ts,
+       CASE WHEN c.ts IS NOT NULL AND p.ts - c.ts <= INTERVAL 1 HOUR
+            THEN c.event_id END AS click_id,
+       CASE WHEN c.ts IS NOT NULL AND p.ts - c.ts <= INTERVAL 1 HOUR
+            THEN c.ts END AS click_ts
+FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'purchase') p
+ASOF LEFT JOIN
+     (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    tags=("join", "asof", "tolerance"),
+)
+def j11_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join (pandas ``merge_asof(tolerance=...)``,
+    kdb wj): the most recent click at-or-before each purchase counts ONLY
+    if it is within 1 hour — a stale match attributes nothing. Because
+    backward as-of picks the NEAREST preceding candidate, the tolerance
+    is a row-local post-filter on j4's carried columns (if the nearest
+    click is too old, every older one is as well), so the plan cost is
+    exactly j4's: one events scan, one per-user window, zero extra
+    shuffles. The bound compares timestamp DIFFERENCES against an
+    INTERVAL on both engines — no epoch casts, no timezone dependence.
+    """
+    e = load_table(spark, sf_dir, "events")
+    merged = _asof_merged(e, "purchase", "click", "purchase", "click", 1)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "marker", "tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        merged.select(
+            "user_id",
+            "marker",
+            "purchase_id",
+            "purchase_ts",
+            F.last("click_id", ignorenulls=True).over(w).alias("click_id"),
+            F.last("click_ts", ignorenulls=True).over(w).alias("click_ts"),
+        )
+        .filter(F.col("marker") == 1)
+    )
+    within = F.col("click_ts").isNotNull() & (
+        (F.col("purchase_ts") - F.col("click_ts")) <= F.expr("INTERVAL 1 HOUR")
+    )
+    return carried.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.when(within, F.col("click_id")).alias("click_id"),
+        F.when(within, F.col("click_ts")).alias("click_ts"),
+    )
