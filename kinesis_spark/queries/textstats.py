@@ -813,3 +813,137 @@ if t12_hashed_linear_score.__doc__:  # absent under python -OO
     t12_hashed_linear_score.__doc__ = t12_hashed_linear_score.__doc__.format(
         HT_GRAM=HT_GRAM, HT_BUCKETS=HT_BUCKETS
     )
+
+
+BOILER_N = 5  # token n-gram width of a boilerplate phrase
+BOILER_MIN_DOCS = 3  # distinct documents before a gram counts as boilerplate
+
+
+@register(
+    "t13_boilerplate_ngrams",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(text, '{WS_RE}') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS start, array_to_string(t[i:i+{BOILER_N - 1}], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - {BOILER_N - 2})) AS r(i)
+  WHERE len(t) >= {BOILER_N}
+),
+boiler AS (
+  SELECT gram FROM grams GROUP BY gram
+  HAVING COUNT(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+),
+hits AS (
+  SELECT DISTINCT g.doc_id, g.start FROM grams g JOIN boiler b USING (gram)
+),
+tokrows AS (
+  SELECT doc_id, i, t[i] AS tok
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)
+),
+kept AS (
+  SELECT tr.doc_id, tr.i, tr.tok
+  FROM tokrows tr
+  WHERE NOT EXISTS (
+    SELECT 1 FROM hits h
+    WHERE h.doc_id = tr.doc_id
+      AND h.start BETWEEN tr.i - {BOILER_N - 1} AND tr.i)
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY i) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(len(t.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM toks t LEFT JOIN agg a USING (doc_id)
+""",
+    tags=("text", "boilerplate", "dedup", "training"),
+)
+def t13_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate phrase removal — the C4/RefinedWeb stage
+    that strips navigation chrome, cookie banners, and license footers:
+    a token {n}-gram that appears in >= {m} DISTINCT documents is
+    boilerplate, and every token covered by a boilerplate gram is
+    removed from the document body. Unlike t6 (which only *ranks* terms)
+    this REWRITES the corpus: the output carries the cleaned text plus
+    the removal accounting, so the stage composes with the dedup/pack
+    pipeline downstream (boilerplate is the #1 source of spurious
+    MinHash collisions between unrelated pages of one site).
+
+    Scale shape: the tokenize map runs once per branch (gram counting,
+    hit positions, rewrite) behind the t1 Generate barrier — three
+    linear corpus scans, never a materialized token table (recompute
+    beats caching a tokenized 100 TB corpus); gram extraction is a
+    row-local transform + explode; the boilerplate
+    set is a partial-agg (gram -> distinct-doc count) whose output is
+    THRESHOLD-BOUNDED (only grams crossing {m} docs survive — at 100 TB
+    this is the frequent-pattern tail, orders of magnitude smaller than
+    the gram stream); hit positions shuffle (doc_id, start) ints only,
+    never gram text or bodies; the rewrite joins the per-doc covered
+    starts (pair-scale, aggregated to one array row per affected doc)
+    back on doc_id — document bodies move through exactly ONE hash
+    shuffle and are never broadcast. The covered-position test is a
+    nested HOF (filter-with-index over exists) evaluated per row, O(doc
+    tokens x doc hits), both doc-bounded.
+    """
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    b = d.select(
+        "doc_id", F.explode(F.array(F.split("text", WS_RE))).alias("toks")
+    )
+    n = F.size("toks")
+    starts_seq = F.when(
+        n >= BOILER_N, F.sequence(F.lit(1), n - (BOILER_N - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = b.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts_seq,
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.concat_ws(" ", F.slice("toks", i, BOILER_N)).alias("gram"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.start").alias("start"), F.col("g.gram").alias("gram"))
+    boiler = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= BOILER_MIN_DOCS)
+        .select("gram")
+    )
+    covered = (
+        grams.join(boiler, "gram")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("start")).alias("starts"))
+    )
+    # kept token at 0-based index i  <=>  no boilerplate gram starts in
+    # [pos-N+1, pos] for 1-based pos = i+1
+    kept = F.filter(
+        "toks",
+        lambda x, i: ~F.exists(
+            "starts", lambda s: (s >= i - (BOILER_N - 2)) & (s <= i + 1)
+        ),
+    )
+    out = (
+        b.join(covered, "doc_id", "left")
+        .withColumn("starts", F.coalesce("starts", F.array().cast("array<int>")))
+        # Generate barrier: "kept" feeds two output columns and HOFs get
+        # no common-subexpression elimination (same reason as t1's toks)
+        .select("doc_id", "toks", F.explode(F.array(kept)).alias("kept"))
+    )
+    return out.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        (F.size("toks") - F.size("kept")).cast("bigint").alias("n_removed"),
+        F.array_join("kept", " ").alias("clean_text"),
+    )
+
+
+if t13_boilerplate_ngrams.__doc__:  # absent under python -OO
+    t13_boilerplate_ngrams.__doc__ = t13_boilerplate_ngrams.__doc__.format(
+        n=BOILER_N, m=BOILER_MIN_DOCS
+    )
