@@ -401,3 +401,119 @@ def sc9_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor("masked").cast("bigint").alias("xor_mask"),
         F.max("shifted").cast("bigint").alias("max_shifted"),
     )
+
+
+@register(
+    "sc10_regex_funcs",
+    oracle=r"""
+SELECT p_partkey,
+       CAST(regexp_matches(p_name, '^[a-z]+ [a-z]+$') AS BIGINT) AS two_words,
+       CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels,
+       array_to_string(regexp_extract_all(p_name, '([a-z]{3})[a-z]*', 1), ',')
+         AS stems,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       NULLIF(regexp_extract(p_name, '[a-z]{5,}'), '') AS long_word,
+       CAST(CASE WHEN regexp_matches(p_name, 'w[a-z]+')
+                 THEN strpos(p_name, regexp_extract(p_name, 'w[a-z]+'))
+                 ELSE 0 END AS BIGINT) AS w_pos,
+       regexp_replace(p_name, '([a-z]+) ([a-z]+)', '\2 \1') AS swapped,
+       str_split_regex(p_type, '[AEIOU]+')[1] AS type_head
+FROM part
+WHERE p_partkey <= 500
+""",
+    tags=("scalar", "regex"),
+)
+def sc10_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""Regex function battery (rlike, count, extract_all, replace-all,
+    first-match, match position, capture-group backreference swap, regex
+    split) cross-checked against DuckDB's RE2. Cross-engine bridges the
+    battery exists to pin down: (1) Spark's regexp_replace replaces ALL
+    matches while DuckDB's replaces the first — the oracle passes the
+    'g' flag; (2) no-match yields NULL from Spark's regexp_substr but ''
+    from DuckDB's regexp_extract — the oracle NULLIFs (safe: the {5,}
+    quantifier can never match empty); (3) backreferences spell $2 in
+    Java regex, \2 in RE2; (4) DuckDB has no regexp_instr — the oracle
+    rebuilds it as strpos of the leftmost match, exact because the
+    pattern is anchor-free (the extracted text cannot occur earlier,
+    else IT would have been the leftmost match); (5) character classes
+    are written explicitly ([aeiou], [a-z]) — never \d/\w/\s, whose
+    Unicode breadth differs between Java regex and RE2. All expressions
+    JVM-side in one codegen stage; at 100 TB this is a map-only scan."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.col("p_name").rlike(r"^[a-z]+ [a-z]+$").cast("bigint").alias("two_words"),
+        F.regexp_count("p_name", F.lit(r"[aeiou]")).cast("bigint").alias("n_vowels"),
+        F.array_join(
+            F.regexp_extract_all("p_name", F.lit(r"([a-z]{3})[a-z]*"), 1), ","
+        ).alias("stems"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+        F.regexp_substr("p_name", F.lit(r"[a-z]{5,}")).alias("long_word"),
+        F.regexp_instr("p_name", F.lit(r"w[a-z]+")).cast("bigint").alias("w_pos"),
+        F.regexp_replace("p_name", r"([a-z]+) ([a-z]+)", r"$2 $1").alias("swapped"),
+        F.split("p_type", "[AEIOU]+").getItem(0).alias("type_head"),
+    )
+
+
+@register(
+    "sc11_nested_structs",
+    oracle="""
+WITH l AS (
+  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem WHERE l_orderkey <= 600
+)
+SELECT l_orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       MIN(ln) AS first_ln,
+       MAX(ln) AS last_ln,
+       arg_max(ln, qty * 1000 + ln) AS top_qty_ln,
+       CAST(SUM(CASE WHEN qty >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS heavy_cnt,
+       CAST(SUM(qty) AS BIGINT) AS qty_total,
+       CAST(MAX(CASE WHEN qty = 40 THEN 1 ELSE 0 END) AS BIGINT) AS any_40
+FROM l GROUP BY l_orderkey
+""",
+    tags=("scalar", "nested", "struct", "higher-order"),
+)
+def sc11_nested_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested array-of-struct surface: collect each order's lines into a
+    sorted array<struct<ln,qty>>, then answer every question with
+    higher-order functions over that one nested column — element_at on
+    struct fields, lambda filter/exists, an aggregate() fold, and
+    array_max's lexicographic struct ordering as argmax (max qty, max ln
+    on ties). The oracle verifies the same values relationally (DuckDB's
+    arg_max over the collision-free qty*1000+ln key — ln <= 7, so the
+    key is injective per group and orders exactly like (qty, ln)).
+
+    At 100 TB this is the one-shuffle nested-build pattern: a single
+    groupBy materializes the per-key document, every downstream
+    extraction is map-side codegen over the nested column — no second
+    shuffle, no explode-regroup round trip. qty is integer-valued in
+    the fixture (cast pinned), so the fold is exact integer math."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 600)
+    lines = l.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").cast("bigint").alias("ln"),
+                    F.col("l_quantity").cast("bigint").alias("qty"),
+                )
+            )
+        ).alias("lines")
+    )
+    return lines.select(
+        "l_orderkey",
+        F.size("lines").cast("bigint").alias("n_lines"),
+        F.element_at("lines", 1)["ln"].alias("first_ln"),
+        F.element_at("lines", -1)["ln"].alias("last_ln"),
+        F.array_max(
+            F.transform("lines", lambda x: F.struct(x["qty"], x["ln"]))
+        )["ln"].alias("top_qty_ln"),
+        F.size(F.filter("lines", lambda x: x["qty"] >= 30))
+        .cast("bigint")
+        .alias("heavy_cnt"),
+        F.aggregate(
+            "lines", F.lit(0).cast("bigint"), lambda acc, x: acc + x["qty"]
+        ).alias("qty_total"),
+        F.exists("lines", lambda x: x["qty"] == 40).cast("bigint").alias("any_40"),
+    )

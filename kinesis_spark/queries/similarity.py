@@ -1501,3 +1501,146 @@ if sim13_filtered_ann.__doc__:  # absent under python -OO
     sim13_filtered_ann.__doc__ = sim13_filtered_ann.__doc__.format(
         TENANTS=TENANTS, N_PROBE=N_PROBE, N_PROBE_FILTERED=N_PROBE_FILTERED
     )
+
+
+# sim14: greedy k-center / farthest-point coreset (Gonzalez's 2-approx
+# algorithm) — diversity-aware subset selection, the embedding-space
+# complement of dedup: instead of dropping near-duplicates, PICK the K
+# most mutually spread-out exemplars (data-pruning / active-learning
+# seed selection over a training corpus).
+KC_CENTERS = 8
+
+
+def _kc_oracle() -> str:
+    # Each picks{r} is referenced 3x by round r+1 (the distance join, the
+    # NOT IN exclusion, and the UNION ALL carry-forward); DuckDB inlines
+    # non-materialized CTEs per reference, which would make the unrolled
+    # chain exponential (3^K re-evaluations — measured 371 s at K=8).
+    # AS MATERIALIZED pins each round to one evaluation → linear.
+    steps = []
+    for r in range(1, KC_CENTERS):
+        prev = f"picks{r - 1}"
+        steps.append(f"""
+cand{r} AS MATERIALIZED (
+  SELECT e.vec_id, any_value(e.v) AS v,
+         MIN({_km_d2_sql('e.v', 'p.cv')}) AS mind
+  FROM e JOIN {prev} p ON TRUE
+  WHERE e.vec_id NOT IN (SELECT vid FROM {prev})
+  GROUP BY e.vec_id
+),
+p{r} AS MATERIALIZED (
+  SELECT CAST({r} AS BIGINT) AS crank, vec_id AS vid, mind AS d, v AS cv
+  FROM cand{r} ORDER BY mind DESC, vec_id LIMIT 1
+),
+picks{r} AS MATERIALIZED (
+  SELECT * FROM picks{r - 1} UNION ALL SELECT * FROM p{r})""")
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+picks0 AS MATERIALIZED (
+  SELECT CAST(0 AS BIGINT) AS crank, vec_id AS vid,
+         CAST(NULL AS DOUBLE) AS d, v AS cv
+  FROM e ORDER BY vec_id LIMIT 1
+),{",".join(steps).lstrip(",")}
+SELECT crank AS center_rank, vid AS vec_id, d AS dist2_at_pick
+FROM picks{KC_CENTERS - 1}
+"""
+
+
+@register(
+    "sim14_kcenter_coreset",
+    oracle=_kc_oracle(),
+    tags=("similarity", "coreset", "iterative", "diversity"),
+)
+def sim14_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset over the embedding
+    corpus: seed = the lowest vec_id, then {K} - 1 rounds each picking
+    the point FARTHEST (max-min squared L2) from everything selected so
+    far — Gonzalez's classic 2-approximation to the k-center cover. The
+    diversity-selection complement of the dedup family: near-duplicate
+    regions contribute one exemplar no matter how dense, so the coreset
+    is a spread-preserving sample for data pruning, active-learning
+    seeds, or codebook init (a drop-in for sim11's first-K seeding).
+    Output: each center with its pick order and its max-min distance at
+    selection time (the monotonically shrinking covering radius; NULL
+    for the seed).
+
+    Iterative shape (the sim11/d9 discipline): the selected set lives
+    in ONE localCheckpoint'ed row — an array of (rank, vid, d, vector)
+    structs, K x 64 doubles, BOUNDED by K — that broadcasts to every
+    task; each round is one corpus scan computing the running min
+    distance (array_min over the picks, rounded to 6 dp — the file-wide
+    fp bridge) and ONE-ROW argmax partial agg (max-min distance,
+    min-vec_id tie-break via lexicographic struct min). K rounds = K
+    linear scans, no shuffle beyond the scalar agg, nothing
+    corpus-sized ever broadcasts or collects. The oracle replays every
+    round bit-exactly as unrolled CTEs (the sim11 pattern).
+
+    At 100 TB the K-scan cost is the known price of exact greedy
+    k-center; the standard scale-out is to run it over a uniform or
+    per-IVF-cell sample (compose with s5/sim6) — the operator here IS
+    that inner exact kernel.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    seed = vecs.agg(F.min(F.struct("vec_id", "v")).alias("s"))
+    picked = seed.select(
+        F.array(
+            F.struct(
+                F.lit(0).cast("bigint").alias("rank"),
+                F.col("s.vec_id").alias("vid"),
+                F.lit(None).cast("double").alias("d"),
+                F.col("s.v").alias("cv"),
+            )
+        ).alias("picks")
+    ).localCheckpoint(eager=True)
+    for r in range(1, KC_CENTERS):
+        cand = (
+            vecs.join(F.broadcast(picked))
+            .filter(~F.exists("picks", lambda p: p["vid"] == F.col("vec_id")))
+            .select(
+                "vec_id",
+                "v",
+                F.array_min(
+                    F.transform("picks", lambda p: _d2(F.col("v"), p["cv"]))
+                ).alias("mind"),
+            )
+        )
+        best = cand.agg(
+            F.min(
+                F.struct(
+                    (-F.col("mind")).alias("nd"),
+                    F.col("vec_id").alias("vid"),
+                    F.col("v").alias("cv"),
+                )
+            ).alias("b")
+        )
+        picked = (
+            picked.join(F.broadcast(best))
+            .select(
+                F.array_append(
+                    "picks",
+                    F.struct(
+                        F.lit(r).cast("bigint").alias("rank"),
+                        F.col("b.vid").alias("vid"),
+                        (-F.col("b.nd")).alias("d"),
+                        F.col("b.cv").alias("cv"),
+                    ),
+                ).alias("picks")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return picked.select(F.explode("picks").alias("p")).select(
+        F.col("p.rank").alias("center_rank"),
+        F.col("p.vid").alias("vec_id"),
+        F.col("p.d").alias("dist2_at_pick"),
+    )
+
+
+if sim14_kcenter_coreset.__doc__:  # absent under python -OO
+    sim14_kcenter_coreset.__doc__ = sim14_kcenter_coreset.__doc__.format(
+        K=KC_CENTERS
+    )
