@@ -66,6 +66,7 @@ def load_all_modules() -> None:
         companions,
         dedup,
         events,
+        graph,
         ingest_ops,
         joins,
         lineage,

@@ -1,0 +1,171 @@
+"""Graph analytics over relational edge sets: PageRank on the
+customer<->supplier trade graph. Complements dedup.py's connected
+components (d9) — the other classic iterative message-passing shape.
+
+Scale design (the d9/sim11 iterative discipline):
+- The edge list is derived from one orders⋈lineitem equi-join and
+  localCheckpoint'ed ONCE; every iteration replays nothing upstream.
+- One iteration = one shuffle: edges join ranks on src (both sides
+  partitioned by node id), partial-agg sum of contributions on dst.
+  Nothing corpus-sized broadcasts or collects; the only driver-side
+  scalar is the node count N.
+- Rank state per iteration is (node_id, rank) — 16 B per node — and is
+  localCheckpoint'ed so the final plan is one join deep regardless of
+  iteration count.
+
+Cross-engine determinism: per-edge contribution rank/outdeg is a single
+IEEE division (correctly rounded, identical bits in both engines); the
+order-sensitive SUM over contributions goes through the file-standard
+exact bridge — FLOOR(x * 2^0-free 1e9) as DECIMAL(38,0), summed exactly,
+one double division back (see queries/__init__.py determinism rules).
+The damping update 0.15/N + 0.85*s is the same literal double ops both
+sides. Ranks are therefore bit-identical every iteration; the output
+rounds to 6 dp only for display.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_spark.io import load_table
+from kinesis_spark.queries import register
+
+PR_ITERS = 3
+PR_DAMP = 0.85
+_PR_SCALE = 1_000_000_000  # 1e9: 9-dp fixed-point for the exact sum
+
+
+def _pr_oracle() -> str:
+    # Unrolled iterations as MATERIALIZED CTEs (each r{t} is referenced
+    # by the join AND the carry — non-materialized chains re-evaluate
+    # exponentially in DuckDB; see sim14's note).
+    its = []
+    for t in range(PR_ITERS):
+        its.append(f"""
+r{t + 1} AS MATERIALIZED (
+  SELECT d.src AS id,
+         0.15 / (SELECT n FROM nn)
+         + {PR_DAMP} * (CAST(COALESCE(c.s, 0) AS DOUBLE) / {_PR_SCALE}.0) AS r
+  FROM deg d
+  LEFT JOIN (
+    SELECT e.dst AS id,
+           SUM(CAST(FLOOR(r.r / dg.d * {_PR_SCALE}.0) AS DECIMAL(38,0))) AS s
+    FROM edges e
+    JOIN r{t} r ON e.src = r.id
+    JOIN deg dg ON dg.src = e.src
+    GROUP BY e.dst
+  ) c ON c.id = d.src
+)""")
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS MATERIALIZED (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM deg),
+r0 AS MATERIALIZED (
+  SELECT src AS id, 1.0 / (SELECT n FROM nn) AS r FROM deg
+),{",".join(its).lstrip(",")}
+SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       id >> 1 AS node_key,
+       ROUND(r, 6) AS pagerank
+FROM r{PR_ITERS}
+"""
+
+
+@register(
+    "g1_pagerank_trade_graph",
+    oracle=_pr_oracle(),
+    tags=("graph", "pagerank", "iterative"),
+)
+def g1_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank ({ITERS} damped iterations, d=0.85) over the symmetrized
+    customer<->supplier trade graph: an edge per distinct (customer,
+    supplier) pair that ever traded (orders⋈lineitem), both directions,
+    so every node has outdegree >= 1 and there are no dangling nodes.
+    Node ids namespace the two key spaces as 2*custkey / 2*suppkey+1.
+    Output: every node with its type, original key, and 6-dp rank.
+
+    Iterative shape: edge list + outdegrees localCheckpoint once; each
+    round is edges⋈ranks on src (one shuffle, partial-agg combine on
+    dst) and a left join back onto the node set for the damping floor.
+    The per-dst contribution sum runs through the exact DECIMAL(38,0)
+    fixed-point bridge so ranks are bit-identical to the oracle's
+    unrolled replay every round — see the module header.
+
+    At 100 TB the state per round is 16 B/node and the edge relation is
+    reused from checkpoint storage; iteration count is fixed, so total
+    cost is {ITERS} equi-join shuffles. The same loop body serves any
+    edge set — swap `pairs` for d3's near-dup candidates to rank
+    duplication hubs.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    # one materialization of the (src, dst, d) relation for all rounds
+    ed = (
+        edges.join(deg, "src")
+        .select("src", "dst", "d")
+        .localCheckpoint(eager=True)
+    )
+    nodes = ed.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+    n = nodes.count()
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("r"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["id"])
+            .select(
+                "dst",
+                F.floor(F.col("r") / F.col("d") * float(_PR_SCALE))
+                .cast("decimal(38,0)")
+                .alias("fl"),
+            )
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("fl").alias("s"))
+        ranks = (
+            nodes.join(sums, nodes["id"] == sums["dst"], "left")
+            .select(
+                "id",
+                (
+                    F.lit(0.15 / n)
+                    + F.lit(PR_DAMP)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0).cast("decimal(38,0)"))
+                        .cast("double")
+                        / F.lit(float(_PR_SCALE))
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.when(F.col("id") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.shiftright("id", 1).alias("node_key"),
+        F.round("r", 6).alias("pagerank"),
+    )
+
+
+if g1_pagerank_trade_graph.__doc__:  # absent under python -OO
+    g1_pagerank_trade_graph.__doc__ = g1_pagerank_trade_graph.__doc__.format(
+        ITERS=PR_ITERS
+    )
