@@ -169,3 +169,158 @@ if g1_pagerank_trade_graph.__doc__:  # absent under python -OO
     g1_pagerank_trade_graph.__doc__ = g1_pagerank_trade_graph.__doc__.format(
         ITERS=PR_ITERS
     )
+
+
+BFS_HOPS = 3
+
+
+def _bfs_oracle() -> str:
+    its = []
+    for t in range(BFS_HOPS):
+        its.append(f"""
+d{t + 1} AS MATERIALIZED (
+  SELECT id, MIN(dd) AS dd FROM (
+    SELECT id, dd FROM d{t}
+    UNION ALL
+    SELECT e.dst AS id, d.dd + 1 AS dd
+    FROM edges e JOIN d{t} d ON e.src = d.id
+  ) GROUP BY id
+)""")
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS MATERIALIZED (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+src AS MATERIALIZED (SELECT MIN(src) AS sid FROM edges),
+d0 AS MATERIALIZED (
+  SELECT sid AS id, CAST(0 AS BIGINT) AS dd FROM src
+),{",".join(its).lstrip(",")}
+SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       id >> 1 AS node_key,
+       dd AS hops
+FROM d{BFS_HOPS}
+"""
+
+
+@register(
+    "g2_bfs_supply_hops",
+    oracle=_bfs_oracle(),
+    tags=("graph", "bfs", "iterative"),
+)
+def g2_bfs_supply_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first reach over the trade graph: exact hop distance from
+    the lowest-id customer to every node within {HOPS} hops (supplier =
+    odd hop, customer = even — the bipartite supply-chain neighborhood
+    expansion). Output: every reached node with its type, key, and hop
+    count; unreached nodes are absent (frontier semantics, not a dense
+    distance table).
+
+    Iterative shape (g1's loop body with MIN instead of SUM): the edge
+    list localCheckpoints once; each round unions the current distance
+    set with a one-hop relaxation (edges⋈dist equi-join, +1) and takes
+    the per-node MIN — pure integer message-passing, exact in both
+    engines with no fp bridge at all. State per round is (node_id,
+    hops) and is localCheckpoint'ed; at 100 TB each round is one
+    shuffle on node id and the reached set is at most frontier-sized,
+    never the full node universe unless actually reached.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        edges.agg(F.min("src").alias("id"))
+        .select("id", F.lit(0).cast("bigint").alias("dd"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(BFS_HOPS):
+        relaxed = edges.join(dist, edges["src"] == dist["id"]).select(
+            F.col("dst").alias("id"), (F.col("dd") + 1).alias("dd")
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("id")
+            .agg(F.min("dd").alias("dd"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(
+        F.when(F.col("id") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.shiftright("id", 1).alias("node_key"),
+        F.col("dd").alias("hops"),
+    )
+
+
+if g2_bfs_supply_hops.__doc__:  # absent under python -OO
+    g2_bfs_supply_hops.__doc__ = g2_bfs_supply_hops.__doc__.format(HOPS=BFS_HOPS)
+
+
+def _tri_oracle() -> str:
+    from kinesis_spark.queries.dedup import _PAIRS_SQL
+
+    return f"""
+WITH {_PAIRS_SQL},
+e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs)
+SELECT e1.a AS doc_a, e1.b AS doc_b, e2.b AS doc_c
+FROM e e1
+JOIN e e2 ON e2.a = e1.b
+JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+@register(
+    "g3_neardup_triangles",
+    oracle=_tri_oracle(),
+    tags=("graph", "triangles", "dedup"),
+)
+def g3_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the MinHash-LSH near-dup candidate
+    graph (d3's pairs as undirected edges): every doc triple whose three
+    pairwise edges all exist — the mutually-confirming duplicate cores
+    that survive even if any single LSH band collision was a fluke.
+    Output: one row per triangle, vertices in ascending doc_id order
+    (each triangle counted exactly once via the a<b<c orientation).
+
+    Plan shape: the edge list (already id-oriented a<b by d3) is built
+    once and reused three times — wedge formation is one equi-join on
+    the shared middle vertex, closure is a second equi-join on the
+    (outer, far) pair. Both are shuffle equi-joins on doc_id keys; no
+    all-pairs product anywhere. At 100 TB the wedge count is bounded by
+    sum(deg^2), which the hot-bucket cap (d14) keeps sparse; the
+    production refinement is degree-orientation (point each edge at the
+    higher-degree endpoint) which bounds wedges by arboricity — the
+    id-orientation here is its oracle-exact special case.
+    """
+    from kinesis_spark.queries.dedup import d3_minhash_lsh_pairs
+
+    e = (
+        d3_minhash_lsh_pairs(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    wedges = e1.join(e2, e1["y"] == e2["y2"]).select("x", "y", "z")
+    closing = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    return wedges.join(closing, ["x", "z"]).select(
+        F.col("x").alias("doc_a"),
+        F.col("y").alias("doc_b"),
+        F.col("z").alias("doc_c"),
+    )
