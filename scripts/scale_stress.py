@@ -98,6 +98,14 @@ OPERATORS = [
     # so candidate volume (and the rerank fold) should scale ~linearly
     "prov4_snapshot_diff",
     "sim13_filtered_ann",
+    # r4 additions: k-center = K bounded corpus scans (K-row broadcast
+    # state), so ~linear; the g* graph family runs on key-offset replica
+    # copies of orders/lineitem (see _build_rel) — 10x nodes and edges,
+    # fixed iteration count, so per-round shuffles should scale ~linearly
+    "sim14_kcenter_coreset",
+    "g1_pagerank_trade_graph",
+    "g2_bfs_supply_hops",
+    "g3_neardup_triangles",
 ]
 
 
@@ -141,6 +149,47 @@ def _build(spark, out_dir: str, replicas: int) -> None:
         .repartition(32)
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "embeddings.parquet"))
+    )
+
+
+def _build_rel(spark, out_dir: str, replicas: int) -> None:
+    """Replicate orders+lineitem as REPLICAS disjoint key-offset copies
+    (r4 addition for the g* graph family): every key space shifts by
+    replica * (max+1), so the trade graph becomes `replicas` disconnected
+    components — node, edge, and per-iteration message volume all scale
+    by exactly `replicas`, the honest linear-scale test for iterative
+    graph ops. Written only when absent so existing corpora are reused."""
+    if os.path.exists(os.path.join(out_dir, "orders.parquet")) and os.path.exists(
+        os.path.join(out_dir, "lineitem.parquet")
+    ):
+        return
+    rep = spark.range(replicas).select(F.col("id").alias("replica"))
+    o = load_table(spark, SF_SRC, "orders")
+    li = load_table(spark, SF_SRC, "lineitem")
+    mo = o.agg(F.max("o_orderkey")).first()[0] + 1
+    mc = o.agg(F.max("o_custkey")).first()[0] + 1
+    ms = li.agg(F.max("l_suppkey")).first()[0] + 1
+    (
+        o.crossJoin(rep)
+        .select(
+            (F.col("o_orderkey") + F.col("replica") * F.lit(mo)).alias("o_orderkey"),
+            (F.col("o_custkey") + F.col("replica") * F.lit(mc)).alias("o_custkey"),
+            *[c for c in o.columns if c not in ("o_orderkey", "o_custkey")],
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "orders.parquet"))
+    )
+    (
+        li.crossJoin(rep)
+        .select(
+            (F.col("l_orderkey") + F.col("replica") * F.lit(mo)).alias("l_orderkey"),
+            (F.col("l_suppkey") + F.col("replica") * F.lit(ms)).alias("l_suppkey"),
+            *[c for c in li.columns if c not in ("l_orderkey", "l_suppkey")],
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "lineitem.parquet"))
     )
 
 
@@ -249,6 +298,8 @@ def main() -> None:
         _build(spark, SF1X, 1)
     if "--rebuild" in sys.argv or not _complete(SF10X):
         _build(spark, SF10X, REPLICAS)
+    _build_rel(spark, SF1X, 1)
+    _build_rel(spark, SF10X, REPLICAS)
     for d in (SF1X, SF10X):  # warm footers
         load_table(spark, d, "documents").count()
         load_table(spark, d, "embeddings").count()
