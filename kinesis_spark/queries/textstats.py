@@ -947,3 +947,146 @@ if t13_boilerplate_ngrams.__doc__:  # absent under python -OO
     t13_boilerplate_ngrams.__doc__ = t13_boilerplate_ngrams.__doc__.format(
         n=BOILER_N, m=BOILER_MIN_DOCS
     )
+
+
+# ---- t14: BPE merge learning (vocabulary induction) ----------------------
+
+BPE_MERGES = 4
+
+
+def _bpe_oracle() -> str:
+    its = []
+    for t in range(1, BPE_MERGES + 1):
+        its.append(f"""
+p{t} AS MATERIALIZED (
+  SELECT a[i] AS l, a[i + 1] AS r, CAST(SUM(cnt) AS BIGINT) AS pc
+  FROM (SELECT string_split(substr(w, 2, length(w) - 2), ')(') AS a, cnt
+        FROM w{t - 1}),
+       UNNEST(range(1, len(a))) AS u(i)
+  GROUP BY 1, 2
+),
+b{t} AS MATERIALIZED (
+  SELECT CAST({t} AS BIGINT) AS merge_rank, l, r, pc
+  FROM p{t} ORDER BY pc DESC, l, r LIMIT 1
+),
+w{t} AS MATERIALIZED (
+  SELECT replace(w, '(' || b.l || ')(' || b.r || ')',
+                    '(' || b.l || b.r || ')') AS w,
+         CAST(SUM(cnt) AS BIGINT) AS cnt
+  FROM w{t - 1}, b{t} b
+  GROUP BY 1
+)""")
+    return f"""
+WITH words AS MATERIALIZED (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents
+),
+w0 AS MATERIALIZED (
+  SELECT regexp_replace(word, '([a-z])', '(\\1)', 'g') AS w,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM words GROUP BY 1
+),{",".join(its).lstrip(",")}
+SELECT merge_rank, l AS left_sym, r AS right_sym, pc AS pair_count
+FROM ({" UNION ALL ".join(f"SELECT * FROM b{t}" for t in range(1, BPE_MERGES + 1))})
+"""
+
+
+@register(
+    "t14_bpe_merge_learn",
+    oracle=_bpe_oracle(),
+    tags=("text", "bpe", "tokenizer", "iterative"),
+)
+def t14_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction — the first {M} merges learned from the
+    corpus (the training half of the tokenizer whose inference half t8
+    counts with). Classic Sennrich BPE at word granularity: lowercase
+    alpha words weighted by occurrence count, each round counts adjacent
+    symbol-pair frequencies, merges the most frequent pair everywhere
+    (ties broken lexicographically), repeat. Output: one row per merge
+    with its rank, the pair, and its frequency at selection time.
+
+    Representation bridge: a word's symbol sequence is the string
+    "(s1)(s2)...", so a merge is a LITERAL substring replace of
+    "(l)(r)" with "(lr)" — no regex, no lookarounds (RE2 has none), and
+    the leftmost non-overlapping scan both engines use IS the correct
+    greedy BPE pass (a "(a)(a)(a)" run merges to "(aa)(a)").
+
+    Iterative shape: the corpus is scanned ONCE to build the weighted
+    distinct-word table (vocabulary-sized — bounded by natural-language
+    word inventories, orders of magnitude below corpus rows at 100 TB);
+    each round is a partial-agg pair count over that table, a one-row
+    argmax, and a map-side merge with the single-row winner broadcast.
+    State localCheckpoints per round, so {M} merges = {M} short
+    vocab-table shuffles, never a second corpus scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+        ).alias("word")
+    )
+    wt = (
+        words.groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select(
+            F.regexp_replace("word", "([a-z])", "($1)").alias("w"), "cnt"
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for t in range(1, BPE_MERGES + 1):
+        syms = wt.select(
+            F.split(F.expr("substring(w, 2, length(w) - 2)"), r"\)\(").alias("a"),
+            "cnt",
+        ).filter(F.size("a") >= 2)
+        pairs = (
+            syms.select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("a", 1, F.size("a") - 1).alias("l"),
+                        F.slice("a", 2, F.size("a") - 1).alias("r"),
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").cast("bigint").alias("pc"))
+        )
+        best = pairs.agg(
+            F.min(
+                F.struct((-F.col("pc")).alias("nc"), F.col("l"), F.col("r"))
+            ).alias("b")
+        ).select(
+            F.lit(t).cast("bigint").alias("merge_rank"),
+            F.col("b.l").alias("l"),
+            F.col("b.r").alias("r"),
+            (-F.col("b.nc")).cast("bigint").alias("pc"),
+        ).localCheckpoint(eager=True)
+        merges.append(best)
+        wt = (
+            wt.join(F.broadcast(best))
+            .select(
+                F.replace(
+                    "w",
+                    F.concat(F.lit("("), F.col("l"), F.lit(")("), F.col("r"), F.lit(")")),
+                    F.concat(F.lit("("), F.col("l"), F.col("r"), F.lit(")")),
+                ).alias("w"),
+                "cnt",
+            )
+            .groupBy("w")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out.select(
+        "merge_rank",
+        F.col("l").alias("left_sym"),
+        F.col("r").alias("right_sym"),
+        F.col("pc").alias("pair_count"),
+    )
+
+
+if t14_bpe_merge_learn.__doc__:  # absent under python -OO
+    t14_bpe_merge_learn.__doc__ = t14_bpe_merge_learn.__doc__.format(M=BPE_MERGES)
