@@ -1076,3 +1076,68 @@ def d16_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= FP_MIN_SHARED)
     )
+
+
+@register(
+    "d17_containment_overlap",
+    oracle=f"""
+WITH {_PAIRS_SQL},
+sh AS (
+  SELECT doc_id, {_SHINGLES2_SQL} AS shingles
+  FROM documents
+  WHERE len(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+')) >= 2
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(len(list_distinct(list_intersect(a.shingles, b.shingles))) AS BIGINT)
+         AS n_inter,
+       CAST(LEAST(len(a.shingles), len(b.shingles)) AS BIGINT) AS size_min,
+       CAST(len(list_distinct(list_intersect(a.shingles, b.shingles))) AS DOUBLE)
+         / LEAST(len(a.shingles), len(b.shingles)) AS containment
+FROM pairs p
+JOIN sh a ON a.doc_id = p.doc_a
+JOIN sh b ON b.doc_id = p.doc_b
+""",
+    tags=("dedup", "containment", "lsh"),
+)
+def d17_containment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT verification of the LSH candidate pairs —
+    the overlap coefficient |A∩B| / min(|A|, |B|) on word-2-gram shingle
+    sets. Jaccard (d4) under-scores the quote-inclusion case (a short
+    document embedded verbatim inside a long one dilutes the union);
+    containment is the resemblance measure that catches it (Broder's
+    containment, the MinHash companion statistic) and is what
+    training-data pipelines use to drop subsumed documents rather than
+    merely mutual near-twins.
+
+    Plan shape: candidates come from d3's banded LSH (linear, never
+    all-pairs); the shingle relation joins onto the pair list by doc_id
+    twice — two equi-shuffles keyed on doc ids, shipping shingle arrays
+    ONLY for documents that appear in some candidate pair (Catalyst
+    pushes the join keys down as a semi-join filter on the shingle
+    build). Counts are exact ints; the coefficient is one correctly
+    rounded IEEE division — bit-identical cross-engine.
+
+    At 100 TB the candidate list is the LSH output (bounded by d14's cap
+    when buckets run hot) and the per-pair work is |A|+|B| — the
+    verify stage stays proportional to candidate volume, not corpus².
+    Production shrink: hash shingles to 8-byte ints before the join
+    (md5 strings kept here for oracle parity, same plan).
+    """
+    pairs = d3_minhash_lsh_pairs(spark, sf_dir)
+    tokd = _tokens_barrier(load_table(spark, sf_dir, "documents"), min_words=2)
+    sh = tokd.select("doc_id", _shingles_of(F.col("toks"), k=2).alias("shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("bigint")
+    size_min = F.least(F.size("sh_a"), F.size("sh_b")).cast("bigint")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_inter.alias("n_inter"),
+            size_min.alias("size_min"),
+            (n_inter.cast("double") / size_min).alias("containment"),
+        )
+    )

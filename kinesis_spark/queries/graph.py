@@ -324,3 +324,115 @@ def g3_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").alias("doc_b"),
         F.col("z").alias("doc_c"),
     )
+
+
+CN_CAP = 8  # neighborhood cap: customers considered per supplier
+CN_TOP = 20  # report the top-scored customer pairs
+_CN_SCALE = 1_000_000_000  # 9-dp fixed point for the exact RA sum
+
+
+@register(
+    "g4_copurchase_links",
+    oracle=f"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+deg AS MATERIALIZED (SELECT s, COUNT(*) AS d FROM pairs GROUP BY s),
+capped AS MATERIALIZED (
+  SELECT c, s FROM (
+    SELECT c, s, ROW_NUMBER() OVER (PARTITION BY s ORDER BY c) AS rn FROM pairs
+  ) WHERE rn <= {CN_CAP}
+),
+scored AS (
+  SELECT a.c AS cust_a, b.c AS cust_b,
+         COUNT(*) AS n_common,
+         SUM(CAST(FLOOR({_CN_SCALE}.0 / CAST(dg.d AS DOUBLE)) AS DECIMAL(38,0)))
+           AS sc
+  FROM capped a
+  JOIN capped b ON a.s = b.s AND a.c < b.c
+  JOIN deg dg ON dg.s = a.s
+  GROUP BY a.c, b.c
+)
+SELECT cust_a, cust_b, n_common,
+       ROUND(CAST(sc AS DOUBLE) / {_CN_SCALE}.0, 6) AS ra_score
+FROM scored
+ORDER BY sc DESC, cust_a, cust_b
+LIMIT {CN_TOP}
+""",
+    tags=("graph", "link-prediction", "similarity"),
+)
+def g4_copurchase_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the customer-supplier bipartite graph: the
+    top-{TOP} customer pairs by resource-allocation index — RA(u,v) =
+    sum over common suppliers s of 1/deg(s) (Zhou et al.'s RA; the
+    log-free sibling of Adamic–Adar, chosen because 1/deg is one
+    correctly-rounded IEEE division while log(deg) is libm-dependent).
+    A rare shared supplier is strong evidence two customers belong to
+    the same segment; a supplier half the market buys from carries
+    ~zero signal — exactly what the 1/deg weight encodes.
+
+    The TPC-H trade graph is near-complete bipartite (sum(deg^2) is
+    ~172M wedges at sf0.1), so naive common-neighbor enumeration is
+    quadratic — the hot-bucket problem d14 caps for LSH. Same cure
+    here: each supplier contributes pairs only among its {CAP} LOWEST
+    customer keys (a deterministic neighborhood sample — the GraphSAGE
+    move), while the RA weight keeps the TRUE degree, so popular
+    suppliers are still downweighted by their real fan-out. Wedge count
+    is then <= suppliers x {CAP}({CAP}-1)/2 — linear in the supplier
+    relation, independent of skew.
+
+    Plan shape: one orders⋈lineitem equi-join for the edge list, one
+    window for the per-supplier cap (shuffle on s), one self-equi-join
+    on s bounded by the cap, and a partial-agg sum per (cust_a, cust_b)
+    through the file-standard DECIMAL fixed-point bridge; the top-{TOP}
+    is a TakeOrderedAndProject (no global sort materialization). The
+    ordering key is the exact decimal sum with (cust_a, cust_b) as the
+    total tie-break, so the LIMIT frontier is bit-deterministic.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    from pyspark.sql.window import Window
+
+    deg = pairs.groupBy("s").agg(F.count("*").alias("d"))
+    capped = (
+        pairs.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("s").orderBy("c"))
+        )
+        .filter(F.col("rn") <= CN_CAP)
+        .select("c", "s")
+    )
+    a = capped.select(F.col("c").alias("cust_a"), "s")
+    b = capped.select(F.col("c").alias("cust_b"), F.col("s").alias("s2"))
+    w = F.floor(F.lit(float(_CN_SCALE)) / F.col("d").cast("double")).cast(
+        "decimal(38,0)"
+    )
+    scored = (
+        a.join(b, (F.col("s") == F.col("s2")) & (F.col("cust_a") < F.col("cust_b")))
+        .join(deg, "s")
+        .groupBy("cust_a", "cust_b")
+        .agg(F.count(F.lit(1)).alias("n_common"), F.sum(w).alias("sc"))
+    )
+    return (
+        scored.orderBy(F.desc("sc"), "cust_a", "cust_b")
+        .limit(CN_TOP)
+        .select(
+            "cust_a",
+            "cust_b",
+            "n_common",
+            F.round(F.col("sc").cast("double") / F.lit(float(_CN_SCALE)), 6).alias(
+                "ra_score"
+            ),
+        )
+    )
+
+
+if g4_copurchase_links.__doc__:  # absent under python -OO
+    g4_copurchase_links.__doc__ = g4_copurchase_links.__doc__.format(
+        CAP=CN_CAP, TOP=CN_TOP
+    )

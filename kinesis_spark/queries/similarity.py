@@ -1644,3 +1644,111 @@ if sim14_kcenter_coreset.__doc__:  # absent under python -OO
     sim14_kcenter_coreset.__doc__ = sim14_kcenter_coreset.__doc__.format(
         K=KC_CENTERS
     )
+
+
+OUT_MULT = 2.0  # outlier threshold: dist2 > OUT_MULT * label mean dist2
+
+
+@register(
+    "sim15_centroid_outliers",
+    oracle=f"""
+WITH ex AS (
+  SELECT vec_id, label, CAST(i AS BIGINT) AS idx,
+         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS comp
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+),
+cent AS (
+  SELECT label, idx,
+         CAST(SUM(CAST(FLOOR(comp * {Q_SCALE}) AS DECIMAL(38,0))) AS DOUBLE)
+           / {Q_SCALE} / COUNT(*) AS c
+  FROM ex GROUP BY label, idx
+),
+d2 AS (
+  SELECT vec_id, e.label,
+         CAST(SUM(CAST(FLOOR((comp - c) * (comp - c) * {Q_SCALE})
+                       AS DECIMAL(38,0))) AS DOUBLE) / {Q_SCALE} AS dist2
+  FROM ex e JOIN cent USING (label, idx)
+  GROUP BY vec_id, e.label
+),
+m AS (
+  SELECT label,
+         CAST(SUM(CAST(FLOOR(dist2 * {Q_SCALE}) AS DECIMAL(38,0))) AS DOUBLE)
+           / {Q_SCALE} / COUNT(*) AS mean_d2
+  FROM d2 GROUP BY label
+)
+SELECT d2.vec_id, d2.label,
+       ROUND(d2.dist2, 6) AS dist2,
+       ROUND(m.mean_d2, 6) AS label_mean_dist2,
+       d2.dist2 > {OUT_MULT} * m.mean_d2 AS is_outlier
+FROM d2 JOIN m USING (label)
+""",
+    tags=("similarity", "quality", "outlier"),
+)
+def sim15_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality filter: each vector's squared L2 distance
+    to its label centroid, flagged as an outlier when it exceeds
+    {MULT}x the label's mean squared distance — the cheap,
+    clustering-free version of the "prune points far from their cell
+    centroid" stage LLM data pipelines run to drop mis-embedded or
+    off-topic documents before dedup/mixing (the inverse of SemDedup:
+    sim9/sim12 drop the points NEAREST their neighbors; this drops the
+    ones that belong to no cluster at all).
+
+    Determinism: centroids come from the file-standard exact-mean
+    kernel (`_exact_mean_cells` — floor-quantized DECIMAL(38,0) sums);
+    per-vector squared distances and per-label means go through the
+    same fixed-point bridge, so every double compared by the outlier
+    predicate is bit-identical cross-engine (the sums stay < 2^53, so
+    the quantized doubles are exact integers).
+
+    Plan shape: one posexplode scan; centroid agg shuffles (label, idx,
+    comp) — K x 64 cells out; the join back is component-rows against a
+    broadcast-sized centroid relation; per-vector agg shuffles on
+    vec_id; the label-mean agg and its join back are label-cardinality
+    — broadcast again. Everything is linear in the corpus with only
+    fixed-width rows on the wire; no pairwise stage at all, so this
+    scales to 100 TB as two map-reduce passes.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", "label", F.posexplode(F.col("embedding")).alias("idx0", "comp")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("idx0") + 1).cast("bigint").alias("idx"),
+        F.col("comp").cast("double").alias("comp"),
+    )
+    cent = _exact_mean_cells(ex, ["label"]).select("label", "idx", "c")
+    diff2 = (F.col("comp") - F.col("c")) * (F.col("comp") - F.col("c"))
+    d2 = (
+        ex.join(F.broadcast(cent), ["label", "idx"])
+        .groupBy("vec_id", "label")
+        .agg(
+            (
+                F.sum(F.floor(diff2 * F.lit(Q_SCALE)).cast("decimal(38,0)"))
+                .cast("double")
+                / F.lit(Q_SCALE)
+            ).alias("dist2")
+        )
+    )
+    m = d2.groupBy("label").agg(
+        (
+            F.sum(F.floor(F.col("dist2") * F.lit(Q_SCALE)).cast("decimal(38,0)"))
+            .cast("double")
+            / F.lit(Q_SCALE)
+            / F.count(F.lit(1))
+        ).alias("mean_d2")
+    )
+    return d2.join(F.broadcast(m), "label").select(
+        "vec_id",
+        "label",
+        F.round("dist2", 6).alias("dist2"),
+        F.round("mean_d2", 6).alias("label_mean_dist2"),
+        (F.col("dist2") > F.lit(OUT_MULT) * F.col("mean_d2")).alias("is_outlier"),
+    )
+
+
+if sim15_centroid_outliers.__doc__:  # absent under python -OO
+    sim15_centroid_outliers.__doc__ = sim15_centroid_outliers.__doc__.format(
+        MULT=OUT_MULT
+    )

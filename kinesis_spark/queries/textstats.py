@@ -1090,3 +1090,104 @@ def t14_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 if t14_bpe_merge_learn.__doc__:  # absent under python -OO
     t14_bpe_merge_learn.__doc__ = t14_bpe_merge_learn.__doc__.format(M=BPE_MERGES)
+
+
+NOV_N = 5  # token n-gram width for the novelty scan
+
+
+@register(
+    "t15_ngram_novelty",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(text, '{WS_RE}') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(array_to_string(t[i:i+{NOV_N - 1}], ' ')), 1, 15))
+              AS BIGINT) AS h
+  FROM toks, UNNEST(range(1, len(t) - {NOV_N - 2})) AS r(i)
+  WHERE len(t) >= {NOV_N}
+),
+first_seen AS (
+  SELECT h, MIN(doc_id) AS first_id FROM grams GROUP BY h
+)
+SELECT g.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(SUM(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS novelty
+FROM grams g JOIN first_seen f USING (h)
+GROUP BY g.doc_id
+""",
+    tags=("text", "novelty", "dedup", "training"),
+)
+def t15_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scan — the memorization/redundancy profile a
+    training-data pipeline runs before mixing a new crawl into the
+    corpus: for each document, the fraction of its distinct word
+    {n}-grams whose FIRST appearance (lowest doc_id — ingest order) is
+    this document. A novelty near 0 means the document is assembled
+    from text the corpus already contains (even when no single other
+    document is a near-duplicate, which is why d3/d4 miss it); a
+    mixture-weighting stage can downweight or drop such documents to
+    reduce verbatim memorization (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better" — the n-gram-overlap view).
+
+    Plan shape: grams are a row-local transform hashed to 8-byte ints
+    before any shuffle (the md5 hex prefix — oracle-parity choice;
+    xxhash64 in production). Stage 1 groups (h) → min(doc_id) — a
+    partial-aggregable min whose map-side combine collapses each
+    partition's duplicates before the exchange. Stage 2 re-joins the
+    gram list to the first-seen relation on the same hash key (AQE
+    reuses the exchange partitioning) and aggregates per doc. Two
+    linear shuffles of fixed-width rows, no corpus-sized broadcast, no
+    window over the whole corpus.
+
+    At 100 TB this is exactly the suffix-array-free novelty
+    approximation: the first-seen relation is gram-cardinality-sized but
+    never materialized on one node, and an incremental run swaps
+    min(doc_id) for a bloom/bucket lookup against the admitted corpus
+    (d15's shape).
+    """
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    b = d.select(
+        "doc_id", F.explode(F.array(F.split("text", WS_RE))).alias("t")
+    ).filter(F.size("t") >= NOV_N)
+    gram_of = lambda i: F.concat_ws(" ", F.slice("t", i, NOV_N))  # noqa: E731
+    grams = (
+        b.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("t") - (NOV_N - 1)),
+                        lambda i: F.conv(
+                            F.substring(F.md5(gram_of(i)), 1, 15), 16, 10
+                        ).cast("bigint"),
+                    )
+                )
+            ).alias("h"),
+        )
+    )
+    first = grams.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    return (
+        grams.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("first_id") == F.col("doc_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_grams")).alias("novelty"),
+        )
+    )
+
+
+if t15_ngram_novelty.__doc__:  # absent under python -OO
+    t15_ngram_novelty.__doc__ = t15_ngram_novelty.__doc__.format(n=NOV_N)
