@@ -662,3 +662,49 @@ def test_sim13_tenant_rides_the_cell_join_key(spark, plan_of):
     assert "hashpartitioning(cell" in plan and "tenant" in plan
     # codebook side of the assignment broadcasts; corpus never does
     assert "BroadcastExchange" in plan
+
+
+def test_d17_verify_stage_is_equi_join_only(plan_of):
+    """Containment verification joins shingle relations onto the LSH
+    candidate list by doc_id — equi-joins only, never a pairwise
+    product; the intersect/least math stays a JVM Project above them."""
+    plan = plan_of("d17_containment_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "array_intersect" in plan  # verify math is columnar, not Python
+
+
+def test_t15_shuffles_hashes_not_grams(plan_of):
+    """The novelty scan's exchanges carry the 8-byte gram hash (h), never
+    gram strings; first-seen is a partial-aggregable MIN (map-side
+    combine before the shuffle)."""
+    plan = plan_of("t15_ngram_novelty")
+    assert "partial_min" in plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "gram" in line:
+            raise AssertionError(f"gram strings on the wire: {line}")
+    assert "SinglePartition" not in plan
+
+
+def test_g4_cap_pushes_down_and_topk_is_heap(plan_of):
+    """The per-supplier neighborhood cap is a supplier-partitioned window
+    whose rn<=CAP limit push down BELOW the shuffle (WindowGroupLimit on
+    both sides of the exchange), and the final top-20 is a
+    TakeOrderedAndProject heap — no global sort materialization, no
+    pairwise product."""
+    plan = plan_of("g4_copurchase_links")
+    assert "WindowGroupLimit" in plan  # cap prunes map-side pre-shuffle
+    assert "hashpartitioning(s" in plan  # window keyed on supplier
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sim15_stat_relations_broadcast(plan_of):
+    """Both small relations (label centroids: K x 64 rows; label means:
+    K rows) broadcast onto the linear component/vector streams — the
+    corpus itself is never on the build side of any join."""
+    plan = plan_of("sim15_centroid_outliers")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
