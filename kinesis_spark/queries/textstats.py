@@ -1019,6 +1019,24 @@ def t14_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     State localCheckpoints per round, so {M} merges = {M} short
     vocab-table shuffles, never a second corpus scan.
     """
+    merges, _ = _bpe_learn(spark, sf_dir)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out.select(
+        "merge_rank",
+        F.col("l").alias("left_sym"),
+        F.col("r").alias("right_sym"),
+        F.col("pc").alias("pair_count"),
+    )
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str):
+    """ONE definition of the Sennrich merge-learning loop shared by t14
+    (which reports the merges) and t16 (which applies the final merged
+    vocabulary back to the corpus). Returns (per-round one-row merge
+    DataFrames, final weighted vocab table in the paren representation).
+    """
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(
@@ -1077,19 +1095,95 @@ def t14_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("cnt").cast("bigint").alias("cnt"))
             .localCheckpoint(eager=True)
         )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionAll(m)
-    return out.select(
-        "merge_rank",
-        F.col("l").alias("left_sym"),
-        F.col("r").alias("right_sym"),
-        F.col("pc").alias("pair_count"),
-    )
+    return merges, wt
 
 
 if t14_bpe_merge_learn.__doc__:  # absent under python -OO
     t14_bpe_merge_learn.__doc__ = t14_bpe_merge_learn.__doc__.format(M=BPE_MERGES)
+
+
+def _bpe_apply_oracle() -> str:
+    learn = _bpe_oracle()
+    # reuse the learning chain's CTEs; the final vocab is w{M}
+    with_clause = learn[learn.index("WITH") : learn.index("SELECT merge_rank")]
+    return f"""
+{with_clause.rstrip().rstrip(",")},
+vocab AS MATERIALIZED (
+  SELECT replace(substr(w, 2, length(w) - 2), ')(', '') AS word,
+         CAST(len(string_split(substr(w, 2, length(w) - 2), ')(')) AS BIGINT)
+           AS n_syms
+  FROM w{BPE_MERGES}
+),
+dw AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents
+)
+SELECT doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(v.n_syms) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(v.n_syms) AS DOUBLE) / COUNT(*) AS tokens_per_word
+FROM dw JOIN vocab v USING (word)
+GROUP BY doc_id
+"""
+
+
+@register(
+    "t16_bpe_apply",
+    oracle=_bpe_apply_oracle(),
+    tags=("text", "bpe", "tokenizer", "encode"),
+)
+def t16_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING with the corpus-trained vocabulary — the inference
+    half of t14's training half (t8 counts tokens with a fixed public
+    regex; this one uses the merges the corpus itself induced, which is
+    what an LLM pipeline runs to cost a corpus under ITS tokenizer):
+    every document's per-word token count after applying the {M} learned
+    merges, with the tokens-per-word ratio as the compression signal.
+
+    The key scale property: merges are never applied per document. The
+    learning loop's final state IS the encoded vocabulary (word ->
+    symbol count), a vocabulary-sized relation (bounded by the language's
+    word inventory, orders of magnitude below corpus rows at 100 TB), so
+    encoding the corpus is one words-scan joined against that broadcast
+    vocab — the standard trick: tokenize the DISTINCT words, join the
+    counts back. No merge replay touches a document row.
+
+    Determinism: symbol counts are exact ints; the ratio is one
+    correctly-rounded IEEE division.
+    """
+    _, wt = _bpe_learn(spark, sf_dir)
+    inner = F.expr("substring(w, 2, length(w) - 2)")
+    vocab = wt.select(
+        F.replace(inner, F.lit(")("), F.lit("")).alias("word"),
+        F.size(F.split(inner, r"\)\(")).cast("bigint").alias("n_syms"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+        ).alias("word"),
+    )
+    return (
+        dw.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            (F.col("n_bpe_tokens").cast("double") / F.col("n_words")).alias(
+                "tokens_per_word"
+            ),
+        )
+    )
+
+
+if t16_bpe_apply.__doc__:  # absent under python -OO
+    t16_bpe_apply.__doc__ = t16_bpe_apply.__doc__.format(M=BPE_MERGES)
 
 
 NOV_N = 5  # token n-gram width for the novelty scan

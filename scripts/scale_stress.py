@@ -106,6 +106,15 @@ OPERATORS = [
     "g1_pagerank_trade_graph",
     "g2_bfs_supply_hops",
     "g3_neardup_triangles",
+    # r4 additions: d17 verifies LSH candidates only (candidate volume
+    # grows like d3's, per-pair work stays |A|+|B|); t15's two shuffles
+    # carry 8-byte hashes (gram cardinality ~linear in the corpus); g4's
+    # capped wedge count is supplier-linear regardless of degree skew;
+    # sim15 is two map-reduce passes with broadcast stat relations
+    "d17_containment_overlap",
+    "t15_ngram_novelty",
+    "g4_copurchase_links",
+    "sim15_centroid_outliers",
 ]
 
 
