@@ -33,7 +33,44 @@ from kinesis_spark.queries import register
 
 PR_ITERS = 3
 PR_DAMP = 0.85
+# teleport mass derives from the damping factor so the pair can never
+# drift apart (per-iteration rank mass must sum to 1). Computed ONCE in
+# Python and interpolated by repr into the oracle so both engines see
+# the identical IEEE double (1 - 0.85 is NOT the literal 0.15).
+PR_TELEPORT = 1.0 - PR_DAMP
 _PR_SCALE = 1_000_000_000  # 1e9: 9-dp fixed-point for the exact sum
+
+# ONE definition of the symmetrized customer<->supplier trade graph
+# (Spark builder + oracle CTE text) shared by g1 and g2 — the node
+# namespacing (2*custkey / 2*suppkey+1) and symmetrization must agree or
+# the graph family silently diverges. g4 deliberately uses the RAW
+# bipartite (c, s) relation — different graph, not a drift.
+_TRADE_EDGES_SQL = """pairs AS MATERIALIZED (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS MATERIALIZED (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+)"""
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst) edge list of the symmetrized trade graph."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    return pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
 
 
 def _pr_oracle() -> str:
@@ -45,7 +82,7 @@ def _pr_oracle() -> str:
         its.append(f"""
 r{t + 1} AS MATERIALIZED (
   SELECT d.src AS id,
-         0.15 / (SELECT n FROM nn)
+         {PR_TELEPORT!r} / (SELECT n FROM nn)
          + {PR_DAMP} * (CAST(COALESCE(c.s, 0) AS DOUBLE) / {_PR_SCALE}.0) AS r
   FROM deg d
   LEFT JOIN (
@@ -58,15 +95,7 @@ r{t + 1} AS MATERIALIZED (
   ) c ON c.id = d.src
 )""")
     return f"""
-WITH pairs AS MATERIALIZED (
-  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
-  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-),
-edges AS MATERIALIZED (
-  SELECT c AS src, s AS dst FROM pairs
-  UNION ALL
-  SELECT s AS src, c AS dst FROM pairs
-),
+WITH {_TRADE_EDGES_SQL},
 deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
 nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM deg),
 r0 AS MATERIALIZED (
@@ -105,20 +134,7 @@ def g1_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge set — swap `pairs` for d3's near-dup candidates to rank
     duplication hubs.
     """
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-        )
-        .distinct()
-    )
-    edges = (
-        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-    )
+    edges = _trade_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     # one materialization of the (src, dst, d) relation for all rounds
     ed = (
@@ -145,7 +161,7 @@ def g1_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "id",
                 (
-                    F.lit(0.15 / n)
+                    F.lit(PR_TELEPORT / n)
                     + F.lit(PR_DAMP)
                     * (
                         F.coalesce(F.col("s"), F.lit(0).cast("decimal(38,0)"))
@@ -187,15 +203,7 @@ d{t + 1} AS MATERIALIZED (
   ) GROUP BY id
 )""")
     return f"""
-WITH pairs AS MATERIALIZED (
-  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
-  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-),
-edges AS MATERIALIZED (
-  SELECT c AS src, s AS dst FROM pairs
-  UNION ALL
-  SELECT s AS src, c AS dst FROM pairs
-),
+WITH {_TRADE_EDGES_SQL},
 src AS MATERIALIZED (SELECT MIN(src) AS sid FROM edges),
 d0 AS MATERIALIZED (
   SELECT sid AS id, CAST(0 AS BIGINT) AS dd FROM src
@@ -220,45 +228,35 @@ def g2_bfs_supply_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     count; unreached nodes are absent (frontier semantics, not a dense
     distance table).
 
-    Iterative shape (g1's loop body with MIN instead of SUM): the edge
-    list localCheckpoints once; each round unions the current distance
-    set with a one-hop relaxation (edges⋈dist equi-join, +1) and takes
-    the per-node MIN — pure integer message-passing, exact in both
-    engines with no fp bridge at all. State per round is (node_id,
-    hops) and is localCheckpoint'ed; at 100 TB each round is one
-    shuffle on node id and the reached set is at most frontier-sized,
-    never the full node universe unless actually reached.
+    Iterative shape: the edge list localCheckpoints once; each round
+    relaxes ONLY the previous round's frontier (edges⋈frontier
+    equi-join, +1), anti-joins away nodes already reached, and appends
+    the genuinely-new nodes to the distance set — first-touch order IS
+    the hop distance, so no MIN re-aggregation over the full reached
+    set. Pure integer message-passing, exact in both engines with no fp
+    bridge at all. State per round is (node_id, hops), localCheckpoint'ed;
+    at 100 TB each round shuffles frontier-sized messages, not the whole
+    reached set (on this near-complete graph that halves round-3 shuffle
+    volume — the naive union-then-MIN form re-sends every settled node's
+    message every round).
     """
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-        )
-        .distinct()
-    )
-    edges = (
-        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-        .localCheckpoint(eager=True)
-    )
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
     dist = (
         edges.agg(F.min("src").alias("id"))
         .select("id", F.lit(0).cast("bigint").alias("dd"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(BFS_HOPS):
-        relaxed = edges.join(dist, edges["src"] == dist["id"]).select(
-            F.col("dst").alias("id"), (F.col("dd") + 1).alias("dd")
+    frontier = dist.select("id")
+    for r in range(1, BFS_HOPS + 1):
+        reached = (
+            edges.join(frontier, edges["src"] == frontier["id"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
         )
-        dist = (
-            dist.unionAll(relaxed)
-            .groupBy("id")
-            .agg(F.min("dd").alias("dd"))
-            .localCheckpoint(eager=True)
-        )
+        frontier = reached.join(dist, "id", "left_anti").localCheckpoint(eager=True)
+        dist = dist.unionAll(
+            frontier.select("id", F.lit(r).cast("bigint").alias("dd"))
+        ).localCheckpoint(eager=True)
     return dist.select(
         F.when(F.col("id") % 2 == 0, F.lit("customer"))
         .otherwise(F.lit("supplier"))

@@ -1079,7 +1079,14 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
             F.col("b.l").alias("l"),
             F.col("b.r").alias("r"),
             (-F.col("b.nc")).cast("bigint").alias("pc"),
-        ).localCheckpoint(eager=True)
+        # a global agg over EMPTY pairs yields one all-NULL row, where
+        # the oracle's `ORDER BY .. LIMIT 1` over an empty CTE yields
+        # nothing — filter to a 0-or-1-row relation so an exhausted
+        # vocabulary (every word fully merged before BPE_MERGES rounds)
+        # behaves identically on both engines: the cross join below
+        # empties wt and every later round, instead of a bogus NULL
+        # merge row NULLing the whole vocab through F.replace
+        ).filter(F.col("l").isNotNull()).localCheckpoint(eager=True)
         merges.append(best)
         wt = (
             wt.join(F.broadcast(best))

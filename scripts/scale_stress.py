@@ -115,6 +115,9 @@ OPERATORS = [
     "t15_ngram_novelty",
     "g4_copurchase_links",
     "sim15_centroid_outliers",
+    # t16 = t14's learning loop (vocab-table-sized rounds) + one
+    # broadcast-vocab join over the words scan — should scale ~linearly
+    "t16_bpe_apply",
 ]
 
 
@@ -161,15 +164,19 @@ def _build(spark, out_dir: str, replicas: int) -> None:
     )
 
 
-def _build_rel(spark, out_dir: str, replicas: int) -> None:
+def _build_rel(spark, out_dir: str, replicas: int, rebuild: bool = False) -> None:
     """Replicate orders+lineitem as REPLICAS disjoint key-offset copies
     (r4 addition for the g* graph family): every key space shifts by
     replica * (max+1), so the trade graph becomes `replicas` disconnected
     components — node, edge, and per-iteration message volume all scale
     by exactly `replicas`, the honest linear-scale test for iterative
-    graph ops. Written only when absent so existing corpora are reused."""
-    if os.path.exists(os.path.join(out_dir, "orders.parquet")) and os.path.exists(
-        os.path.join(out_dir, "lineitem.parquet")
+    graph ops. Reuses existing corpora unless --rebuild (staleness here
+    would silently time the g* family against a different corpus than
+    the documents/embeddings families)."""
+    if (
+        not rebuild
+        and os.path.exists(os.path.join(out_dir, "orders.parquet"))
+        and os.path.exists(os.path.join(out_dir, "lineitem.parquet"))
     ):
         return
     rep = spark.range(replicas).select(F.col("id").alias("replica"))
@@ -307,8 +314,8 @@ def main() -> None:
         _build(spark, SF1X, 1)
     if "--rebuild" in sys.argv or not _complete(SF10X):
         _build(spark, SF10X, REPLICAS)
-    _build_rel(spark, SF1X, 1)
-    _build_rel(spark, SF10X, REPLICAS)
+    _build_rel(spark, SF1X, 1, rebuild="--rebuild" in sys.argv)
+    _build_rel(spark, SF10X, REPLICAS, rebuild="--rebuild" in sys.argv)
     for d in (SF1X, SF10X):  # warm footers
         load_table(spark, d, "documents").count()
         load_table(spark, d, "embeddings").count()
