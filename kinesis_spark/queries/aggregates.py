@@ -585,3 +585,75 @@ def a14_theta_segment_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         intersect_users.cast("bigint").alias("intersect_users"),
         only_a_users.cast("bigint").alias("only_a_users"),
     )
+
+
+@register(
+    "a15_exact_correlation",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+         SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)))
+           AS sxx,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * n AS DOUBLE) AS DOUBLE) AS covar_pop,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 9) AS corr,
+       ROUND(SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) / CAST(n AS DOUBLE), 9)
+         AS stddev_pop_qty
+FROM s
+""",
+    tags=("aggregate", "moments", "exact"),
+)
+def a15_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group covariance / Pearson correlation / stddev computed from
+    EXACT decimal power sums — the deterministic replacement for Spark's
+    native ``corr``/``covar_pop``/``stddev_pop``, whose one-pass
+    co-moment updates accumulate in doubles and therefore depend on
+    partition order (different cluster layout → different last bits —
+    unacceptable when the number feeds a driver hash or a reproducibility
+    audit). Here every input is a 2-dp decimal, the five power sums
+    (Σx, Σy, Σx², Σy², Σxy) are exact DECIMAL arithmetic — associative,
+    so partial aggregation in ANY order is bit-identical — and each
+    statistic is derived from them with a FIXED short sequence of
+    correctly-rounded double ops (cast, subtract, sqrt, divide), rounded
+    to 9 dp for the cross-engine surface.
+
+    Plan shape: one scan, one partial-agg shuffle carrying 6 fixed-width
+    accumulator columns per group — the same cost as a plain SUM; the
+    moment algebra is per-group scalar work. DECIMAL(38) headroom: Σxy
+    at 100 TB is ~1e12 rows x 1e7 products = 1e19, 19 digits of 38.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov_num = (n * F.col("sxy") - sx * sy).cast("double")
+    var_x = (n * F.col("sxx") - sx * sx).cast("double")
+    var_y = (n * F.col("syy") - sy * sy).cast("double")
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        (cov_num / (n * n).cast("double")).alias("covar_pop"),
+        F.round(cov_num / (F.sqrt(var_x) * F.sqrt(var_y)), 9).alias("corr"),
+        F.round(F.sqrt(var_x) / n.cast("double"), 9).alias("stddev_pop_qty"),
+    )

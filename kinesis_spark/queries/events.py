@@ -1020,3 +1020,108 @@ def e17_abandoned_checkout(spark: SparkSession, sf_dir: str) -> DataFrame:
         has_purchase.alias("has_purchase"),
         (~has_purchase & (errors_between == 0)).alias("abandoned"),
     )
+
+
+@register(
+    "e18_sequence_patterns",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         substr(event_type, 1, 1) AS sym,
+         CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER w)
+                   > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, event_id, sym,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+),
+seqs AS (
+  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+         string_agg(sym, '' ORDER BY ts, event_id) AS seq_str
+  FROM sessions GROUP BY user_id, session_seq
+)
+SELECT user_id, session_seq, seq_str,
+       CAST(length(seq_str) AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(seq_str, 'v[^p]*p')) AS BIGINT)
+         AS n_conversions,
+       regexp_matches(seq_str, 'v[^pe]*p') AS has_clean_conv,
+       CAST(len(regexp_extract_all(seq_str, 'e+')) AS BIGINT) AS n_error_runs
+FROM seqs
+""",
+    tags=("events", "session", "pattern", "cep"),
+)
+def e18_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over sessionized event streams — the
+    MATCH_RECOGNIZE / complex-event-processing face Spark SQL lacks
+    natively, expressed as the scalable idiom: reduce each session to an
+    ordered one-char-per-event symbol string, then run ordinary regexes
+    over it. Patterns: ``v[^p]*p`` counts non-overlapping
+    view-to-purchase conversions (greedy leftmost tokenization — Java
+    and RE2 agree, no alternation/lookaround where they differ);
+    ``v[^pe]*p`` flags a conversion untouched by errors; ``e+`` counts
+    error bursts. Symbols are first letters of the five event types
+    (v/c/p/s/e — distinct by construction).
+
+    Plan shape: e4's gap sessionization (one shuffle on user_id, both
+    window passes and the groupBy reuse that partitioning); the symbol
+    string is assembled by sorting each session's (ts, event_id, sym)
+    structs — session-bounded arrays, never a corpus-wide sort — and
+    every regex is a row-local JVM op on a string whose length is the
+    session's event count. At 100 TB: one equi-shuffle plus map work;
+    pattern changes are free (no new shuffle), which is why the
+    symbol-string reduction is the standard CEP-at-rest encoding.
+
+    Determinism: (ts, event_id) is a total order; struct sort and
+    string_agg ORDER BY produce identical strings; counts are ints and
+    the flag is exact.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    prev_ts = F.lag("ts").over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("sym"),
+        F.when(
+            prev_ts.isNull()
+            | (F.unix_micros("ts") - F.unix_micros(prev_ts) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.withColumn(
+        "session_seq", F.sum("new_session").over(wcum).cast("bigint")
+    )
+    seq_str = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "sym"))),
+            lambda x: x["sym"],
+        ),
+    )
+    seqs = sessions.groupBy("user_id", "session_seq").agg(seq_str.alias("seq_str"))
+    return seqs.select(
+        "user_id",
+        "session_seq",
+        "seq_str",
+        F.length("seq_str").cast("bigint").alias("n_events"),
+        F.regexp_count("seq_str", F.lit(r"v[^p]*p")).cast("bigint").alias(
+            "n_conversions"
+        ),
+        F.col("seq_str").rlike(r"v[^pe]*p").alias("has_clean_conv"),
+        F.regexp_count("seq_str", F.lit("e+")).cast("bigint").alias("n_error_runs"),
+    )

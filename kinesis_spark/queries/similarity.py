@@ -1752,3 +1752,131 @@ if sim15_centroid_outliers.__doc__:  # absent under python -OO
     sim15_centroid_outliers.__doc__ = sim15_centroid_outliers.__doc__.format(
         MULT=OUT_MULT
     )
+
+
+@register(
+    "sim16_mips_norm_augment",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+n2 AS (
+  SELECT vec_id, v, list_inner_product(v, v) AS nn FROM e
+),
+m2 AS (SELECT MAX(nn) AS m FROM n2),
+aug AS (
+  SELECT vec_id, v,
+         list_append(v, SQRT(GREATEST(m2.m - nn, 0))) AS va
+  FROM n2, m2
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         ROUND(list_inner_product(q.v, c.v), 6) AS ip,
+         ROUND(list_inner_product(q.va, c.va)
+               / (SQRT(list_inner_product(q.va, q.va))
+                  * SQRT(list_inner_product(c.va, c.va))), 6) AS cos_aug
+  FROM aug q JOIN aug c ON q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT query_id, match_id, ip,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY ip DESC, match_id) AS BIGINT)
+           AS rank_mips,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_aug DESC, match_id) AS BIGINT)
+           AS rank_aug
+  FROM scored
+)
+SELECT query_id, match_id, ip, rank_mips, rank_aug,
+       rank_mips = rank_aug AS agree
+FROM ranked
+WHERE rank_mips <= {TOP_K}
+""",
+    tags=("similarity", "mips", "reduction"),
+)
+def sim16_mips_norm_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search via the norm-augmentation reduction
+    (Shrivastava & Li's asymmetric-LSH trick, the standard move in
+    recommender retrieval where relevance is a dot product, NOT an
+    angle): append one component sqrt(M^2 - ||x||^2) to every corpus
+    vector (M = max corpus norm) and a 0 to every query — every
+    augmented corpus vector then has norm exactly M, so the augmented
+    COSINE ranking equals the inner-product ranking, and the whole
+    cosine-ANN stack (sim2's sign-LSH, sim6's IVF) becomes a MIPS index
+    with no further change. The query materializes BOTH rankings per
+    query — direct top-{K} by inner product, and the rank the
+    augmented-cosine route assigns the same pair — with an ``agree``
+    flag, so the reduction's exactness is itself driver-verified row by
+    row rather than asserted in prose.
+
+    Plan shape: ||x||^2 and the augmentation are row-local folds; M^2 is
+    a 1-row aggregate broadcast; scoring reuses sim1's broadcast-query
+    brute-force shape (the point is the reduction, not the index — the
+    LSH/IVF variants compose by feeding `va` to sim2/sim6). GREATEST(.,0)
+    guards the max-norm vector's sqrt against a sub-ulp negative.
+
+    Determinism: identical input doubles, both engines' folds agree far
+    below the 6-dp rounding of both ranking keys; ties break on
+    match_id (sim1's contract).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    dot_self = F.aggregate(
+        F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    n2 = e.withColumn("nn", dot_self)
+    m2 = n2.agg(F.max("nn").alias("m"))
+    aug = n2.crossJoin(F.broadcast(m2)).select(
+        "vec_id",
+        "v",
+        F.concat(
+            "v", F.array(F.sqrt(F.greatest(F.col("m") - F.col("nn"), F.lit(0.0))))
+        ).alias("va"),
+    )
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    q = aug.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("va").alias("qa"),
+    )
+    c = aug.select(
+        F.col("vec_id").alias("match_id"),
+        F.col("v").alias("cv"),
+        F.col("va").alias("ca"),
+    )
+    scored = q.join(c, F.col("match_id") != F.col("query_id")).select(
+        "query_id",
+        "match_id",
+        F.round(dot(F.col("qv"), F.col("cv")), 6).alias("ip"),
+        F.round(
+            dot(F.col("qa"), F.col("ca"))
+            / (F.sqrt(dot(F.col("qa"), F.col("qa"))) * F.sqrt(dot(F.col("ca"), F.col("ca")))),
+            6,
+        ).alias("cos_aug"),
+    )
+    w_mips = Window.partitionBy("query_id").orderBy(F.desc("ip"), F.asc("match_id"))
+    w_aug = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_aug"), F.asc("match_id")
+    )
+    return (
+        scored.withColumn("rank_mips", F.row_number().over(w_mips).cast("bigint"))
+        .withColumn("rank_aug", F.row_number().over(w_aug).cast("bigint"))
+        .filter(F.col("rank_mips") <= TOP_K)
+        .select(
+            "query_id",
+            "match_id",
+            "ip",
+            "rank_mips",
+            "rank_aug",
+            (F.col("rank_mips") == F.col("rank_aug")).alias("agree"),
+        )
+    )
+
+
+if sim16_mips_norm_augment.__doc__:  # absent under python -OO
+    sim16_mips_norm_augment.__doc__ = sim16_mips_norm_augment.__doc__.format(K=TOP_K)
