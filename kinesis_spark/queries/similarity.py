@@ -1849,7 +1849,10 @@ def sim16_mips_norm_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("cv"),
         F.col("va").alias("ca"),
     )
-    scored = q.join(c, F.col("match_id") != F.col("query_id")).select(
+    # corpus LEFT, query set broadcast: the nested-loop join must build
+    # on the N_QUERIES-row side — Spark's size estimate at fixture scale
+    # would otherwise happily broadcast the whole corpus
+    scored = c.join(F.broadcast(q), F.col("match_id") != F.col("query_id")).select(
         "query_id",
         "match_id",
         F.round(dot(F.col("qv"), F.col("cv")), 6).alias("ip"),

@@ -89,6 +89,10 @@ OPERATORS = [
     # r3: Lloyd refinement — per-round cost is (corpus x K) map-side
     # argmin + a (K x 64)-cell aggregate; should scale ~linearly
     "sim11_kmeans_refine",
+    # corpus-level boilerplate removal: threshold-bounded gram set; the
+    # replica corpus makes every original doc's grams boilerplate, so the
+    # rewrite pays the 10x hit volume
+    "t13_boilerplate_ngrams",
     # r4: bounded-cluster SemDedup through the HIERARCHICAL two-level
     # quantizer — pair stage linear (cluster size pinned at ~64) and
     # assignment O(n*sqrt(K)) instead of the removed flat O(n*K)

@@ -708,3 +708,67 @@ def test_sim15_stat_relations_broadcast(plan_of):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_e18_single_session_shuffle(plan_of):
+    """CEP symbol strings reuse e4's user_id partitioning: window passes
+    + the per-session aggregate ride ONE hash shuffle on user_id; every
+    regex is row-local (no join, no second shuffle key)."""
+    plan = plan_of("e18_sequence_patterns")
+    assert "hashpartitioning(user_id" in plan
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_a15_moments_are_one_partial_agg(plan_of):
+    """The five power sums ship as fixed-width partial-agg buffers — the
+    exchange carries aggregate state per group, never raw rows; the
+    moment algebra adds no join or second shuffle."""
+    plan = plan_of("a15_exact_correlation")
+    assert "partial_sum" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # one agg shuffle (+AQE read)
+
+
+def test_sim16_broadcasts_queries_not_corpus(spark, sf_dir):
+    """The MIPS scoring join must build on the N_QUERIES-row side: the
+    corpus streams, the query set broadcasts (at fixture scale Spark's
+    size estimate would otherwise broadcast the whole corpus — the exact
+    anti-pattern this audit pins). Every BroadcastExchange subtree must
+    bottom out in either a vec_id-filtered scan (the query set) or the
+    1-row max-norm aggregate."""
+    import contextlib
+    import io
+
+    df = REGISTRY["sim16_mips_norm_augment"].spark_fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()  # simple mode: inline FileScan details per tree line
+    lines = buf.getvalue().splitlines()
+
+    def indent(line: str) -> int:
+        for marker in ("+-", ":-"):
+            if marker in line:
+                return line.index(marker)
+        return len(line) - len(line.lstrip())
+
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        base = indent(line)
+        subtree = []
+        for nxt in lines[i + 1 :]:
+            if nxt.strip() and indent(nxt) <= base:
+                break
+            subtree.append(nxt)
+        # the 1-row max-norm branch scans only `embedding`; any broadcast
+        # scan that READS vec_id must be the query-filtered one — an
+        # unfiltered vec_id scan under a BroadcastExchange is the corpus
+        id_scans = [
+            ln
+            for ln in subtree
+            if "FileScan parquet" in ln and "vec_id" in ln.split("ReadSchema")[-1]
+        ]
+        assert all("LessThan(vec_id" in ln for ln in id_scans), (
+            f"corpus-scale broadcast under: {line.strip()[:80]}"
+        )
