@@ -353,7 +353,7 @@ scored AS (
   GROUP BY a.c, b.c
 )
 SELECT cust_a, cust_b, n_common,
-       ROUND(CAST(sc AS DOUBLE) / {_CN_SCALE}.0, 6) AS ra_score
+       CAST(sc AS DOUBLE) / {_CN_SCALE}.0 AS ra_score
 FROM scored
 ORDER BY sc DESC, cust_a, cust_b
 LIMIT {CN_TOP}
@@ -423,9 +423,13 @@ def g4_copurchase_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_a",
             "cust_b",
             "n_common",
-            F.round(F.col("sc").cast("double") / F.lit(float(_CN_SCALE)), 6).alias(
-                "ra_score"
-            ),
+            # UNROUNDED: sc/1e9 is one correctly-rounded division of an
+            # exact integer — already bit-identical cross-engine. A
+            # cosmetic ROUND(x, 6) would land on an EXACT half-µ tie
+            # whenever sc ≡ 500 (mod 1000) (~1/1000 of rows), where
+            # Spark's BigDecimal HALF_UP and DuckDB's double-math
+            # rounding can disagree (observed live on s16).
+            (F.col("sc").cast("double") / F.lit(float(_CN_SCALE))).alias("ra_score"),
         )
     )
 

@@ -683,3 +683,136 @@ def s15_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 if s15_domain_cap.__doc__:  # absent under python -OO
     s15_domain_cap.__doc__ = s15_domain_cap.__doc__.format(cap=DOMAIN_CAP)
+
+
+DSIR_GRAM = 3  # character n-gram width (t12's hashing-trick family)
+DSIR_BUCKETS = 4096  # feature-hash space
+DSIR_TARGET_LANG = "en"  # the "target distribution" sample
+_DSIR_SCALE = 1_000_000  # 6-dp fixed point for the exact weight sum
+
+_DSIR_BUCKET_SQL = (
+    f"CAST(('0x' || substr(md5(substring(text, CAST(i AS INT), {DSIR_GRAM})), 1, 15))"
+    f" AS BIGINT) % {DSIR_BUCKETS}"
+)
+
+
+@register(
+    "s16_dsir_reweight",
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS b
+  FROM documents, UNNEST(range(1, LENGTH(text) - {DSIR_GRAM - 2})) AS r(i)
+  WHERE LENGTH(text) >= {DSIR_GRAM}
+),
+stats AS (
+  SELECT b,
+         COUNT(*) AS cc,
+         SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS ct
+  FROM grams GROUP BY b
+),
+tot AS (
+  SELECT SUM(cc) AS nc, SUM(ct) AS nt FROM stats
+),
+w AS (
+  SELECT b,
+         FLOOR(CAST(ct * nc AS DOUBLE) / CAST(cc * nt AS DOUBLE)
+               * {_DSIR_SCALE}.0) AS wq
+  FROM stats, tot
+)
+SELECT g.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CAST(w.wq AS DECIMAL(38,0))) AS DOUBLE)
+         / {_DSIR_SCALE}.0 / COUNT(*) AS dsir_score,
+       CAST(SUM(CAST(w.wq AS DECIMAL(38,0))) AS DOUBLE)
+         / {_DSIR_SCALE}.0 / COUNT(*) > 1.0 AS upweight
+FROM grams g JOIN w USING (b)
+GROUP BY g.doc_id
+""",
+    tags=("setop", "sampling", "mixing", "dsir"),
+)
+def s16_dsir_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance reweighting (Xie et al., "Data Selection
+    for Language Models via Importance Resampling") — the data-mixing
+    stage that upweights raw-corpus documents resembling a target
+    distribution without training a classifier: character {n}-grams
+    hash into {B} buckets (t12's vocabulary-free hashing-trick family);
+    each bucket's weight is the target/corpus likelihood ratio
+    (ct/Nt)/(cc/Nc) — computed as one division of exact integer
+    products — and a document's score is its mean gram weight. Score >1
+    means "looks more like the target than the average document"; the
+    published method samples with these weights (s12's A-Res machinery
+    composes directly), the simplification here is ratio-of-counts in
+    place of smoothed log-likelihoods (libm-free, oracle-exact; the
+    plan shape is identical).
+
+    Plan shape: gram extraction is row-local; bucket stats are ONE
+    partial-agg shuffle of (bucket, two counters) — at most {B} groups;
+    the weight relation is {B} rows broadcast back onto the gram
+    stream; the per-doc mean is a second linear shuffle on doc_id
+    through the exact DECIMAL fixed-point bridge. The score ships
+    UNROUNDED: it is already bit-identical cross-engine (exact integer
+    sum, two correctly-rounded divisions), and a cosmetic ROUND(x, 6)
+    would REINTRODUCE nondeterminism — sum/n lands exactly on a half-µ
+    tie for ~1/2n of documents, where Spark's BigDecimal HALF_UP and
+    DuckDB's double-math rounding disagree (observed at sf0.01). Nothing scales with
+    anything but the corpus; the weight table is fixed-size by
+    construction — the same property that makes DSIR runnable at
+    100 TB while classifier-filtering needs inference over every row.
+
+    Target sample = lang='{T}' documents (a fixture stand-in for "a
+    Wikipedia-quality seed corpus").
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= DSIR_GRAM
+    )
+    grams = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - (DSIR_GRAM - 1)),
+                lambda i: F.conv(
+                    F.substring(F.md5(F.substring("text", i, F.lit(DSIR_GRAM))), 1, 15),
+                    16,
+                    10,
+                )
+                .cast("bigint")
+                % DSIR_BUCKETS,
+            )
+        ).alias("b"),
+    )
+    stats = grams.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cc"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("ct"),
+    )
+    tot = stats.agg(F.sum("cc").alias("nc"), F.sum("ct").alias("nt"))
+    w = stats.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.floor(
+            (F.col("ct") * F.col("nc")).cast("double")
+            / (F.col("cc") * F.col("nt")).cast("double")
+            * F.lit(float(_DSIR_SCALE))
+        ).alias("wq"),
+    )
+    score = (
+        F.sum(F.col("wq").cast("decimal(38,0)")).cast("double")
+        / F.lit(float(_DSIR_SCALE))
+        / F.count(F.lit(1))
+    )
+    return (
+        grams.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            score.alias("dsir_score"),
+            (score > 1.0).alias("upweight"),
+        )
+    )
+
+
+if s16_dsir_reweight.__doc__:  # absent under python -OO
+    s16_dsir_reweight.__doc__ = s16_dsir_reweight.__doc__.format(
+        n=DSIR_GRAM, B=DSIR_BUCKETS, T=DSIR_TARGET_LANG
+    )

@@ -663,8 +663,8 @@ terms AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_bigrams,
-       ROUND(CAST(SUM(term) AS DOUBLE), 6) AS sum_logprob,
-       ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+       CAST(SUM(term) AS DOUBLE) AS sum_logprob,
+       CAST(SUM(term) AS DOUBLE) / COUNT(*) AS avg_logprob
 FROM terms
 GROUP BY doc_id
 """,
@@ -727,8 +727,12 @@ def t11_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.sum("term").cast("double"), 6).alias("sum_logprob"),
-        F.round(F.sum("term").cast("double") / F.count(F.lit(1)), 6).alias(
+        # UNROUNDED (g4/s16's tie lesson): the decimal sum's double image
+        # and its /count quotient are already bit-identical cross-engine;
+        # ROUND(sum/count, 6) would hit an exact half-µ tie for ~1/2n of
+        # documents, where the two engines' rounding procedures diverge.
+        F.sum("term").cast("double").alias("sum_logprob"),
+        (F.sum("term").cast("double") / F.count(F.lit(1))).alias(
             "avg_logprob"
         ),
     )
