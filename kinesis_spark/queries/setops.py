@@ -790,9 +790,12 @@ def s16_dsir_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = stats.agg(F.sum("cc").alias("nc"), F.sum("ct").alias("nt"))
     w = stats.crossJoin(F.broadcast(tot)).select(
         "b",
+        # products go through DECIMAL(38,0): long*long overflows past
+        # ~3e9 grams (DuckDB auto-promotes BIGINT*BIGINT to HUGEINT, so
+        # the oracle is safe either way; fixture values are identical)
         F.floor(
-            (F.col("ct") * F.col("nc")).cast("double")
-            / (F.col("cc") * F.col("nt")).cast("double")
+            (F.col("ct").cast("decimal(38,0)") * F.col("nc")).cast("double")
+            / (F.col("cc").cast("decimal(38,0)") * F.col("nt")).cast("double")
             * F.lit(float(_DSIR_SCALE))
         ).alias("wq"),
     )
