@@ -653,7 +653,9 @@ def a15_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag",
         n.cast("bigint").alias("n"),
-        (cov_num / (n * n).cast("double")).alias("covar_pop"),
+        # n*n through DECIMAL: long*long overflows past n ~ 3e9 rows
+        # (DuckDB's BIGINT product auto-promotes to HUGEINT)
+        (cov_num / (n.cast("decimal(38,0)") * n).cast("double")).alias("covar_pop"),
         F.round(cov_num / (F.sqrt(var_x) * F.sqrt(var_y)), 9).alias("corr"),
         F.round(F.sqrt(var_x) / n.cast("double"), 9).alias("stddev_pop_qty"),
     )
