@@ -18,9 +18,10 @@ IEEE division (correctly rounded, identical bits in both engines); the
 order-sensitive SUM over contributions goes through the file-standard
 exact bridge — FLOOR(x * 2^0-free 1e9) as DECIMAL(38,0), summed exactly,
 one double division back (see queries/__init__.py determinism rules).
-The damping update 0.15/N + 0.85*s is the same literal double ops both
-sides. Ranks are therefore bit-identical every iteration; the output
-rounds to 6 dp only for display.
+The damping update (1-d)/N + d*s uses the same interpolated double
+constants on both sides (PR_TELEPORT's repr rides into the oracle).
+Ranks are therefore bit-identical every iteration; the output rounds
+to 6 dp only for display.
 """
 
 from __future__ import annotations
