@@ -745,11 +745,16 @@ def s16_dsir_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     place of smoothed log-likelihoods (libm-free, oracle-exact; the
     plan shape is identical).
 
-    Plan shape: gram extraction is row-local; bucket stats are ONE
-    partial-agg shuffle of (bucket, two counters) — at most {B} groups;
-    the weight relation is {B} rows broadcast back onto the gram
-    stream; the per-doc mean is a second linear shuffle on doc_id
-    through the exact DECIMAL fixed-point bridge. The score ships
+    Plan shape: every gram is hashed ONCE into a materialized
+    (doc_id, int-array) relation (~4 B/gram — the md5 transform is the
+    query's dominant cost; hashing once instead of once per pass
+    measured 7.4 s -> 3.9 s at sf0.1; at 100 TB swap the checkpoint
+    for persist(DISK_ONLY) or recompute, and md5 for xxhash64 — same
+    plan). Bucket stats are ONE partial-agg shuffle of (bucket, two
+    counters) — at most {B} groups; the weights collapse to a dense
+    {B}-slot array broadcast onto the bucket relation, and the per-doc
+    score is a MAP-ONLY fold through O(1) array indexing — no second
+    shuffle at all. The score ships
     UNROUNDED: it is already bit-identical cross-engine (exact integer
     sum, two correctly-rounded divisions), and a cosmetic ROUND(x, 6)
     would REINTRODUCE nondeterminism — sum/n lands exactly on a half-µ
