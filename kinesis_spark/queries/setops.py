@@ -808,15 +808,14 @@ def s16_dsir_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wq"),
     )
     # scoring pass is MAP-ONLY: the weights collapse to one DENSE
-    # {B}-slot array row (position j+1 = bucket j; densified ONCE at
+    # 4096-slot array row (position j+1 = bucket j; densified ONCE at
     # build time through a map — Spark map element_at is a linear scan,
     # fine for a single 4096-wide row, ruinous per gram), broadcast
-    # onto the documents scan; each doc folds its gram buckets through
-    # O(1) array indexing — no second explode, no 10M-row join.
-    # Buckets ride a Generate barrier so the md5 transform runs once
-    # per document (size() and the fold both reference it; HOF lambdas
-    # get no CSE — dedup._tokens_barrier's pitfall). Summing exact
-    # integer wq in any order = the oracle's SUM(DECIMAL) bit-for-bit.
+    # onto the checkpointed bucket relation; each doc folds its gram
+    # buckets through O(1) array indexing — no second explode, no
+    # 10M-row join, and no re-hash (bk is materialized above). Summing
+    # exact integer wq in any order = the oracle's SUM(DECIMAL)
+    # bit-for-bit.
     warr = w.agg(
         F.map_from_entries(F.collect_list(F.struct("b", "wq"))).alias("wmap")
     ).select(
