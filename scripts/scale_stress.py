@@ -122,6 +122,14 @@ OPERATORS = [
     # t16 = t14's learning loop (vocab-table-sized rounds) + one
     # broadcast-vocab join over the words scan — should scale ~linearly
     "t16_bpe_apply",
+    # a15's moment algebra is one partial-agg shuffle over the replicated
+    # lineitem (6 fixed-width accumulators/group); sim16 is the
+    # brute-force MIPS baseline (fixed query set x corpus folds —
+    # linear); s16's two passes share one materialized gram-hash
+    # relation with a fixed 4096-slot weight broadcast
+    "a15_exact_correlation",
+    "sim16_mips_norm_augment",
+    "s16_dsir_reweight",
 ]
 
 
