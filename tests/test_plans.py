@@ -772,3 +772,23 @@ def test_sim16_broadcasts_queries_not_corpus(spark, sf_dir):
         assert all("LessThan(vec_id" in ln for ln in id_scans), (
             f"corpus-scale broadcast under: {line.strip()[:80]}"
         )
+
+
+def test_s16_scoring_is_map_only(spark, sf_dir):
+    """DSIR's per-document scoring never shuffles: the gram hashes are
+    read from the one materialized relation, the weight row broadcasts,
+    and the fold + divisions are a pure Project — no doc_id exchange
+    anywhere (the naive explode+join+groupBy form would add a 10M-row
+    shuffle). Bucket stats keep their map-side partial aggregation."""
+    import contextlib
+    import io
+
+    df = REGISTRY["s16_dsir_reweight"].spark_fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    plan = buf.getvalue()
+    assert "Scan ExistingRDD" in plan  # the single gram-hash materialization
+    assert "hashpartitioning(doc_id" not in plan  # scoring adds no shuffle
+    assert "partial_count" in plan  # stats combine map-side
+    assert "CartesianProduct" not in plan
