@@ -446,3 +446,87 @@ def p4_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_docs") * cap)
         ).alias("waste_rate"),
     )
+
+
+CUR_PHASES = 4  # curriculum phases (quality quartiles)
+
+
+def _p5_oracle() -> str:
+    # reuse t2's registered oracle verbatim as the scoring CTE — ONE
+    # definition of the quality score. pipelines imports before
+    # textstats in load_all's alphabetical order, so force t2's
+    # registration here (module import is idempotent; textstats does
+    # not import pipelines, so no cycle)
+    from kinesis_spark.queries import REGISTRY, textstats  # noqa: F401
+
+    t2_sql = REGISTRY["t2_quality_score"].oracle
+    return f"""
+WITH scored AS ({t2_sql}),
+thr AS (
+  SELECT quantile_cont(quality_score, 0.25) AS q1,
+         quantile_cont(quality_score, 0.50) AS q2,
+         quantile_cont(quality_score, 0.75) AS q3
+  FROM scored
+)
+SELECT s.doc_id, s.quality_score,
+       CAST(1 + CASE WHEN s.quality_score > t.q1 THEN 1 ELSE 0 END
+              + CASE WHEN s.quality_score > t.q2 THEN 1 ELSE 0 END
+              + CASE WHEN s.quality_score > t.q3 THEN 1 ELSE 0 END
+            AS BIGINT) AS phase
+FROM scored s, thr t
+"""
+
+
+@register(
+    "p5_curriculum_phases",
+    oracle=_p5_oracle(),
+    tags=("pipeline", "curriculum", "training"),
+)
+def p5_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum phase assignment — the data-ordering stage of a
+    curriculum-learning training run: documents split into {P} quality
+    quartiles (t2's heuristic score, ONE shared definition), phase 1 =
+    lowest quartile ... phase {P} = highest, so the loader can feed
+    easy-to-hard (or the reverse) without a global sort of the corpus.
+
+    The scalable shape: phase boundaries are THREE exact interpolated
+    percentiles (a7's cross-engine-verified ``percentile`` /
+    ``quantile_cont`` bridge) computed in one aggregate and broadcast
+    back as a 1-row relation; assignment is a map-only threshold
+    compare. The naive alternative — ``ntile({P})`` over a global
+    ORDER BY — funnels 100 TB through one partition's sort; this form
+    never materializes any order (documents on a boundary value all
+    land in the lower phase — deterministic, and at corpus scale the
+    quantile threshold IS the contract, not row-number parity).
+
+    Determinism: quality_score is exact-ratio double arithmetic (t2),
+    percentile interpolation is bit-identical in both engines (a7),
+    and the strict > compares are on identical doubles.
+    """
+    from kinesis_spark.queries.textstats import t2_quality_score
+
+    scored = t2_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    thr = scored.agg(
+        F.expr(
+            "percentile(quality_score, array(0.25, 0.5, 0.75))"
+        ).alias("qs")
+    ).select(
+        F.col("qs")[0].alias("q1"),
+        F.col("qs")[1].alias("q2"),
+        F.col("qs")[2].alias("q3"),
+    )
+    phase = (
+        F.lit(1)
+        + F.when(F.col("quality_score") > F.col("q1"), 1).otherwise(0)
+        + F.when(F.col("quality_score") > F.col("q2"), 1).otherwise(0)
+        + F.when(F.col("quality_score") > F.col("q3"), 1).otherwise(0)
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "quality_score",
+        phase.cast("bigint").alias("phase"),
+    )
+
+
+if p5_curriculum_phases.__doc__:  # absent under python -OO
+    p5_curriculum_phases.__doc__ = p5_curriculum_phases.__doc__.format(P=CUR_PHASES)
