@@ -606,7 +606,8 @@ WITH s AS (
 SELECT l_returnflag,
        CAST(n AS BIGINT) AS n,
        CAST(CAST(n * sxy - sx * sy AS DOUBLE)
-            / CAST(n * n AS DOUBLE) AS DOUBLE) AS covar_pop,
+            / CAST(CAST(n AS DECIMAL(38,0)) * n AS DOUBLE) AS DOUBLE)
+         AS covar_pop,
        ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
              / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
                 * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 9) AS corr,
@@ -653,8 +654,10 @@ def a15_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag",
         n.cast("bigint").alias("n"),
-        # n*n through DECIMAL: long*long overflows past n ~ 3e9 rows
-        # (DuckDB's BIGINT product auto-promotes to HUGEINT)
+        # n*n through DECIMAL on BOTH engines: Spark long*long silently
+        # wraps past n ~ 3e9 rows/group, and DuckDB BIGINT*BIGINT does
+        # not promote — it errors loudly; the decimal cast keeps the
+        # product exact and the two engines identical
         (cov_num / (n.cast("decimal(38,0)") * n).cast("double")).alias("covar_pop"),
         F.round(cov_num / (F.sqrt(var_x) * F.sqrt(var_y)), 9).alias("corr"),
         F.round(F.sqrt(var_x) / n.cast("double"), 9).alias("stddev_pop_qty"),

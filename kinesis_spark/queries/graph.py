@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kinesis_spark.io import load_table
 from kinesis_spark.queries import register
@@ -396,8 +397,6 @@ def g4_copurchase_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    from pyspark.sql.window import Window
-
     deg = pairs.groupBy("s").agg(F.count("*").alias("d"))
     capped = (
         pairs.withColumn(

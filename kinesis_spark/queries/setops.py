@@ -798,12 +798,20 @@ def s16_dsir_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = stats.agg(F.sum("cc").alias("nc"), F.sum("ct").alias("nt"))
     w = stats.crossJoin(F.broadcast(tot)).select(
         "b",
-        # products go through DECIMAL(38,0): long*long overflows past
-        # ~3e9 grams (DuckDB auto-promotes BIGINT*BIGINT to HUGEINT, so
-        # the oracle is safe either way; fixture values are identical)
+        # products go through DECIMAL(38,0): Spark long*long silently
+        # wraps past ~3e9 grams. The oracle is safe for a different
+        # reason: its ct/nt are SUM() results, which DuckDB types as
+        # HUGEINT (BIGINT*BIGINT does NOT auto-promote — it errors
+        # loudly on overflow), so every oracle product has a HUGEINT
+        # operand. Fixture values are identical either way.
+        # try_divide: nt=0 (zero target-language grams in the whole
+        # corpus) must yield NULL like the oracle's division — ANSI
+        # mode would otherwise raise DIVIDE_BY_ZERO
         F.floor(
-            (F.col("ct").cast("decimal(38,0)") * F.col("nc")).cast("double")
-            / (F.col("cc").cast("decimal(38,0)") * F.col("nt")).cast("double")
+            F.try_divide(
+                (F.col("ct").cast("decimal(38,0)") * F.col("nc")).cast("double"),
+                (F.col("cc").cast("decimal(38,0)") * F.col("nt")).cast("double"),
+            )
             * F.lit(float(_DSIR_SCALE))
         ).alias("wq"),
     )
@@ -816,12 +824,17 @@ def s16_dsir_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 10M-row join, and no re-hash (bk is materialized above). Summing
     # exact integer wq in any order = the oracle's SUM(DECIMAL)
     # bit-for-bit.
+    # NO coalesce: a document only folds over buckets that exist in
+    # stats (they came from the same corpus), so absent-bucket slots
+    # are never read — and a NULL wq (nt=0: zero target-language grams
+    # in the whole corpus) must PROPAGATE to a NULL score exactly as
+    # the oracle's NULL division does, not silently become 0.0
     warr = w.agg(
         F.map_from_entries(F.collect_list(F.struct("b", "wq"))).alias("wmap")
     ).select(
         F.transform(
             F.sequence(F.lit(0), F.lit(DSIR_BUCKETS - 1)),
-            lambda j: F.coalesce(F.element_at("wmap", j), F.lit(0.0)),
+            lambda j: F.element_at("wmap", j),
         ).alias("warr")
     )
     barrier = bk.crossJoin(F.broadcast(warr)).select("doc_id", "warr", "bks")

@@ -1769,13 +1769,14 @@ aug AS (
          list_append(v, SQRT(GREATEST(m2.m - nn, 0))) AS va
   FROM n2, m2
 ),
+augn AS (
+  SELECT vec_id, v, va, SQRT(list_inner_product(va, va)) AS an FROM aug
+),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS match_id,
          ROUND(list_inner_product(q.v, c.v), 6) AS ip,
-         ROUND(list_inner_product(q.va, c.va)
-               / (SQRT(list_inner_product(q.va, q.va))
-                  * SQRT(list_inner_product(c.va, c.va))), 6) AS cos_aug
-  FROM aug q JOIN aug c ON q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id
+         ROUND(list_inner_product(q.va, c.va) / (q.an * c.an), 6) AS cos_aug
+  FROM augn q JOIN augn c ON q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id
 ),
 ranked AS (
   SELECT query_id, match_id, ip,
@@ -1827,6 +1828,11 @@ def sim16_mips_norm_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n2 = e.withColumn("nn", dot_self)
     m2 = n2.agg(F.max("nn").alias("m"))
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
     aug = n2.crossJoin(F.broadcast(m2)).select(
         "vec_id",
         "v",
@@ -1834,20 +1840,22 @@ def sim16_mips_norm_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v", F.array(F.sqrt(F.greatest(F.col("m") - F.col("nn"), F.lit(0.0))))
         ).alias("va"),
     )
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
-
-    q = aug.filter(F.col("vec_id") < N_QUERIES).select(
+    # augmented self-norms are per-VECTOR constants: compute each once
+    # below the join (same sequential fold -> bit-identical doubles)
+    # instead of re-folding both sides inside every (query, corpus)
+    # pair — the pair stage's dominant cost drops from 3 O(d) folds to 1
+    augn = aug.withColumn("an", F.sqrt(dot(F.col("va"), F.col("va"))))
+    q = augn.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("va").alias("qa"),
+        F.col("an").alias("qn"),
     )
-    c = aug.select(
+    c = augn.select(
         F.col("vec_id").alias("match_id"),
         F.col("v").alias("cv"),
         F.col("va").alias("ca"),
+        F.col("an").alias("cn"),
     )
     # corpus LEFT, query set broadcast: the nested-loop join must build
     # on the N_QUERIES-row side — Spark's size estimate at fixture scale
@@ -1857,9 +1865,7 @@ def sim16_mips_norm_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "match_id",
         F.round(dot(F.col("qv"), F.col("cv")), 6).alias("ip"),
         F.round(
-            dot(F.col("qa"), F.col("ca"))
-            / (F.sqrt(dot(F.col("qa"), F.col("qa"))) * F.sqrt(dot(F.col("ca"), F.col("ca")))),
-            6,
+            dot(F.col("qa"), F.col("ca")) / (F.col("qn") * F.col("cn")), 6
         ).alias("cos_aug"),
     )
     w_mips = Window.partitionBy("query_id").orderBy(F.desc("ip"), F.asc("match_id"))
