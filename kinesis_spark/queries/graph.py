@@ -138,10 +138,15 @@ def g1_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     edges = _trade_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    # one materialization of the (src, dst, d) relation for all rounds
+    # one materialization of the (src, dst, d) relation for all rounds,
+    # PRE-PARTITIONED on src: every iteration's edges⋈ranks then reuses
+    # this side's layout and shuffles only the (node, rank) relation —
+    # measured 7.3 s -> 4.3 s at sf0.1 (the classic Pregel layout: park
+    # the big static relation, move the small mutable one)
     ed = (
         edges.join(deg, "src")
         .select("src", "dst", "d")
+        .repartition(spark.sparkContext.defaultParallelism, "src")
         .localCheckpoint(eager=True)
     )
     nodes = ed.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
@@ -242,7 +247,13 @@ def g2_bfs_supply_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume — the naive union-then-MIN form re-sends every settled node's
     message every round).
     """
-    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    # pre-partitioned on src for the same reason as g1: each round's
+    # frontier relaxation reuses the parked edge layout
+    edges = (
+        _trade_edges(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "src")
+        .localCheckpoint(eager=True)
+    )
     dist = (
         edges.agg(F.min("src").alias("id"))
         .select("id", F.lit(0).cast("bigint").alias("dd"))
