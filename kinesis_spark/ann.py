@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kinesis_spark.checkpoints import pin
 from kinesis_spark.queries.similarity import ivf_assign, ivf_codebook
 
 
@@ -136,7 +137,7 @@ def append_to_ivf_index(
         _cells_of(e, cent, metadata_cols)
         # materialize once: count + write would otherwise each run the
         # full assignment join
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     n = batch.count()
     parts = ["cell"] + (
@@ -193,7 +194,7 @@ def query_ivf_index(
         # materialize once: the probes plan (queries x codebook crossJoin
         # + window) feeds BOTH the probe-cell collect and the candidate
         # join below — query-set-scale, cheap to pin
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     # the probed-cell filter must be a literal IN list so it prunes
     # partitions at file listing; a join would read every cell directory

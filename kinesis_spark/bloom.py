@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kinesis_spark.checkpoints import pin_lazy
+
 DEFAULT_M_BITS = 1 << 16  # 1024 x 64-bit words = 8 KiB bitmap
 DEFAULT_K = 4  # hash functions per key
 
@@ -80,14 +82,12 @@ def probe_bloom(
     column types (maps) are supported."""
     out_cols = df.columns
     uid = "__probe_uid"
-    # lazy localCheckpoint: the uid column is referenced by BOTH join
+    # lazy pin (pin_lazy): the uid column is referenced by BOTH join
     # branches, and monotonically_increasing_id must not be re-evaluated
     # per branch — the checkpoint pins one assignment (materialization is
     # batch-scale by this function's contract; fact tables use
     # probe_bloom_dense, which never shuffles or forks)
-    with_uid = df.withColumn(uid, F.monotonically_increasing_id()).localCheckpoint(
-        eager=False
-    )
+    with_uid = df.withColumn(uid, F.monotonically_increasing_id()).transform(pin_lazy)
     verdict = (
         with_uid.select(
             uid, F.explode(bloom_probes(F.col(key), m_bits, k)).alias("p")

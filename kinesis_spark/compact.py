@@ -16,6 +16,8 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 
+from kinesis_spark.checkpoints import pin
+
 
 def dataset_bytes(spark: SparkSession, df: DataFrame) -> int:
     """Total on-disk bytes of the files backing ``df``, from the Hadoop
@@ -81,7 +83,7 @@ def compact_dataset(
     In-place compaction (``out_dir == in_dir`` — the canonical
     maintenance use) materializes the shaped data first: Spark refuses
     to overwrite a path it is still reading from, so the rewrite goes
-    through a ``localCheckpoint`` (the upsert/rollup pattern) before
+    through a ``checkpoints.pin`` (the upsert/rollup pattern) before
     the overwrite.
     """
     import os
@@ -97,6 +99,6 @@ def compact_dataset(
         n_files = min(n_files, df.rdd.getNumPartitions())
         shaped = df.coalesce(n_files)
     if os.path.abspath(out_dir) == os.path.abspath(in_dir):
-        shaped = shaped.localCheckpoint(eager=True)
+        shaped = shaped.transform(pin)
     shaped.write.mode("overwrite").parquet(out_dir)
     return n_files

@@ -42,6 +42,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from kinesis_spark.checkpoints import pin
 from kinesis_spark.partitioned_store import (
     dynamic_partition_overwrite,
     touched_partition_filter,
@@ -93,7 +94,7 @@ def erase_by_key(
     req = request.select(F.col(key).alias("_erase_key")).distinct()
     # the request is user-supplied and small; pin it once for the two
     # joins below (locate + rewrite)
-    req = req.localCheckpoint(eager=True)
+    req = req.transform(pin)
 
     tgt = spark.read.parquet(target_dir)  # missing store raises here
     located = (
@@ -117,7 +118,7 @@ def erase_by_key(
         .filter(touched)
         .join(req, F.col(key).eqNullSafe(F.col("_erase_key")), "left_anti")
         # materialize before overwriting the directories just read
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     remaining_counts = {
         r[partition_col]: r["n"]

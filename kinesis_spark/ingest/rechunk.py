@@ -12,7 +12,7 @@ faithful semantics = rejoin the byte stream per micro-batch, then chunk.
 :func:`unframed_rechunk` is that operator, built as a distributed
 re-framing rather than a driver-side concat:
 
-1. Range-repartition rows by the order column and ``localCheckpoint`` the
+1. Range-repartition rows by the order column and ``checkpoints.pin`` the
    micro-batch (pins partition ids so the two consumers below agree; a
    micro-batch is bounded, so materializing it is bounded too).
 2. Two-level prefix sum for each row's global byte offset: per-partition
@@ -44,6 +44,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from kinesis_spark.checkpoints import pin
 
 
 def unframed_rechunk(
@@ -79,7 +81,7 @@ def unframed_rechunk(
     parted = (
         parted.withColumn("__len", F.length("__data").cast("bigint"))
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+        .transform(pin)
     )
 
     # Per-partition byte totals -> exclusive prefix = each partition's base

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kinesis_spark.checkpoints import pin
 from kinesis_spark.io import ensure_min_partitions, load_table
 from kinesis_spark.queries import register
 
@@ -579,7 +580,8 @@ def d9_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     every member of a component, a cross-check that labels converged).
     """
     pairs = d3_minhash_lsh_pairs(spark, sf_dir)
-    # localCheckpoint (eager): materializes AND truncates lineage, so
+    # pin (eager; reliable checkpoint under a checkpoint dir, else
+    # localCheckpoint): materializes AND truncates lineage, so
     # iteration N's plan doesn't replay iterations 0..N-1 (lineage growth
     # is the classic iterative-DataFrame trap)
     edges = (
@@ -587,12 +589,12 @@ def d9_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
         )
         .withColumnsRenamed({"doc_a": "src", "doc_b": "dst"})
-        .localCheckpoint()
+        .transform(pin)
     )
     vertices = _tokens_barrier(
         load_table(spark, sf_dir, "documents"), min_words=3
     ).select("doc_id")
-    labels = vertices.withColumn("component", F.col("doc_id")).localCheckpoint()
+    labels = vertices.withColumn("component", F.col("doc_id")).transform(pin)
     for _ in range(MAX_CC_ITERS):
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -610,7 +612,7 @@ def d9_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("component"), F.coalesce("n_min", F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint()
+            .transform(pin)
         )
         changed = stepped.filter(F.col("component") != F.col("prev")).count()
         labels = stepped.drop("prev")

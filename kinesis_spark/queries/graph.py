@@ -4,13 +4,15 @@ components (d9) — the other classic iterative message-passing shape.
 
 Scale design (the d9/sim11 iterative discipline):
 - The edge list is derived from one orders⋈lineitem equi-join and
-  localCheckpoint'ed ONCE; every iteration replays nothing upstream.
+  pinned ONCE (checkpoints.pin: reliable checkpoint when a checkpoint
+  dir is configured — survives executor loss — else localCheckpoint);
+  every iteration replays nothing upstream.
 - One iteration = one shuffle: edges join ranks on src (both sides
   partitioned by node id), partial-agg sum of contributions on dst.
   Nothing corpus-sized broadcasts or collects; the only driver-side
   scalar is the node count N.
 - Rank state per iteration is (node_id, rank) — 16 B per node — and is
-  localCheckpoint'ed so the final plan is one join deep regardless of
+  pinned so the final plan is one join deep regardless of
   iteration count.
 
 Cross-engine determinism: per-edge contribution rank/outdeg is a single
@@ -30,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kinesis_spark.checkpoints import pin
 from kinesis_spark.io import load_table
 from kinesis_spark.queries import register
 
@@ -123,7 +126,7 @@ def g1_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Node ids namespace the two key spaces as 2*custkey / 2*suppkey+1.
     Output: every node with its type, original key, and 6-dp rank.
 
-    Iterative shape: edge list + outdegrees localCheckpoint once; each
+    Iterative shape: edge list + outdegrees pin once; each
     round is edges⋈ranks on src (one shuffle, partial-agg combine on
     dst) and a left join back onto the node set for the damping floor.
     The per-dst contribution sum runs through the exact DECIMAL(38,0)
@@ -147,9 +150,9 @@ def g1_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.join(deg, "src")
         .select("src", "dst", "d")
         .repartition(spark.sparkContext.defaultParallelism, "src")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
-    nodes = ed.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+    nodes = ed.select(F.col("src").alias("id")).distinct().transform(pin)
     n = nodes.count()
     ranks = nodes.select("id", F.lit(1.0 / n).alias("r"))
     for _ in range(PR_ITERS):
@@ -177,7 +180,7 @@ def g1_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias("r"),
             )
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
     return ranks.select(
         F.when(F.col("id") % 2 == 0, F.lit("customer"))
@@ -235,13 +238,13 @@ def g2_bfs_supply_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     count; unreached nodes are absent (frontier semantics, not a dense
     distance table).
 
-    Iterative shape: the edge list localCheckpoints once; each round
+    Iterative shape: the edge list is pinned once; each round
     relaxes ONLY the previous round's frontier (edges⋈frontier
     equi-join, +1), anti-joins away nodes already reached, and appends
     the genuinely-new nodes to the distance set — first-touch order IS
     the hop distance, so no MIN re-aggregation over the full reached
     set. Pure integer message-passing, exact in both engines with no fp
-    bridge at all. State per round is (node_id, hops), localCheckpoint'ed;
+    bridge at all. State per round is (node_id, hops), pinned;
     at 100 TB each round shuffles frontier-sized messages, not the whole
     reached set (on this near-complete graph that halves round-3 shuffle
     volume — the naive union-then-MIN form re-sends every settled node's
@@ -252,12 +255,12 @@ def g2_bfs_supply_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         _trade_edges(spark, sf_dir)
         .repartition(spark.sparkContext.defaultParallelism, "src")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     dist = (
         edges.agg(F.min("src").alias("id"))
         .select("id", F.lit(0).cast("bigint").alias("dd"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     frontier = dist.select("id")
     for r in range(1, BFS_HOPS + 1):
@@ -266,10 +269,10 @@ def g2_bfs_supply_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("id"))
             .distinct()
         )
-        frontier = reached.join(dist, "id", "left_anti").localCheckpoint(eager=True)
+        frontier = reached.join(dist, "id", "left_anti").transform(pin)
         dist = dist.unionAll(
             frontier.select("id", F.lit(r).cast("bigint").alias("dd"))
-        ).localCheckpoint(eager=True)
+        ).transform(pin)
     return dist.select(
         F.when(F.col("id") % 2 == 0, F.lit("customer"))
         .otherwise(F.lit("supplier"))
@@ -324,7 +327,7 @@ def g3_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         d3_minhash_lsh_pairs(spark, sf_dir)
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = e.select(F.col("a").alias("y2"), F.col("b").alias("z"))

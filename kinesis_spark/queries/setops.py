@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kinesis_spark.checkpoints import pin
 from kinesis_spark.io import load_table
 from kinesis_spark.queries import register
 from kinesis_spark.shards import hash_bucket, hash_u32
@@ -602,7 +603,7 @@ def s14_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     below d9's token gate are their own singleton groups.
 
     Scale shape: inherits d9's shape (banded equi-join, no all-pairs;
-    per-iteration localCheckpoint); the split assignment itself adds one
+    per-iteration pin); the split assignment itself adds one
     row-local md5 — no extra shuffle beyond d9's. The oracle replays the
     whole composition (recursive reachability CTE + the same md5 bucket
     arithmetic) bit-for-bit.
@@ -785,9 +786,7 @@ def s16_dsir_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~4 B/gram, 100x smaller than re-running substring+md5+conv per
     # pass (the md5 transform dominates the query; measured 7.2 s ->
     # 3.9 s at sf0.1)
-    bk = d.select("doc_id", "lang", buckets.alias("bks")).localCheckpoint(
-        eager=True
-    )
+    bk = d.select("doc_id", "lang", buckets.alias("bks")).transform(pin)
     grams = bk.select("doc_id", "lang", F.explode("bks").alias("b"))
     stats = grams.groupBy("b").agg(
         F.count(F.lit(1)).alias("cc"),

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kinesis_spark.checkpoints import pin
 from kinesis_spark.io import load_table
 from kinesis_spark.queries import register
 
@@ -417,7 +418,7 @@ def sim6_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = ivf_codebook(e)
     # pin the assignment once: cells (crk==1) and probes (crk<=N_PROBE)
     # would otherwise each replay the crossJoin + per-vector window.
-    # persist (not localCheckpoint) keeps the subtree visible to plan
+    # persist (not pin) keeps the subtree visible to plan
     # audits; this is the self-contained demo of what ann.py amortizes
     # properly (build the index once on disk, probe it many times).
     assign = (
@@ -1032,7 +1033,7 @@ FROM a{KM_ITERS}
 def _lloyd_clusters(vecs: DataFrame, k, iters: int) -> DataFrame:
     """Shared Lloyd machinery (sim11's plan shape, parameterized):
     seeds = the first ``k`` vec_ids, ``iters`` assign→recompute rounds
-    (each recomputed centroid set localCheckpoints — one tiny row — so
+    (each recomputed centroid set is pinned — one tiny row — so
     the final plan replays nothing), then the final assignment.
     ``k`` may be a driver-side int OR a Column-free Python value derived
     from an eager count (sim12). Returns (vec_id, v, cluster)."""
@@ -1066,7 +1067,7 @@ def _lloyd_clusters(vecs: DataFrame, k, iters: int) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     ).agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents"))
     for _ in range(iters):
-        cents = means(assign(cents)).localCheckpoint(eager=True)
+        cents = means(assign(cents)).transform(pin)
     return assign(cents)
 
 
@@ -1088,7 +1089,7 @@ def sim11_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
       (cid, vector) structs) that BROADCASTS to every task — the corpus
       is scanned once per assignment, never shuffled by cluster for the
       argmin itself;
-    - ``localCheckpoint`` truncates lineage each round (the d9 pattern,
+    - ``checkpoints.pin`` truncates lineage each round (the d9 pattern,
       dedup.py) so the final plan replays nothing — without it the plan
       nests every prior round and re-scans exponentially;
     - centroid recompute is the ONLY shuffle per round: posexplode to
@@ -1299,7 +1300,7 @@ def sim12_semdedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # corpus-scale intermediate reused by seeds + every fine round: pin
     # it once (the d9/sim11 lineage-truncation discipline)
-    coarse = coarse.localCheckpoint(eager=True)
+    coarse = coarse.transform(pin)
 
     w_cnt = Window.partitionBy("coarse")
     w_ord = Window.partitionBy("coarse").orderBy("vec_id")
@@ -1316,11 +1317,9 @@ def sim12_semdedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").alias("cv"),
         )
     )
-    fcents = f0.localCheckpoint(eager=True)
+    fcents = f0.transform(pin)
     for _ in range(KM_FINE_ITERS):
-        fcents = _fine_means(_fine_assign(coarse, fcents)).localCheckpoint(
-            eager=True
-        )
+        fcents = _fine_means(_fine_assign(coarse, fcents)).transform(pin)
     assigned = (
         _fine_assign(coarse, fcents)
         .select(
@@ -1567,7 +1566,7 @@ def sim14_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the seed).
 
     Iterative shape (the sim11/d9 discipline): the selected set lives
-    in ONE localCheckpoint'ed row — an array of (rank, vid, d, vector)
+    in ONE pinned row — an array of (rank, vid, d, vector)
     structs, K x 64 doubles, BOUNDED by K — that broadcasts to every
     task; each round is one corpus scan computing the running min
     distance (array_min over the picks, rounded to 6 dp — the file-wide
@@ -1596,7 +1595,7 @@ def sim14_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("s.v").alias("cv"),
             )
         ).alias("picks")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     for r in range(1, KC_CENTERS):
         cand = (
             vecs.join(F.broadcast(picked))
@@ -1631,7 +1630,7 @@ def sim14_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                 ).alias("picks")
             )
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
     return picked.select(F.explode("picks").alias("p")).select(
         F.col("p.rank").alias("center_rank"),

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kinesis_spark.checkpoints import pin
 from kinesis_spark.io import ensure_min_partitions, load_table
 from kinesis_spark.queries import WS_CHARS, WS_RE, register
 
@@ -1020,7 +1021,7 @@ def t14_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     word inventories, orders of magnitude below corpus rows at 100 TB);
     each round is a partial-agg pair count over that table, a one-row
     argmax, and a map-side merge with the single-row winner broadcast.
-    State localCheckpoints per round, so {M} merges = {M} short
+    State is pinned per round (checkpoints.pin), so {M} merges = {M} short
     vocab-table shuffles, never a second corpus scan.
     """
     merges, _ = _bpe_learn(spark, sf_dir)
@@ -1053,7 +1054,7 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
         .select(
             F.regexp_replace("word", "([a-z])", "($1)").alias("w"), "cnt"
         )
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     merges = []
     for t in range(1, BPE_MERGES + 1):
@@ -1090,7 +1091,7 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
         # behaves identically on both engines: the cross join below
         # empties wt and every later round, instead of a bogus NULL
         # merge row NULLing the whole vocab through F.replace
-        ).filter(F.col("l").isNotNull()).localCheckpoint(eager=True)
+        ).filter(F.col("l").isNotNull()).transform(pin)
         merges.append(best)
         wt = (
             wt.join(F.broadcast(best))
@@ -1104,7 +1105,7 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
             )
             .groupBy("w")
             .agg(F.sum("cnt").cast("bigint").alias("cnt"))
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
     return merges, wt
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesis_spark.checkpoints import pin
 from kinesis_spark.partitioned_store import (
     dynamic_partition_overwrite,
     is_missing_store,
@@ -68,7 +69,7 @@ def refresh_daily_rollup(
     day partitions rewritten. First call bootstraps the store."""
     # materialize once: the days collect and the merge/write would
     # otherwise each re-aggregate the batch
-    batch = daily_rollup_state(new_events).localCheckpoint(eager=True)
+    batch = daily_rollup_state(new_events).transform(pin)
     days = [r[0] for r in batch.select("day").distinct().collect()]
     if not days:
         return 0
@@ -79,9 +80,7 @@ def refresh_daily_rollup(
 
         try:
             stored = spark.read.parquet(rollup_dir).filter(touched)
-            merged = _merge(stored.select(*_STATE_COLS), batch).localCheckpoint(
-                eager=True
-            )
+            merged = _merge(stored.select(*_STATE_COLS), batch).transform(pin)
         except AnalysisException as exc:
             # bootstrap ONLY on a genuinely missing store; schema drift or
             # an unreadable store must raise, never silently discard state

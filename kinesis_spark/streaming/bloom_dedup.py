@@ -58,6 +58,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kinesis_spark.checkpoints import pin
 from kinesis_spark.bloom import (
     DEFAULT_K,
     DEFAULT_M_BITS,
@@ -250,7 +251,7 @@ class BloomDedupSink:
                 admitted = clean.unionByName(fresh)
 
         # materialize once: admitted feeds three writes below
-        admitted = admitted.localCheckpoint(eager=True)
+        admitted = admitted.transform(pin)
         out_sub = os.path.join(self.out_dir, f"ingest_batch={key}")
         hash_sub = os.path.join(self._hash_dir, f"ingest_batch={key}")
         if admitted.isEmpty():
