@@ -1,0 +1,213 @@
+"""Write-audit-publish transactional store: atomicity under mid-rewrite
+crashes (readers always see the old table or the new one, never a mix),
+CAS commit conflicts, audit aborts, vacuum, and the transactional
+upsert/erase/compact faces."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_spark import txstore
+from kinesis_spark.io import load_table
+from kinesis_spark.txstore import (
+    TxAuditError,
+    TxConflictError,
+    tx_compact,
+    tx_current_manifest,
+    tx_erase,
+    tx_init,
+    tx_publish,
+    tx_read,
+    tx_upsert,
+    tx_vacuum,
+)
+
+
+@pytest.fixture()
+def store(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "orders_tx")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    )
+    tx_init(spark, root, o, partition_col="month")
+    return root
+
+
+def _snapshot(spark, root):
+    return sorted(map(tuple, tx_read(spark, root).collect()))
+
+
+def test_init_and_read_round_trip(spark, sf_dir, store):
+    o = load_table(spark, sf_dir, "orders")
+    got = tx_read(spark, store)
+    assert got.count() == o.count()
+    # partition-column type survives the directory round trip
+    assert dict(got.dtypes)["month"] == "string"
+    man = tx_current_manifest(spark, store)
+    assert man["version"] == 1
+    assert man["audit"]["staged_rows"] == o.count()
+
+
+def test_manifest_level_partition_pruning(spark, store):
+    months = sorted(
+        r[0] for r in tx_read(spark, store).select("month").distinct().collect()
+    )
+    one = tx_read(spark, store, partition_values=[months[0]])
+    assert one.select("month").distinct().collect() == [(months[0],)]
+    # pruning happens before any file listing: only the wanted partition's
+    # directory appears among the scanned files
+    assert all(f"month={months[0]}" in f for f in one.inputFiles())
+
+
+def test_crash_after_stage_leaves_old_table_visible(spark, store):
+    before = _snapshot(spark, store)
+    v_before = tx_current_manifest(spark, store)["version"]
+    updates = tx_read(spark, store).limit(5).withColumn(
+        "o_totalprice", F.lit(-1.0)
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        tx_publish(spark, store, updates, _fail_at="after-stage")
+    assert tx_current_manifest(spark, store)["version"] == v_before
+    assert _snapshot(spark, store) == before
+
+
+def test_crash_after_audit_leaves_old_table_visible(spark, store):
+    before = _snapshot(spark, store)
+    updates = tx_read(spark, store).limit(5).withColumn(
+        "o_totalprice", F.lit(-1.0)
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        tx_publish(spark, store, updates, _fail_at="after-audit")
+    assert _snapshot(spark, store) == before
+    # the orphaned stage generation is reclaimable
+    removed = tx_vacuum(spark, store, keep_manifests=1)
+    assert any("_data/" in p for p in removed)
+    assert _snapshot(spark, store) == before
+
+
+def test_concurrent_commit_from_stale_snapshot_conflicts(spark, store):
+    """Two writers whose merges were computed against the same snapshot:
+    the first commit wins, the second raises TxConflictError instead of
+    silently dropping the winner's rows (lost update)."""
+    base = tx_current_manifest(spark, store)
+    months = sorted(base["partitions"])[:2]
+    upd_a = tx_read(spark, store, partition_values=[months[0]]).withColumn(
+        "o_orderstatus", F.lit("A")
+    )
+    upd_b = tx_read(spark, store, partition_values=[months[1]]).withColumn(
+        "o_orderstatus", F.lit("B")
+    )
+    tx_publish(spark, store, upd_a, expect_version=base["version"])
+    with pytest.raises(TxConflictError, match="stale"):
+        tx_publish(spark, store, upd_b, expect_version=base["version"])
+    # the loser's content never became visible
+    after = tx_read(spark, store)
+    assert after.filter(F.col("o_orderstatus") == "B").count() == 0
+    assert after.filter(F.col("o_orderstatus") == "A").count() > 0
+    # partition-DISJOINT writers without a pinned snapshot serialize
+    # safely through the mapping merge: retry against the new version
+    tx_publish(spark, store, upd_b)
+    final = tx_read(spark, store)
+    assert final.filter(F.col("o_orderstatus") == "A").count() > 0
+    assert final.filter(F.col("o_orderstatus") == "B").count() > 0
+
+
+def test_audit_rejects_schema_drift(spark, store):
+    before = _snapshot(spark, store)
+    bad = tx_read(spark, store).limit(3).withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("string")  # type drift
+    )
+    with pytest.raises(TxAuditError, match="type-drift"):
+        tx_publish(spark, store, bad)
+    assert _snapshot(spark, store) == before
+
+
+def test_custom_validator_aborts_publish(spark, store):
+    before = _snapshot(spark, store)
+
+    def deny(df):
+        raise TxAuditError("business rule: no negative prices")
+
+    upd = tx_read(spark, store).limit(1).withColumn("o_totalprice", F.lit(-5.0))
+    with pytest.raises(TxAuditError, match="business rule"):
+        tx_publish(spark, store, upd, validate=deny)
+    assert _snapshot(spark, store) == before
+
+
+def test_tx_upsert_merges_atomically(spark, store):
+    tgt = tx_read(spark, store)
+    months = sorted(r[0] for r in tgt.select("month").distinct().collect())
+    touched = months[0]
+    some_key = tgt.filter(F.col("month") == touched).agg(
+        F.min("o_orderkey")
+    ).first()[0]
+    new_key = tgt.agg(F.max("o_orderkey")).first()[0] + 1_000_000
+    updates = spark.createDataFrame(
+        [(some_key, 99999.0, "U", touched), (new_key, 1.0, "N", touched)],
+        "o_orderkey long, o_totalprice double, o_orderstatus string, month string",
+    )
+    n_before = tgt.count()
+    assert tx_upsert(spark, store, updates, key="o_orderkey") == 1
+    after = tx_read(spark, store)
+    assert after.count() == n_before + 1
+    assert after.filter(F.col("o_orderkey") == some_key).first()[
+        "o_totalprice"
+    ] == 99999.0
+    # untouched partitions still point at the original generation
+    man = tx_current_manifest(spark, store)
+    gens = {rel.split("/")[1] for k, rel in man["partitions"].items() if k != touched}
+    assert len(gens) == 1  # all untouched partitions share the v1 generation
+    assert man["partitions"][touched].split("/")[1] not in gens
+
+
+def test_tx_erase_empties_partition_atomically(spark, store):
+    tgt = tx_read(spark, store)
+    months = sorted(r[0] for r in tgt.select("month").distinct().collect())
+    victim = months[0]
+    keys = tgt.filter(F.col("month") == victim).select("o_orderkey")
+    audit = tx_erase(spark, store, keys, key="o_orderkey")
+    row = {r["partition_value"]: r for r in audit.collect()}[victim]
+    assert row["partition_emptied"] is True
+    after = tx_read(spark, store)
+    assert after.filter(F.col("month") == victim).count() == 0
+    assert victim not in tx_current_manifest(spark, store)["partitions"]
+    # erased generation still on disk until vacuum; table already consistent
+    tx_vacuum(spark, store, keep_manifests=1)
+    assert after.count() == tx_read(spark, store).count()
+
+
+def test_tx_compact_single_swap(spark, store):
+    # fragment one partition by upserting a few times
+    tgt = tx_read(spark, store)
+    month = tgt.select("month").first()[0]
+    for i in range(3):
+        upd = spark.createDataFrame(
+            [(9_000_000 + i, float(i), "F", month)],
+            "o_orderkey long, o_totalprice double, o_orderstatus string, month string",
+        )
+        tx_upsert(spark, store, upd, key="o_orderkey")
+    before = _snapshot(spark, store)
+    n_parts = len(tx_current_manifest(spark, store)["partitions"])
+    n_files = tx_compact(spark, store)
+    assert n_files == n_parts  # one file per partition value
+    assert _snapshot(spark, store) == before
+    man = tx_current_manifest(spark, store)
+    assert len({rel.split("/")[1] for rel in man["partitions"].values()}) == 1
+
+
+def test_null_partition_value_round_trip(spark, tmp_path):
+    root = str(tmp_path / "null_part")
+    df = spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", None), (3, "c", "p1")],
+        "id long, payload string, part string",
+    )
+    tx_init(spark, root, df, partition_col="part")
+    got = tx_read(spark, root)
+    assert got.filter(F.col("part").isNull()).count() == 1
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df.collect()))
+    null_slice = tx_read(spark, root, partition_values=[None])
+    assert null_slice.count() == 1
