@@ -9,8 +9,50 @@ instead of shuffling.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+# RocksDB-backed streaming state (VERDICT r4 #3): the default
+# HDFS-backed provider keeps every stateful operator's state in executor
+# heap — fine at sf0.1, but at production stream volume the dedup state
+# alone evicts the heap. RocksDB spills to executor-local disk with
+# bounded memory, and changelog checkpointing uploads per-batch deltas
+# instead of full snapshots (the at-scale configuration).
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+_CHANGELOG_KEY = (
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+)
+
+
+@contextmanager
+def state_store(spark: SparkSession, provider: str = "rocksdb"):
+    """Scope a streaming state-store provider to the block: queries
+    STARTED inside run under it (the provider is captured per-query at
+    start and pinned into the checkpoint from then on); the session conf
+    is restored on exit. ``provider``: 'rocksdb' or 'hdfs' (default
+    in-heap provider)."""
+    if provider not in ("rocksdb", "hdfs"):
+        raise ValueError(f"unknown state store provider {provider!r}")
+    prev = spark.conf.get(_PROVIDER_KEY, None)
+    prev_chg = spark.conf.get(_CHANGELOG_KEY, None)
+    try:
+        if provider == "rocksdb":
+            spark.conf.set(_PROVIDER_KEY, ROCKSDB_PROVIDER)
+            spark.conf.set(_CHANGELOG_KEY, "true")
+        else:
+            spark.conf.unset(_PROVIDER_KEY)
+            spark.conf.unset(_CHANGELOG_KEY)
+        yield spark
+    finally:
+        for key, val in ((_PROVIDER_KEY, prev), (_CHANGELOG_KEY, prev_chg)):
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
 
 def _cpus() -> int:
     # read at CALL time, not import time: the master local[N] below reads
@@ -134,6 +176,13 @@ def get_spark(app_name: str = "kinesis_spark", master: str | None = None) -> Spa
             .config("spark.sql.session.timeZone", "UTC")
             .config("spark.ui.enabled", "false")
         )
+        # opt-in default provider for every streaming query in the
+        # session (a submit script sets SPARK_GRAFT_STATE_STORE=rocksdb);
+        # per-query scoping via the state_store() context manager above
+        if os.environ.get("SPARK_GRAFT_STATE_STORE", "hdfs").lower() == "rocksdb":
+            b = b.config(_PROVIDER_KEY, ROCKSDB_PROVIDER).config(
+                _CHANGELOG_KEY, "true"
+            )
         if avro_pkg:
             b = b.config("spark.jars.packages", avro_pkg)
         return b
