@@ -489,15 +489,21 @@ def p5_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowest quartile ... phase {P} = highest, so the loader can feed
     easy-to-hard (or the reverse) without a global sort of the corpus.
 
-    The scalable shape: phase boundaries are THREE exact interpolated
-    percentiles (a7's cross-engine-verified ``percentile`` /
-    ``quantile_cont`` bridge) computed in one aggregate and broadcast
-    back as a 1-row relation; assignment is a map-only threshold
-    compare. The naive alternative — ``ntile({P})`` over a global
-    ORDER BY — funnels 100 TB through one partition's sort; this form
-    never materializes any order (documents on a boundary value all
-    land in the lower phase — deterministic, and at corpus scale the
+    Shape: phase boundaries are THREE exact interpolated percentiles
+    (a7's cross-engine-verified ``percentile`` / ``quantile_cont``
+    bridge) computed in one aggregate and broadcast back as a 1-row
+    relation; assignment is a map-only threshold compare — so no
+    ordering is ever materialized, and documents on a boundary value
+    all land in the lower phase (deterministic; at corpus scale the
     quantile threshold IS the contract, not row-number parity).
+    Honest scale caveat: EXACT ``percentile`` buffers every input value
+    in its aggregation buffer and merges them onto one reducer — at
+    100 TB that is materially the same funnel as the ``ntile({P})``
+    -over-global-ORDER-BY it replaces. The exactness here is the
+    oracle-parity contract; the at-scale variant swaps in
+    ``approx_percentile`` (fixed-size KLL buffer, true partial agg,
+    same map-only assignment), trading the boundary's exact value for
+    a bounded-rank-error one — the thresholds move, the plan does not.
 
     Determinism: quality_score is exact-ratio double arithmetic (t2),
     percentile interpolation is bit-identical in both engines (a7),

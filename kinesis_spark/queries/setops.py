@@ -691,9 +691,22 @@ DSIR_BUCKETS = 4096  # feature-hash space
 DSIR_TARGET_LANG = "en"  # the "target distribution" sample
 _DSIR_SCALE = 1_000_000  # 6-dp fixed point for the exact weight sum
 
+# Gram -> bucket via a multiplicative hash over CODE POINTS, not md5:
+# h = ((c1*131 + c2)*131 + c3), bucket = Knuth-mix top bits of h —
+# integer-only arithmetic both engines compute natively (Spark ascii()
+# and DuckDB unicode() both return the first code point), which drops
+# the per-gram md5 digest that dominated this query's runtime (measured
+# 4.1 s -> see below at sf0.1). The Fibonacci multiplier's top-12-bits
+# extraction gives the avalanche a plain (h % 4096) lacks. All values
+# stay < 2^53, so every division below is exact in both engines.
+_DSIR_MIX = 2654435761  # 2^32 / golden ratio (Knuth multiplicative)
+_DSIR_SHIFT = (1 << 32) // DSIR_BUCKETS  # take the top 12 of 32 bits
+
 _DSIR_BUCKET_SQL = (
-    f"CAST(('0x' || substr(md5(substring(text, CAST(i AS INT), {DSIR_GRAM})), 1, 15))"
-    f" AS BIGINT) % {DSIR_BUCKETS}"
+    f"CAST(FLOOR((((unicode(substring(text, CAST(i AS INT), 1)) * 131"
+    f" + unicode(substring(text, CAST(i AS INT) + 1, 1))) * 131"
+    f" + unicode(substring(text, CAST(i AS INT) + 2, 1)))"
+    f" * {_DSIR_MIX} % {1 << 32}) / {_DSIR_SHIFT}.0) AS BIGINT)"
 )
 
 
@@ -747,11 +760,12 @@ def s16_dsir_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan shape is identical).
 
     Plan shape: every gram is hashed ONCE into a materialized
-    (doc_id, int-array) relation (~4 B/gram — the md5 transform is the
-    query's dominant cost; hashing once instead of once per pass
-    measured 7.4 s -> 3.9 s at sf0.1; at 100 TB swap the checkpoint
-    for persist(DISK_ONLY) or recompute, and md5 for xxhash64 — same
-    plan). Bucket stats are ONE partial-agg shuffle of (bucket, two
+    (doc_id, int-array) relation (~4 B/gram; hashing once instead of
+    once per pass measured 7.4 s -> 3.9 s at sf0.1 in the original md5
+    form, and replacing the per-gram md5 digest with the integer
+    multiplicative hash over a once-per-doc code-point array took it
+    below 2 s — both engines compute it natively, see _DSIR_BUCKET_SQL;
+    the pin is a reliable checkpoint under a checkpoint dir). Bucket stats are ONE partial-agg shuffle of (bucket, two
     counters) — at most {B} groups; the weights collapse to a dense
     {B}-slot array broadcast onto the bucket relation, and the per-doc
     score is a MAP-ONLY fold through O(1) array indexing — no second
@@ -768,25 +782,38 @@ def s16_dsir_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     Target sample = lang='{T}' documents (a fixture stand-in for "a
     Wikipedia-quality seed corpus").
     """
+    assert DSIR_GRAM == 3  # the unrolled 3-term hash below
     d = load_table(spark, sf_dir, "documents").filter(
         F.length("text") >= DSIR_GRAM
     )
-    buckets = F.transform(
-        F.sequence(F.lit(1), F.length("text") - (DSIR_GRAM - 1)),
-        lambda i: F.conv(
-            F.substring(F.md5(F.substring("text", i, F.lit(DSIR_GRAM))), 1, 15),
-            16,
-            10,
+    # per-doc code-point array computed ONCE (split to chars + ascii),
+    # then each gram's bucket is pure integer arithmetic over three
+    # array lookups — no per-gram digest at all
+    codes = F.transform(F.split("text", ""), lambda c: F.ascii(c).cast("bigint"))
+    el = lambda cs, i: F.element_at(cs, i.cast("int"))  # noqa: E731
+    bucket_of = lambda cs, i: F.floor(  # noqa: E731
+        (
+            ((el(cs, i) * 131 + el(cs, i + 1)) * 131 + el(cs, i + 2))
+            * _DSIR_MIX
+            % (1 << 32)
         )
-        .cast("bigint")
-        % DSIR_BUCKETS,
+        / F.lit(float(_DSIR_SHIFT))
     )
     # hash every gram ONCE: both the bucket-stats pass and the scoring
     # pass read this materialized (doc_id, lang, int-array) relation —
-    # ~4 B/gram, 100x smaller than re-running substring+md5+conv per
-    # pass (the md5 transform dominates the query; measured 7.2 s ->
-    # 3.9 s at sf0.1)
-    bk = d.select("doc_id", "lang", buckets.alias("bks")).transform(pin)
+    # ~4 B/gram, far smaller than re-running the gram hash per pass
+    bk = (
+        d.select("doc_id", "lang", codes.alias("_cs"))
+        .select(
+            "doc_id",
+            "lang",
+            F.transform(
+                F.sequence(F.lit(1), F.size("_cs") - (DSIR_GRAM - 1)),
+                lambda i: bucket_of(F.col("_cs"), i),
+            ).alias("bks"),
+        )
+        .transform(pin)
+    )
     grams = bk.select("doc_id", "lang", F.explode("bks").alias("b"))
     stats = grams.groupBy("b").agg(
         F.count(F.lit(1)).alias("cc"),
@@ -823,17 +850,21 @@ def s16_dsir_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 10M-row join, and no re-hash (bk is materialized above). Summing
     # exact integer wq in any order = the oracle's SUM(DECIMAL)
     # bit-for-bit.
-    # NO coalesce: a document only folds over buckets that exist in
-    # stats (they came from the same corpus), so absent-bucket slots
-    # are never read — and a NULL wq (nt=0: zero target-language grams
-    # in the whole corpus) must PROPAGATE to a NULL score exactly as
-    # the oracle's NULL division does, not silently become 0.0
+    # NO coalesce: the per-doc fold only reads buckets that exist in
+    # stats (they came from the same corpus), and a NULL wq (nt=0: zero
+    # target-language grams in the whole corpus) must PROPAGATE to a
+    # NULL score exactly as the oracle's NULL division does, not
+    # silently become 0.0. The DENSIFICATION below, by contrast, reads
+    # all {B} slots, so absent buckets ARE looked up there —
+    # try_element_at makes the intended NULL-on-missing explicit
+    # (bare map element_at's missing-key behavior has been
+    # ANSI-version-sensitive across Spark releases)
     warr = w.agg(
         F.map_from_entries(F.collect_list(F.struct("b", "wq"))).alias("wmap")
     ).select(
         F.transform(
             F.sequence(F.lit(0), F.lit(DSIR_BUCKETS - 1)),
-            lambda j: F.element_at("wmap", j),
+            lambda j: F.try_element_at("wmap", j),
         ).alias("warr")
     )
     barrier = bk.crossJoin(F.broadcast(warr)).select("doc_id", "warr", "bks")

@@ -1773,8 +1773,8 @@ augn AS (
 ),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS match_id,
-         ROUND(list_inner_product(q.v, c.v), 6) AS ip,
-         ROUND(list_inner_product(q.va, c.va) / (q.an * c.an), 6) AS cos_aug
+         list_inner_product(q.v, c.v) AS ip,
+         list_inner_product(q.va, c.va) / (q.an * c.an) AS cos_aug
   FROM augn q JOIN augn c ON q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id
 ),
 ranked AS (
@@ -1815,9 +1815,11 @@ def sim16_mips_norm_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH/IVF variants compose by feeding `va` to sim2/sim6). GREATEST(.,0)
     guards the max-norm vector's sqrt against a sub-ulp negative.
 
-    Determinism: identical input doubles, both engines' folds agree far
-    below the 6-dp rounding of both ranking keys; ties break on
-    match_id (sim1's contract).
+    Determinism: identical input doubles and sequential folds make both
+    scores bit-identical cross-engine UNROUNDED — which is exactly how
+    they ship and rank (rounding them would reintroduce 6-dp half-tie
+    divergence on dyadic products; see the comment at the scoring
+    select). Ties break on match_id (sim1's contract).
     """
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
@@ -1859,13 +1861,20 @@ def sim16_mips_norm_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus LEFT, query set broadcast: the nested-loop join must build
     # on the N_QUERIES-row side — Spark's size estimate at fixture scale
     # would otherwise happily broadcast the whole corpus
+    # UNROUNDED ranking keys and output: both dot products are one
+    # sequential fold over identical doubles — already bit-identical
+    # cross-engine — while a cosmetic ROUND(x, 6) would REINTRODUCE
+    # nondeterminism: dyadic embeddings can land a product exactly on a
+    # 6-dp half-tie (e.g. k/128 = 0.0078125), where Spark's BigDecimal
+    # HALF_UP and DuckDB's double rounding disagree and flip both the
+    # displayed value and rank_mips/rank_aug (the g4/s16 tie lesson)
     scored = c.join(F.broadcast(q), F.col("match_id") != F.col("query_id")).select(
         "query_id",
         "match_id",
-        F.round(dot(F.col("qv"), F.col("cv")), 6).alias("ip"),
-        F.round(
-            dot(F.col("qa"), F.col("ca")) / (F.col("qn") * F.col("cn")), 6
-        ).alias("cos_aug"),
+        dot(F.col("qv"), F.col("cv")).alias("ip"),
+        (dot(F.col("qa"), F.col("ca")) / (F.col("qn") * F.col("cn"))).alias(
+            "cos_aug"
+        ),
     )
     w_mips = Window.partitionBy("query_id").orderBy(F.desc("ip"), F.asc("match_id"))
     w_aug = Window.partitionBy("query_id").orderBy(

@@ -980,6 +980,9 @@ w{t} AS MATERIALIZED (
          CAST(SUM(cnt) AS BIGINT) AS cnt
   FROM w{t - 1}, b{t} b
   GROUP BY 1
+  UNION ALL
+  SELECT w, cnt FROM w{t - 1}
+  WHERE NOT EXISTS (SELECT 1 FROM b{t})
 )""")
     return f"""
 WITH words AS MATERIALIZED (
@@ -1025,6 +1028,12 @@ def t14_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-table shuffles, never a second corpus scan.
     """
     merges, _ = _bpe_learn(spark, sf_dir)
+    if not merges:  # round-1 exhaustion: nothing was ever mergeable
+        return spark.createDataFrame(
+            [],
+            "merge_rank bigint, left_sym string, right_sym string, "
+            "pair_count bigint",
+        )
     out = merges[0]
     for m in merges[1:]:
         out = out.unionAll(m)
@@ -1088,10 +1097,18 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
         # the oracle's `ORDER BY .. LIMIT 1` over an empty CTE yields
         # nothing — filter to a 0-or-1-row relation so an exhausted
         # vocabulary (every word fully merged before BPE_MERGES rounds)
-        # behaves identically on both engines: the cross join below
-        # empties wt and every later round, instead of a bogus NULL
-        # merge row NULLing the whole vocab through F.replace
+        # behaves identically on both engines
         ).filter(F.col("l").isNotNull()).transform(pin)
+        # vocabulary exhaustion: no pair left to merge. STOP, keeping
+        # the last non-empty vocab — t16 then degrades to per-word
+        # fully-merged token counts instead of silently dropping every
+        # document from the encoding report (the 0-row `best` would
+        # empty wt through the cross join). The oracle's w{t} carries
+        # w{t-1} forward through its NOT EXISTS arm for the same rounds,
+        # so both engines agree round by round. (pin is eager, so this
+        # take(1) reads a materialized 0/1-row relation — no recompute.)
+        if not best.take(1):
+            break
         merges.append(best)
         wt = (
             wt.join(F.broadcast(best))
@@ -1241,8 +1258,9 @@ def t15_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Data Makes Language Models Better" — the n-gram-overlap view).
 
     Plan shape: grams are a row-local transform hashed to 8-byte ints
-    before any shuffle (the md5 hex prefix — oracle-parity choice;
-    xxhash64 in production). Stage 1 groups (h) → min(doc_id) — a
+    before any shuffle (xxhash64 here, md5 in the oracle — legitimate:
+    the hash carries only gram identity, never a surfaced value, so the
+    engines need collision-freeness, not agreement). Stage 1 groups (h) → min(doc_id) — a
     partial-aggregable min whose map-side combine collapses each
     partition's duplicates before the exchange. Stage 2 re-joins the
     gram list to the first-seen relation on the same hash key (AQE
@@ -1268,9 +1286,13 @@ def t15_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_distinct(
                     F.transform(
                         F.sequence(F.lit(1), F.size("t") - (NOV_N - 1)),
-                        lambda i: F.conv(
-                            F.substring(F.md5(gram_of(i)), 1, 15), 16, 10
-                        ).cast("bigint"),
+                        # xxhash64, NOT the oracle's md5: the hash never
+                        # surfaces in the output (it only carries gram
+                        # IDENTITY through the two shuffles), so each
+                        # engine may use its cheapest collision-free
+                        # 64-bit hash — this is the one gram-hashing
+                        # site where the engines legitimately diverge
+                        lambda i: F.xxhash64(gram_of(i)),
                     )
                 )
             ).alias("h"),
