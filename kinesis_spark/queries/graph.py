@@ -312,15 +312,24 @@ def g3_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per triangle, vertices in ascending doc_id order
     (each triangle counted exactly once via the a<b<c orientation).
 
-    Plan shape: the edge list (already id-oriented a<b by d3) is built
-    once and reused three times — wedge formation is one equi-join on
-    the shared middle vertex, closure is a second equi-join on the
-    (outer, far) pair. Both are shuffle equi-joins on doc_id keys; no
-    all-pairs product anywhere. At 100 TB the wedge count is bounded by
-    sum(deg^2), which the hot-bucket cap (d14) keeps sparse; the
-    production refinement is degree-orientation (point each edge at the
-    higher-degree endpoint) which bounds wedges by arboricity — the
-    id-orientation here is its oracle-exact special case.
+    Plan shape: DEGREE-ORIENTED enumeration (Chiba–Nishizeki / the
+    "compact-forward" algorithm): every undirected edge points from its
+    lower-(degree, id) endpoint to the higher one, wedges form only
+    among a node's OUT-neighbors, and the closure is one equi-join back
+    onto the directed edge list. Out-degrees under this orientation are
+    bounded by O(arboricity) = O(sqrt(m)), so the wedge relation is
+    O(m^1.5) worst-case INDEPENDENT of skew — a duplication mega-hub
+    that would make id-oriented sum(deg^2) quadratic contributes only
+    sqrt-bounded wedges here (the same reason d14 caps hot buckets).
+    Degree attachment costs one count aggregate + two equi-joins on the
+    pair list; wedge + closure are the same two shuffle equi-joins as
+    the naive form, just on the thinner directed relation. No all-pairs
+    product anywhere. Each triangle {x, y, z} with x ≺ y ≺ z under the
+    (degree, id) order is found exactly once — the wedge centers at x
+    over out-neighbors y, z, and the directed y→z edge closes it — and
+    the output re-sorts ids ascending, so the result SET is identical
+    to the oracle's id-oriented replay (the orientation is a physical
+    enumeration strategy, not a semantics change).
     """
     from kinesis_spark.queries.dedup import d3_minhash_lsh_pairs
 
@@ -329,14 +338,43 @@ def g3_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .transform(pin)
     )
-    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = e.select(F.col("a").alias("y2"), F.col("b").alias("z"))
-    wedges = e1.join(e2, e1["y"] == e2["y2"]).select("x", "y", "z")
-    closing = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    return wedges.join(closing, ["x", "z"]).select(
-        F.col("x").alias("doc_a"),
-        F.col("y").alias("doc_b"),
-        F.col("z").alias("doc_c"),
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("dg").alias("dga"))
+    db = deg.select(F.col("n").alias("b"), F.col("dg").alias("dgb"))
+    # identical field names on both keys: struct comparison AND the
+    # when/otherwise union below require matching struct types
+    ka = F.struct(F.col("dga").alias("d"), F.col("a").alias("i"))
+    kb = F.struct(F.col("dgb").alias("d"), F.col("b").alias("i"))
+    # orient low-(deg,id) -> high-(deg,id); carry the dst key so wedge
+    # pairing below can totally order out-neighbors without a re-join
+    directed = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(ka < kb, kb).otherwise(ka).alias("dk"),
+        )
+        .transform(pin)
+    )
+    w1 = directed.select("src", F.col("dst").alias("v"), F.col("dk").alias("kv"))
+    w2 = directed.select("src", F.col("dst").alias("w"), F.col("dk").alias("kw"))
+    wedges = w1.join(w2, "src").filter(F.col("kv") < F.col("kw")).select(
+        F.col("src").alias("u"), "v", "w"
+    )
+    closing = directed.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["v", "w"])
+    lo = F.least("u", "v", "w")
+    hi = F.greatest("u", "v", "w")
+    return tri.select(
+        lo.alias("doc_a"),
+        (F.col("u") + F.col("v") + F.col("w") - lo - hi).alias("doc_b"),
+        hi.alias("doc_c"),
     )
 
 
