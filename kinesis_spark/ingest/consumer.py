@@ -421,6 +421,7 @@ def read_stream_batch(
     client_factory: Callable[[], ShardIteratorClient],
     stream_name: str,
     limit_per_call: int = 1000,
+    leases=None,
 ) -> DataFrame:
     """Distributed batch read of a whole stream: one Spark task per shard
     (the Kinesis parallelism unit), each constructing its own client from
@@ -428,8 +429,15 @@ def read_stream_batch(
     The driver handles only the shard id list; record data never touches
     it. Returns ``(shard_id, pk, seq, data binary)`` — feed to
     ``reassemble_records`` (streaming/spool.py) for the io.Copy analog.
+
+    ``leases`` (an ``ingest.leases.ShardLeases``) scopes the read to the
+    shards this consumer can claim, so two concurrent consumers sharing
+    a lease table split the stream disjointly instead of double-reading
+    every shard (single-reader semantics per shard, KCL-style).
     """
     shards = client_factory().list_shards(stream_name)
+    if leases is not None:
+        shards = leases.partition_shards(stream_name, shards)
     if not shards:
         return spark.createDataFrame([], CONSUMER_SCHEMA)
 
