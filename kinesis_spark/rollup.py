@@ -91,6 +91,41 @@ def refresh_daily_rollup(
     return len(days)
 
 
+def tx_refresh_daily_rollup(
+    spark: SparkSession, root: str, new_events: DataFrame
+) -> int:
+    """Transactional face of :func:`refresh_daily_rollup` (txstore's
+    write-audit-publish): the merged day partitions are staged, audited,
+    and become visible in ONE manifest swap — a crash mid-refresh leaves
+    the previous rollup fully intact, and a reader never sees half the
+    touched days merged. The snapshot version is pinned (expect_version)
+    because the merge reads stored state: committing over a concurrent
+    refresh would silently drop its increments — the exact lost-update
+    the plain dynamic-overwrite path cannot detect."""
+    from kinesis_spark.txstore import tx_current_manifest, tx_publish, tx_read
+
+    batch = daily_rollup_state(new_events).transform(pin)
+    days = [r[0] for r in batch.select("day").distinct().collect()]
+    if not days:
+        return 0
+    try:
+        man = tx_current_manifest(spark, root)
+    except FileNotFoundError:
+        tx_publish(spark, root, batch, partition_col="day", replace_all=True)
+        return len(days)
+    stored = tx_read(spark, root, partition_values=days).select(*_STATE_COLS)
+    merged = _merge(stored, batch)
+    tx_publish(
+        spark,
+        root,
+        merged,
+        partition_col="day",
+        replace_values=days,
+        expect_version=man["version"],
+    )
+    return len(days)
+
+
 def streaming_rollup_query(
     spark: SparkSession,
     events_stream: DataFrame,

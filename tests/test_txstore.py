@@ -211,3 +211,48 @@ def test_null_partition_value_round_trip(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df.collect()))
     null_slice = tx_read(spark, root, partition_values=[None])
     assert null_slice.count() == 1
+
+
+def test_tx_rollup_refresh_matches_plain_and_survives_crash(spark, sf_dir, tmp_path):
+    """tx_refresh_daily_rollup: bootstrap + incremental merge produce the
+    same rollup as the plain-directory refresh, a crash mid-refresh
+    leaves the previous rollup fully visible, and untouched days keep
+    their generation."""
+    from kinesis_spark.io import load_table, normalize_events_ts
+    from kinesis_spark.rollup import refresh_daily_rollup, tx_refresh_daily_rollup
+
+    events = normalize_events_ts(load_table(spark, sf_dir, "events"))
+    days = sorted(
+        r[0] for r in events.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    split_day = days[len(days) // 2]
+    batch1 = events.filter(F.to_date("ts") <= F.lit(split_day))
+    batch2 = events.filter(F.to_date("ts") > F.lit(split_day))
+
+    plain_dir = str(tmp_path / "plain")
+    tx_root = str(tmp_path / "tx")
+    assert refresh_daily_rollup(spark, plain_dir, batch1) == tx_refresh_daily_rollup(
+        spark, tx_root, batch1
+    )
+    assert refresh_daily_rollup(spark, plain_dir, batch2) == tx_refresh_daily_rollup(
+        spark, tx_root, batch2
+    )
+    plain = sorted(map(tuple, spark.read.parquet(plain_dir).collect()))
+    got = sorted(map(tuple, tx_read(spark, tx_root).collect()))
+    assert got == plain and len(got) > 0
+    # day partition type survives the manifest round trip
+    assert dict(tx_read(spark, tx_root).dtypes)["day"] == "date"
+
+    # crash mid-refresh (publish never happens): old rollup untouched
+    before = tx_current_manifest(spark, tx_root)
+    overlap = tx_read(spark, tx_root)  # re-merge batch2: would double-count
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        tx_publish(
+            spark,
+            tx_root,
+            overlap,
+            partition_col="day",
+            _fail_at="after-audit",
+        )
+    assert tx_current_manifest(spark, tx_root)["version"] == before["version"]
+    assert sorted(map(tuple, tx_read(spark, tx_root).collect())) == plain
