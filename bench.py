@@ -68,7 +68,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
-def bench_ingest_soak(spark, seconds: float = 6.0, rows_per_second: int = 100,
+def bench_ingest_soak(spark, seconds: float = 12.0, rows_per_second: int = 100,
                       payload_bytes: int = 1024, num_partitions: int = 2,
                       name: str = "bench_soak") -> dict:
     """Reference bench parity (bench/main.go:24-29): N × payload rows/s
@@ -76,7 +76,12 @@ def bench_ingest_soak(spark, seconds: float = 6.0, rows_per_second: int = 100,
 
     Run twice: at the reference's offered load (100 KiB/s) and at the
     reference's implied per-writer ceiling (~4 MiB/s, BASELINE.md) to
-    show pipeline headroom."""
+    show pipeline headroom.
+
+    The window is >= 12 s: with a 1 s trigger the window edge clips up
+    to one trigger's worth of bytes, so a 6 s window carried ~17%
+    quantization noise (a committed 79.8 KiB/s figure that was really
+    ~100) — at 12 s the worst-case edge error is under 5%."""
     from kinesis_spark.streaming.ingest import build_rate_source, start_ingest_query
 
     class NullClient:
