@@ -133,11 +133,25 @@ def _latest_version(spark: SparkSession, root: str) -> int:
     return max(versions, default=0)
 
 
+def tx_manifest(spark: SparkSession, root: str, version: int | None = None) -> dict:
+    """Manifest of ``version`` (None = latest). A version outside the
+    vacuum retention window raises FileNotFoundError."""
+    if version is None:
+        version = _latest_version(spark, root)
+        if version == 0:
+            raise FileNotFoundError(
+                f"no transactional store at {root} (empty {_TXLOG})"
+            )
+    path = f"{root}/{_TXLOG}/{_manifest_name(version)}"
+    if not _fs(spark, path).exists(_jpath(spark, path)):
+        raise FileNotFoundError(
+            f"version {version} not found at {root} (vacuumed or never committed)"
+        )
+    return json.loads(_fs_read_text(spark, path))
+
+
 def tx_current_manifest(spark: SparkSession, root: str) -> dict:
-    v = _latest_version(spark, root)
-    if v == 0:
-        raise FileNotFoundError(f"no transactional store at {root} (empty {_TXLOG})")
-    return json.loads(_fs_read_text(spark, f"{root}/{_TXLOG}/{_manifest_name(v)}"))
+    return tx_manifest(spark, root)
 
 
 def _unescape_partition_dir(name: str, partition_col: str) -> str:
@@ -175,17 +189,26 @@ def _stage_listing(
 
 
 def tx_read(
-    spark: SparkSession, root: str, partition_values: list | None = None
+    spark: SparkSession,
+    root: str,
+    partition_values: list | None = None,
+    version: int | None = None,
 ) -> DataFrame:
-    """Snapshot read of the current table version.
+    """Snapshot read of a table version (None = current).
 
     ``partition_values`` prunes at the MANIFEST (file listing never even
     touches other partitions — the txstore analogue of partition
     pruning); None reads the whole table. The manifest's recorded schema
     is applied explicitly, so partition-column types survive the
     round trip through directory names.
+
+    ``version`` is time travel: every retained manifest is a complete
+    snapshot over immutable generations, so reading version N after
+    later commits returns exactly the table as of N (until ``tx_vacuum``
+    retires it) — the audit/debug/reproducibility read a training-data
+    platform needs when a model was trained "on corpus version N".
     """
-    man = tx_current_manifest(spark, root)
+    man = tx_manifest(spark, root, version)
     schema = StructType.fromJson(man["schema"])
     pcol = man["partition_col"]
     mapping: dict[str, str] = man["partitions"]

@@ -256,3 +256,28 @@ def test_tx_rollup_refresh_matches_plain_and_survives_crash(spark, sf_dir, tmp_p
         )
     assert tx_current_manifest(spark, tx_root)["version"] == before["version"]
     assert sorted(map(tuple, tx_read(spark, tx_root).collect())) == plain
+
+
+def test_time_travel_reads_prior_versions(spark, store):
+    """Every retained manifest is a complete snapshot: after an upsert,
+    version 1 still reads the original table bit-for-bit; vacuuming
+    past the retention window retires it loudly."""
+    v1 = sorted(map(tuple, tx_read(spark, store, version=1).collect()))
+    assert v1 == _snapshot(spark, store)
+    month = tx_read(spark, store).select("month").first()[0]
+    upd = spark.createDataFrame(
+        [(7_777_777, 1.0, "T", month)],
+        "o_orderkey long, o_totalprice double, o_orderstatus string, month string",
+    )
+    tx_upsert(spark, store, upd, key="o_orderkey")
+    now = _snapshot(spark, store)
+    assert len(now) == len(v1) + 1
+    # version 1 unchanged underneath the new commit
+    assert sorted(map(tuple, tx_read(spark, store, version=1).collect())) == v1
+    with pytest.raises(FileNotFoundError, match="never committed"):
+        tx_read(spark, store, version=99)
+    # retention: keep only the latest manifest -> v1 is retired
+    tx_vacuum(spark, store, keep_manifests=1)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        tx_read(spark, store, version=1)
+    assert _snapshot(spark, store) == now  # current version untouched
