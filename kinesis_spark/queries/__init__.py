@@ -244,6 +244,13 @@ FORCE_REVERIFY: dict[str, int] = {
     # TIMESTAMP (DuckDB DATE_TRUNC yields DATE — e1's fix, same class).
     "sc1_string_funcs": 3,
     "sc2_date_funcs": 3,
+    # changed in r5: s16's gram->bucket hash moved from md5 to the
+    # code-point multiplicative hash (bucket assignments, hence scores,
+    # changed — oracle in lockstep); sim16 ships UNROUNDED ip/rankings
+    # (the half-tie fix). Rows from rounds <= 4 validated the old
+    # definitions.
+    "s16_dsir_reweight": 4,
+    "sim16_mips_norm_augment": 4,
 }
 
 

@@ -22,6 +22,10 @@ bound) into a bit-exact driver row:
   bigints, the sketch estimates collapse to within-bound booleans
   (HLL rsd=0.02 → 5% + slack bound; percentile accuracy=10000 → 2%
   relative bound; observed errors are 0% and <=0.7%).
+- ``p5c``  — p5's documented at-scale variant (approx_percentile
+  curriculum thresholds) made real and gated: the approximate
+  thresholds' RANKS are checked against the published n/accuracy rank
+  bound, with the exact thresholds riding along bit-exact.
 """
 
 from __future__ import annotations
@@ -201,3 +205,91 @@ def a8c_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("approx_users") - F.col("exact_users")) <= hll_tol).alias("hll_ok"),
         (F.abs(F.col("approx_p50") - F.col("exact_p50")) <= p50_tol).alias("p50_ok"),
     )
+
+
+def _p5c_oracle() -> str:
+    from kinesis_spark.queries import REGISTRY, textstats  # noqa: F401
+
+    t2_sql = REGISTRY["t2_quality_score"].oracle
+    arms = "\nUNION ALL\n".join(
+        f"SELECT CAST({q} AS DOUBLE) AS quantile, q{i + 1} AS exact_thr,"
+        f" TRUE AS rank_ok FROM thr"
+        for i, q in enumerate(("0.25", "0.5", "0.75"))
+    )
+    return f"""
+WITH scored AS ({t2_sql}),
+thr AS (
+  SELECT quantile_cont(quality_score, 0.25) AS q1,
+         quantile_cont(quality_score, 0.50) AS q2,
+         quantile_cont(quality_score, 0.75) AS q3
+  FROM scored
+)
+{arms}
+"""
+
+
+P5C_ACCURACY = 10_000
+
+
+@register(
+    "p5c_curriculum_approx_bounds",
+    oracle=_p5c_oracle(),
+    tags=("pipeline", "curriculum", "sketch", "companion"),
+)
+def p5c_curriculum_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p5's at-scale variant, made real and driver-gated: curriculum
+    thresholds from ``approx_percentile`` (fixed-size KLL-style buffer,
+    true partial aggregation — the form that does NOT funnel 100 TB of
+    values through one reducer, see p5's docstring caveat), each checked
+    against the published guarantee. ``approx_percentile(accuracy=A)``
+    bounds RANK error by n/A, so the check is rank-space: the count of
+    scores <= the approximate threshold must sit within n/A (+2
+    interpolation slack) of the target rank q*n. Value-space tolerances
+    would be data-dependent; the rank bound is the actual contract.
+
+    Exact thresholds ride along bit-exact (the a7 percentile bridge);
+    the approximate values collapse to booleans the oracle asserts TRUE
+    — a sketch regression flips one to FALSE and fails the hash gate.
+    One corpus aggregation + one rank-count pass over the broadcast
+    3-value threshold row; nothing driver-side but the 1-row stats.
+    """
+    from kinesis_spark.queries.textstats import t2_quality_score
+
+    scored = t2_quality_score(spark, sf_dir).select("quality_score")
+    stats = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(quality_score, array(0.25D, 0.5D, 0.75D))").alias("ex"),
+        F.expr(
+            f"approx_percentile(quality_score, array(0.25D, 0.5D, 0.75D),"
+            f" {P5C_ACCURACY})"
+        ).alias("ap"),
+    )
+    ranks = (
+        scored.crossJoin(F.broadcast(stats))
+        .agg(
+            *[
+                F.sum(
+                    (F.col("quality_score") <= F.col("ap")[i]).cast("bigint")
+                ).alias(f"r{i}")
+                for i in range(3)
+            ],
+            F.first("n").alias("n"),
+            F.first("ex").alias("ex"),
+        )
+    )
+    tol = F.col("n").cast("double") / P5C_ACCURACY + 2.0
+    arms = [
+        ranks.select(
+            F.lit(q).cast("double").alias("quantile"),
+            F.col("ex")[i].alias("exact_thr"),
+            (
+                F.abs(F.col(f"r{i}").cast("double") - F.lit(q) * F.col("n"))
+                <= tol
+            ).alias("rank_ok"),
+        )
+        for i, q in enumerate((0.25, 0.5, 0.75))
+    ]
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionAll(a)
+    return out

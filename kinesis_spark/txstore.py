@@ -478,6 +478,33 @@ def tx_upsert(spark: SparkSession, root: str, updates: DataFrame, key: str) -> i
     return len(parts)
 
 
+def streaming_tx_upsert_query(
+    spark: SparkSession,
+    updates_stream: DataFrame,
+    root: str,
+    key: str,
+    checkpoint_dir: str,
+):
+    """Streaming face of :func:`tx_upsert` (mirrors
+    ``upsert.streaming_upsert_query``): each micro-batch MERGEs into the
+    transactional store as one atomic commit, so a reader polling the
+    store between micro-batches always sees a complete batch boundary —
+    never a half-applied batch. Replaying a whole micro-batch after a
+    checkpoint restart converges to the same table content
+    (last-write-wins per key), just at a later version number.
+    Returns the started StreamingQuery."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        tx_upsert(spark, root, batch_df, key)
+
+    return (
+        updates_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def tx_erase(spark: SparkSession, root: str, request: DataFrame, key: str) -> DataFrame:
     """Right-to-erasure on the transactional store — the WAP face of
     ``erasure.erase_by_key`` (same locate/rewrite phases and audit

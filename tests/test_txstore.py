@@ -281,3 +281,53 @@ def test_time_travel_reads_prior_versions(spark, store):
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         tx_read(spark, store, version=1)
     assert _snapshot(spark, store) == now  # current version untouched
+
+
+def test_streaming_tx_upsert_commits_one_version_per_batch(spark, store, tmp_path):
+    """CDC loop over the transactional store: each micro-batch is one
+    atomic commit (version bump), later batches overwrite earlier keys,
+    and a checkpointed replay converges to the same content."""
+    import time as _time
+
+    from kinesis_spark.txstore import streaming_tx_upsert_query
+
+    month = tx_read(spark, store).select("month").first()[0]
+    schema = (
+        "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING, month STRING"
+    )
+    updates_dir = tmp_path / "updates"
+    updates_dir.mkdir()
+    spark.createDataFrame(
+        [(88888801, 11.0, "A", month), (88888802, 12.0, "A", month)], schema
+    ).coalesce(1).write.mode("overwrite").json(str(updates_dir / "b0"))
+    _time.sleep(1.1)  # distinct mtimes => deterministic file-source order
+    spark.createDataFrame(
+        [(88888801, 99.0, "Z", month)], schema
+    ).coalesce(1).write.mode("overwrite").json(str(updates_dir / "b1"))
+
+    v0 = tx_current_manifest(spark, store)["version"]
+
+    def _drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(updates_dir) + "/*")
+        )
+        q = streaming_tx_upsert_query(
+            spark, stream, store, "o_orderkey", str(tmp_path / "ckpt")
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    _drain()
+    assert tx_current_manifest(spark, store)["version"] == v0 + 2  # one per batch
+    got = {
+        r.o_orderkey: (r.o_totalprice, r.o_orderstatus)
+        for r in tx_read(spark, store)
+        .filter(F.col("o_orderkey").isin([88888801, 88888802]))
+        .collect()
+    }
+    assert got == {88888801: (99.0, "Z"), 88888802: (12.0, "A")}
+    # restart against the same checkpoint: nothing new -> no commit
+    _drain()
+    assert tx_current_manifest(spark, store)["version"] == v0 + 2
