@@ -31,6 +31,7 @@ def _write_layout(
     index_dir: str,
     metadata_cols: tuple[str, ...],
     partition_metadata: str | None,
+    transactional: bool = False,
 ) -> None:
     spark.createDataFrame(
         [
@@ -39,6 +40,7 @@ def _write_layout(
                     {
                         "metadata_cols": list(metadata_cols),
                         "partition_metadata": partition_metadata,
+                        "transactional": transactional,
                     }
                 ),
             )
@@ -50,9 +52,27 @@ def _write_layout(
 def _read_layout(spark: SparkSession, index_dir: str) -> dict:
     try:
         row = spark.read.parquet(f"{index_dir}/layout").head()
-        return json.loads(row["layout"])
+        layout = json.loads(row["layout"])
+        layout.setdefault("transactional", False)
+        return layout
     except Exception:  # pre-layout index directories
-        return {"metadata_cols": [], "partition_metadata": None}
+        return {"metadata_cols": [], "partition_metadata": None, "transactional": False}
+
+
+def _read_cells(
+    spark: SparkSession, index_dir: str, probe_cells: list | None = None
+) -> DataFrame:
+    """Cell scan, layout-dispatched: plain directory layout prunes the
+    probed cells with a partition filter; the transactional layout
+    prunes them at the MANIFEST (txstore.tx_read) before any listing."""
+    if _read_layout(spark, index_dir)["transactional"]:
+        from kinesis_spark.txstore import tx_read
+
+        return tx_read(spark, f"{index_dir}/cells", partition_values=probe_cells)
+    cells = spark.read.parquet(f"{index_dir}/cells")
+    if probe_cells is not None:
+        cells = cells.filter(F.col("cell").isin(probe_cells))
+    return cells
 
 
 def _cells_of(e: DataFrame, cent: DataFrame, metadata_cols: tuple[str, ...]) -> DataFrame:
@@ -74,6 +94,7 @@ def build_ivf_index(
     index_dir: str,
     metadata_cols: tuple[str, ...] = (),
     partition_metadata: str | None = None,
+    transactional: bool = False,
 ) -> None:
     """Build and persist the index from (vec_id, label, embedding
     float[]) rows. One assignment pass; the codebook is written
@@ -86,9 +107,22 @@ def build_ivf_index(
     (cell, <col>), so a metadata-scoped probe prunes its directories at
     file listing exactly like the cell id — the layout the sim13
     docstring promises at 100 TB. The layout choice is persisted next to
-    the codebook so appends can never silently diverge from it."""
+    the codebook so appends can never silently diverge from it.
+
+    ``transactional=True`` stores the cells in a txstore root
+    (write-audit-publish): index growth becomes an ATOMIC manifest swap
+    — a crash mid-append can never leave probes seeing half a batch's
+    cells — and probe pruning moves from the file listing to the
+    manifest. Restricted to the plain (cell)-partitioned layout
+    (txstore partitions on one column); a ``partition_metadata`` index
+    keeps the directory layout and its append-visibility caveat."""
     if partition_metadata is not None and partition_metadata not in metadata_cols:
         raise ValueError("partition_metadata must be one of metadata_cols")
+    if transactional and partition_metadata is not None:
+        raise ValueError(
+            "transactional cells partition on the single `cell` column; "
+            "use the plain layout for partition_metadata indexes"
+        )
     e = embeddings.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -97,14 +131,23 @@ def build_ivf_index(
     )
     cent = ivf_codebook(e)
     cent.write.mode("overwrite").parquet(f"{index_dir}/codebook")
-    _write_layout(embeddings.sparkSession, index_dir, metadata_cols, partition_metadata)
-    parts = ["cell"] + ([partition_metadata] if partition_metadata else [])
-    (
-        _cells_of(e, cent, metadata_cols)
-        .write.mode("overwrite")
-        .partitionBy(*parts)
-        .parquet(f"{index_dir}/cells")
+    _write_layout(
+        embeddings.sparkSession,
+        index_dir,
+        metadata_cols,
+        partition_metadata,
+        transactional,
     )
+    cells = _cells_of(e, cent, metadata_cols)
+    if transactional:
+        from kinesis_spark.txstore import tx_init
+
+        tx_init(
+            embeddings.sparkSession, f"{index_dir}/cells", cells, partition_col="cell"
+        )
+        return
+    parts = ["cell"] + ([partition_metadata] if partition_metadata else [])
+    cells.write.mode("overwrite").partitionBy(*parts).parquet(f"{index_dir}/cells")
 
 
 def append_to_ivf_index(
@@ -140,6 +183,13 @@ def append_to_ivf_index(
         .transform(pin)
     )
     n = batch.count()
+    if layout["transactional"]:
+        # atomic index growth: the batch's cells become visible in one
+        # manifest swap — probes mid-append see the old index complete
+        from kinesis_spark.txstore import tx_append
+
+        tx_append(spark, f"{index_dir}/cells", batch)
+        return n
     parts = ["cell"] + (
         [layout["partition_metadata"]] if layout["partition_metadata"] else []
     )
@@ -197,11 +247,10 @@ def query_ivf_index(
         .transform(pin)
     )
     # the probed-cell filter must be a literal IN list so it prunes
-    # partitions at file listing; a join would read every cell directory
+    # partitions at file listing (manifest level for the transactional
+    # layout); a join would read every cell directory
     probe_cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
-    cells = spark.read.parquet(f"{index_dir}/cells").filter(
-        F.col("cell").isin(probe_cells)
-    )
+    cells = _read_cells(spark, index_dir, probe_cells)
     if where is not None:
         cells = cells.filter(where)
     for c in match_metadata:
@@ -240,7 +289,7 @@ def ivf_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     concentrates new vectors into whatever cells are nearest TODAY's
     codebook). A cheap metadata-grade scan: cell is a partition column,
     so the aggregate reads footers + one grouping, never vectors."""
-    cells = spark.read.parquet(f"{index_dir}/cells").groupBy("cell").agg(
+    cells = _read_cells(spark, index_dir).groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_vectors")
     )
     total = F.sum("n_vectors").over(Window.partitionBy())

@@ -211,7 +211,7 @@ def tx_read(
     man = tx_manifest(spark, root, version)
     schema = StructType.fromJson(man["schema"])
     pcol = man["partition_col"]
-    mapping: dict[str, str] = man["partitions"]
+    mapping: dict[str, list[str]] = man["partitions"]
     if partition_values is not None:
         keys = {_value_key(v) for v in partition_values}
         mapping = {k: v for k, v in mapping.items() if k in keys}
@@ -219,13 +219,14 @@ def tx_read(
         return spark.createDataFrame([], schema)
     if pcol is None:
         return spark.read.schema(schema).parquet(
-            *[f"{root}/{rel}" for rel in mapping.values()]
+            *[f"{root}/{rel}" for rels in mapping.values() for rel in rels]
         )
     # group partition dirs by generation so each read gets one basePath
     by_gen: dict[str, list[str]] = {}
-    for rel in mapping.values():
-        gen = rel.rsplit("/", 1)[0]
-        by_gen.setdefault(gen, []).append(f"{root}/{rel}")
+    for rels in mapping.values():
+        for rel in rels:
+            gen = rel.rsplit("/", 1)[0]
+            by_gen.setdefault(gen, []).append(f"{root}/{rel}")
     parts_df = None
     for gen, dirs in sorted(by_gen.items()):
         piece = (
@@ -280,6 +281,7 @@ def tx_publish(
     replace_values: list | None = None,
     delete_values: list = (),
     replace_all: bool = False,
+    append: bool = False,
     validate=None,
     expect_version: int | None = None,
     _fail_at: str | None = None,
@@ -294,6 +296,11 @@ def tx_publish(
     - ``delete_values``: partitions to drop without staging anything.
     - ``replace_all``: the whole table is superseded (compaction /
       bootstrap).
+    - ``append``: the staged generation is ADDED to each touched
+      partition's generation list instead of superseding it — atomic
+      multi-partition append (fact/event tables, index growth); a
+      partition's mapping is a LIST of immutable generations that
+      ``tx_compact`` later collapses.
     - ``validate``: optional callable run on the staged-files DataFrame
       during the audit step; raise to abort.
     - ``expect_version``: snapshot isolation — the version this
@@ -350,7 +357,13 @@ def tx_publish(
         raise RuntimeError("simulated crash after audit, before publish")
 
     if replace_all:
-        mapping = dict(staged_mapping)
+        mapping = {k: [v] for k, v in staged_mapping.items()}
+    elif append:
+        # append mode: the staged generation JOINS each touched
+        # partition's generation list; nothing is superseded
+        mapping = {k: list(v) for k, v in old_mapping.items()}
+        for k, rel in staged_mapping.items():
+            mapping.setdefault(k, []).append(rel)
     else:
         dropped = {_value_key(v) for v in (replace_values or [])} | {
             _value_key(v) for v in delete_values
@@ -358,7 +371,7 @@ def tx_publish(
         # default replacement scope: the values actually staged
         dropped |= set(staged_mapping)
         mapping = {k: v for k, v in old_mapping.items() if k not in dropped}
-        mapping.update(staged_mapping)
+        mapping.update({k: [v] for k, v in staged_mapping.items()})
 
     new_man = {
         "version": base_version + 1,
@@ -405,6 +418,21 @@ def tx_init(
     )
 
 
+def tx_append(spark: SparkSession, root: str, rows: DataFrame) -> dict:
+    """Atomically append ``rows`` to their partitions: one staged
+    generation joins the touched partitions' generation lists in a
+    single manifest swap — readers see the whole batch or none of it
+    (the fact-table / event-log / index-growth write path; the
+    non-transactional analogue, ``mode("append")``, leaves a torn
+    multi-partition batch visible if the writer dies mid-write).
+    Generation lists grow by one per append; ``tx_compact`` collapses
+    them on a maintenance cadence. Returns the published manifest."""
+    man = tx_current_manifest(spark, root)
+    return tx_publish(
+        spark, root, rows, partition_col=man["partition_col"], append=True
+    )
+
+
 def tx_vacuum(spark: SparkSession, root: str, keep_manifests: int = 2) -> list[str]:
     """Garbage-collect data generations unreferenced by the retained
     manifests, plus manifests beyond the retention window. Returns the
@@ -419,9 +447,10 @@ def tx_vacuum(spark: SparkSession, root: str, keep_manifests: int = 2) -> list[s
         man = json.loads(
             _fs_read_text(spark, f"{root}/{_TXLOG}/{_manifest_name(v)}")
         )
-        for rel in man["partitions"].values():
-            # token dir is the generation unit: _data/<token>[/col=v]
-            referenced.add(rel.split("/")[1])
+        for rels in man["partitions"].values():
+            for rel in rels:
+                # token dir is the generation unit: _data/<token>[/col=v]
+                referenced.add(rel.split("/")[1])
     removed = []
     fs = _fs(spark, root)
     for token in _fs_list_names(spark, f"{root}/{_DATA}"):
@@ -583,10 +612,11 @@ def tx_compact(
         expect_version=man["version"],
     )
     n = 0
-    for rel in new_man["partitions"].values():
-        n += sum(
-            1
-            for f in _fs_list_names(spark, f"{root}/{rel}")
-            if f.endswith(".parquet")
-        )
+    for rels in new_man["partitions"].values():
+        for rel in rels:
+            n += sum(
+                1
+                for f in _fs_list_names(spark, f"{root}/{rel}")
+                if f.endswith(".parquet")
+            )
     return n

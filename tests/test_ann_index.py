@@ -229,3 +229,79 @@ def test_index_stats_and_imbalance_track_appends(spark, sf_dir, tmp_path):
     after = ivf_imbalance(spark, d)
     assert after > before
     assert sum(r.n_vectors for r in ivf_index_stats(spark, d).collect()) == n + 30
+
+
+def test_transactional_index_parity_and_atomic_append(spark, sf_dir, tmp_path):
+    """txstore-backed cells (build_ivf_index(transactional=True)):
+    probe results match the plain layout exactly; appends are one
+    atomic manifest swap (a crash mid-append leaves probes on the old
+    index, complete); manifest-level pruning replaces partition-filter
+    pruning."""
+    from kinesis_spark import txstore
+    from kinesis_spark.ann import append_to_ivf_index, ivf_imbalance
+    from kinesis_spark.txstore import tx_current_manifest
+
+    base = load_table(spark, sf_dir, "embeddings")
+    plain, tx = str(tmp_path / "plain"), str(tmp_path / "tx")
+    build_ivf_index(base, plain)
+    build_ivf_index(base, tx, transactional=True)
+
+    q = _queries(spark, sf_dir)
+    want = sorted(
+        map(tuple, query_ivf_index(spark, plain, q, top_k=TOP_K, n_probe=N_PROBE).collect())
+    )
+    got = sorted(
+        map(tuple, query_ivf_index(spark, tx, q, top_k=TOP_K, n_probe=N_PROBE).collect())
+    )
+    assert got == want and len(got) > 0
+    # pruning: the probed read only lists probed-cell directories
+    probed = query_ivf_index(spark, tx, q, top_k=1, n_probe=1)
+    probed.collect()
+    assert ivf_imbalance(spark, tx) == ivf_imbalance(spark, plain)
+
+    # atomic append: clone of query 0 becomes its top-1, in ONE commit
+    # cast matters: the audit gate REJECTS an int-literal vec_id beside
+    # the table's bigint (type drift the plain layout would silently
+    # write as mixed int32/int64 parquet files)
+    clone = base.filter(F.col("vec_id") == 0).select(
+        F.lit(10_000_000).cast("bigint").alias("vec_id"), "label", "embedding"
+    )
+    v_before = tx_current_manifest(spark, f"{tx}/cells")["version"]
+    assert append_to_ivf_index(spark, clone, tx) == 1
+    assert tx_current_manifest(spark, f"{tx}/cells")["version"] == v_before + 1
+    res = query_ivf_index(spark, tx, q, top_k=1, n_probe=N_PROBE)
+    assert {r.query_id: r.match_id for r in res.collect()}[0] == 10_000_000
+
+    # crash mid-append: probes keep seeing the post-first-append index
+    snapshot = sorted(
+        map(tuple, query_ivf_index(spark, tx, q, top_k=TOP_K, n_probe=N_PROBE).collect())
+    )
+    clone2 = base.filter(F.col("vec_id") == 1).select(
+        F.lit(10_000_001).alias("vec_id"), "label", "embedding"
+    )
+    from kinesis_spark.queries.similarity import ivf_assign  # noqa: F401
+    cells_root = f"{tx}/cells"
+    bad = base.limit(0)  # stage an empty frame then simulate the crash
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        txstore.tx_publish(
+            spark,
+            cells_root,
+            txstore.tx_read(spark, cells_root).limit(3),
+            append=True,
+            _fail_at="after-audit",
+        )
+    assert tx_current_manifest(spark, cells_root)["version"] == v_before + 1
+    again = sorted(
+        map(tuple, query_ivf_index(spark, tx, q, top_k=TOP_K, n_probe=N_PROBE).collect())
+    )
+    assert again == snapshot
+
+    # metadata-partitioned layout stays on the directory path
+    with pytest.raises(ValueError, match="transactional cells"):
+        build_ivf_index(
+            base,
+            str(tmp_path / "bad"),
+            metadata_cols=("label",),
+            partition_metadata="label",
+            transactional=True,
+        )

@@ -159,9 +159,14 @@ def test_tx_upsert_merges_atomically(spark, store):
     ] == 99999.0
     # untouched partitions still point at the original generation
     man = tx_current_manifest(spark, store)
-    gens = {rel.split("/")[1] for k, rel in man["partitions"].items() if k != touched}
+    gens = {
+        rel.split("/")[1]
+        for k, rels in man["partitions"].items()
+        if k != touched
+        for rel in rels
+    }
     assert len(gens) == 1  # all untouched partitions share the v1 generation
-    assert man["partitions"][touched].split("/")[1] not in gens
+    assert man["partitions"][touched][0].split("/")[1] not in gens
 
 
 def test_tx_erase_empties_partition_atomically(spark, store):
@@ -196,7 +201,10 @@ def test_tx_compact_single_swap(spark, store):
     assert n_files == n_parts  # one file per partition value
     assert _snapshot(spark, store) == before
     man = tx_current_manifest(spark, store)
-    assert len({rel.split("/")[1] for rel in man["partitions"].values()}) == 1
+    assert (
+        len({rel.split("/")[1] for rels in man["partitions"].values() for rel in rels})
+        == 1
+    )
 
 
 def test_null_partition_value_round_trip(spark, tmp_path):
@@ -331,3 +339,38 @@ def test_streaming_tx_upsert_commits_one_version_per_batch(spark, store, tmp_pat
     # restart against the same checkpoint: nothing new -> no commit
     _drain()
     assert tx_current_manifest(spark, store)["version"] == v0 + 2
+
+
+def test_tx_append_is_atomic_and_compactable(spark, store):
+    """Atomic multi-partition append: the staged generation joins each
+    touched partition's list in one swap; a crash mid-append leaves the
+    batch entirely invisible; compact collapses the grown lists."""
+    from kinesis_spark.txstore import tx_append
+
+    before = _snapshot(spark, store)
+    months = sorted(
+        r[0] for r in tx_read(spark, store).select("month").distinct().collect()
+    )[:2]
+    schema = (
+        "o_orderkey long, o_totalprice double, o_orderstatus string, month string"
+    )
+    batch = spark.createDataFrame(
+        [(6_000_001, 1.0, "ZZ", months[0]), (6_000_002, 2.0, "ZZ", months[1])], schema
+    )
+    man = tx_append(spark, store, batch)
+    assert len(man["partitions"][months[0]]) == 2  # v1 gen + appended gen
+    after = tx_read(spark, store)
+    assert after.count() == len(before) + 2
+    assert after.filter(F.col("o_orderstatus") == "ZZ").count() == 2
+
+    # crash mid-append: nothing from the batch becomes visible
+    snap = _snapshot(spark, store)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        tx_publish(spark, store, batch, append=True, _fail_at="after-audit")
+    assert _snapshot(spark, store) == snap
+
+    # compact collapses every generation list back to length 1
+    tx_compact(spark, store)
+    man2 = tx_current_manifest(spark, store)
+    assert all(len(rels) == 1 for rels in man2["partitions"].values())
+    assert _snapshot(spark, store) == snap
