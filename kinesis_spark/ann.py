@@ -60,18 +60,24 @@ def _read_layout(spark: SparkSession, index_dir: str) -> dict:
 
 
 def _read_cells(
-    spark: SparkSession, index_dir: str, probe_cells: list | None = None
+    spark: SparkSession,
+    index_dir: str,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
-    """Cell scan, layout-dispatched: plain directory layout prunes the
-    probed cells with a partition filter; the transactional layout
-    prunes them at the MANIFEST (txstore.tx_read) before any listing."""
+    """Cell scan, layout-dispatched: plain directory layout prunes with
+    partition filters at file listing; the transactional layout prunes
+    at the MANIFEST (txstore per-column partition_filter) before any
+    listing. ``partition_filter``: {col: allowed values} — always
+    includes 'cell'; a partition_metadata column may add a second key."""
     if _read_layout(spark, index_dir)["transactional"]:
         from kinesis_spark.txstore import tx_read
 
-        return tx_read(spark, f"{index_dir}/cells", partition_values=probe_cells)
+        return tx_read(
+            spark, f"{index_dir}/cells", partition_filter=partition_filter
+        )
     cells = spark.read.parquet(f"{index_dir}/cells")
-    if probe_cells is not None:
-        cells = cells.filter(F.col("cell").isin(probe_cells))
+    for col, vals in (partition_filter or {}).items():
+        cells = cells.filter(F.col(col).isin(vals))
     return cells
 
 
@@ -113,16 +119,11 @@ def build_ivf_index(
     (write-audit-publish): index growth becomes an ATOMIC manifest swap
     — a crash mid-append can never leave probes seeing half a batch's
     cells — and probe pruning moves from the file listing to the
-    manifest. Restricted to the plain (cell)-partitioned layout
-    (txstore partitions on one column); a ``partition_metadata`` index
-    keeps the directory layout and its append-visibility caveat."""
+    manifest (per-column partition_filter, so a ``partition_metadata``
+    index prunes on cell AND the metadata column exactly like the
+    directory layout does)."""
     if partition_metadata is not None and partition_metadata not in metadata_cols:
         raise ValueError("partition_metadata must be one of metadata_cols")
-    if transactional and partition_metadata is not None:
-        raise ValueError(
-            "transactional cells partition on the single `cell` column; "
-            "use the plain layout for partition_metadata indexes"
-        )
     e = embeddings.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -139,14 +140,17 @@ def build_ivf_index(
         transactional,
     )
     cells = _cells_of(e, cent, metadata_cols)
+    parts = ["cell"] + ([partition_metadata] if partition_metadata else [])
     if transactional:
         from kinesis_spark.txstore import tx_init
 
         tx_init(
-            embeddings.sparkSession, f"{index_dir}/cells", cells, partition_col="cell"
+            embeddings.sparkSession,
+            f"{index_dir}/cells",
+            cells,
+            partition_col=parts if len(parts) > 1 else "cell",
         )
         return
-    parts = ["cell"] + ([partition_metadata] if partition_metadata else [])
     cells.write.mode("overwrite").partitionBy(*parts).parquet(f"{index_dir}/cells")
 
 
@@ -248,16 +252,22 @@ def query_ivf_index(
     )
     # the probed-cell filter must be a literal IN list so it prunes
     # partitions at file listing (manifest level for the transactional
-    # layout); a join would read every cell directory
-    probe_cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
-    cells = _read_cells(spark, index_dir, probe_cells)
+    # layout); a join would read every cell directory. The same
+    # query-set-scale collect covers each match_metadata column — when
+    # it is the index's partition_metadata it prunes like the cell id,
+    # otherwise it lands as a parquet row-group predicate.
+    pf = {"cell": [r["cell"] for r in probes.select("cell").distinct().collect()]}
+    meta_vals = {
+        c: [r[c] for r in probes.select(c).distinct().collect()]
+        for c in match_metadata
+    }
+    pmeta = _read_layout(spark, index_dir)["partition_metadata"]
+    if pmeta in meta_vals:
+        pf[pmeta] = meta_vals[pmeta]
+    cells = _read_cells(spark, index_dir, pf)
     if where is not None:
         cells = cells.filter(where)
-    for c in match_metadata:
-        # same literal-IN discipline as probe_cells: a query-set-scale
-        # collect that lets a partitioned metadata column prune at
-        # file listing (row-group predicate otherwise)
-        vals = [r[c] for r in probes.select(c).distinct().collect()]
+    for c, vals in meta_vals.items():
         cells = cells.filter(F.col(c).isin(vals))
     dot = F.aggregate(
         F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),

@@ -154,8 +154,27 @@ def tx_current_manifest(spark: SparkSession, root: str) -> dict:
     return tx_manifest(spark, root)
 
 
+def _norm_pcols(partition_col) -> list[str] | None:
+    """Normalize the partition spec: None, a single column name, or a
+    list of names (multi-level Hive layout, e.g. ANN's (cell, tenant))."""
+    if partition_col is None:
+        return None
+    if isinstance(partition_col, str):
+        return [partition_col]
+    cols = list(partition_col)
+    return cols or None
+
+
+def _pcols_field(pcols: list[str] | None):
+    """Manifest representation: plain string for the common single-col
+    store (stable with round-5 manifests), list for multi-level."""
+    if pcols is None:
+        return None
+    return pcols[0] if len(pcols) == 1 else pcols
+
+
 def _unescape_partition_dir(name: str, partition_col: str) -> str:
-    """Dir name ``col=escaped`` -> manifest key (Hive %XX unescaped;
+    """Dir name ``col=escaped`` -> raw value string (Hive %XX unescaped;
     NULL keeps the Hive sentinel as its key)."""
     val = name[len(partition_col) + 1 :]
     if val == HIVE_NULL:
@@ -167,20 +186,40 @@ def _value_key(v) -> str:
     return HIVE_NULL if v is None else str(v)
 
 
+def _tuple_key(vals: list[str]) -> str:
+    """Manifest key for one partition: the raw value for a single-level
+    layout (round-5 format), a JSON array for multi-level — value
+    strings may contain any character, so a joined-string key would be
+    ambiguous."""
+    return vals[0] if len(vals) == 1 else json.dumps(vals)
+
+
+def _key_values(key: str, n_cols: int) -> list[str]:
+    """Inverse of _tuple_key."""
+    return [key] if n_cols == 1 else json.loads(key)
+
+
 def _stage_listing(
-    spark: SparkSession, stage_dir: str, partition_col: str | None
+    spark: SparkSession, stage_dir: str, pcols: list[str] | None
 ) -> dict[str, str]:
-    """Map manifest partition key -> relative data dir for a staged write."""
+    """Map manifest partition key -> relative data dir for a staged
+    write, walking one Hive directory level per partition column."""
     token = stage_dir.rsplit("/", 1)[-1]
-    if partition_col is None:
+    if pcols is None:
         return {"": f"{_DATA}/{token}"}
-    out = {}
-    for name in _fs_list_names(spark, stage_dir):
-        if name.startswith(f"{partition_col}="):
-            out[_unescape_partition_dir(name, partition_col)] = (
-                f"{_DATA}/{token}/{name}"
-            )
-    return out
+    levels = [([], "")]  # (raw values so far, relative subpath)
+    for col in pcols:
+        nxt = []
+        for vals, sub in levels:
+            for name in _fs_list_names(spark, f"{stage_dir}{sub}"):
+                if name.startswith(f"{col}="):
+                    nxt.append(
+                        (vals + [_unescape_partition_dir(name, col)], f"{sub}/{name}")
+                    )
+        levels = nxt
+    return {
+        _tuple_key(vals): f"{_DATA}/{token}{sub}" for vals, sub in levels
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -193,14 +232,21 @@ def tx_read(
     root: str,
     partition_values: list | None = None,
     version: int | None = None,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
     """Snapshot read of a table version (None = current).
 
     ``partition_values`` prunes at the MANIFEST (file listing never even
     touches other partitions — the txstore analogue of partition
-    pruning); None reads the whole table. The manifest's recorded schema
-    is applied explicitly, so partition-column types survive the
-    round trip through directory names.
+    pruning); None reads the whole table. Entries are scalars for a
+    single-level layout, tuples/lists for multi-level. The manifest's
+    recorded schema is applied explicitly, so partition-column types
+    survive the round trip through directory names.
+
+    ``partition_filter`` is the per-COLUMN form (``{col: allowed
+    values}``): a partition survives when every filtered column's value
+    is allowed — prefix/partial pruning for multi-level layouts (e.g.
+    prune on ``cell`` across all tenants).
 
     ``version`` is time travel: every retained manifest is a complete
     snapshot over immutable generations, so reading version N after
@@ -210,14 +256,38 @@ def tx_read(
     """
     man = tx_manifest(spark, root, version)
     schema = StructType.fromJson(man["schema"])
-    pcol = man["partition_col"]
+    pcols = _norm_pcols(man["partition_col"])
     mapping: dict[str, list[str]] = man["partitions"]
     if partition_values is not None:
-        keys = {_value_key(v) for v in partition_values}
+        keys = {
+            _tuple_key([_value_key(x) for x in v])
+            if isinstance(v, (tuple, list))
+            else _value_key(v)
+            for v in partition_values
+        }
         mapping = {k: v for k, v in mapping.items() if k in keys}
+    if partition_filter:
+        idx = {c: i for i, c in enumerate(pcols or [])}
+        unknown = [c for c in partition_filter if c not in idx]
+        if unknown:
+            raise KeyError(
+                f"partition_filter columns {unknown} not in partition "
+                f"columns {pcols}"
+            )
+        allowed = {
+            c: {_value_key(v) for v in vals} for c, vals in partition_filter.items()
+        }
+        mapping = {
+            k: v
+            for k, v in mapping.items()
+            if all(
+                _key_values(k, len(pcols))[idx[c]] in vals
+                for c, vals in allowed.items()
+            )
+        }
     if not mapping:
         return spark.createDataFrame([], schema)
-    if pcol is None:
+    if pcols is None:
         return spark.read.schema(schema).parquet(
             *[f"{root}/{rel}" for rels in mapping.values() for rel in rels]
         )
@@ -225,7 +295,7 @@ def tx_read(
     by_gen: dict[str, list[str]] = {}
     for rels in mapping.values():
         for rel in rels:
-            gen = rel.rsplit("/", 1)[0]
+            gen = "/".join(rel.split("/")[:2])  # _data/<token>
             by_gen.setdefault(gen, []).append(f"{root}/{rel}")
     parts_df = None
     for gen, dirs in sorted(by_gen.items()):
@@ -247,7 +317,7 @@ def _audit_staged(
     spark: SparkSession,
     stage_dir: str,
     table_schema: StructType,
-    partition_col: str | None,
+    pcols: list[str] | None,
 ) -> int:
     """Audit step: staged files must be readable and schema-compatible.
     Returns the staged row count (recorded in the manifest)."""
@@ -256,9 +326,9 @@ def _audit_staged(
     want = {
         f.name: f.dataType
         for f in table_schema.fields
-        # the partition column lives in directory names, not file footers;
-        # its type is pinned by the manifest schema, not re-inferred here
-        if f.name != partition_col
+        # partition columns live in directory names, not file footers;
+        # their types are pinned by the manifest schema, not re-inferred
+        if f.name not in (pcols or ())
     }
     missing = [n for n in want if n not in file_fields]
     drifted = [
@@ -289,6 +359,10 @@ def tx_publish(
     """Commit ``staged_df`` as the new content of the partitions it
     holds. Returns the published manifest (dict).
 
+    - ``partition_col``: a column name, a LIST of names (multi-level
+      Hive layout — e.g. the filtered-ANN (cell, tenant) index), or
+      None for an unpartitioned store; defaults to the store's
+      recorded layout.
     - ``replace_values``: partition values whose old content this commit
       supersedes (defaults to exactly the values present in the staged
       data). A replaced value with no staged rows drops out of the table
@@ -311,12 +385,13 @@ def tx_publish(
     - ``_fail_at``: test hook ('after-stage' | 'after-audit') simulating
       a crash at that point — used by the kill-mid-rewrite tests.
     """
+    pcols = _norm_pcols(partition_col)
     try:
         man = tx_current_manifest(spark, root)
         base_version = man["version"]
-        if partition_col is None:
-            partition_col = man["partition_col"]
-        elif man["partition_col"] != partition_col:
+        if pcols is None:
+            pcols = _norm_pcols(man["partition_col"])
+        elif _norm_pcols(man["partition_col"]) != pcols:
             raise ValueError(
                 f"store is partitioned by {man['partition_col']!r}, "
                 f"got {partition_col!r}"
@@ -341,15 +416,15 @@ def tx_publish(
     staged_rows = 0
     if staged_df is not None:
         writer = staged_df.write.mode("errorifexists")
-        if partition_col is not None:
-            writer = writer.partitionBy(partition_col)
+        if pcols is not None:
+            writer = writer.partitionBy(*pcols)
         writer.parquet(stage_dir)
         if _fail_at == "after-stage":
             raise RuntimeError("simulated crash after stage, before audit")
-        staged_mapping = _stage_listing(spark, stage_dir, partition_col)
+        staged_mapping = _stage_listing(spark, stage_dir, pcols)
         if staged_mapping:
             staged_rows = _audit_staged(
-                spark, stage_dir, table_schema or staged_df.schema, partition_col
+                spark, stage_dir, table_schema or staged_df.schema, pcols
             )
             if validate is not None:
                 validate(spark.read.parquet(stage_dir))
@@ -365,8 +440,14 @@ def tx_publish(
         for k, rel in staged_mapping.items():
             mapping.setdefault(k, []).append(rel)
     else:
-        dropped = {_value_key(v) for v in (replace_values or [])} | {
-            _value_key(v) for v in delete_values
+
+        def _vk(v):  # scalar for single-level, tuple/list for multi
+            if isinstance(v, (tuple, list)):
+                return _tuple_key([_value_key(x) for x in v])
+            return _value_key(v)
+
+        dropped = {_vk(v) for v in (replace_values or [])} | {
+            _vk(v) for v in delete_values
         }
         # default replacement scope: the values actually staged
         dropped |= set(staged_mapping)
@@ -375,14 +456,18 @@ def tx_publish(
 
     new_man = {
         "version": base_version + 1,
-        "partition_col": partition_col,
+        "partition_col": _pcols_field(pcols),
         "schema": json.loads((table_schema or staged_df.schema).json()),
         "partitions": mapping,
         "audit": {
             "token": token,
             "staged_rows": staged_rows,
             "staged_partitions": sorted(staged_mapping),
-            "deleted_partitions": sorted(_value_key(v) for v in delete_values),
+            "deleted_partitions": sorted(
+                _value_key(v) if not isinstance(v, (tuple, list))
+                else _tuple_key([_value_key(x) for x in v])
+                for v in delete_values
+            ),
             "replace_all": replace_all,
             "base_version": base_version,
         },
@@ -479,6 +564,11 @@ def tx_upsert(spark: SparkSession, root: str, updates: DataFrame, key: str) -> i
     """
     man = tx_current_manifest(spark, root)
     pcol = man["partition_col"]
+    if not isinstance(pcol, str):
+        raise NotImplementedError(
+            "tx_upsert merges per key within single-level partitioned "
+            f"stores; this store is partitioned by {pcol!r}"
+        )
     other = [c for c in updates.columns if c != key]
     updates = (
         updates.groupBy(key)
@@ -544,6 +634,11 @@ def tx_erase(spark: SparkSession, root: str, request: DataFrame, key: str) -> Da
 
     man = tx_current_manifest(spark, root)
     pcol = man["partition_col"]
+    if not isinstance(pcol, str):
+        raise NotImplementedError(
+            "tx_erase audits per partition value of single-level "
+            f"partitioned stores; this store is partitioned by {pcol!r}"
+        )
     req = request.select(F.col(key).alias("_erase_key")).distinct()
     tgt = tx_read(spark, root)
     located = (
@@ -600,14 +695,18 @@ def tx_compact(
     compaction one).
     """
     man = tx_current_manifest(spark, root)
-    pcol = man["partition_col"]
+    pcols = _norm_pcols(man["partition_col"])
     df = tx_read(spark, root)
-    shaped = df.repartition(F.col(pcol)) if pcol is not None else df.coalesce(1)
+    shaped = (
+        df.repartition(*[F.col(c) for c in pcols])
+        if pcols is not None
+        else df.coalesce(1)
+    )
     new_man = tx_publish(
         spark,
         root,
         shaped,
-        partition_col=pcol,
+        partition_col=man["partition_col"],
         replace_all=True,
         expect_version=man["version"],
     )

@@ -296,12 +296,65 @@ def test_transactional_index_parity_and_atomic_append(spark, sf_dir, tmp_path):
     )
     assert again == snapshot
 
-    # metadata-partitioned layout stays on the directory path
-    with pytest.raises(ValueError, match="transactional cells"):
-        build_ivf_index(
-            base,
-            str(tmp_path / "bad"),
-            metadata_cols=("label",),
-            partition_metadata="label",
-            transactional=True,
-        )
+
+def test_transactional_filtered_index_matches_sim13(spark, sf_dir, tmp_path):
+    """The txstore-backed (cell, tenant) multi-level layout: probe
+    results equal the registered sim13 operator, and the tenant scoping
+    prunes at the MANIFEST (only probed (cell, tenant) partitions are
+    ever listed)."""
+    from kinesis_spark.queries.similarity import (
+        N_PROBE_FILTERED,
+        TENANTS,
+        sim13_filtered_ann,
+    )
+
+    d = str(tmp_path / "ivf_tenant_tx")
+    base = load_table(spark, sf_dir, "embeddings").withColumn(
+        "tenant", F.pmod(F.col("vec_id"), F.lit(TENANTS))
+    )
+    build_ivf_index(
+        base,
+        d,
+        metadata_cols=("tenant",),
+        partition_metadata="tenant",
+        transactional=True,
+    )
+    q = _queries(spark, sf_dir).withColumn(
+        "tenant", F.pmod(F.col("query_id"), F.lit(TENANTS))
+    )
+    df = query_ivf_index(
+        spark, d, q, top_k=TOP_K, n_probe=N_PROBE_FILTERED,
+        match_metadata=("tenant",),
+    )
+    got = sorted(
+        (r["query_id"], r["match_id"], r["cos_sim"], r["rank"]) for r in df.collect()
+    )
+    want = sorted(
+        (r["query_id"], r["match_id"], r["cos_sim"], r["rank"])
+        for r in sim13_filtered_ann(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
+    # manifest keys are (cell, tenant) JSON tuples; the probed read's
+    # input files stay inside probed cells only
+    from kinesis_spark.txstore import tx_current_manifest
+
+    man = tx_current_manifest(spark, f"{d}/cells")
+    assert man["partition_col"] == ["cell", "tenant"]
+    import json as _json
+
+    keys = [_json.loads(k) for k in man["partitions"]]
+    assert all(len(k) == 2 for k in keys)
+    # atomic append works through the multi-level layout too
+    from kinesis_spark.ann import append_to_ivf_index
+
+    clone = base.filter(F.col("vec_id") == 0).select(
+        F.lit(10_000_000).cast("bigint").alias("vec_id"),
+        "label",
+        "embedding",
+        F.lit(0).cast(dict(base.dtypes)["tenant"]).alias("tenant"),
+    )
+    assert append_to_ivf_index(spark, clone, d) == 1
+    res = query_ivf_index(
+        spark, d, q, top_k=1, n_probe=N_PROBE_FILTERED, match_metadata=("tenant",)
+    )
+    assert {r.query_id: r.match_id for r in res.collect()}[0] == 10_000_000
