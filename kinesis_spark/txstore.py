@@ -12,16 +12,22 @@ log — no external dependency:
 Layout::
 
     root/
-      _txlog/00000001.json      # commit N: full partition->dir mapping
+      _txlog/00000001.json      # commit N: full partition->dirs mapping
       _txlog/00000002.json      #   + schema + audit record
       _data/<token>/month=1998-01/part-*.parquet   # immutable generations
+      _data/<tok2>/cell=3/tenant=7/part-*.parquet  # multi-level layout
 
 Every commit file is a COMPLETE snapshot manifest: the partition-value
--> data-directory mapping, the table schema, and the audit of what the
-commit staged. Readers resolve the highest-numbered manifest and read
-exactly the directories it lists — data directories are immutable once
-referenced, so a reader that resolved version N is consistent even
-while version N+1 is being staged and committed.
+-> generation-directory-LIST mapping (lists because ``tx_append`` adds
+a generation without superseding the old ones; ``tx_compact`` collapses
+them), the table schema, and the audit of what the commit staged.
+Partitioning is one column, a LIST of columns (nested Hive layout, with
+per-column ``partition_filter`` pruning at the manifest), or none.
+Readers resolve the highest-numbered manifest — or ANY retained one via
+``tx_read(version=N)``, which is time travel over immutable generations
+— and read exactly the directories it lists; data directories are
+immutable once referenced, so a reader that resolved version N is
+consistent even while version N+1 is being staged and committed.
 
 Write-audit-publish protocol (``tx_publish``):
 
