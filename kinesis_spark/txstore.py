@@ -324,9 +324,12 @@ def _audit_staged(
     stage_dir: str,
     table_schema: StructType,
     pcols: list[str] | None,
-) -> int:
+    evolve: bool = False,
+) -> tuple[int, StructType]:
     """Audit step: staged files must be readable and schema-compatible.
-    Returns the staged row count (recorded in the manifest)."""
+    Type drift on a shared column ALWAYS aborts; added/removed columns
+    abort unless ``evolve`` (schema evolution — the caller merges the
+    schemas). Returns (staged row count, staged file schema)."""
     staged = spark.read.parquet(stage_dir)
     file_fields = {f.name: f.dataType for f in staged.schema.fields}
     want = {
@@ -337,16 +340,20 @@ def _audit_staged(
         if f.name not in (pcols or ())
     }
     missing = [n for n in want if n not in file_fields]
+    extra = [
+        n for n in file_fields if n not in want and n not in (pcols or ())
+    ]
     drifted = [
         n for n, t in want.items() if n in file_fields and file_fields[n] != t
     ]
-    if missing or drifted:
+    if drifted or ((missing or extra) and not evolve):
         raise TxAuditError(
             f"staged data at {stage_dir} does not match table schema: "
-            f"missing={missing} type-drift={drifted}"
+            f"missing={missing} extra={extra} type-drift={drifted}"
+            + ("" if evolve else " (allow_schema_evolution=True to add/drop columns)")
         )
     # parquet metadata count: cheap, and proves every footer is readable
-    return staged.count()
+    return staged.count(), staged.schema
 
 
 def tx_publish(
@@ -360,6 +367,7 @@ def tx_publish(
     append: bool = False,
     validate=None,
     expect_version: int | None = None,
+    allow_schema_evolution: bool = False,
     _fail_at: str | None = None,
 ) -> dict:
     """Commit ``staged_df`` as the new content of the partitions it
@@ -383,6 +391,11 @@ def tx_publish(
       ``tx_compact`` later collapses.
     - ``validate``: optional callable run on the staged-files DataFrame
       during the audit step; raise to abort.
+    - ``allow_schema_evolution``: let this commit ADD columns (the
+      manifest schema becomes the union; old generations read the new
+      columns as NULL) or stage data missing old columns (read back as
+      NULL). Type drift on a shared column always aborts. Off by
+      default — unannounced schema drift is a bug, not evolution.
     - ``expect_version``: snapshot isolation — the version this
       transaction READ from; if another writer committed since,
       ``TxConflictError`` (prevents lost updates when two writers merge
@@ -429,9 +442,26 @@ def tx_publish(
             raise RuntimeError("simulated crash after stage, before audit")
         staged_mapping = _stage_listing(spark, stage_dir, pcols)
         if staged_mapping:
-            staged_rows = _audit_staged(
-                spark, stage_dir, table_schema or staged_df.schema, pcols
+            staged_rows, file_schema = _audit_staged(
+                spark,
+                stage_dir,
+                table_schema or staged_df.schema,
+                pcols,
+                evolve=allow_schema_evolution,
             )
+            if allow_schema_evolution and table_schema is not None:
+                from pyspark.sql.types import StructField
+
+                have = {f.name for f in table_schema.fields}
+                added = [
+                    StructField(f.name, f.dataType, True)
+                    for f in file_schema.fields
+                    if f.name not in have and f.name not in (pcols or ())
+                ]
+                if added:
+                    table_schema = StructType(
+                        list(table_schema.fields) + added
+                    )
             if validate is not None:
                 validate(spark.read.parquet(stage_dir))
     if _fail_at == "after-audit":
@@ -725,3 +755,96 @@ def tx_compact(
                 if f.endswith(".parquet")
             )
     return n
+
+
+def tx_history(spark: SparkSession, root: str) -> DataFrame:
+    """The retained commit log as a DataFrame — one row per version
+    still on disk (vacuum retires old ones): what was staged, how many
+    rows, against which base. The audit trail a data platform shows for
+    "what changed in corpus version N" (pairs with ``tx_read(version=N)``
+    for the content itself)."""
+    rows = []
+    for name in sorted(_fs_list_names(spark, f"{root}/{_TXLOG}")):
+        m = re.fullmatch(r"(\d{8})\.json", name)
+        if not m:
+            continue
+        man = json.loads(_fs_read_text(spark, f"{root}/{_TXLOG}/{name}"))
+        a = man["audit"]
+        rows.append(
+            (
+                man["version"],
+                a["base_version"],
+                a["token"],
+                a["staged_rows"],
+                len(a["staged_partitions"]),
+                len(a["deleted_partitions"]),
+                bool(a["replace_all"]),
+                len(man["partitions"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, base_version int, token string, staged_rows long, "
+        "n_staged_partitions int, n_deleted_partitions int, "
+        "replace_all boolean, n_partitions int",
+    )
+
+
+def tx_zorder_compact(
+    spark: SparkSession,
+    root: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 32,
+) -> dict:
+    """Compaction that also CLUSTERS: rewrite the table range-partitioned
+    on (partition columns, Morton key of ``col_a``/``col_b``) and sorted
+    within files, published as one atomic snapshot swap — the
+    transactional OPTIMIZE ... ZORDER BY. After the swap, min/max file
+    and row-group stats prune predicates on EITHER clustered column
+    (zorder.py's data-skipping argument); readers flip from the old
+    layout to the clustered one atomically and time travel still serves
+    the pre-optimize versions. Returns the published manifest."""
+    from kinesis_spark.zorder import zorder_key
+
+    man = tx_current_manifest(spark, root)
+    pcols = _norm_pcols(man["partition_col"]) or []
+    df = tx_read(spark, root)
+    keyed = df.withColumn("__z", zorder_key(df, col_a, col_b))
+    shaped = (
+        keyed.repartitionByRange(n_files, *pcols, "__z")
+        .sortWithinPartitions(*pcols, "__z")
+        .drop("__z")
+    )
+    return tx_publish(
+        spark,
+        root,
+        shaped,
+        partition_col=man["partition_col"],
+        replace_all=True,
+        expect_version=man["version"],
+    )
+
+
+def streaming_tx_erasure_query(
+    spark: SparkSession,
+    requests_stream: DataFrame,
+    root: str,
+    key: str,
+    checkpoint_dir: str,
+):
+    """Streaming face of :func:`tx_erase` (mirrors
+    ``erasure.streaming_erasure_query``): each micro-batch of erasure
+    requests commits atomically; erasing an already-erased key matches
+    nothing and publishes nothing, so checkpoint replays converge.
+    Returns the started StreamingQuery."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        tx_erase(spark, root, batch_df, key)
+
+    return (
+        requests_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -374,3 +374,106 @@ def test_tx_append_is_atomic_and_compactable(spark, store):
     man2 = tx_current_manifest(spark, store)
     assert all(len(rels) == 1 for rels in man2["partitions"].values())
     assert _snapshot(spark, store) == snap
+
+
+def test_tx_history_tracks_commits(spark, store):
+    from kinesis_spark.txstore import tx_history
+
+    month = tx_read(spark, store).select("month").first()[0]
+    upd = spark.createDataFrame(
+        [(5_500_000, 1.0, "H", month)],
+        "o_orderkey long, o_totalprice double, o_orderstatus string, month string",
+    )
+    tx_upsert(spark, store, upd, key="o_orderkey")
+    h = {r["version"]: r for r in tx_history(spark, store).collect()}
+    assert set(h) == {1, 2}
+    assert h[1]["replace_all"] is True and h[1]["base_version"] == 0
+    assert h[2]["replace_all"] is False and h[2]["n_staged_partitions"] == 1
+    assert h[2]["staged_rows"] > 0
+
+
+def test_tx_zorder_compact_clusters_atomically(spark, store):
+    """Transactional OPTIMIZE..ZORDER: content identical after the swap,
+    one new version, and within each output file the clustered columns'
+    min/max ranges narrow (the data-skipping precondition)."""
+    from kinesis_spark.txstore import tx_zorder_compact
+
+    before = _snapshot(spark, store)
+    v = tx_current_manifest(spark, store)["version"]
+    man = tx_zorder_compact(
+        spark, store, "o_orderkey", "o_totalprice", n_files=8
+    )
+    assert man["version"] == v + 1
+    assert _snapshot(spark, store) == before
+    # clustered: per-file o_orderkey spans are narrower than the global
+    df = tx_read(spark, store)
+    spans = (
+        df.groupBy(F.input_file_name().alias("f"))
+        .agg((F.max("o_orderkey") - F.min("o_orderkey")).alias("span"))
+        .agg(F.avg("span"))
+        .first()[0]
+    )
+    lo, hi = df.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    assert spans < (hi - lo)  # narrower than an unclustered shuffle
+
+
+def test_schema_evolution_adds_column_atomically(spark, store):
+    """allow_schema_evolution: a commit may add a column; old
+    generations read it as NULL; without the flag the audit rejects."""
+    month = tx_read(spark, store).select("month").first()[0]
+    extended = (
+        tx_read(spark, store, partition_values=[month])
+        .withColumn("quality", F.lit(0.5))
+    )
+    with pytest.raises(TxAuditError, match="extra=\\['quality'\\]"):
+        tx_publish(spark, store, extended)
+    man = tx_publish(spark, store, extended, allow_schema_evolution=True)
+    assert "quality" in [f["name"] for f in man["schema"]["fields"]]
+    df = tx_read(spark, store)
+    assert df.filter(F.col("month") == month).filter(
+        F.col("quality") == 0.5
+    ).count() > 0
+    # untouched partitions (old generations) read the new column as NULL
+    assert df.filter(F.col("month") != month).filter(
+        F.col("quality").isNull()
+    ).count() > 0
+    assert df.filter((F.col("month") != month) & F.col("quality").isNotNull()).count() == 0
+
+
+def test_streaming_tx_erasure_applies_and_replays(spark, store, tmp_path):
+    import time as _time
+
+    from kinesis_spark.txstore import streaming_tx_erasure_query
+
+    tgt = tx_read(spark, store)
+    victims = [r[0] for r in tgt.select("o_orderkey").limit(4).collect()]
+    req_dir = tmp_path / "reqs"
+    req_dir.mkdir()
+    spark.createDataFrame(
+        [(k,) for k in victims[:2]], "o_orderkey long"
+    ).coalesce(1).write.mode("overwrite").json(str(req_dir / "b0"))
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        [(k,) for k in victims[2:]], "o_orderkey long"
+    ).coalesce(1).write.mode("overwrite").json(str(req_dir / "b1"))
+
+    def _drain():
+        stream = (
+            spark.readStream.schema("o_orderkey long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(req_dir) + "/*")
+        )
+        q = streaming_tx_erasure_query(
+            spark, stream, store, "o_orderkey", str(tmp_path / "ckpt")
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    n_before = tgt.count()
+    _drain()
+    after = tx_read(spark, store)
+    assert after.count() == n_before - 4
+    assert after.filter(F.col("o_orderkey").isin(victims)).count() == 0
+    v = tx_current_manifest(spark, store)["version"]
+    _drain()  # checkpoint replay: nothing new, no extra commits
+    assert tx_current_manifest(spark, store)["version"] == v
