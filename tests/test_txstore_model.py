@@ -1,0 +1,126 @@
+"""Model-based randomized exercise of the transactional store: a seeded
+random walk of upsert / append / erase / compact / zorder-compact /
+evolution commits is mirrored against a plain in-memory dict model;
+after EVERY commit the store's full content must equal the model, the
+commit log must be contiguous, and every retained historical version
+must still read back exactly as it did when it was current.
+
+This is the storage-layer analogue of the query oracles: the model is
+trivially correct, so any divergence is a txstore bug — mapping merge,
+generation lists, audit, schema application, or manifest swap.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from kinesis_spark.txstore import (
+    tx_append,
+    tx_compact,
+    tx_current_manifest,
+    tx_erase,
+    tx_history,
+    tx_init,
+    tx_read,
+    tx_upsert,
+    tx_zorder_compact,
+)
+
+PARTS = ["p1", "p2", "p3", None]  # NULL partition stays in rotation
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, v double, part string"
+    )
+
+
+def _snapshot(spark, root):
+    return sorted(
+        (r["k"], r["v"], r["part"]) for r in tx_read(spark, root).collect()
+    )
+
+
+def _model_snapshot(model):
+    return sorted((k, v, p) for (k), (v, p) in model.items())
+
+
+@pytest.mark.parametrize("seed", [7, 23, 101])
+def test_random_walk_matches_dict_model(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    root = str(tmp_path / f"walk{seed}")
+
+    # bootstrap
+    init_rows = [
+        (k, float(rng.randint(0, 9)), rng.choice(PARTS)) for k in range(12)
+    ]
+    tx_init(spark, root, _df(spark, init_rows), partition_col="part")
+    model = {k: (v, p) for k, v, p in init_rows}
+    next_key = 100
+    history = {1: _model_snapshot(model)}
+
+    for step in range(8):
+        op = rng.choice(["upsert", "append", "erase", "compact", "zorder"])
+        if op == "upsert":
+            n = rng.randint(1, 4)
+            rows = []
+            for _ in range(n):
+                # mix of existing-key updates and brand-new keys
+                if model and rng.random() < 0.5:
+                    k = rng.choice(list(model))
+                    p = model[k][1]  # CDC contract: key keeps its partition
+                else:
+                    k, p = next_key, rng.choice(PARTS)
+                    next_key += 1
+                rows.append((k, float(rng.randint(10, 99)), p))
+            # last-write-wins within the batch, like the store's dedup
+            dedup = {}
+            for k, v, p in rows:
+                dedup[k] = (v, p)
+            tx_upsert(spark, root, _df(spark, [(k, v, p) for k, (v, p) in dedup.items()]), key="k")
+            model.update(dedup)
+        elif op == "append":
+            rows = [
+                (next_key + i, float(rng.randint(100, 199)), rng.choice(PARTS))
+                for i in range(rng.randint(1, 3))
+            ]
+            next_key += len(rows)
+            tx_append(spark, root, _df(spark, rows))
+            model.update({k: (v, p) for k, v, p in rows})
+        elif op == "erase":
+            victims = [k for k in model if rng.random() < 0.3][:4]
+            if not victims:
+                continue
+            tx_erase(
+                spark,
+                root,
+                spark.createDataFrame([(k,) for k in victims], "k long"),
+                key="k",
+            )
+            for k in victims:
+                del model[k]
+        elif op == "compact":
+            tx_compact(spark, root)
+        else:
+            tx_zorder_compact(spark, root, "k", "v", n_files=4)
+
+        got = _snapshot(spark, root)
+        assert got == _model_snapshot(model), f"seed={seed} step={step} op={op}"
+        v = tx_current_manifest(spark, root)["version"]
+        history[v] = _model_snapshot(model)
+
+    # the commit log is contiguous and each audit row parses
+    h = tx_history(spark, root).collect()
+    versions = sorted(r["version"] for r in h)
+    assert versions == list(range(1, versions[-1] + 1))
+
+    # time travel: every retained version still reads as it did live
+    for v, want in history.items():
+        got_v = sorted(
+            (r["k"], r["v"], r["part"])
+            for r in tx_read(spark, root, version=v).collect()
+        )
+        assert got_v == want, f"seed={seed} version={v}"
