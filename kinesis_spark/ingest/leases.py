@@ -109,6 +109,11 @@ class ShardLeases:
             "owner": self.owner,
             "expires_at": now + self.ttl_s,
             "count": (cur["count"] + 1) if cur else 1,  # fencing token
+            # KCL-style lease checkpoint: the consumed-through sequence
+            # SURVIVES ownership changes, so the thief resumes after the
+            # previous owner's last committed position instead of
+            # re-reading the shard from TRIM_HORIZON
+            "ckpt": (cur or {}).get("ckpt", ""),
         }
         return self._write_exclusive(path, lease)
 
@@ -126,14 +131,43 @@ class ShardLeases:
         return True
 
     def release(self, stream: str, shard_id: str) -> None:
-        """Give the lease up (clean shutdown — no TTL wait for peers)."""
+        """Give the lease up (clean shutdown — no TTL wait for peers).
+        Expires the lease in place rather than deleting it, so the
+        checkpoint survives for the next claimant."""
         path = self._path(stream, shard_id)
         cur = self._read(path)
         if cur is not None and cur["owner"] == self.owner:
-            try:
-                os.unlink(path)
-            except FileNotFoundError:
-                pass
+            cur["expires_at"] = self.clock()  # immediately claimable
+            tmp = f"{path}.{self.owner}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(cur, f)
+            os.replace(tmp, path)
+
+    def checkpoint(self, stream: str, shard_id: str, seq: str) -> bool:
+        """Record the consumed-through sequence number INTO the lease
+        (owner-only; monotonic). The checkpoint is what makes failover
+        at-least-once instead of from-scratch: a later claimant reads it
+        via ``last_checkpoint`` and resumes AFTER it."""
+        path = self._path(stream, shard_id)
+        cur = self._read(path)
+        if cur is None or cur["owner"] != self.owner:
+            return False
+        if seq <= cur.get("ckpt", ""):
+            return True  # monotonic: never regress a checkpoint
+        cur["ckpt"] = seq
+        cur["expires_at"] = self.clock() + self.ttl_s  # checkpoint = heartbeat
+        tmp = f"{path}.{self.owner}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(cur, f)
+        os.replace(tmp, path)
+        return True
+
+    def last_checkpoint(self, stream: str, shard_id: str) -> str:
+        """The shard's recorded consumed-through sequence (readable by
+        anyone — a NEW claimant calls this before its first read); ""
+        means never checkpointed (TRIM_HORIZON)."""
+        cur = self._read(self._path(stream, shard_id))
+        return (cur or {}).get("ckpt", "")
 
     def still_owns(self, stream: str, shard_id: str) -> bool:
         cur = self._read(self._path(stream, shard_id))

@@ -31,6 +31,17 @@ same protocol plus a tip probe; the spool client is the only backend
 constructible in this container (no AWS SDK/network) and the seam is the
 point — sequence-number offsets are backend-agnostic.
 
+KCL worker mode (optional): ``lease_dir`` (+ ``consumer_id``,
+``lease_ttl_s``) points several consumer queries at one shared shard
+lease table (ingest/leases.py). Each query advances only the shards it
+holds leases for — two queries split the stream disjointly instead of
+double-reading — progress rides into the lease as per-shard
+checkpoints (written from each batch's engine-committed start offsets),
+and when a consumer dies its shards become claimable after the TTL with
+the new owner resuming AFTER the lease checkpoint — it replays at most
+the dead consumer's final uncheckpointed micro-batch (at-least-once
+failover, never from-scratch).
+
 Resharding (ingest/resharding.py): closed shards keep their final tip
 and end with SHARD_END; children appear via the ListShards parent
 linkage. The source orders PARENT BEFORE CHILD across micro-batches —
@@ -150,6 +161,22 @@ class KinesisShardStreamReader(DataSourceStreamReader):
             os.path.join(self._spool_dir, "_consumer_state", f"{self._stream}.json"),
         )
         self._committed: dict = self._load_committed()
+        # KCL worker mode (optional): with a shared lease_dir, several
+        # consumer queries split the stream's shards disjointly — each
+        # micro-batch advances ONLY the shards this consumer holds
+        # leases for, commits ride into the lease as checkpoints, and a
+        # dead consumer's shards migrate after lease_ttl_s with the new
+        # owner resuming AFTER the lease checkpoint (at-least-once
+        # failover, never from-scratch).
+        self._leases = None
+        if "lease_dir" in options:
+            from kinesis_spark.ingest.leases import ShardLeases
+
+            self._leases = ShardLeases(
+                options["lease_dir"],
+                owner=options.get("consumer_id"),
+                ttl_s=float(options.get("lease_ttl_s", "30")),
+            )
 
     def _client(self) -> SpoolConsumerClient:
         return SpoolConsumerClient(self._spool_dir, self._n_shards)
@@ -233,6 +260,23 @@ class KinesisShardStreamReader(DataSourceStreamReader):
                 held[sh] = self._committed.get(sh, "")
             else:
                 held[sh] = tip
+        if self._leases is not None:
+            # KCL worker gate: only shards this consumer can claim may
+            # advance; claiming also RENEWS (heartbeat rides the batch
+            # cadence). A newly-acquired shard inherits the lease's
+            # checkpoint so a migrated shard resumes after the previous
+            # owner's last commit, not from TRIM_HORIZON.
+            changed = False
+            for sh in list(held):
+                if self._leases.try_acquire(self._stream, sh):
+                    lc = self._leases.last_checkpoint(self._stream, sh)
+                    if lc > self._committed.get(sh, ""):
+                        self._committed[sh] = lc
+                        changed = True
+                else:
+                    held[sh] = self._committed.get(sh, "")  # not ours
+            if changed:
+                self._save_committed()
         return held
 
     def partitions(self, start: dict, end: dict) -> list[ShardRange]:
@@ -244,6 +288,16 @@ class KinesisShardStreamReader(DataSourceStreamReader):
             if seq > self._committed.get(sh, ""):
                 self._committed[sh] = seq
                 changed = True
+            if self._leases is not None and seq:
+                # lease checkpoints ride the START offsets: batch N's
+                # start is batch N-1's engine-committed end — the only
+                # channel this runner exposes for durable progress (the
+                # API's commit() hook is never invoked by the python
+                # streaming source runner in this Spark build). The
+                # final micro-batch before a crash is therefore never
+                # lease-checkpointed, so failover replays AT MOST that
+                # one batch — KCL's at-least-once contract exactly.
+                self._leases.checkpoint(self._stream, sh, seq)
         if changed:
             self._save_committed()
         # one partition per shard that actually advanced; an empty batch
@@ -262,6 +316,16 @@ class KinesisShardStreamReader(DataSourceStreamReader):
         out = []
         for sh, end_seq in end.items():
             floor = max(start.get(sh, ""), self._committed.get(sh, ""))
+            if self._leases is not None:
+                # the lease checkpoint is the consumed-through floor that
+                # SURVIVES ownership migration AND this reader's own
+                # initialOffset reset (Spark resolves a fresh query's
+                # first end offset before initialOffset wipes the
+                # lineage state, so the in-memory committed map alone
+                # cannot be trusted here)
+                floor = max(
+                    floor, self._leases.last_checkpoint(self._stream, sh)
+                )
             if end_seq > floor:
                 out.append(ShardRange(sh, floor, end_seq))
         return out
@@ -313,5 +377,9 @@ class KinesisShardStreamReader(DataSourceStreamReader):
             if seq > self._committed.get(sh, ""):
                 self._committed[sh] = seq
                 changed = True
+            if self._leases is not None and seq:
+                # checkpoint INTO the lease: the failover contract —
+                # whoever claims this shard next resumes after here
+                self._leases.checkpoint(self._stream, sh, seq)
         if changed:
             self._save_committed()
