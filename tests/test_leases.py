@@ -128,3 +128,35 @@ def test_reacquire_by_owner_renews(tmp_path):
     assert a.try_acquire(STREAM, "s")  # idempotent re-claim = renew
     clock.t = 15  # would be past the ORIGINAL expiry
     assert a.still_owns(STREAM, "s")
+
+
+def test_concurrent_claims_have_exactly_one_winner(tmp_path):
+    """Real concurrency: 16 threads race try_acquire on the same shard;
+    the filesystem's exclusive create must arbitrate exactly one winner
+    per shard, across several shards and repeated rounds."""
+    import threading
+
+    shards = [f"shard-{i}" for i in range(6)]
+    for rnd in range(3):
+        d = str(tmp_path / f"race{rnd}")  # fresh table per round: the
+        # race under test is the exclusive CREATE (live leases are not
+        # stealable, so every claim goes through O_CREAT|O_EXCL)
+        winners: dict[str, list[str]] = {sh: [] for sh in shards}
+        lock = threading.Lock()
+        consumers = [
+            ShardLeases(d, owner=f"c{rnd}-{i}", ttl_s=60.0) for i in range(16)
+        ]
+
+        def race(consumer):
+            for sh in shards:
+                if consumer.try_acquire(STREAM, sh):
+                    with lock:
+                        winners[sh].append(consumer.owner)
+
+        threads = [threading.Thread(target=race, args=(c,)) for c in consumers]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for sh, owners in winners.items():
+            assert len(owners) == 1, (rnd, sh, owners)
