@@ -101,9 +101,7 @@ def test_expired_lease_is_stolen_with_fencing_bump(tmp_path):
     assert not a.still_owns(STREAM, "shard-0")
     assert not a.renew(STREAM, "shard-0")
     # fencing token bumped on the steal
-    import json, os
-
-    lease = json.load(open(os.path.join(d, STREAM, "shard-0.json")))
+    lease = b.current_lease(STREAM, "shard-0")
     assert lease["count"] == 2 and lease["owner"] == "B"
 
 
@@ -160,3 +158,94 @@ def test_concurrent_claims_have_exactly_one_winner(tmp_path):
             t.join()
         for sh, owners in winners.items():
             assert len(owners) == 1, (rnd, sh, owners)
+
+
+def test_concurrent_steals_have_exactly_one_winner(tmp_path):
+    """ADVICE r5 (medium): the round-5 steal path (unlink + O_EXCL
+    re-create) let TWO stealers win — the second unlinked the first's
+    fresh lease in the window. The epoch-file protocol has no unlink on
+    the claim path: every stealer targets the SAME next-epoch filename,
+    so O_EXCL arbitrates exactly one winner. Race it for real."""
+    import threading
+
+    shards = [f"shard-{i}" for i in range(6)]
+    for rnd in range(3):
+        d = str(tmp_path / f"steal{rnd}")
+        clock = VClock()
+        dead = ShardLeases(d, owner="dead", ttl_s=10, clock=clock)
+        for sh in shards:
+            assert dead.try_acquire(STREAM, sh)
+            assert dead.checkpoint(STREAM, sh, f"00000{rnd}")
+        clock.t = 100.0  # everything expired: every claim is a steal
+        winners: dict[str, list[str]] = {sh: [] for sh in shards}
+        lock = threading.Lock()
+        thieves = [
+            ShardLeases(d, owner=f"t{rnd}-{i}", ttl_s=60.0, clock=clock)
+            for i in range(16)
+        ]
+
+        def race(consumer):
+            for sh in shards:
+                if consumer.try_acquire(STREAM, sh):
+                    with lock:
+                        winners[sh].append(consumer.owner)
+
+        threads = [threading.Thread(target=race, args=(c,)) for c in thieves]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for sh, owners in winners.items():
+            assert len(owners) == 1, (rnd, sh, owners)
+            lease = thieves[0].current_lease(STREAM, sh)
+            # exactly one ownership change => fencing token bumped once,
+            # and the dead owner's checkpoint survived the steal
+            assert lease["count"] == 2 and lease["owner"] == owners[0]
+            assert lease["ckpt"] == f"00000{rnd}"
+
+
+def test_paused_owner_checkpoint_after_steal_is_rejected(tmp_path):
+    """VERDICT r5 task 4: a paused ex-owner that resumes AFTER a steal
+    must not clobber the thief's lease. Its renew/checkpoint write lands
+    on its own dead epoch file, the write-then-verify reports False, and
+    the thief's lease (ownership, fencing count, checkpoint) survives
+    byte-identically."""
+    clock = VClock()
+    d = str(tmp_path / "l")
+    a = ShardLeases(d, owner="A", ttl_s=10, clock=clock)
+    b = ShardLeases(d, owner="B", ttl_s=10, clock=clock)
+    assert a.try_acquire(STREAM, "s")
+    assert a.checkpoint(STREAM, "s", "000005")
+    clock.t = 20.0  # A pauses past its TTL
+    assert b.try_acquire(STREAM, "s")  # steal; resumes from A's ckpt
+    assert b.checkpoint(STREAM, "s", "000009")
+    stolen = b.current_lease(STREAM, "s")
+    assert stolen == {
+        "owner": "B",
+        "expires_at": 30.0,
+        "count": 2,
+        "ckpt": "000009",
+    }
+    # A wakes up, unaware, and tries to advance the shard
+    assert not a.checkpoint(STREAM, "s", "000042")
+    assert not a.renew(STREAM, "s")
+    assert not a.still_owns(STREAM, "s")
+    # the thief's lease is intact — nothing A did regressed the
+    # checkpoint, decayed the expiry, or touched the fencing count
+    assert b.current_lease(STREAM, "s") == stolen
+    assert b.still_owns(STREAM, "s")
+    assert b.last_checkpoint(STREAM, "s") == "000009"
+
+
+def test_checkpoint_orders_variable_width_sequences_numerically(tmp_path):
+    """ADVICE r5 (low): real Kinesis sequence numbers are variable-width
+    decimal strings; '9' -> '10' must ADVANCE the checkpoint (numeric
+    order), not be swallowed as a lexicographic regress."""
+    clock = VClock()
+    a = ShardLeases(str(tmp_path / "l"), owner="A", ttl_s=100, clock=clock)
+    assert a.try_acquire(STREAM, "s")
+    assert a.checkpoint(STREAM, "s", "9")
+    assert a.checkpoint(STREAM, "s", "10")  # numeric advance
+    assert a.last_checkpoint(STREAM, "s") == "10"
+    assert a.checkpoint(STREAM, "s", "2")  # regress: swallowed, not applied
+    assert a.last_checkpoint(STREAM, "s") == "10"
