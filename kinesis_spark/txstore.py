@@ -48,11 +48,15 @@ Write-audit-publish protocol (``tx_publish``):
 Concurrency: the log is a compare-and-swap on the next version number —
 if ``_txlog/{N+1}.json`` already exists the commit raises
 ``TxConflictError`` (optimistic concurrency, the Delta/Iceberg
-protocol). On HDFS the atomic no-overwrite rename gives a true CAS; on
-a POSIX local FS an explicit existence check guards the window (single-
-writer-per-table is the documented contract there); S3-class object
-stores need a conditional PUT or an external lock service, noted here
-and out of scope.
+protocol). The CAS itself is an injectable seam (``CommitArbiter``,
+the same injection pattern as the ingest side's ``PutRecordsClient``):
+the default ``RenameCommitArbiter`` uses the atomic no-overwrite
+rename (a true CAS on HDFS; on a POSIX local FS an explicit existence
+check guards the window — single-writer-per-table is the documented
+contract there). S3-class object stores plug in a conditional-PUT
+arbiter (``If-None-Match: *`` semantics — one call, one winner);
+tests/test_txstore.py races two committers through exactly that
+semantics and proves one wins and the loser gets ``TxConflictError``.
 
 Reference parity note: the reference client (remind101/kinesis,
 kinesis/kinesis.go) is fire-and-forget with no storage layer at all —
@@ -81,6 +85,48 @@ class TxConflictError(RuntimeError):
 
 class TxAuditError(RuntimeError):
     """Staged data failed validation; nothing was published."""
+
+
+class CommitArbiter:
+    """The storage-specific atomic put-if-absent that decides which of
+    two racing commits becomes manifest N — everything else in the
+    write-audit-publish protocol is storage-agnostic. Implementations
+    provide::
+
+        commit(spark, log_dir, filename, text) -> None
+
+    installing ``text`` at ``{log_dir}/{filename}`` atomically iff no
+    manifest exists there, else raising ``TxConflictError`` WITHOUT
+    leaving partial content visible. The default is the rename CAS
+    below; an object-store deployment swaps in a conditional-PUT
+    arbiter (S3 ``If-None-Match: *`` / GCS ``ifGenerationMatch=0``) —
+    one call, one winner, same contract.
+    """
+
+    def commit(self, spark: SparkSession, log_dir: str, filename: str, text: str) -> None:
+        raise NotImplementedError
+
+
+class RenameCommitArbiter(CommitArbiter):
+    """Default arbiter: temp file + atomic no-overwrite rename. On HDFS
+    the rename refuses to overwrite, a true CAS; on a POSIX local FS
+    the explicit existence check guards the window (single writer per
+    table is the documented contract there)."""
+
+    def commit(self, spark: SparkSession, log_dir: str, filename: str, text: str) -> None:
+        fs = _fs(spark, log_dir)
+        fs.mkdirs(_jpath(spark, log_dir))
+        final = f"{log_dir}/{filename}"
+        if fs.exists(_jpath(spark, final)):
+            raise TxConflictError(f"{final} already committed")
+        tmp = f"{log_dir}/.tmp-{uuid.uuid4().hex[:12]}.json"
+        _fs_write_text(spark, tmp, text)
+        if not fs.rename(_jpath(spark, tmp), _jpath(spark, final)):
+            fs.delete(_jpath(spark, tmp), False)
+            raise TxConflictError(f"commit race on {final}")
+
+
+DEFAULT_ARBITER = RenameCommitArbiter()
 
 
 # ---------------------------------------------------------------------------
@@ -368,6 +414,7 @@ def tx_publish(
     validate=None,
     expect_version: int | None = None,
     allow_schema_evolution: bool = False,
+    arbiter: CommitArbiter | None = None,
     _fail_at: str | None = None,
 ) -> dict:
     """Commit ``staged_df`` as the new content of the partitions it
@@ -401,6 +448,9 @@ def tx_publish(
       ``TxConflictError`` (prevents lost updates when two writers merge
       into the same partition). None skips the check (partition-disjoint
       writers serialize safely through the mapping merge alone).
+    - ``arbiter``: the atomic put-if-absent deciding commit races
+      (:class:`CommitArbiter`); defaults to the rename CAS. Inject a
+      conditional-PUT arbiter for object-store-backed tables.
     - ``_fail_at``: test hook ('after-stage' | 'after-audit') simulating
       a crash at that point — used by the kill-mid-rewrite tests.
     """
@@ -509,22 +559,19 @@ def tx_publish(
         },
     }
 
-    # publish: temp file + rename into the next log slot (CAS)
+    # publish: atomic put-if-absent of the next log slot via the arbiter
     log_dir = f"{root}/{_TXLOG}"
-    fs = _fs(spark, log_dir)
-    fs.mkdirs(_jpath(spark, log_dir))
-    final = f"{log_dir}/{_manifest_name(base_version + 1)}"
-    if fs.exists(_jpath(spark, final)) or _latest_version(spark, root) != base_version:
+    if _latest_version(spark, root) != base_version:
+        # cheap pre-check; the arbiter's put-if-absent is the authority
         raise TxConflictError(
             f"version {base_version + 1} already committed at {root}"
         )
-    tmp = f"{log_dir}/.tmp-{token}.json"
-    _fs_write_text(spark, tmp, json.dumps(new_man, indent=1, sort_keys=True))
-    # HDFS rename refuses to overwrite -> true CAS there; the exists()
-    # check above covers POSIX local FS (single writer per table contract)
-    if not fs.rename(_jpath(spark, tmp), _jpath(spark, final)):
-        fs.delete(_jpath(spark, tmp), False)
-        raise TxConflictError(f"commit race on {final}")
+    (arbiter or DEFAULT_ARBITER).commit(
+        spark,
+        log_dir,
+        _manifest_name(base_version + 1),
+        json.dumps(new_man, indent=1, sort_keys=True),
+    )
     return new_man
 
 
@@ -554,15 +601,36 @@ def tx_append(spark: SparkSession, root: str, rows: DataFrame) -> dict:
     )
 
 
-def tx_vacuum(spark: SparkSession, root: str, keep_manifests: int = 2) -> list[str]:
+def tx_vacuum(
+    spark: SparkSession,
+    root: str,
+    keep_manifests: int = 2,
+    tmp_grace_s: float = 600.0,
+) -> list[str]:
     """Garbage-collect data generations unreferenced by the retained
     manifests, plus manifests beyond the retention window. Returns the
     deleted paths. Retention exists so in-flight readers that resolved a
-    recent version keep their files until the next vacuum cycle."""
+    recent version keep their files until the next vacuum cycle.
+
+    ``.tmp-`` manifest files younger than ``tmp_grace_s`` are spared:
+    they may belong to an IN-FLIGHT publish (written, not yet renamed) —
+    deleting one mid-commit fails that commit with a misleading
+    conflict. Older ones are orphans from crashed publishes and go."""
     current = _latest_version(spark, root)
     if current == 0:
         return []
     keep_versions = [v for v in range(current, current - keep_manifests, -1) if v >= 1]
+    return _vacuum_to(spark, root, keep_versions, tmp_grace_s)
+
+
+def _vacuum_to(
+    spark: SparkSession,
+    root: str,
+    keep_versions: list[int],
+    tmp_grace_s: float = 600.0,
+) -> list[str]:
+    """Retain exactly ``keep_versions``; delete every other manifest and
+    every data generation none of them references."""
     referenced: set[str] = set()
     for v in keep_versions:
         man = json.loads(
@@ -574,17 +642,26 @@ def tx_vacuum(spark: SparkSession, root: str, keep_manifests: int = 2) -> list[s
                 referenced.add(rel.split("/")[1])
     removed = []
     fs = _fs(spark, root)
+    now_ms = spark._jvm.System.currentTimeMillis()
     for token in _fs_list_names(spark, f"{root}/{_DATA}"):
         if token not in referenced:
             path = f"{root}/{_DATA}/{token}"
             fs.delete(_jpath(spark, path), True)
             removed.append(path)
     for name in _fs_list_names(spark, f"{root}/{_TXLOG}"):
-        m = re.fullmatch(r"(\d{8})\.json", name)
-        if (m and int(m.group(1)) not in keep_versions) or name.startswith(".tmp-"):
-            path = f"{root}/{_TXLOG}/{name}"
-            fs.delete(_jpath(spark, path), False)
-            removed.append(path)
+        path = f"{root}/{_TXLOG}/{name}"
+        if name.startswith(".tmp-"):
+            age_ms = now_ms - fs.getFileStatus(_jpath(spark, path)).getModificationTime()
+            if age_ms <= tmp_grace_s * 1000:
+                continue  # possibly an in-flight publish's manifest
+        elif (m := re.fullmatch(r"(\d{8})\.json", name)) and int(
+            m.group(1)
+        ) in keep_versions:
+            continue
+        elif not re.fullmatch(r"(\d{8})\.json", name):
+            continue  # not ours to delete
+        fs.delete(_jpath(spark, path), False)
+        removed.append(path)
     return removed
 
 
@@ -596,22 +673,32 @@ def tx_vacuum(spark: SparkSession, root: str, keep_manifests: int = 2) -> list[s
 def tx_upsert(spark: SparkSession, root: str, updates: DataFrame, key: str) -> int:
     """MERGE ``updates`` into the store — the transactional face of
     ``upsert.upsert_partitioned`` (same key/null/duplicate discipline),
-    with the rewrite published atomically. Returns partitions rewritten.
-    """
+    with the rewrite published atomically. Works on unpartitioned,
+    single-level, and multi-level (e.g. (cell, tenant)) layouts — the
+    touched-partition set is the distinct partition-column TUPLES in the
+    deduplicated updates. Returns partitions rewritten (1 for an
+    unpartitioned store)."""
     man = tx_current_manifest(spark, root)
-    pcol = man["partition_col"]
-    if not isinstance(pcol, str):
-        raise NotImplementedError(
-            "tx_upsert merges per key within single-level partitioned "
-            f"stores; this store is partitioned by {pcol!r}"
-        )
+    pcols = _norm_pcols(man["partition_col"])
     other = [c for c in updates.columns if c != key]
     updates = (
         updates.groupBy(key)
         .agg(F.max(F.struct(*other)).alias("_row"))
         .select(key, *[F.col(f"_row.{c}").alias(c) for c in other])
     )
-    parts = [r[0] for r in updates.select(pcol).distinct().collect()]
+    if pcols is None:
+        # unpartitioned: the whole table is the one touched "partition"
+        target = tx_read(spark, root)
+        upd_keys = updates.select(key)
+        merged = target.join(
+            upd_keys, target[key].eqNullSafe(upd_keys[key]), "left_anti"
+        ).unionByName(updates.select(*target.columns))
+        tx_publish(
+            spark, root, merged, replace_all=True, expect_version=man["version"]
+        )
+        return 1
+    # bounded driver-side collect: one row per TOUCHED partition tuple
+    parts = [tuple(r) for r in updates.select(*pcols).distinct().collect()]
     if not parts:
         return 0
     target = tx_read(spark, root, partition_values=parts)
@@ -626,7 +713,7 @@ def tx_upsert(spark: SparkSession, root: str, updates: DataFrame, key: str) -> i
         spark,
         root,
         merged,
-        partition_col=pcol,
+        partition_col=man["partition_col"],
         replace_values=parts,
         expect_version=man["version"],
     )
@@ -660,27 +747,46 @@ def streaming_tx_upsert_query(
     )
 
 
-def tx_erase(spark: SparkSession, root: str, request: DataFrame, key: str) -> DataFrame:
+def tx_erase(
+    spark: SparkSession,
+    root: str,
+    request: DataFrame,
+    key: str,
+    erase_retention: bool = False,
+) -> DataFrame:
     """Right-to-erasure on the transactional store — the WAP face of
     ``erasure.erase_by_key`` (same locate/rewrite phases and audit
     schema). A fully-emptied partition simply drops out of the new
     manifest — no directory delete in the commit path, so a crash can
-    never leave the erased rows half-visible."""
+    never leave the erased rows half-visible. Works on single- and
+    multi-level layouts; for multi-level stores the audit's
+    ``partition_value`` is the manifest's JSON tuple key.
+
+    RETENTION CONTRACT (the Delta DELETE-then-VACUUM gotcha, made
+    explicit): the commit removes the rows from the CURRENT version
+    only. With ``erase_retention=False`` the erased bytes remain on
+    disk in the superseded generations AND remain readable via
+    ``tx_read(version=pre_erase)`` until a vacuum retires them —
+    compliance then = ``tx_erase`` + ``tx_vacuum(keep_manifests=1)``.
+    ``erase_retention=True`` closes the loop in the same call: after
+    publishing, it truncates time travel below the erase version and
+    physically deletes every generation referenced only by pre-erase
+    manifests, so the erased keys are unreadable at ANY version and
+    absent from every surviving data file (tests scan the files to
+    prove it). The erase commit itself stays crash-atomic: a crash
+    before the retention sweep leaves the store exactly as the
+    ``erase_retention=False`` contract describes — re-run the sweep
+    via ``tx_vacuum(keep_manifests=1)``."""
     from kinesis_spark.erasure import AUDIT_SCHEMA
 
     man = tx_current_manifest(spark, root)
-    pcol = man["partition_col"]
-    if not isinstance(pcol, str):
-        raise NotImplementedError(
-            "tx_erase audits per partition value of single-level "
-            f"partitioned stores; this store is partitioned by {pcol!r}"
-        )
+    pcols = _norm_pcols(man["partition_col"])
     req = request.select(F.col(key).alias("_erase_key")).distinct()
     tgt = tx_read(spark, root)
     located = (
-        tgt.select(F.col(key), F.col(pcol))
+        tgt.select(F.col(key), *[F.col(c) for c in pcols or []])
         .join(req, F.col(key).eqNullSafe(F.col("_erase_key")), "left_semi")
-        .groupBy(pcol)
+        .groupBy(*[F.col(c) for c in pcols or []])
         .agg(
             F.count(F.lit(1)).alias("n_rows_erased"),
             F.count_distinct(F.col(key)).alias("n_keys_nonnull"),
@@ -690,28 +796,96 @@ def tx_erase(spark: SparkSession, root: str, request: DataFrame, key: str) -> Da
     hit_rows = located.collect()  # bounded by touched partitions
     if not hit_rows:
         return spark.createDataFrame([], AUDIT_SCHEMA)
-    parts = [r[pcol] for r in hit_rows]
-    survivors = tx_read(spark, root, partition_values=parts).join(
-        req, F.col(key).eqNullSafe(F.col("_erase_key")), "left_anti"
-    )
-    new_man = tx_publish(
-        spark,
-        root,
-        survivors,
-        partition_col=pcol,
-        replace_values=parts,
-        expect_version=man["version"],
-    )
+    if pcols is None:
+        parts = None
+        survivors = tgt.join(
+            req, F.col(key).eqNullSafe(F.col("_erase_key")), "left_anti"
+        )
+        new_man = tx_publish(
+            spark, root, survivors, replace_all=True,
+            expect_version=man["version"],
+        )
+        audit_keys = [(None, "")]
+    else:
+        parts = [tuple(r[c] for c in pcols) for r in hit_rows]
+        survivors = tx_read(spark, root, partition_values=parts).join(
+            req, F.col(key).eqNullSafe(F.col("_erase_key")), "left_anti"
+        )
+        new_man = tx_publish(
+            spark,
+            root,
+            survivors,
+            partition_col=man["partition_col"],
+            replace_values=parts,
+            expect_version=man["version"],
+        )
+        audit_keys = [
+            (
+                # single-level: the raw value (round-5 audit shape);
+                # multi-level: the manifest's JSON tuple key
+                _tuple_key([_value_key(v) for v in vals])
+                if any(v is not None for v in vals) or len(vals) > 1
+                else None,
+                _tuple_key([_value_key(v) for v in vals]),
+            )
+            for vals in parts
+        ]
     audit = [
         (
-            None if r[pcol] is None else str(r[pcol]),
+            shown,
             r["n_rows_erased"],
             r["n_keys_nonnull"] + (r["has_null_key"] or 0),
-            _value_key(r[pcol]) not in new_man["partitions"],
+            (not new_man["partitions"])
+            if pcols is None
+            else mkey not in new_man["partitions"],
         )
-        for r in hit_rows
+        for r, (shown, mkey) in zip(hit_rows, audit_keys)
     ]
+    if erase_retention:
+        # destroy history: retain ONLY the erase commit's manifest, so
+        # (a) time travel below it raises, (b) every generation the
+        # pre-erase manifests referenced exclusively is deleted from
+        # disk, and (c) inside generations that SURVIVE because other
+        # partitions still reference them (a multi-partition generation,
+        # e.g. the bootstrap one), the replaced partitions' directories
+        # — the only places the erased keys' bytes lived — are deleted
+        # too. What remains under _data/ is exactly the retained
+        # manifest's file set.
+        _vacuum_to(spark, root, [new_man["version"]])
+        _purge_unreferenced_partition_dirs(spark, root, new_man)
     return spark.createDataFrame(audit, AUDIT_SCHEMA)
+
+
+def _purge_unreferenced_partition_dirs(
+    spark: SparkSession, root: str, man: dict
+) -> list[str]:
+    """Delete partition directories under _data/ that ``man`` does not
+    reference — the sub-generation sweep for retention destruction:
+    generation-token vacuuming keeps a whole token alive while ANY
+    partition references it, so a replaced partition's bytes inside a
+    shared token need this finer-grained delete."""
+    pcols = _norm_pcols(man["partition_col"])
+    if pcols is None:
+        return []  # unpartitioned rels == token dirs; token vacuum covers them
+    kept = {
+        rel for rels in man["partitions"].values() for rel in rels
+    }
+    fs = _fs(spark, root)
+    removed = []
+    for token in _fs_list_names(spark, f"{root}/{_DATA}"):
+        levels = [f"{_DATA}/{token}"]
+        for col in pcols:
+            nxt = []
+            for rel in levels:
+                for name in _fs_list_names(spark, f"{root}/{rel}"):
+                    if name.startswith(f"{col}="):
+                        nxt.append(f"{rel}/{name}")
+            levels = nxt
+        for rel in levels:
+            if rel not in kept:
+                fs.delete(_jpath(spark, f"{root}/{rel}"), True)
+                removed.append(f"{root}/{rel}")
+    return removed
 
 
 def tx_compact(

@@ -440,6 +440,260 @@ def test_schema_evolution_adds_column_atomically(spark, store):
     assert df.filter((F.col("month") != month) & F.col("quality").isNotNull()).count() == 0
 
 
+@pytest.fixture()
+def ml_store(spark, tmp_path):
+    """Multi-level (cell, tenant) store — the filtered-ANN index layout."""
+    root = str(tmp_path / "ml_tx")
+    rows = [(i, f"pay{i}", i % 3, f"t{i % 2}") for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "id long, payload string, cell int, tenant string"
+    )
+    tx_init(spark, root, df, partition_col=["cell", "tenant"])
+    return root
+
+
+def _all_data_files(spark, root):
+    """Every ROW physically on disk under _data/ — partition schema NOT
+    inferred, so this sees superseded generations too (the erasure
+    evidence scan)."""
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{root}/_data")
+    )
+
+
+def test_tx_erase_retention_destroys_history(spark, store):
+    """VERDICT r5 task 1: erase_retention=True makes tx_erase an actual
+    erasure-compliance primitive — after it, (a) time travel below the
+    erase version raises, (b) NO parquet file under _data/ contains an
+    erased key (including superseded generations shared with untouched
+    partitions), (c) the surviving table is exactly the survivors."""
+    tgt = tx_read(spark, store)
+    months = sorted(r[0] for r in tgt.select("month").distinct().collect())
+    victim_month = months[0]
+    # erase SOME keys of one month: the month survives with a new
+    # generation, while the shared bootstrap generation still serves
+    # the other months — the hard case for physical deletion
+    victims = [
+        r[0]
+        for r in tgt.filter(F.col("month") == victim_month)
+        .select("o_orderkey")
+        .limit(3)
+        .collect()
+    ]
+    keys = spark.createDataFrame([(k,) for k in victims], "o_orderkey long")
+    expect = sorted(
+        map(tuple, tgt.filter(~F.col("o_orderkey").isin(victims)).collect())
+    )
+    pre_version = tx_current_manifest(spark, store)["version"]
+    audit = tx_erase(spark, store, keys, key="o_orderkey", erase_retention=True)
+    assert audit.agg(F.sum("n_rows_erased")).first()[0] == len(victims)
+    # (a) time travel truncated below the erase version
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        tx_read(spark, store, version=pre_version)
+    # (b) the erased keys' bytes are GONE from every file on disk
+    on_disk = _all_data_files(spark, store)
+    assert on_disk.filter(F.col("o_orderkey").isin(victims)).count() == 0
+    # ... and nothing beyond the retained manifest's file set survives:
+    # disk rows == current-table rows
+    assert on_disk.count() == tx_read(spark, store).count()
+    # (c) the table is exactly the survivors
+    assert _snapshot(spark, store) == expect
+
+
+def test_tx_erase_default_retention_contract(spark, store):
+    """Without erase_retention, the superseded bytes stay readable via
+    time travel until a vacuum — the documented two-step compliance
+    path tx_erase + tx_vacuum(keep_manifests=1)."""
+    tgt = tx_read(spark, store)
+    victims = [r[0] for r in tgt.select("o_orderkey").limit(2).collect()]
+    keys = spark.createDataFrame([(k,) for k in victims], "o_orderkey long")
+    tx_erase(spark, store, keys, key="o_orderkey")
+    # erased keys still on disk and still readable at version 1
+    assert (
+        tx_read(spark, store, version=1)
+        .filter(F.col("o_orderkey").isin(victims))
+        .count()
+        == len(victims)
+    )
+    tx_vacuum(spark, store, keep_manifests=1)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        tx_read(spark, store, version=1)
+
+
+def test_tx_upsert_multilevel(spark, ml_store):
+    """VERDICT r5 task 2: tx_upsert on a (cell, tenant) LIST-partitioned
+    store — merge per key, touched partition TUPLES rewritten, untouched
+    tuples keep their original generation."""
+    tgt = tx_read(spark, ml_store)
+    n_before = tgt.count()
+    updates = spark.createDataFrame(
+        [(5, "UPDATED", 2, "t1"), (100, "NEW", 1, "t0")],
+        "id long, payload string, cell int, tenant string",
+    )
+    assert tx_upsert(spark, ml_store, updates, key="id") == 2
+    after = tx_read(spark, ml_store)
+    assert after.count() == n_before + 1
+    assert after.filter(F.col("id") == 5).first()["payload"] == "UPDATED"
+    assert after.filter(F.col("id") == 100).first()["payload"] == "NEW"
+    man = tx_current_manifest(spark, ml_store)
+    import json as _json
+
+    touched = {_json.dumps(["2", "t1"]), _json.dumps(["1", "t0"])}
+    untouched_gens = {
+        rel.split("/")[1]
+        for k, rels in man["partitions"].items()
+        if k not in touched
+        for rel in rels
+    }
+    assert len(untouched_gens) == 1  # all still on the bootstrap generation
+    for k in touched:
+        assert man["partitions"][k][0].split("/")[1] not in untouched_gens
+
+
+def test_tx_erase_multilevel_with_retention(spark, ml_store):
+    """VERDICT r5 tasks 1+2 composed: erase across partition tuples of a
+    multi-level store with retention destruction; the audit keys are the
+    manifest's JSON tuple keys and the bytes are gone from disk."""
+    import json as _json
+
+    tgt = tx_read(spark, ml_store)
+    # all keys of one tuple (empties it) + one key of another
+    empty_tuple_ids = [
+        r[0]
+        for r in tgt.filter(
+            (F.col("cell") == 0) & (F.col("tenant") == "t0")
+        ).select("id").collect()
+    ]
+    victims = empty_tuple_ids + [7]  # id 7 -> (cell 1, tenant t1)
+    n_before = tgt.count()  # before the erase destroys tgt's files
+    keys = spark.createDataFrame([(k,) for k in victims], "id long")
+    audit = tx_erase(spark, ml_store, keys, key="id", erase_retention=True)
+    rows = {r["partition_value"]: r for r in audit.collect()}
+    k_emptied = _json.dumps(["0", "t0"])
+    k_partial = _json.dumps(["1", "t1"])
+    assert rows[k_emptied]["partition_emptied"] is True
+    assert rows[k_emptied]["n_rows_erased"] == len(empty_tuple_ids)
+    assert rows[k_partial]["partition_emptied"] is False
+    assert rows[k_partial]["n_rows_erased"] == 1
+    after = tx_read(spark, ml_store)
+    assert after.filter(F.col("id").isin(victims)).count() == 0
+    assert after.count() == n_before - len(victims)
+    # physical: no surviving file holds an erased id; disk == table
+    on_disk = _all_data_files(spark, ml_store)
+    assert on_disk.filter(F.col("id").isin(victims)).count() == 0
+    assert on_disk.count() == after.count()
+    assert k_emptied not in tx_current_manifest(spark, ml_store)["partitions"]
+
+
+def test_tx_upsert_unpartitioned(spark, tmp_path):
+    root = str(tmp_path / "flat_tx")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, payload string"
+    )
+    tx_init(spark, root, df)
+    updates = spark.createDataFrame([(2, "B"), (9, "z")], "id long, payload string")
+    assert tx_upsert(spark, root, updates, key="id") == 1
+    got = {r.id: r.payload for r in tx_read(spark, root).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 9: "z"}
+
+
+def test_tx_erase_unpartitioned(spark, tmp_path):
+    root = str(tmp_path / "flat_tx2")
+    df = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(10)], "id long, payload string"
+    )
+    tx_init(spark, root, df)
+    keys = spark.createDataFrame([(3,), (4,)], "id long")
+    audit = tx_erase(spark, root, keys, key="id", erase_retention=True)
+    row = audit.first()
+    assert row["n_rows_erased"] == 2 and row["partition_emptied"] is False
+    assert tx_read(spark, root).count() == 8
+    on_disk = _all_data_files(spark, root)
+    assert on_disk.filter(F.col("id").isin([3, 4])).count() == 0
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        tx_read(spark, root, version=1)
+
+
+def test_conditional_put_arbiter_single_winner(spark, store):
+    """VERDICT r5 task 3: the commit CAS is an injectable seam. Race two
+    committers through a fake S3-style conditional-PUT arbiter
+    (If-None-Match: * — the check-and-install is ONE atomic store-side
+    call); both reach the arbiter before either installs (barrier), and
+    exactly one commit wins — the loser gets TxConflictError and its
+    content never becomes visible."""
+    import threading
+
+    from kinesis_spark.txstore import CommitArbiter, _fs_write_text
+
+    barrier = threading.Barrier(2, timeout=120)
+
+    class FakeConditionalPutArbiter(CommitArbiter):
+        def __init__(self):
+            self._lock = threading.Lock()
+            self._committed: set[str] = set()
+
+        def commit(self, spark, log_dir, filename, text):
+            barrier.wait()  # both committers are past staging+audit
+            key = f"{log_dir}/{filename}"
+            with self._lock:  # the object store's atomic conditional PUT
+                if key in self._committed:
+                    raise TxConflictError(f"412 precondition failed: {key}")
+                self._committed.add(key)
+                _fs_write_text(spark, key, text)
+
+    arbiter = FakeConditionalPutArbiter()
+    months = sorted(tx_current_manifest(spark, store)["partitions"])[:2]
+    results: dict[str, object] = {}
+
+    def committer(tag: str, month: str):
+        upd = tx_read(spark, store, partition_values=[month]).withColumn(
+            "o_orderstatus", F.lit(tag)
+        )
+        try:
+            results[tag] = tx_publish(spark, store, upd, arbiter=arbiter)
+        except TxConflictError as exc:
+            results[tag] = exc
+
+    threads = [
+        threading.Thread(target=committer, args=("XA", months[0])),
+        threading.Thread(target=committer, args=("XB", months[1])),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    outcomes = {tag: type(r).__name__ for tag, r in results.items()}
+    assert sorted(outcomes.values()) == ["TxConflictError", "dict"], outcomes
+    winner = next(t for t, r in results.items() if isinstance(r, dict))
+    loser = next(t for t, r in results.items() if not isinstance(r, dict))
+    after = tx_read(spark, store)
+    assert after.filter(F.col("o_orderstatus") == winner).count() > 0
+    assert after.filter(F.col("o_orderstatus") == loser).count() == 0
+    assert tx_current_manifest(spark, store)["version"] == 2
+
+
+def test_vacuum_spares_fresh_tmp_manifests(spark, store, tmp_path):
+    """ADVICE r5 (low): a vacuum running concurrently with an in-flight
+    publish must not delete the publisher's just-written temp manifest.
+    Fresh .tmp- files survive the sweep; stale ones (crashed publishes)
+    are reclaimed."""
+    import os
+
+    log_dir = f"{store}/_txlog"
+    fresh = os.path.join(log_dir, ".tmp-inflight.json")
+    stale = os.path.join(log_dir, ".tmp-crashed.json")
+    for p in (fresh, stale):
+        with open(p, "w") as f:
+            f.write("{}")
+    old = __import__("time").time() - 7200
+    os.utime(stale, (old, old))
+    removed = tx_vacuum(spark, store, keep_manifests=1)
+    assert any(p.endswith(".tmp-crashed.json") for p in removed)
+    assert not any(p.endswith(".tmp-inflight.json") for p in removed)
+    assert os.path.exists(fresh) and not os.path.exists(stale)
+
+
 def test_streaming_tx_erasure_applies_and_replays(spark, store, tmp_path):
     import time as _time
 
