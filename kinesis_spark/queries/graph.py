@@ -127,8 +127,11 @@ def g1_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: every node with its type, original key, and 6-dp rank.
 
     Iterative shape: edge list + outdegrees pin once; each
-    round is edges⋈ranks on src (one shuffle, partial-agg combine on
-    dst) and a left join back onto the node set for the damping floor.
+    round is ONE edges⋈ranks join on src (partial-agg combine on dst) —
+    no per-round re-join onto the node set: the symmetrized graph gives
+    every node an in-edge, so the contribution sums already cover all
+    nodes (a dangling-node edge set needs the nodes-left-join form
+    back — see the loop-body comment).
     The per-dst contribution sum runs through the exact DECIMAL(38,0)
     fixed-point bridge so ranks are bit-identical to the oracle's
     unrolled replay every round — see the module header.

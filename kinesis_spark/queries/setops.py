@@ -692,20 +692,32 @@ DSIR_TARGET_LANG = "en"  # the "target distribution" sample
 _DSIR_SCALE = 1_000_000  # 6-dp fixed point for the exact weight sum
 
 # Gram -> bucket via a multiplicative hash over CODE POINTS, not md5:
-# h = ((c1*131 + c2)*131 + c3), bucket = Knuth-mix top bits of h —
-# integer-only arithmetic both engines compute natively (Spark ascii()
-# and DuckDB unicode() both return the first code point), which drops
-# the per-gram md5 digest that dominated this query's runtime (measured
-# 4.1 s -> see below at sf0.1). The Fibonacci multiplier's top-12-bits
-# extraction gives the avalanche a plain (h % 4096) lacks. All values
-# stay < 2^53, so every division below is exact in both engines.
+# h = ((c1*131 + c2)*131 + c3) % 2^22, bucket = Knuth-mix top bits of
+# h — integer-only arithmetic both engines compute natively (Spark
+# ascii() and DuckDB unicode() both return the first code point), which
+# drops the per-gram md5 digest that dominated this query's runtime
+# (measured 4.1 s -> see below at sf0.1). The Fibonacci multiplier's
+# top-12-bits extraction gives the avalanche a plain (h % 4096) lacks.
+# The % 2^22 reduction (ADVICE r5) bounds the multiply: raw h reaches
+# ~1.9e10 for max code points (0x10FFFF), and h * MIX would pass 2^63 —
+# Spark wraps silently while DuckDB errors, a cross-engine divergence
+# on non-ASCII text. Reduced, h < 2^22 so h * MIX < 2^54: exact int64
+# on both engines. ASCII grams are UNAFFECTED (their raw h tops out at
+# ~2.2e6 < 2^22), so fixture bucket assignments — and the driver's
+# hash-verified results — are identical to the unreduced round-5 form.
 _DSIR_MIX = 2654435761  # 2^32 / golden ratio (Knuth multiplicative)
+_DSIR_HMOD = 1 << 22  # pre-multiply reduction: h*MIX provably fits int64
 _DSIR_SHIFT = (1 << 32) // DSIR_BUCKETS  # take the top 12 of 32 bits
 
+# the first code point is CAST to BIGINT: DuckDB's unicode() is INT32
+# and (c1*131+c2)*131 overflows INT32 for supplementary-plane c1 — the
+# cast promotes the whole chain (Spark's codes array is bigint already)
 _DSIR_BUCKET_SQL = (
-    f"CAST(FLOOR((((unicode(substring(text, CAST(i AS INT), 1)) * 131"
+    f"CAST(FLOOR((((CAST(unicode(substring(text, CAST(i AS INT), 1)) AS BIGINT)"
+    f" * 131"
     f" + unicode(substring(text, CAST(i AS INT) + 1, 1))) * 131"
     f" + unicode(substring(text, CAST(i AS INT) + 2, 1)))"
+    f" % {_DSIR_HMOD}"
     f" * {_DSIR_MIX} % {1 << 32}) / {_DSIR_SHIFT}.0) AS BIGINT)"
 )
 
@@ -794,6 +806,7 @@ def s16_dsir_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket_of = lambda cs, i: F.floor(  # noqa: E731
         (
             ((el(cs, i) * 131 + el(cs, i + 1)) * 131 + el(cs, i + 2))
+            % _DSIR_HMOD  # bound h so h * MIX fits int64 (see _DSIR_HMOD)
             * _DSIR_MIX
             % (1 << 32)
         )
