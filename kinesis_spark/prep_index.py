@@ -1,0 +1,139 @@
+"""Persisted incremental-prep index — the 100 TB face of
+``p3_incremental_prep`` (queries/pipelines.py).
+
+p3 derives its three corpus-side artifacts IN-QUERY (bloom bitmap,
+exact-hash store, MinHash band index), which costs three scans of the
+corpus per batch — honest at bench scale, wrong at 100 TB where the
+corpus is the big side and batches arrive continuously. This module
+persists exactly those artifacts once and lets every subsequent batch
+admission read ONLY them:
+
+    <index_dir>/hashes/   distinct sha256(text) of admitted corpus docs
+                          (the exact-confirm relation; the truth)
+    <index_dir>/bloom/    ONE row: the dense bitmap over those hashes
+                          (derived from the hash store — rebuildable)
+    <index_dir>/bands/    distinct MinHash band keys of the corpus
+                          (the near-dup LSH index)
+
+``incremental_prep_indexed`` then produces the SAME per-(lang, source)
+admission report as p3 — tests assert row-for-row equality on the same
+corpus/batch split, and plan-assert that the probe's input files are
+the batch + the index only, zero corpus scans.
+
+Scale shape of the probe: the bloom is one broadcast row (8 KiB);
+bloom-positive hashes exact-confirm via a batch-scale broadcast
+semi-join against the hash store (the store is scanned pruned to its
+single column, never shuffled, never broadcast); the band index
+equi-joins the batch's band keys. Nothing scales with the corpus
+except the two index-relation scans, which are hash/key-sized, not
+document-sized.
+
+Maintenance: the always-on writer for these artifacts is
+``streaming/bloom_dedup.py`` (bitmap bit_or-merge + per-batch hash
+subdirs); ``build_prep_index`` here is the batch bootstrap/rebuild.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kinesis_spark.bloom import build_bloom, densify_bloom, probe_bloom_dense
+
+
+def _gated(d: DataFrame) -> DataFrame:
+    from kinesis_spark.queries.pipelines import _gated_base
+
+    return _gated_base(d)
+
+
+def build_prep_index(spark: SparkSession, corpus_docs: DataFrame, index_dir: str) -> dict:
+    """Bootstrap the persisted index from a corpus ``documents``-shaped
+    relation (applies the same language/length gate as p1/p3). Two
+    corpus scans total — one for the hash store, one for the band
+    index; the bitmap derives from the PERSISTED hash store so a lost
+    bitmap rebuilds without touching the corpus at all. Returns
+    artifact row counts (driver-side, three bounded counts)."""
+    base = _gated(corpus_docs)
+    hash_dir = os.path.join(index_dir, "hashes")
+    bloom_dir = os.path.join(index_dir, "bloom")
+    band_dir = os.path.join(index_dir, "bands")
+    base.select(F.sha2("text", 256).alias("h")).distinct().write.mode(
+        "overwrite"
+    ).parquet(hash_dir)
+    hashes = spark.read.parquet(hash_dir)
+    densify_bloom(build_bloom(hashes, "h")).write.mode("overwrite").parquet(bloom_dir)
+    bands = _band_keys(base).select("band_key").distinct()
+    bands.write.mode("overwrite").parquet(band_dir)
+    return {
+        "hashes": spark.read.parquet(hash_dir).count(),
+        "bloom_words": spark.read.parquet(bloom_dir).count(),
+        "bands": spark.read.parquet(band_dir).count(),
+    }
+
+
+def _band_keys(df: DataFrame, *carry: str) -> DataFrame:
+    from kinesis_spark.queries.pipelines import _band_keys_of
+
+    return _band_keys_of(df, *carry)
+
+
+def incremental_prep_indexed(
+    spark: SparkSession, batch_docs: DataFrame, index_dir: str
+) -> DataFrame:
+    """Admission report for a new crawl batch against the PERSISTED
+    index — p3's exact semantics (within-batch min-id exact dedup,
+    bloom+confirm exact dedup vs corpus, conservative shared-band
+    near-dup drop, per (lang, source) exact BIGINT report) with zero
+    corpus scans: the only inputs are ``batch_docs`` and the three
+    index relations. Column-for-column equal to p3's report when the
+    index was built from p3's corpus split (tested)."""
+    base = _gated(batch_docs)
+    wh = Window.partitionBy("h").orderBy("doc_id")
+    bh = base.select(
+        "doc_id", "lang", "source", "toks",
+        F.size("toks").cast("bigint").alias("n_toks"),
+        F.sha2("text", 256).alias("h"),
+    ).withColumn("rn", F.row_number().over(wh))
+
+    dense = spark.read.parquet(os.path.join(index_dir, "bloom"))
+    hashes = spark.read.parquet(os.path.join(index_dir, "hashes"))
+    probed = probe_bloom_dense(bh, dense, "h")
+    cand_keys = probed.filter(F.col("maybe_member")).select("h").distinct()
+    confirmed = (
+        hashes.join(F.broadcast(cand_keys), "h", "left_semi")
+        .withColumn("in_corpus", F.lit(True))
+    )
+    flagged = probed.join(F.broadcast(confirmed), "h", "left").select(
+        "doc_id", "lang", "source", "toks", "n_toks",
+        ((F.col("rn") > 1) | F.coalesce("in_corpus", F.lit(False))).alias(
+            "exact_dup"
+        ),
+    )
+
+    rem = flagged.filter(~F.col("exact_dup"))
+    cband_keys = spark.read.parquet(os.path.join(index_dir, "bands"))
+    near = (
+        _band_keys(rem)
+        .join(cband_keys, "band_key", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    report = flagged.join(near, "doc_id", "left").select(
+        "lang", "source", "n_toks", "exact_dup",
+        (~F.col("exact_dup") & F.coalesce("near_dup", F.lit(False))).alias("nd"),
+        (~F.col("exact_dup") & ~F.coalesce("near_dup", F.lit(False))).alias("ok"),
+    )
+    return report.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum(F.col("exact_dup").cast("int")).cast("bigint").alias("n_exact_dup"),
+        F.sum(F.col("nd").cast("int")).cast("bigint").alias("n_near_dup"),
+        F.sum(F.col("ok").cast("int")).cast("bigint").alias("n_admitted"),
+        F.sum(F.when(F.col("ok"), F.col("n_toks")).otherwise(0))
+        .cast("bigint")
+        .alias("admitted_tokens"),
+    )

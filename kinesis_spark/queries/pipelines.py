@@ -373,6 +373,62 @@ def p3_incremental_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _register_p7() -> None:
+    """p7 = p3 through the PERSISTED index (prep_index.py): identical
+    report, so it shares p3's oracle verbatim — registered via a helper
+    because the decorator needs p3's already-registered oracle string."""
+    from kinesis_spark.queries import REGISTRY
+
+    p3_oracle = REGISTRY["p3_incremental_prep"].oracle
+
+    @register(
+        "p7_incremental_prep_indexed",
+        oracle=p3_oracle,
+        tags=("pipeline", "incremental", "dedup", "bloom", "index"),
+    )
+    def p7_incremental_prep_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """p3's admission report computed the PRODUCTION way (VERDICT r5
+        task 7): the corpus-side artifacts — bloom bitmap, exact-hash
+        store, MinHash band index — come from a PERSISTED index
+        (kinesis_spark/prep_index.py) instead of three in-query corpus
+        derivations, so the recurring per-batch plan scans the documents
+        table exactly ONCE (the batch slice itself) vs p3's four scans.
+        tests/test_prep_index.py plan-asserts the zero-corpus-scan
+        property with the batch materialized as its own storage, and
+        asserts report equality with p3 row for row.
+
+        The index bootstraps once per (documents path, mtime) into the
+        local tmp dir and is reused across calls — amortized exactly
+        like production, where streaming/bloom_dedup.py maintains it
+        incrementally instead."""
+        import hashlib
+        import os
+        import tempfile
+
+        from kinesis_spark.prep_index import (
+            build_prep_index,
+            incremental_prep_indexed,
+        )
+
+        docs_path = os.path.join(sf_dir, "documents.parquet")
+        key = hashlib.md5(
+            f"{os.path.realpath(docs_path)}:{os.path.getmtime(docs_path)}".encode()
+        ).hexdigest()[:16]
+        idx = os.path.join(tempfile.gettempdir(), f"kinesis_prep_index-{key}")
+        marker = os.path.join(idx, "_COMPLETE")
+        d = load_table(spark, sf_dir, "documents")
+        if not os.path.exists(marker):
+            build_prep_index(spark, d.filter(F.col("doc_id") % 10 != 0), idx)
+            with open(marker, "w") as f:
+                f.write(key)
+        return incremental_prep_indexed(
+            spark, d.filter(F.col("doc_id") % 10 == 0), idx
+        )
+
+
+_register_p7()
+
+
 @register(
     "p4_length_bucketing",
     oracle="""
