@@ -14,6 +14,14 @@ materialization cost). Per-query time is the best of 2 back-to-back runs
 conflates scheduler noise and first-use JIT with the plan's actual cost.
 "value" is the sum of per-query times plus the two ingest soaks.
 
+Comparison protocol (VERDICT r5): queries run in ONE fixed canonical
+order (name-sorted — never the registry's per-round driver-rotation
+order) after an untimed warm-up pass, so per-query and per-family times
+are comparable across rounds. Same-HEAD suite totals still vary up to
+~10-20% with machine load — compare per-query times from
+BENCH_full.json, not family sums from rotated historical rounds (r1-r5
+BENCH_r*.json predate this protocol; see README "Benchmarking").
+
 Two JSON lines go to stdout: the full per-query payload (also persisted
 to BENCH_full.json) and, LAST, a compact per-family digest — harnesses
 that keep only the tail of stdout always capture a parseable object.
@@ -37,14 +45,45 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Untimed warm-up queries, one per major machinery family (agg shuffle,
+# join, window, text tokenize, embedding fold, hash dedup, event-time):
+# they absorb the JVM/JIT/codegen/first-shuffle warm-up that otherwise
+# lands on whichever family happens to run first, which made
+# round-over-round family comparisons read as phantom regressions
+# (VERDICT r5 "What's wrong" #2).
+WARMUP = (
+    "a1_distinct_counts",
+    "j1_left_outer_order_counts",
+    "w1_top_orders_per_customer",
+    "t1_token_stats",
+    "sim1_topk_cosine",
+    "d2_content_hash_dedup",
+    "e2_tumbling_window_counts",
+)
+
+
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     # warm the JVM / parquet footers so the first query isn't charged for it
     from kinesis_spark.io import TABLES, load_table
 
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
+    reg = get_registry()
+    for name in WARMUP:
+        if name in reg:
+            try:
+                spark.catalog.clearCache()
+                materialize(reg[name].spark_fn(spark, sf_dir))
+            except Exception:
+                pass  # the timed loop will surface it with attribution
     times: dict[str, float] = {}
-    for name, q in sorted(get_registry().items()):
+    # FIXED canonical order (name-sorted), deliberately independent of
+    # the registry's driver-rotation order (queries/__init__.py): the
+    # rotation reshuffles which queries the CORRECTNESS window samples
+    # each round, and benching in that order shifted warm-up costs
+    # between families round over round. Name order never changes, so
+    # per-query times are comparable across rounds.
+    for name, q in sorted(reg.items()):
         best = float("inf")
         for _ in range(2):
             try:
