@@ -1,0 +1,432 @@
+"""Integration showcase (VERDICT r5 task 6): the production pipeline
+end-to-end, every seam a real module —
+
+    spool stream (producer puts documents as JSON records)
+      → leased KCL-mode consumer (streaming/kinesis_source.py +
+        ingest/leases.py; consumer A dies mid-stream, B claims its
+        shards and resumes from the lease checkpoint)
+      → streaming prep intake (gate → RocksDB-backed replay-shield
+        dropDuplicates → foreachBatch admission against the DURABLE
+        bloom/hash store and MinHash band index — bloom.py +
+        prep_index layering; the durable index, not query state, is
+        what survives the consumer swap)
+      → transactional append into a (lang, source)-partitioned txstore
+        (multi-level tx_append — one atomic commit per micro-batch)
+      → incremental per-(lang, source) rollup refresh (tx_upsert keyed
+        on the rollup row — only touched rows rewritten)
+      → leakage-free split + training-shard writer (shards.py), with
+        byte-deterministic output proven by writing twice.
+
+The admission semantics are replayed by a pure-Python oracle (greedy in
+arrival order: exact text dedup vs everything admitted before, then
+conservative shared-band LSH drop), so the end state is asserted
+exactly, not just shaped. At-least-once delivery is exercised for real:
+consumer B replays consumer A's final (never lease-checkpointed) batch
+AND the producer re-puts three wave-1 records — the durable hash store
+must swallow every replay without double-admitting a document."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_spark.ingest.writer import Record
+from kinesis_spark.io import load_table
+from kinesis_spark.queries.pipelines import _KEEP_LANGS, _MIN_TOKENS
+from kinesis_spark.session import state_store
+from kinesis_spark.streaming.spool import SpoolStreamClient
+from kinesis_spark.txstore import (
+    tx_append,
+    tx_current_manifest,
+    tx_init,
+    tx_read,
+    tx_upsert,
+)
+
+STREAM = "prod-intake"
+DOC_SCHEMA = "doc_id long, text string, lang string, source string"
+
+
+def _corpus_rows(spark, sf_dir) -> list[dict]:
+    """~1/3 of sf0.001 documents (gate-eligible langs) + injected exact
+    duplicates under HIGHER doc_ids, sorted by doc_id so the canonical
+    copy always arrives first."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang").isin(*_KEEP_LANGS) & (F.col("doc_id") % 3 == 0))
+        .select("doc_id", "text", "lang", "source")
+        .orderBy("doc_id")
+        .limit(120)
+    )
+    rows = [r.asDict() for r in d.collect()]
+    for i, src in enumerate(rows[:10]):  # exact dups, higher ids
+        rows.append(
+            {
+                "doc_id": 1_000_000 + i,
+                "text": src["text"],
+                "lang": src["lang"],
+                "source": src["source"],
+            }
+        )
+    return sorted(rows, key=lambda r: r["doc_id"])
+
+
+def _put_docs(spool: str, rows: list[dict]) -> None:
+    recs = [
+        Record(
+            data=json.dumps(r, sort_keys=True).encode(),
+            partition_key=f"pk{r['doc_id'] % 4}",  # several shards
+        )
+        for r in rows
+    ]
+    SpoolStreamClient(spool).put_records(STREAM, recs)
+
+
+# ---------------------------------------------------------------------------
+# the intake sink: admission against the durable index + tx commits
+# ---------------------------------------------------------------------------
+
+
+class IntakeSink:
+    """foreachBatch admission. Per micro-batch (all library calls):
+
+    1. batch-local exact dedup (min doc_id per content hash),
+    2. exact dedup vs the DURABLE hash store (bloom.bloom_dedup_batch's
+       verify discipline; the store is the truth that survives consumer
+       swaps — streaming dropDuplicates state is per-checkpoint),
+    3. conservative LSH drop: any batch doc sharing a band key with the
+       persisted band index, or with a LOWER-id batch doc (d3's pair
+       rule), is dropped,
+    4. tx_append admitted docs into the (lang, source) txstore —
+       one atomic multi-partition commit per batch,
+    5. append admitted hashes/bands to the durable index,
+    6. incremental rollup: tx_upsert only the touched (lang, source)
+       rollup rows.
+    """
+
+    def __init__(self, spark, work: str):
+        self.spark = spark
+        self.hashes_dir = f"{work}/index/hashes"
+        self.bands_dir = f"{work}/index/bands"
+        self.store_root = f"{work}/corpus_tx"
+        self.rollup_root = f"{work}/rollup_tx"
+        self.seen_doc_ids: list[set[int]] = []  # per-batch, for assertions
+
+    def _existing(self, path: str, schema: str):
+        try:
+            return self.spark.read.schema(schema).parquet(path)
+        except Exception:
+            return self.spark.createDataFrame([], schema)
+
+    def process_batch(self, batch, batch_id: int) -> None:
+        from pyspark.sql.window import Window
+
+        from kinesis_spark.checkpoints import pin
+        from kinesis_spark.streaming.neardup import band_keys
+
+        spark = self.spark
+        batch = batch.persist()
+        self.seen_doc_ids.append({r.doc_id for r in batch.select("doc_id").collect()})
+
+        # 1-2: exact dedup, batch-local then vs the durable store
+        h = batch.withColumn("h", F.sha2("text", 256))
+        wh = Window.partitionBy("h").orderBy("doc_id")
+        firsts = h.withColumn("rn", F.row_number().over(wh)).filter(
+            F.col("rn") == 1
+        ).drop("rn")
+        store = self._existing(self.hashes_dir, "h string")
+        fresh = firsts.join(store, "h", "left_anti")
+
+        # 3: conservative LSH admission (persisted index + in-batch pairs)
+        bk = band_keys(fresh.select("doc_id", "text"))
+        index = self._existing(self.bands_dir, "band_key string")
+        hit_index = bk.join(index, "band_key", "left_semi").select("doc_id")
+        lower = bk.alias("a").join(
+            bk.alias("b"),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(F.col("b.doc_id").alias("doc_id"))
+        near = hit_index.unionByName(lower).distinct()
+        # PIN, not persist: admitted's plan READS the durable hash/band
+        # index that step 5 APPENDS to — without a lineage barrier the
+        # rollup's later evaluation re-reads the index, sees the batch's
+        # own just-appended hashes, and resolves admitted as empty (the
+        # read-your-own-writes trap every maintenance op in the repo
+        # pins against; cache alone is evictable, a checkpoint is not)
+        admitted = fresh.join(near, "doc_id", "left_anti").transform(pin)
+
+        if admitted.isEmpty():
+            batch.unpersist()
+            return
+
+        # 4: atomic multi-partition append into the corpus txstore
+        docs = admitted.select("doc_id", "text", "lang", "source")
+        try:
+            tx_current_manifest(spark, self.store_root)
+            tx_append(spark, self.store_root, docs)
+        except FileNotFoundError:
+            tx_init(spark, self.store_root, docs, partition_col=["lang", "source"])
+
+        # 5: grow the durable index (the artifacts every later batch and
+        # every other consumer reads; prep_index.py's layout)
+        admitted.select("h").write.mode("append").parquet(self.hashes_dir)
+        band_keys(admitted.select("doc_id", "text")).select(
+            "band_key"
+        ).distinct().write.mode("append").parquet(self.bands_dir)
+
+        # 6: incremental rollup — only the touched (lang, source) rows
+        agg = admitted.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.size(F.split("text", r"[ \t\n\f\r\x0B]+")))
+            .cast("bigint")
+            .alias("total_tokens"),
+        ).withColumn("ls", F.concat_ws("|", "lang", "source"))
+        try:
+            cur = tx_read(spark, self.rollup_root)
+            merged = (
+                agg.alias("n")
+                .join(cur.alias("o"), "ls", "left")
+                .select(
+                    "ls",
+                    F.col("n.lang").alias("lang"),
+                    F.col("n.source").alias("source"),
+                    (F.col("n.n_docs") + F.coalesce("o.n_docs", F.lit(0)))
+                    .cast("bigint")
+                    .alias("n_docs"),
+                    (
+                        F.col("n.total_tokens")
+                        + F.coalesce("o.total_tokens", F.lit(0))
+                    )
+                    .cast("bigint")
+                    .alias("total_tokens"),
+                )
+            )
+            tx_upsert(spark, self.rollup_root, merged, key="ls")
+        except FileNotFoundError:
+            tx_init(
+                spark,
+                self.rollup_root,
+                agg.select("ls", "lang", "source", "n_docs", "total_tokens"),
+                partition_col="lang",
+            )
+        batch.unpersist()
+
+
+def _drain(spark, spool, work, sink: IntakeSink, consumer_id: str, ttl: str):
+    """One availableNow drain as ``consumer_id``: leased KCL consumer →
+    parse → gate → RocksDB-backed dropDuplicates(doc_id) (the
+    within-drain replay shield) → IntakeSink."""
+    from kinesis_spark.streaming.kinesis_source import KinesisConsumerDataSource
+
+    spark.dataSource.register(KinesisConsumerDataSource)
+    stream = (
+        spark.readStream.format("kinesis_consumer")
+        .option("spool_dir", spool)
+        .option("stream", STREAM)
+        .option("lease_dir", f"{work}/leases")
+        .option("consumer_id", consumer_id)
+        .option("lease_ttl_s", ttl)
+        .option("lineage_state_path", f"{work}/lineage-{consumer_id}.json")
+        .load()
+    )
+    docs = (
+        stream.select(
+            F.from_json(F.col("data").cast("string"), DOC_SCHEMA).alias("j")
+        )
+        .select("j.*")
+        .filter(
+            F.col("lang").isin(*_KEEP_LANGS)
+            & (F.size(F.split("text", r"[ \t\n\f\r\x0B]+")) >= _MIN_TOKENS)
+        )
+        .dropDuplicates(["doc_id"])
+    )
+    with state_store(spark, "rocksdb"):
+        q = (
+            docs.writeStream.foreachBatch(sink.process_batch)
+            .option("checkpointLocation", f"{work}/ckpt-{consumer_id}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(240)
+        q.stop()
+
+
+# ---------------------------------------------------------------------------
+# the pure-Python admission oracle
+# ---------------------------------------------------------------------------
+
+
+def _oracle_admitted(spark, waves: list[list[dict]]) -> set[int]:
+    """Greedy replay of the sink's admission rules in arrival order.
+    Band keys come from the SAME library expression the sink uses."""
+    from kinesis_spark.streaming.neardup import band_keys
+
+    all_rows = [r for wave in waves for r in wave]
+    uniq = {r["doc_id"]: r for r in all_rows}
+    bdf = band_keys(
+        spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in uniq.values()],
+            "doc_id long, text string",
+        )
+    )
+    bands_of: dict[int, set[str]] = {}
+    for r in bdf.collect():
+        bands_of.setdefault(r.doc_id, set()).add(r.band_key)
+
+    admitted: set[int] = set()
+    seen_hashes: set[str] = set()
+    index_bands: set[str] = set()
+    for wave in waves:
+        gated = sorted(
+            (
+                r
+                for r in wave
+                if r["lang"] in _KEEP_LANGS
+                and len([t for t in __import__("re").split(
+                    r"[ \t\n\f\r\x0B]+", r["text"]) if t]) >= _MIN_TOKENS
+            ),
+            key=lambda r: r["doc_id"],
+        )
+        # batch-local exact dedup + store check
+        batch_first: dict[str, dict] = {}
+        for r in gated:
+            hh = hashlib.sha256(r["text"].encode()).hexdigest()
+            if hh not in batch_first:
+                batch_first[hh] = r
+        fresh = [
+            (hh, r) for hh, r in batch_first.items() if hh not in seen_hashes
+        ]
+        # conservative LSH: vs index, or vs any LOWER-id fresh batch doc
+        fresh_ids = sorted(r["doc_id"] for _, r in fresh)
+        batch_admitted = []
+        for hh, r in sorted(fresh, key=lambda x: x[1]["doc_id"]):
+            bset = bands_of.get(r["doc_id"], set())
+            if bset & index_bands:
+                continue
+            lower_bands = set().union(
+                *(
+                    bands_of.get(i, set())
+                    for i in fresh_ids
+                    if i < r["doc_id"]
+                )
+            ) if len(fresh_ids) > 1 else set()
+            if bset & lower_bands:
+                continue
+            batch_admitted.append((hh, r))
+        for hh, r in batch_admitted:
+            admitted.add(r["doc_id"])
+            seen_hashes.add(hh)
+            index_bands |= bands_of.get(r["doc_id"], set())
+        # non-admitted fresh hashes are NOT in the store (only admitted
+        # hashes persist), matching the sink
+    return admitted
+
+
+def _shard_digest(out_dir: str) -> dict[str, list[str]]:
+    """(split, shard) -> sorted sha256 of each parquet file's BYTES."""
+    digest: dict[str, list[str]] = {}
+    for f in sorted(glob.glob(f"{out_dir}/split=*/shard=*/*.parquet")):
+        key = "/".join(f.rsplit("/", 3)[-3:-1])
+        with open(f, "rb") as fh:
+            digest.setdefault(key, []).append(
+                hashlib.sha256(fh.read()).hexdigest()
+            )
+    return {k: sorted(v) for k, v in digest.items()}
+
+
+@pytest.mark.streaming
+def test_production_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    work = str(tmp_path)
+    spool = f"{work}/spool"
+    rows = _corpus_rows(spark, sf_dir)
+    assert len(rows) == 130
+    wave1, wave2 = rows[:80], rows[80:]
+
+    _put_docs(spool, wave1)
+    sink = IntakeSink(spark, work)
+    _drain(spark, spool, work, sink, "A", ttl="0.5")
+    n_batches_a = len(sink.seen_doc_ids)
+    assert tx_read(spark, sink.store_root).count() > 0
+
+    __import__("time").sleep(0.8)  # A's leases lapse: it is dead
+
+    # wave 2 + the producer re-puts three wave-1 records (at-least-once)
+    reput = wave1[:3]
+    _put_docs(spool, wave2 + reput)
+    _drain(spark, spool, work, sink, "B", ttl="30")
+
+    # B really did replay/see duplicates: every re-put doc_id appears in
+    # B's batches even though A already admitted it
+    b_seen = set().union(*sink.seen_doc_ids[n_batches_a:])
+    assert {r["doc_id"] for r in reput} <= b_seen
+
+    # ---- end state == the greedy oracle, exactly -----------------------
+    expected = _oracle_admitted(spark, [wave1, wave2 + reput])
+    corpus = tx_read(spark, sink.store_root)
+    got_ids = sorted(r.doc_id for r in corpus.select("doc_id").collect())
+    assert got_ids == sorted(expected)
+    assert len(got_ids) == len(set(got_ids))  # no double-admission
+
+    # the corpus txstore is genuinely multi-level partitioned and its
+    # manifest-pruned read matches a full read
+    man = tx_current_manifest(spark, sink.store_root)
+    assert man["partition_col"] == ["lang", "source"]
+    one_key = sorted(man["partitions"])[0]
+    vals = json.loads(one_key)
+    pruned = tx_read(
+        spark, sink.store_root, partition_values=[tuple(vals)]
+    )
+    assert pruned.count() == corpus.filter(
+        (F.col("lang") == vals[0]) & (F.col("source") == vals[1])
+    ).count()
+
+    # ---- incremental rollup face == recomputed-from-scratch ------------
+    rollup = {
+        (r.lang, r.source): (r.n_docs, r.total_tokens)
+        for r in tx_read(spark, sink.rollup_root).collect()
+    }
+    truth = {
+        (r.lang, r.source): (r.n_docs, r.total_tokens)
+        for r in corpus.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.size(F.split("text", r"[ \t\n\f\r\x0B]+")))
+            .cast("bigint")
+            .alias("total_tokens"),
+        )
+        .collect()
+    }
+    assert rollup == truth
+
+    # ---- leakage-free split: the admitted corpus is near-dup-free by
+    # construction (no two admitted docs share a band key), so s14's
+    # component-keyed split degenerates to the per-doc hash split -------
+    from kinesis_spark.streaming.neardup import band_keys
+
+    bk = band_keys(corpus.select("doc_id", "text"))
+    assert (
+        bk.groupBy("band_key")
+        .agg(F.count_distinct("doc_id").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+        == 0
+    )
+
+    # ---- shard writer: byte-deterministic ------------------------------
+    from kinesis_spark.shards import read_split, write_training_shards
+
+    out1, out2 = f"{work}/shards1", f"{work}/shards2"
+    write_training_shards(corpus, out1, n_shards=2)
+    write_training_shards(corpus, out2, n_shards=2)
+    d1, d2 = _shard_digest(out1), _shard_digest(out2)
+    assert d1 and d1 == d2  # identical bytes, file for file
+    # the shards ARE the corpus, partitioned by the split
+    total = sum(
+        read_split(spark, out1, s).count() for s in ("train", "val", "test")
+    )
+    assert total == len(expected)
