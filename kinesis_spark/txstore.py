@@ -931,6 +931,96 @@ def tx_compact(
     return n
 
 
+def tx_diff(
+    spark: SparkSession, root: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Change-data-capture between two retained versions: one row per
+    DISTINCT changed row, tagged ``_change`` = 'insert' | 'delete' with
+    ``_n`` = how many copies appeared/disappeared (exact BAG semantics;
+    an update surfaces as a delete+insert pair of old and new row).
+    Both versions must still be inside the vacuum retention window.
+
+    Scale shape — the point of doing this at the manifest level: the
+    two manifests are DIFFED FIRST, and only partitions whose
+    generation LISTS changed are scanned at all; within a changed
+    partition, generation directories present in both versions are
+    PRUNED from both sides (identical immutable files can't contribute
+    a row difference), so an append-only workload diffs by scanning
+    exactly the appended generations — zero old data touched. Only a
+    rewritten partition (upsert/erase/compact) costs a scan of its old
+    + new generations, and compaction-style rewrites that preserve
+    content produce an empty diff (EXCEPT over the whole table via
+    ``replace_all``, where the full old/new scan is inherent). The
+    row-level diff is one partial-agg count per side plus one null-safe
+    full-outer join on the full row."""
+    man_to = tx_manifest(spark, root, to_version)
+    man_from = tx_manifest(spark, root, from_version)
+    schema = StructType.fromJson(man_to["schema"])
+    pcols = _norm_pcols(man_to["partition_col"])
+
+    def _changed(a: dict, b: dict) -> dict[str, list[str]]:
+        """Partition key -> rels present in `a` and not identical in b."""
+        out = {}
+        for k, rels in a.items():
+            if b.get(k) != rels:
+                # generations shared by both versions are immutable and
+                # identical — prune them from the scan on BOTH sides
+                shared = set(rels) & set(b.get(k, []))
+                kept = [r for r in rels if r not in shared]
+                if kept:
+                    out[k] = kept
+        return out
+
+    def _read_rels(mapping: dict[str, list[str]]) -> DataFrame:
+        if not mapping:
+            return spark.createDataFrame([], schema)
+        if pcols is None:
+            return spark.read.schema(schema).parquet(
+                *[f"{root}/{rel}" for rels in mapping.values() for rel in rels]
+            )
+        by_gen: dict[str, list[str]] = {}
+        for rels in mapping.values():
+            for rel in rels:
+                gen = "/".join(rel.split("/")[:2])
+                by_gen.setdefault(gen, []).append(f"{root}/{rel}")
+        out = None
+        for gen, dirs in sorted(by_gen.items()):
+            piece = (
+                spark.read.schema(schema)
+                .option("basePath", f"{root}/{gen}")
+                .parquet(*sorted(dirs))
+            )
+            out = piece if out is None else out.unionByName(piece)
+        return out
+
+    old_side = _read_rels(_changed(man_from["partitions"], man_to["partitions"]))
+    new_side = _read_rels(_changed(man_to["partitions"], man_from["partitions"]))
+    cols = [f.name for f in schema.fields]
+    # BAG semantics (exact multiplicities), null-safe: one partial-agg
+    # count per side, one full-outer join on the full row
+    oc = old_side.groupBy(*cols).agg(F.count(F.lit(1)).alias("_n_old")).alias("o")
+    nc = new_side.groupBy(*cols).agg(F.count(F.lit(1)).alias("_n_new")).alias("n")
+    cond = None
+    for c in cols:
+        eq = F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        cond = eq if cond is None else cond & eq
+    delta = F.coalesce("_n_new", F.lit(0)) - F.coalesce("_n_old", F.lit(0))
+    return (
+        oc.join(nc, cond, "full_outer")
+        .select(
+            *[
+                F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c)
+                for c in cols
+            ],
+            F.when(delta > 0, F.lit("insert")).otherwise(F.lit("delete")).alias(
+                "_change"
+            ),
+            F.abs(delta).cast("bigint").alias("_n"),
+        )
+        .filter(F.col("_n") > 0)
+    )
+
+
 def tx_history(spark: SparkSession, root: str) -> DataFrame:
     """The retained commit log as a DataFrame — one row per version
     still on disk (vacuum retires old ones): what was staged, how many
@@ -1006,15 +1096,18 @@ def streaming_tx_erasure_query(
     root: str,
     key: str,
     checkpoint_dir: str,
+    erase_retention: bool = False,
 ):
     """Streaming face of :func:`tx_erase` (mirrors
     ``erasure.streaming_erasure_query``): each micro-batch of erasure
     requests commits atomically; erasing an already-erased key matches
     nothing and publishes nothing, so checkpoint replays converge.
-    Returns the started StreamingQuery."""
+    ``erase_retention`` passes through to :func:`tx_erase` — the
+    compliance mode where each batch also destroys the erased bytes'
+    history. Returns the started StreamingQuery."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        tx_erase(spark, root, batch_df, key)
+        tx_erase(spark, root, batch_df, key, erase_retention=erase_retention)
 
     return (
         requests_stream.writeStream.foreachBatch(_apply)
