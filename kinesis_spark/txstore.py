@@ -1021,6 +1021,51 @@ def tx_diff(
     )
 
 
+def tx_compact_partitions(
+    spark: SparkSession, root: str, min_generations: int = 2
+) -> int:
+    """TARGETED small-file compaction: rewrite only partitions whose
+    generation list has grown to ``min_generations`` or more (the
+    append path's fragmentation), leaving every other partition's
+    files byte-untouched — the maintenance shape at 100 TB, where
+    :func:`tx_compact`'s whole-table rewrite is an outage-sized job
+    that also invalidates every cached file listing. One
+    manifest-pruned read of just the fragmented partitions, one
+    shuffle keyed on the partition columns, one atomic swap. Returns
+    the number of partitions compacted.
+
+    A partition fragmented into many small FILES within a single
+    generation is not selected by this heuristic — that is
+    :func:`tx_compact` (or a rewrite of that partition) territory; the
+    generation-list length is the cheap, manifest-only signal."""
+    man = tx_current_manifest(spark, root)
+    pcols = _norm_pcols(man["partition_col"])
+    if pcols is None:
+        raise ValueError(
+            "unpartitioned store: the table is one rewrite unit — use tx_compact"
+        )
+    frag = [
+        k for k, rels in man["partitions"].items() if len(rels) >= min_generations
+    ]
+    if not frag:
+        return 0
+    # manifest keys are already the raw value strings (HIVE_NULL
+    # sentinel included), which _value_key passes through unchanged —
+    # so they prune correctly as partition_values
+    parts = [tuple(_key_values(k, len(pcols))) for k in frag]
+    df = tx_read(spark, root, partition_values=parts)
+    shaped = df.repartition(*[F.col(c) for c in pcols])
+    tx_publish(
+        spark,
+        root,
+        shaped,
+        partition_col=man["partition_col"],
+        replace_values=parts,
+        expect_version=man["version"],
+    )
+    return len(frag)
+
+
 def tx_history(spark: SparkSession, root: str) -> DataFrame:
     """The retained commit log as a DataFrame — one row per version
     still on disk (vacuum retires old ones): what was staged, how many

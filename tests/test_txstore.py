@@ -765,6 +765,58 @@ def test_tx_diff_bag_multiplicities(spark, tmp_path):
     assert got == [(1, "delete", 1), (2, "insert", 2)]
 
 
+def test_tx_compact_partitions_targets_only_fragmented(spark, store):
+    """Targeted compaction: only partitions whose generation lists grew
+    collapse to one generation; every untouched partition keeps its
+    EXACT rels (byte-untouched files); content identical."""
+    from kinesis_spark.txstore import tx_append, tx_compact_partitions
+
+    months = sorted(
+        r[0] for r in tx_read(spark, store).select("month").distinct().collect()
+    )
+    victim = months[0]
+    schema = (
+        "o_orderkey long, o_totalprice double, o_orderstatus string, month string"
+    )
+    for i in range(3):
+        tx_append(
+            spark,
+            store,
+            spark.createDataFrame(
+                [(8_200_000 + i, float(i), "ZZ", victim)], schema
+            ),
+        )
+    before = _snapshot(spark, store)
+    man1 = tx_current_manifest(spark, store)
+    assert len(man1["partitions"][victim]) == 4  # bootstrap + 3 appends
+    assert tx_compact_partitions(spark, store) == 1
+    man2 = tx_current_manifest(spark, store)
+    assert len(man2["partitions"][victim]) == 1
+    for k in man1["partitions"]:
+        if k != victim:  # untouched partitions: identical rels
+            assert man2["partitions"][k] == man1["partitions"][k]
+    assert _snapshot(spark, store) == before
+    # idempotent: nothing fragmented -> no commit
+    v = man2["version"]
+    assert tx_compact_partitions(spark, store) == 0
+    assert tx_current_manifest(spark, store)["version"] == v
+
+
+def test_tx_compact_partitions_multilevel(spark, ml_store):
+    from kinesis_spark.txstore import tx_append, tx_compact_partitions
+
+    batch = spark.createDataFrame(
+        [(900, "pp", 0, "t0"), (901, "qq", 1, "t1")],
+        "id long, payload string, cell int, tenant string",
+    )
+    tx_append(spark, ml_store, batch)
+    before = _snapshot(spark, ml_store)
+    assert tx_compact_partitions(spark, ml_store) == 2
+    man = tx_current_manifest(spark, ml_store)
+    assert all(len(rels) == 1 for rels in man["partitions"].values())
+    assert _snapshot(spark, ml_store) == before
+
+
 def test_vacuum_spares_fresh_tmp_manifests(spark, store, tmp_path):
     """ADVICE r5 (low): a vacuum running concurrently with an in-flight
     publish must not delete the publisher's just-written temp manifest.
