@@ -306,9 +306,11 @@ def p3_incremental_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
        incrementally; here it is derived in-query, which costs extra
        corpus scans — three total: bloom build, exact confirm, band
        index. Measured cheaper at bench scale than checkpointing the
-       token-heavy intermediates; at 100 TB the persisted bitmap + band
-       index — streaming/bloom_dedup.py, ann.py — replace ALL corpus
-       rescans, which is the production point of this incremental mode). Any shared band
+       token-heavy intermediates; at 100 TB the PERSISTED index
+       replaces ALL corpus rescans — that production mode is now a
+       registered sibling, ``p7_incremental_prep_indexed`` over
+       kinesis_spark/prep_index.py, identical report, zero corpus
+       scans in the probe plan). Any shared band
        drops the batch doc — conservative LSH admission, resolvable
        later by d4's exact verify.
     3. per (lang, source) admission report: batch size, exact-dup,

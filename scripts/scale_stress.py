@@ -130,6 +130,14 @@ OPERATORS = [
     "a15_exact_correlation",
     "sim16_mips_norm_augment",
     "s16_dsir_reweight",
+    # r6: p3 (in-query index derivation, rescans the corpus per batch)
+    # vs p7 (persisted index probe) is the POINT of the pair — p3's
+    # time should grow with the corpus while p7's warm probe stays
+    # batch-scale plus two index-relation reads. p7's index is keyed by
+    # (documents path, mtime), so each scale dir builds its own once
+    # and the timed warm runs measure only the probe.
+    "p3_incremental_prep",
+    "p7_incremental_prep_indexed",
 ]
 
 
