@@ -106,3 +106,16 @@ def test_cli_consume_filters_partition_key(tmp_path):
     out = io.BytesIO()
     main(["s", "-p", "kb", "--fake-sink", spool, "--consume"], stdout=out)
     assert out.getvalue() == b"BBB"
+
+
+def test_bench_warmup_names_are_registered():
+    """bench.py's untimed warm-up list must track registry renames —
+    a silently-missing warm-up name would quietly reintroduce the
+    family-position warm-up skew the fixed protocol exists to kill."""
+    import bench
+
+    from kinesis_spark.queries import get_registry
+
+    reg = get_registry()
+    missing = [n for n in bench.WARMUP if n not in reg]
+    assert not missing, missing
