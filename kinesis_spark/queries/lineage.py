@@ -409,6 +409,152 @@ def dq3_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+PSI_BINS = 10
+PSI_BIN_WIDTH = 50_000.0  # o_totalprice spans ~[1k, 500k]; bin 9 is open-ended
+PSI_SPLIT_YEAR = 1998  # fixture dates span 1995-2001; ref = the first ~45%
+PSI_ALERT = 0.2  # the industry convention: PSI > 0.2 = significant drift
+
+
+@register(
+    "dq4_psi_drift",
+    oracle=f"""
+WITH binned AS (
+  SELECT CAST(LEAST(FLOOR(o_totalprice / {PSI_BIN_WIDTH}), {PSI_BINS - 1}) AS BIGINT)
+           AS bin,
+         EXTRACT(year FROM o_orderdate) < {PSI_SPLIT_YEAR} AS is_ref
+  FROM orders
+),
+counts AS (
+  SELECT bin,
+         SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS ref_cnt,
+         SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS cur_cnt
+  FROM binned GROUP BY bin
+),
+bins AS (SELECT UNNEST(range({PSI_BINS})) AS bin),
+filled AS (
+  SELECT b.bin,
+         CAST(COALESCE(c.ref_cnt, 0) AS BIGINT) AS ref_cnt,
+         CAST(COALESCE(c.cur_cnt, 0) AS BIGINT) AS cur_cnt
+  FROM bins b LEFT JOIN counts c ON b.bin = c.bin
+),
+tot AS (
+  SELECT SUM(ref_cnt) AS ref_tot, SUM(cur_cnt) AS cur_tot FROM filled
+),
+terms AS (
+  SELECT bin, ref_cnt, cur_cnt,
+         CAST(ref_cnt + 1 AS DOUBLE) / CAST(ref_tot + {PSI_BINS} AS DOUBLE)
+           AS ref_share,
+         CAST(cur_cnt + 1 AS DOUBLE) / CAST(cur_tot + {PSI_BINS} AS DOUBLE)
+           AS cur_share
+  FROM filled, tot
+),
+scored AS (
+  SELECT bin, ref_cnt, cur_cnt, ref_share, cur_share,
+         CAST((cur_share - ref_share)
+              * CAST(CAST(ROUND(LN(cur_share / ref_share), 6)
+                          AS DECIMAL(9,6)) AS DOUBLE)
+              AS DECIMAL(28,12)) AS term_dec
+  FROM terms
+)
+SELECT bin, ref_cnt, cur_cnt, ref_share, cur_share,
+       CAST(term_dec AS DOUBLE) AS psi_term,
+       CAST(SUM(term_dec) OVER () AS DOUBLE) AS psi_total,
+       CAST(SUM(term_dec) OVER () AS DOUBLE) > {PSI_ALERT} AS drift_alert
+FROM scored
+""",
+    tags=("quality", "drift", "profile"),
+)
+def dq4_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two snapshot slices — the
+    standard distribution-drift monitor a pipeline runs on every new
+    release against the profile dq2 captured: ``o_totalprice`` bins
+    into {bins} fixed-width buckets, the pre-{split} orders are the
+    reference distribution, the rest the current one, and
+    PSI = Σ (qᵢ − pᵢ)·ln(qᵢ/pᵢ) with +1 Laplace smoothing so empty
+    bins contribute a finite, engine-identical term. Every row carries
+    its bin's counts, shares, PSI term, the table-level PSI total, and
+    the conventional > {alert} alert flag.
+
+    Cross-engine bit-determinism (the file-wide discipline): each share
+    is ONE correctly-rounded division of exact integers; ln goes
+    through s12's 6-dp decimal bridge (JVM Math.log and libm differ in
+    the last ulp); and the PSI total is summed in EXACT DECIMAL(28,12)
+    — a double SUM over bins would be association-order-dependent
+    between engines. A double→decimal(·,12) cast can never hit a
+    rounding tie (5e-13 is not dyadic), so HALF_UP vs half-even agree.
+
+    Scale shape: one scan of orders → one {bins}-group partial-agg
+    shuffle; everything after operates on {bins} rows (the bin spine is
+    a literal range, the totals a 1-row broadcast, the window over a
+    single {bins}-row partition). Profiling a 100 TB fact table for
+    drift costs exactly one pass, like dq2."""
+    o = load_table(spark, sf_dir, "orders")
+    binned = o.select(
+        F.least(F.floor(F.col("o_totalprice") / PSI_BIN_WIDTH), F.lit(PSI_BINS - 1))
+        .cast("bigint")
+        .alias("bin"),
+        (F.year("o_orderdate") < PSI_SPLIT_YEAR).alias("is_ref"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_cnt"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("cur_cnt"),
+    )
+    bins = spark.range(PSI_BINS).select(F.col("id").alias("bin"))
+    filled = (
+        bins.join(counts, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("ref_cnt", F.lit(0)).cast("bigint").alias("ref_cnt"),
+            F.coalesce("cur_cnt", F.lit(0)).cast("bigint").alias("cur_cnt"),
+        )
+    )
+    tot = filled.agg(
+        F.sum("ref_cnt").alias("ref_tot"), F.sum("cur_cnt").alias("cur_tot")
+    )
+    terms = filled.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "ref_cnt",
+        "cur_cnt",
+        (
+            (F.col("ref_cnt") + 1).cast("double")
+            / (F.col("ref_tot") + PSI_BINS).cast("double")
+        ).alias("ref_share"),
+        (
+            (F.col("cur_cnt") + 1).cast("double")
+            / (F.col("cur_tot") + PSI_BINS).cast("double")
+        ).alias("cur_share"),
+    )
+    ln6 = F.round(F.log(F.col("cur_share") / F.col("ref_share")), 6).cast(
+        "decimal(9,6)"
+    )
+    scored = terms.withColumn(
+        "term_dec",
+        ((F.col("cur_share") - F.col("ref_share")) * ln6.cast("double")).cast(
+            "decimal(28,12)"
+        ),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy()  # one {bins}-row partition: the bin spine
+    total = F.sum("term_dec").over(w).cast("double")
+    return scored.select(
+        "bin",
+        "ref_cnt",
+        "cur_cnt",
+        "ref_share",
+        "cur_share",
+        F.col("term_dec").cast("double").alias("psi_term"),
+        total.alias("psi_total"),
+        (total > PSI_ALERT).alias("drift_alert"),
+    )
+
+
+if dq4_psi_drift.__doc__:  # absent under python -OO
+    dq4_psi_drift.__doc__ = dq4_psi_drift.__doc__.format(
+        bins=PSI_BINS, split=PSI_SPLIT_YEAR, alert=PSI_ALERT
+    )
+
+
 @register(
     "prov4_snapshot_diff",
     oracle="""

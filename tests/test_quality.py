@@ -108,3 +108,54 @@ def test_dq2_approx_mode_drops_expand_and_bounds_error(spark, sf_dir):
             r.n_distinct,
             x.n_distinct,
         )
+
+
+def test_dq4_psi_flags_genuine_drift(spark, tmp_path):
+    """dq4's alert path, exercised with genuinely drifted data: the
+    current slice's prices shift one bin up, so PSI crosses the 0.2
+    convention and the alert fires — checked bit-exactly against the
+    same oracle SQL on the synthetic table. (On the fixture corpus
+    prices are date-independent, so the registered run's PSI is near
+    zero with the alert off — the no-drift baseline.)"""
+    import datetime
+
+    import duckdb
+
+    from kinesis_spark.queries import get_registry
+
+    rows = []
+    for i in range(2000):
+        year = 1995 + (i % 7)
+        # pre-split years cluster low; post-split years shift up 100k
+        base = 25_000.0 + (i % 5) * 50_000.0
+        price = base if year < 1998 else base + 100_000.0
+        rows.append((i, price, datetime.datetime(year, 1 + i % 12, 1)))
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderdate timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    q = get_registry()["dq4_psi_drift"]
+    got = q.spark_fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW orders AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/orders.parquet/*.parquet')"
+        )
+        want = con.execute(q.oracle).fetchdf()
+    finally:
+        con.close()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values("bin").reset_index(drop=True)
+    w = want[cols].sort_values("bin").reset_index(drop=True)
+    assert len(g) == len(w) == 10
+    for c in cols:
+        gv, wv = g[c], w[c]
+        ok = (
+            (gv.values == wv.values)
+            if gv.dtype.kind == "f"
+            else (gv.astype(str).values == wv.astype(str).values)
+        )
+        assert ok.all(), c
+    assert g["psi_total"].iloc[0] > 0.2
+    assert bool(g["drift_alert"].iloc[0]) is True
