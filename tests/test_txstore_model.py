@@ -63,7 +63,9 @@ def test_random_walk_matches_dict_model(spark, tmp_path, seed):
     history = {1: _model_snapshot(model)}
 
     for step in range(8):
-        op = rng.choice(["upsert", "append", "erase", "compact", "zorder"])
+        op = rng.choice(
+            ["upsert", "append", "erase", "compact", "zorder", "compact_parts"]
+        )
         if op == "upsert":
             n = rng.randint(1, 4)
             rows = []
@@ -104,6 +106,10 @@ def test_random_walk_matches_dict_model(spark, tmp_path, seed):
                 del model[k]
         elif op == "compact":
             tx_compact(spark, root)
+        elif op == "compact_parts":
+            from kinesis_spark.txstore import tx_compact_partitions
+
+            tx_compact_partitions(spark, root)  # no-op unless fragmented
         else:
             tx_zorder_compact(spark, root, "k", "v", n_files=4)
 
@@ -124,3 +130,22 @@ def test_random_walk_matches_dict_model(spark, tmp_path, seed):
             for r in tx_read(spark, root, version=v).collect()
         )
         assert got_v == want, f"seed={seed} version={v}"
+
+    # CDC: tx_diff reconstructs every retained transition, adjacent or
+    # not, and identity rewrites (compact/zorder/no-op maintenance)
+    # diff as EMPTY — the diff applied to version A's bag must equal
+    # version B's bag exactly (bag semantics, multiplicity-aware)
+    from collections import Counter
+
+    from kinesis_spark.txstore import tx_diff
+
+    vs = sorted(history)
+    pairs = list(zip(vs, vs[1:])) + [(vs[0], vs[-1]), (vs[0], vs[0])]
+    for a, b in pairs:
+        bag = Counter(history[a])
+        for r in tx_diff(spark, root, a, b).collect():
+            row = (r["k"], r["v"], r["part"])
+            bag[row] += r["_n"] if r["_change"] == "insert" else -r["_n"]
+        assert +bag == Counter(history[b]), f"seed={seed} diff {a}->{b}"
+        if history[a] == history[b]:
+            assert tx_diff(spark, root, a, b).count() == 0, (seed, a, b)
