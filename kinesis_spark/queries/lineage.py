@@ -555,6 +555,124 @@ if dq4_psi_drift.__doc__:  # absent under python -OO
     )
 
 
+_EMB_Q = float(1 << 30)  # component fixed-point scale (sim3's bridge)
+_EMB_Q2 = float(1 << 40)  # second-moment scale for the summary folds
+
+
+@register(
+    "dq5_embedding_drift",
+    oracle=f"""
+WITH comp AS (
+  SELECT vec_id % 2 = 0 AS is_ref, CAST(i - 1 AS BIGINT) AS dim,
+         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS comp
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+),
+dims AS (
+  SELECT dim,
+    CAST(SUM(CASE WHEN is_ref
+             THEN CAST(FLOOR(comp * {_EMB_Q}) AS DECIMAL(38,0)) END) AS DOUBLE)
+      / {_EMB_Q} / SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS mean_ref,
+    CAST(SUM(CASE WHEN NOT is_ref
+             THEN CAST(FLOOR(comp * {_EMB_Q}) AS DECIMAL(38,0)) END) AS DOUBLE)
+      / {_EMB_Q} / SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS mean_cur
+  FROM comp GROUP BY dim
+),
+shifts AS (
+  SELECT dim, mean_ref, mean_cur, mean_cur - mean_ref AS shift FROM dims
+),
+summary AS (
+  SELECT
+    CAST(SUM(CAST(FLOOR(shift * shift * {_EMB_Q2}) AS DECIMAL(38,0)))
+         AS DOUBLE) / {_EMB_Q2} AS l2sq,
+    CAST(SUM(CAST(FLOOR(mean_ref * mean_cur * {_EMB_Q2}) AS DECIMAL(38,0)))
+         AS DOUBLE) / {_EMB_Q2} AS dot,
+    CAST(SUM(CAST(FLOOR(mean_ref * mean_ref * {_EMB_Q2}) AS DECIMAL(38,0)))
+         AS DOUBLE) / {_EMB_Q2} AS nr,
+    CAST(SUM(CAST(FLOOR(mean_cur * mean_cur * {_EMB_Q2}) AS DECIMAL(38,0)))
+         AS DOUBLE) / {_EMB_Q2} AS nc
+  FROM shifts
+)
+SELECT dim, mean_ref, mean_cur, shift,
+       SQRT(l2sq) AS shift_l2,
+       dot / (SQRT(nr) * SQRT(nc)) AS mean_cosine
+FROM shifts, summary
+""",
+    tags=("quality", "drift", "embedding"),
+)
+def dq5_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between two snapshot slices — dq4's twin
+    for the vector modality (a re-embedded corpus, a new encoder
+    checkpoint, a new crawl): per-dimension centroid means of the two
+    slices (vec_id parity stands in for release membership), the
+    per-dimension shift, and two summary statistics every row carries —
+    the L2 norm of the mean-shift vector and the cosine between the two
+    mean vectors (the cheap first-order alarm before anything as
+    expensive as an MMD test).
+
+    Determinism is sim3's fixed-point bridge throughout: components
+    quantize via floor(x * 2^30) (power-of-two scale + floor are exact
+    double ops — no double→decimal representation-tie hazard), sum as
+    exact DECIMAL(38,0), divide back; the three cross-dimension folds
+    (shift², dot, norms) bridge the same way at 2^40 before their
+    single sqrt/division — a plain double SUM over dimensions would be
+    association-order-dependent between engines.
+
+    Scale shape: ONE scan of embeddings → one (dim)-keyed partial-agg
+    shuffle (64 groups × two fixed-width accumulators); the summary is
+    a second aggregation over the 64-row spine joined back as a 1-row
+    broadcast. Drift-checking a 100 TB embedding corpus costs one pass,
+    like dq2/dq4."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        (F.col("vec_id") % 2 == 0).alias("is_ref"),
+        F.posexplode("embedding").alias("dim0", "comp0"),
+    ).select(
+        "is_ref",
+        F.col("dim0").cast("bigint").alias("dim"),
+        F.col("comp0").cast("double").alias("comp"),
+    )
+    q = F.floor(F.col("comp") * _EMB_Q).cast("decimal(38,0)")
+    dims = comp.groupBy("dim").agg(
+        (
+            F.sum(F.when(F.col("is_ref"), q)).cast("double")
+            / _EMB_Q
+            / F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+        ).alias("mean_ref"),
+        (
+            F.sum(F.when(~F.col("is_ref"), q)).cast("double")
+            / _EMB_Q
+            / F.sum(F.when(F.col("is_ref"), 0).otherwise(1))
+        ).alias("mean_cur"),
+    )
+    shifts = dims.select(
+        "dim",
+        "mean_ref",
+        "mean_cur",
+        (F.col("mean_cur") - F.col("mean_ref")).alias("shift"),
+    )
+
+    def _fold(expr):
+        return (
+            F.sum(F.floor(expr * _EMB_Q2).cast("decimal(38,0)")).cast("double")
+            / _EMB_Q2
+        )
+
+    summary = shifts.agg(
+        _fold(F.col("shift") * F.col("shift")).alias("l2sq"),
+        _fold(F.col("mean_ref") * F.col("mean_cur")).alias("dot"),
+        _fold(F.col("mean_ref") * F.col("mean_ref")).alias("nr"),
+        _fold(F.col("mean_cur") * F.col("mean_cur")).alias("nc"),
+    )
+    return shifts.crossJoin(F.broadcast(summary)).select(
+        "dim",
+        "mean_ref",
+        "mean_cur",
+        "shift",
+        F.sqrt("l2sq").alias("shift_l2"),
+        (F.col("dot") / (F.sqrt("nr") * F.sqrt("nc"))).alias("mean_cosine"),
+    )
+
+
 @register(
     "prov4_snapshot_diff",
     oracle="""
