@@ -1021,6 +1021,43 @@ def tx_diff(
     )
 
 
+def tx_restore(spark: SparkSession, root: str, version: int) -> dict:
+    """Roll the table BACK to a retained ``version`` as a NEW commit
+    (the RESTORE operation): the restore manifest re-references the old
+    version's generation directories verbatim — zero data movement,
+    zero staging, one manifest swap — so a bad deploy's commits are
+    undone in O(manifest) while history (including the bad commits)
+    stays intact for forensics. The target version must still be inside
+    the vacuum retention window; generations it references become
+    live again and are safe from vacuum from this commit on. Returns
+    the published manifest."""
+    man = tx_manifest(spark, root, version)  # raises if vacuumed/never
+    current = _latest_version(spark, root)
+    if version == current:
+        return tx_manifest(spark, root, current)  # restoring HEAD: no-op
+    new_man = {
+        "version": current + 1,
+        "partition_col": man["partition_col"],
+        "schema": man["schema"],
+        "partitions": man["partitions"],
+        "audit": {
+            "token": f"restore-{version:08d}",
+            "staged_rows": 0,
+            "staged_partitions": [],
+            "deleted_partitions": [],
+            "replace_all": True,
+            "base_version": current,
+        },
+    }
+    DEFAULT_ARBITER.commit(
+        spark,
+        f"{root}/{_TXLOG}",
+        _manifest_name(current + 1),
+        json.dumps(new_man, indent=1, sort_keys=True),
+    )
+    return new_man
+
+
 def tx_compact_partitions(
     spark: SparkSession, root: str, min_generations: int = 2
 ) -> int:

@@ -817,6 +817,44 @@ def test_tx_compact_partitions_multilevel(spark, ml_store):
     assert _snapshot(spark, ml_store) == before
 
 
+def test_tx_restore_rolls_back_without_data_movement(spark, store):
+    """RESTORE: a bad run's commits are undone by one manifest swap that
+    re-references the old generations verbatim; history stays intact;
+    diff(restored, original) is empty; vacuum after the restore keeps
+    the re-referenced generations alive."""
+    from kinesis_spark.txstore import tx_diff, tx_manifest, tx_restore
+
+    v1_content = _snapshot(spark, store)
+    month = tx_read(spark, store).select("month").first()[0]
+    # two "bad" commits: an upsert and an erase
+    upd = spark.createDataFrame(
+        [(9_700_001, 666.0, "BAD", month)],
+        "o_orderkey long, o_totalprice double, o_orderstatus string, month string",
+    )
+    tx_upsert(spark, store, upd, key="o_orderkey")
+    victims = tx_read(spark, store).select("o_orderkey").limit(2)
+    tx_erase(spark, store, victims, key="o_orderkey")
+    assert _snapshot(spark, store) != v1_content
+
+    man = tx_restore(spark, store, version=1)
+    assert man["version"] == 4  # init + upsert + erase + restore
+    assert man["audit"]["token"] == "restore-00000001"
+    assert _snapshot(spark, store) == v1_content
+    # zero data movement: the restored mapping IS version 1's mapping
+    assert man["partitions"] == tx_manifest(spark, store, 1)["partitions"]
+    assert tx_diff(spark, store, 1, 4).count() == 0
+    # the bad versions remain readable for forensics until vacuumed
+    assert tx_read(spark, store, version=3).count() == len(v1_content) - 1
+    # restoring HEAD is a no-op (no new version)
+    assert tx_restore(spark, store, version=4)["version"] == 4
+    assert tx_current_manifest(spark, store)["version"] == 4
+    # vacuum keeps the re-referenced generations alive
+    tx_vacuum(spark, store, keep_manifests=1)
+    assert _snapshot(spark, store) == v1_content
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        tx_read(spark, store, version=2)
+
+
 def test_vacuum_spares_fresh_tmp_manifests(spark, store, tmp_path):
     """ADVICE r5 (low): a vacuum running concurrently with an in-flight
     publish must not delete the publisher's just-written temp manifest.
