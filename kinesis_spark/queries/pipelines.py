@@ -160,6 +160,229 @@ def p1_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+P8_QUALITY_MIN = 0.31  # t2's heuristic score gate (keeps ~85% of fixtures)
+_P8_STAGES = ["raw", "lang", "length", "quality", "exact_dedup", "near_dedup"]
+
+
+def _register_p8() -> None:
+    """p8 composes t2's quality score into p1's gate/dedup chain, so its
+    oracle borrows t2's STOPWORDS — registered via a helper to keep the
+    import local (textstats imports pipelines' WS_RE sibling constants)."""
+    from kinesis_spark.queries.textstats import STOPWORDS
+
+    stops_sql = ", ".join(f"'{s}'" for s in STOPWORDS)
+    score_sql = (
+        "0.4 * (CAST(n_stop AS DOUBLE) / n_toks)"
+        " + 0.4 * (CAST(n_unique AS DOUBLE) / n_toks)"
+        " + 0.2 * least(CAST(n_toks AS DOUBLE) / 100.0, 1.0)"
+    )
+
+    @register(
+        "p8_pipeline_funnel",
+        oracle=f"""
+WITH f AS (
+  SELECT doc_id, text, lang,
+         CAST(len(regexp_split_to_array(text, '{WS_RE}')) AS BIGINT) AS n_toks,
+         CAST(len(list_filter(regexp_split_to_array(text, '{WS_RE}'),
+                   t -> list_contains([{stops_sql}], t))) AS BIGINT) AS n_stop,
+         CAST(len(list_distinct(regexp_split_to_array(text, '{WS_RE}')))
+              AS BIGINT) AS n_unique
+  FROM documents
+),
+flags AS (
+  SELECT doc_id, text, n_toks,
+         lang IN ({_LANGS_SQL}) AS lang_ok,
+         n_toks >= {_MIN_TOKENS} AS len_ok,
+         ({score_sql}) >= {P8_QUALITY_MIN} AS q_ok
+  FROM f
+),
+gated AS (SELECT * FROM flags WHERE lang_ok AND len_ok AND q_ok),
+exact AS (
+  SELECT g.* FROM gated g
+  JOIN (
+    SELECT sha256(text) AS h, MIN(doc_id) AS keep
+    FROM gated GROUP BY sha256(text)
+  ) k ON sha256(g.text) = k.h AND g.doc_id = k.keep
+),
+sigs AS (
+  SELECT doc_id,
+         {", ".join(_minhash_sig_sql(s) for s in range(N_HASHES))}
+  FROM exact
+),
+bands AS (
+  SELECT doc_id,
+         {_BAND_UNNEST_SQL}
+  FROM sigs
+),
+drops AS (
+  SELECT DISTINCT b.doc_id
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+near AS (SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+stages AS (
+            SELECT 0 AS stage, 'raw' AS stage_name,
+                   COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+            FROM flags
+  UNION ALL SELECT 1, 'lang', COUNT(*), CAST(SUM(n_toks) AS BIGINT)
+            FROM flags WHERE lang_ok
+  UNION ALL SELECT 2, 'length', COUNT(*), CAST(SUM(n_toks) AS BIGINT)
+            FROM flags WHERE lang_ok AND len_ok
+  UNION ALL SELECT 3, 'quality', COUNT(*), CAST(SUM(n_toks) AS BIGINT)
+            FROM gated
+  UNION ALL SELECT 4, 'exact_dedup', COUNT(*), CAST(SUM(n_toks) AS BIGINT)
+            FROM exact
+  UNION ALL SELECT 5, 'near_dedup', COUNT(*), CAST(SUM(n_toks) AS BIGINT)
+            FROM near
+)
+SELECT CAST(stage AS BIGINT) AS stage, stage_name,
+       CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+       CAST(n_docs AS DOUBLE) / (SELECT COUNT(*) FROM flags) AS retained_pct,
+       CAST(COALESCE(LAG(n_docs) OVER (ORDER BY stage), n_docs) - n_docs
+            AS BIGINT) AS dropped_here
+FROM stages
+""",
+        tags=("pipeline", "funnel", "observability", "dedup", "quality"),
+    )
+    def p8_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Pipeline funnel report — the observability face of the prep
+        chain: how many documents (and tokens) survive each successive
+        stage raw → language gate → length gate → quality gate (t2's
+        heuristic score ≥ {qmin}) → exact dedup (p1's min-id rule) →
+        near-dup drop (p1's band rule), with per-stage retention vs raw
+        and the drop attributed to each stage. The report every corpus
+        release ships next to its shards — a collapsed stage is visible
+        as a cliff in dropped_here before anyone trains on the output.
+
+        Plan shape: per-doc ``stage_reached`` is computed once (gates
+        row-local; exact-keep one hash-window; near-keep the band
+        machinery on gate survivors only), then the funnel is ONE
+        6-group aggregate + a descending cumulative window over the
+        6-row spine — stage counts are never 6 separate scans. The
+        early/late funnel halves re-evaluate the gate projection twice
+        (map-only; cheaper at any scale than materializing the token
+        arrays the near-dup half needs)."""
+        from pyspark.sql.window import Window
+
+        d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+        from kinesis_spark.queries.textstats import STOPWORDS as _ST
+
+        stop_arr = F.array(*[F.lit(s) for s in _ST])
+        toks = F.explode(F.array(F.split("text", WS_RE))).alias("toks")
+        base = d.select("doc_id", "lang", "text", toks)
+        n_toks = F.size("toks").cast("bigint")
+        n_stop = F.size(
+            F.filter("toks", lambda t: F.array_contains(stop_arr, t))
+        ).cast("bigint")
+        n_unique = F.size(F.array_distinct("toks")).cast("bigint")
+        score = (
+            0.4 * (n_stop.cast("double") / n_toks)
+            + 0.4 * (n_unique.cast("double") / n_toks)
+            + 0.2 * F.least(n_toks.cast("double") / 100.0, F.lit(1.0))
+        )
+        flags = base.select(
+            "doc_id",
+            "text",
+            "toks",
+            n_toks.alias("n_toks"),
+            F.col("lang").isin(*_KEEP_LANGS).alias("lang_ok"),
+            (n_toks >= _MIN_TOKENS).alias("len_ok"),
+            (score >= P8_QUALITY_MIN).alias("q_ok"),
+        )
+
+        # early half: stages 0-3 are row-local verdicts
+        early = flags.select(
+            "doc_id",
+            "n_toks",
+            F.when(~F.col("lang_ok"), 0)
+            .when(~F.col("len_ok"), 1)
+            .when(~F.col("q_ok"), 2)
+            .otherwise(3)
+            .alias("stage_reached"),
+        ).filter(F.col("stage_reached") < 3)
+
+        # late half: gate survivors run the dedup machinery
+        gated = flags.filter(
+            F.col("lang_ok") & F.col("len_ok") & F.col("q_ok")
+        ).select("doc_id", "toks", "n_toks", F.sha2("text", 256).alias("h"))
+        wh = Window.partitionBy("h").orderBy("doc_id")
+        ranked = gated.withColumn("rn", F.row_number().over(wh))
+        exact_losers = ranked.filter(F.col("rn") > 1).select(
+            "doc_id", "n_toks", F.lit(3).alias("stage_reached")
+        )
+        exact = ranked.filter(F.col("rn") == 1)
+        bands = _band_keys_of(exact, "n_toks")
+        wb = Window.partitionBy("band_key")
+        flagged = bands.withColumn("bucket_min", F.min("doc_id").over(wb))
+        late = flagged.groupBy("doc_id", "n_toks").agg(
+            F.max((F.col("doc_id") > F.col("bucket_min")).cast("int")).alias(
+                "dropped"
+            )
+        ).select(
+            "doc_id",
+            "n_toks",
+            F.when(F.col("dropped") == 1, 4).otherwise(5).alias("stage_reached"),
+        )
+
+        reached = early.unionByName(exact_losers).unionByName(late)
+        per_stage = reached.groupBy("stage_reached").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("n_toks").cast("bigint").alias("tok"),
+        )
+        spine = spark.createDataFrame(
+            [(i, name) for i, name in enumerate(_P8_STAGES)],
+            "stage bigint, stage_name string",
+        )
+        joined = spine.join(
+            per_stage, spine.stage == per_stage.stage_reached, "left"
+        ).select(
+            "stage",
+            "stage_name",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.coalesce("tok", F.lit(0)).alias("tok"),
+        )
+        # funnel: survivors of stage i = everyone whose journey ended at
+        # a stage >= i (stage_reached counts its LAST survived stage)
+        wdesc = (
+            Window.orderBy(F.col("stage").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wlag = Window.orderBy("stage")
+        raw_total = F.sum("cnt").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        funnel = joined.select(
+            "stage",
+            "stage_name",
+            F.sum("cnt").over(wdesc).cast("bigint").alias("n_docs"),
+            F.sum("tok").over(wdesc).cast("bigint").alias("n_tokens"),
+            raw_total.cast("bigint").alias("n0"),
+        )
+        return funnel.select(
+            "stage",
+            "stage_name",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_docs").cast("double") / F.col("n0")).alias("retained_pct"),
+            (
+                F.coalesce(F.lag("n_docs").over(wlag), F.col("n_docs"))
+                - F.col("n_docs")
+            )
+            .cast("bigint")
+            .alias("dropped_here"),
+        )
+
+    if p8_pipeline_funnel.__doc__:
+        p8_pipeline_funnel.__doc__ = p8_pipeline_funnel.__doc__.format(
+            qmin=P8_QUALITY_MIN
+        )
+
+
+_register_p8()
+
+
 _CTX_TOKENS = 256  # context-window budget (tokens) for p2 packing
 
 
