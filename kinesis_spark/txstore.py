@@ -285,6 +285,7 @@ def tx_read(
     partition_values: list | None = None,
     version: int | None = None,
     partition_filter: dict | None = None,
+    stats_filter: dict | None = None,
 ) -> DataFrame:
     """Snapshot read of a table version (None = current).
 
@@ -305,6 +306,17 @@ def tx_read(
     later commits returns exactly the table as of N (until ``tx_vacuum``
     retires it) — the audit/debug/reproducibility read a training-data
     platform needs when a model was trained "on corpus version N".
+
+    ``stats_filter`` is manifest-level DATA SKIPPING on non-partition
+    columns (``{col: (lo, hi)}``, closed interval; either bound None =
+    unbounded): generation directories whose recorded [min, max] for
+    EVERY filtered column misses the interval are dropped before any
+    file listing — the Iceberg-style skip that keeps a range query on
+    a clustered/append-ordered column from touching the other 99% of a
+    100 TB table. Stats exist for generations published with
+    ``stats_columns`` (see :func:`tx_publish`); generations without
+    stats are conservatively KEPT. The skip is a superset guarantee
+    only — callers still apply the actual row filter.
     """
     man = tx_manifest(spark, root, version)
     schema = StructType.fromJson(man["schema"])
@@ -336,6 +348,29 @@ def tx_read(
                 _key_values(k, len(pcols))[idx[c]] in vals
                 for c, vals in allowed.items()
             )
+        }
+    if stats_filter:
+        rel_stats: dict = man.get("rel_stats", {})
+
+        def _overlaps(rel: str) -> bool:
+            st = rel_stats.get(rel)
+            if st is None:
+                return True  # no stats recorded: conservatively keep
+            for c, (lo, hi) in stats_filter.items():
+                cs = st.get(c)
+                if cs is None:
+                    continue
+                mn, mx = cs
+                if mn is None or mx is None:
+                    continue  # all-NULL column in this generation
+                if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+                    return False
+            return True
+
+        mapping = {
+            k: kept
+            for k, rels in mapping.items()
+            if (kept := [r for r in rels if _overlaps(r)])
         }
     if not mapping:
         return spark.createDataFrame([], schema)
@@ -415,6 +450,7 @@ def tx_publish(
     expect_version: int | None = None,
     allow_schema_evolution: bool = False,
     arbiter: CommitArbiter | None = None,
+    stats_columns: list[str] | None = None,
     _fail_at: str | None = None,
 ) -> dict:
     """Commit ``staged_df`` as the new content of the partitions it
@@ -451,6 +487,12 @@ def tx_publish(
     - ``arbiter``: the atomic put-if-absent deciding commit races
       (:class:`CommitArbiter`); defaults to the rename CAS. Inject a
       conditional-PUT arbiter for object-store-backed tables.
+    - ``stats_columns``: record per-generation [min, max] of these
+      columns into the manifest (one extra aggregation over the staged
+      files), enabling ``tx_read(stats_filter=...)`` data skipping.
+      Numeric and string columns compare natively; other types are
+      recorded as their string forms (ISO order for dates/timestamps).
+      Old generations keep whatever stats they were published with.
     - ``_fail_at``: test hook ('after-stage' | 'after-audit') simulating
       a crash at that point — used by the kill-mid-rewrite tests.
     """
@@ -466,11 +508,13 @@ def tx_publish(
                 f"got {partition_col!r}"
             )
         old_mapping = dict(man["partitions"])
+        old_rel_stats = dict(man.get("rel_stats", {}))
         table_schema = StructType.fromJson(man["schema"])
     except FileNotFoundError:
         # bootstrap: first commit defines the table
         base_version = 0
         old_mapping = {}
+        old_rel_stats = {}
         table_schema = staged_df.schema if staged_df is not None else None
         replace_all = True
     if expect_version is not None and base_version != expect_version:
@@ -514,6 +558,11 @@ def tx_publish(
                     )
             if validate is not None:
                 validate(spark.read.parquet(stage_dir))
+    staged_stats: dict[str, dict] = {}
+    if staged_mapping and stats_columns:
+        staged_stats = _collect_rel_stats(
+            spark, stage_dir, staged_mapping, pcols, stats_columns
+        )
     if _fail_at == "after-audit":
         raise RuntimeError("simulated crash after audit, before publish")
 
@@ -540,6 +589,12 @@ def tx_publish(
         mapping = {k: v for k, v in old_mapping.items() if k not in dropped}
         mapping.update({k: [v] for k, v in staged_mapping.items()})
 
+    # rel-level stats survive with their immutable generation dirs;
+    # dropped rels take their stats with them
+    surviving = {rel for rels in mapping.values() for rel in rels}
+    rel_stats = {r: s for r, s in old_rel_stats.items() if r in surviving}
+    rel_stats.update(staged_stats)
+
     new_man = {
         "version": base_version + 1,
         "partition_col": _pcols_field(pcols),
@@ -558,6 +613,8 @@ def tx_publish(
             "base_version": base_version,
         },
     }
+    if rel_stats:
+        new_man["rel_stats"] = rel_stats
 
     # publish: atomic put-if-absent of the next log slot via the arbiter
     log_dir = f"{root}/{_TXLOG}"
@@ -575,18 +632,74 @@ def tx_publish(
     return new_man
 
 
+def _json_stat(v):
+    """Manifest-storable form of a min/max value: JSON-native types pass
+    through; everything else (dates, timestamps, decimals) goes to its
+    string form — ISO order keeps range comparisons meaningful."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    return str(v)
+
+
+def _collect_rel_stats(
+    spark: SparkSession,
+    stage_dir: str,
+    staged_mapping: dict[str, str],
+    pcols: list[str] | None,
+    stats_columns: list[str],
+) -> dict[str, dict]:
+    """Per-staged-generation-dir [min, max] of ``stats_columns`` — ONE
+    aggregation over the staged files (grouped by the partition columns
+    hive-discovery gives back), keyed by the manifest rel path."""
+    stf = spark.read.parquet(stage_dir)
+    aggs = []
+    for c in stats_columns:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    out: dict[str, dict] = {}
+    if pcols is None:
+        r = stf.agg(*aggs).first()
+        out[staged_mapping[""]] = {
+            c: [_json_stat(r[f"__mn_{c}"]), _json_stat(r[f"__mx_{c}"])]
+            for c in stats_columns
+        }
+        return out
+    for r in stf.groupBy(*[F.col(c) for c in pcols]).agg(*aggs).collect():
+        key = _tuple_key([_value_key(r[c]) for c in pcols])
+        rel = staged_mapping.get(key)
+        if rel is not None:
+            out[rel] = {
+                c: [_json_stat(r[f"__mn_{c}"]), _json_stat(r[f"__mx_{c}"])]
+                for c in stats_columns
+            }
+    return out
+
+
 def tx_init(
-    spark: SparkSession, root: str, df: DataFrame, partition_col: str | None = None
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    partition_col: str | None = None,
+    stats_columns: list[str] | None = None,
 ) -> dict:
     """Bootstrap a transactional store from ``df`` (version 1)."""
     if _latest_version(spark, root) != 0:
         raise TxConflictError(f"store already initialized at {root}")
     return tx_publish(
-        spark, root, df, partition_col=partition_col, replace_all=True
+        spark,
+        root,
+        df,
+        partition_col=partition_col,
+        replace_all=True,
+        stats_columns=stats_columns,
     )
 
 
-def tx_append(spark: SparkSession, root: str, rows: DataFrame) -> dict:
+def tx_append(
+    spark: SparkSession,
+    root: str,
+    rows: DataFrame,
+    stats_columns: list[str] | None = None,
+) -> dict:
     """Atomically append ``rows`` to their partitions: one staged
     generation joins the touched partitions' generation lists in a
     single manifest swap — readers see the whole batch or none of it
@@ -597,7 +710,12 @@ def tx_append(spark: SparkSession, root: str, rows: DataFrame) -> dict:
     them on a maintenance cadence. Returns the published manifest."""
     man = tx_current_manifest(spark, root)
     return tx_publish(
-        spark, root, rows, partition_col=man["partition_col"], append=True
+        spark,
+        root,
+        rows,
+        partition_col=man["partition_col"],
+        append=True,
+        stats_columns=stats_columns,
     )
 
 
@@ -1040,6 +1158,9 @@ def tx_restore(spark: SparkSession, root: str, version: int) -> dict:
         "partition_col": man["partition_col"],
         "schema": man["schema"],
         "partitions": man["partitions"],
+        **(
+            {"rel_stats": man["rel_stats"]} if man.get("rel_stats") else {}
+        ),
         "audit": {
             "token": f"restore-{version:08d}",
             "staged_rows": 0,

@@ -855,6 +855,72 @@ def test_tx_restore_rolls_back_without_data_movement(spark, store):
         tx_read(spark, store, version=2)
 
 
+def test_manifest_stats_data_skipping(spark, tmp_path):
+    """Iceberg-style data skipping at the MANIFEST: generations publish
+    [min, max] of the stats columns; tx_read(stats_filter=...) drops
+    non-overlapping generation dirs before any file listing — an
+    append-ordered range query reads only the matching appends.
+    Generations without stats are conservatively kept, and the skip is
+    a superset guarantee (content equals the full read, filtered)."""
+    from kinesis_spark.txstore import tx_append, tx_manifest
+
+    root = str(tmp_path / "stats_tx")
+    schema = "id long, seq long, part string"
+
+    def batch(lo):  # 100-wide disjoint seq ranges per append
+        return spark.createDataFrame(
+            [(lo + i, lo + i, f"p{i % 2}") for i in range(100)], schema
+        )
+
+    tx_init(spark, root, batch(0), partition_col="part", stats_columns=["seq"])
+    tx_append(spark, root, batch(1000), stats_columns=["seq"])
+    tx_append(spark, root, batch(2000), stats_columns=["seq"])
+    tx_append(spark, root, batch(3000))  # NO stats: must stay readable
+
+    man = tx_current_manifest(spark, root)
+    assert "rel_stats" in man
+    # every generation of the first three commits has seq stats
+    with_stats = {r for r, s in man["rel_stats"].items() if "seq" in s}
+    all_rels = {r for rels in man["partitions"].values() for r in rels}
+    assert len(all_rels) == 8  # 4 commits x 2 partitions
+    assert len(with_stats) == 6
+
+    # range hits ONLY the second append: two generation dirs read...
+    hit = tx_read(spark, root, stats_filter={"seq": (1010, 1020)})
+    # ...plus the stats-less generation, conservatively kept
+    gens = {f.split("/_data/")[1].split("/")[0] for f in hit.inputFiles()}
+    assert len(gens) == 2  # the 1000-append + the no-stats append
+    # superset guarantee: filtered content equals the full read filtered
+    want = sorted(
+        map(tuple, tx_read(spark, root).filter(
+            (F.col("seq") >= 1010) & (F.col("seq") <= 1020)
+        ).collect())
+    )
+    got = sorted(
+        map(tuple, hit.filter(
+            (F.col("seq") >= 1010) & (F.col("seq") <= 1020)
+        ).collect())
+    )
+    assert got == want and len(got) == 11
+
+    # a miss on every recorded range still reads the stats-less gen only
+    miss = tx_read(spark, root, stats_filter={"seq": (9_000_000, None)})
+    gens_miss = {f.split("/_data/")[1].split("/")[0] for f in miss.inputFiles()}
+    assert len(gens_miss) == 1
+    assert miss.filter(F.col("seq") < 3000).count() == 0
+
+    # stats survive an upsert of an unrelated partition slice and carry
+    # through restore; a compact (no stats_columns) drops to full reads
+    from kinesis_spark.txstore import tx_restore
+
+    v = man["version"]
+    tx_restore(spark, root, 2)
+    man_r = tx_manifest(spark, root, v + 1)
+    assert set(man_r.get("rel_stats", {})) == {
+        r for rels in man_r["partitions"].values() for r in rels
+    } & set(man["rel_stats"])
+
+
 def test_vacuum_spares_fresh_tmp_manifests(spark, store, tmp_path):
     """ADVICE r5 (low): a vacuum running concurrently with an in-flight
     publish must not delete the publisher's just-written temp manifest.
