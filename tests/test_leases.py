@@ -249,3 +249,72 @@ def test_checkpoint_orders_variable_width_sequences_numerically(tmp_path):
     assert a.last_checkpoint(STREAM, "s") == "10"
     assert a.checkpoint(STREAM, "s", "2")  # regress: swallowed, not applied
     assert a.last_checkpoint(STREAM, "s") == "10"
+
+
+def test_lease_random_walk_invariants(tmp_path):
+    """Model-based sequential walk of the epoch-file protocol (the
+    txstore random-walk's sibling): random acquire/renew/checkpoint/
+    release/expiry interleavings across 4 consumers and 3 shards under
+    a virtual clock, with the protocol's invariants checked after every
+    single operation:
+
+    1. at most one consumer ever observes still_owns == True per shard;
+    2. a mutating op that returns True implies immediate ownership
+       (no concurrent mutation in a sequential walk);
+    3. confirmed checkpoints never regress, across any number of
+       steals (the lease carries them forward);
+    4. the fencing count is strictly monotonic across ownership changes.
+    """
+    import random
+
+    for seed in (3, 17, 59):
+        rng = random.Random(seed)
+        clock = VClock()
+        d = str(tmp_path / f"walk{seed}")
+        consumers = [
+            ShardLeases(d, owner=f"c{i}", ttl_s=10.0, clock=clock)
+            for i in range(4)
+        ]
+        shards = [f"sh{j}" for j in range(3)]
+        max_ckpt: dict[str, str] = {sh: "" for sh in shards}
+        max_count: dict[str, int] = {sh: 0 for sh in shards}
+        next_seq = 1
+
+        for step in range(300):
+            c = rng.choice(consumers)
+            sh = rng.choice(shards)
+            op = rng.choice(
+                ["acquire", "renew", "checkpoint", "release", "tick", "jump"]
+            )
+            if op == "tick":
+                clock.t += rng.uniform(0.1, 3.0)
+            elif op == "jump":
+                clock.t += rng.uniform(8.0, 25.0)  # beyond TTL: expiry
+            elif op == "acquire":
+                if c.try_acquire(STREAM, sh):
+                    assert c.still_owns(STREAM, sh), (seed, step)
+            elif op == "renew":
+                if c.renew(STREAM, sh):
+                    assert c.still_owns(STREAM, sh), (seed, step)
+            elif op == "release":
+                c.release(STREAM, sh)
+                assert not c.still_owns(STREAM, sh), (seed, step)
+            else:
+                seq = f"{next_seq:08d}"
+                next_seq += 1
+                if c.checkpoint(STREAM, sh, seq):
+                    assert c.still_owns(STREAM, sh), (seed, step)
+                    max_ckpt[sh] = max(max_ckpt[sh], seq)
+
+            for s2 in shards:
+                owners = [
+                    x.owner for x in consumers if x.still_owns(STREAM, s2)
+                ]
+                assert len(owners) <= 1, (seed, step, s2, owners)
+                lease = consumers[0].current_lease(STREAM, s2)
+                if lease is not None:
+                    # confirmed checkpoints survive steals, never regress
+                    assert lease["ckpt"] >= max_ckpt[s2], (seed, step, s2)
+                    # fencing epoch never decreases
+                    assert lease["count"] >= max_count[s2], (seed, step, s2)
+                    max_count[s2] = lease["count"]
