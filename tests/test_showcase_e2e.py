@@ -40,13 +40,8 @@ from kinesis_spark.io import load_table
 from kinesis_spark.queries.pipelines import _KEEP_LANGS, _MIN_TOKENS
 from kinesis_spark.session import state_store
 from kinesis_spark.streaming.spool import SpoolStreamClient
-from kinesis_spark.txstore import (
-    tx_append,
-    tx_current_manifest,
-    tx_init,
-    tx_read,
-    tx_upsert,
-)
+from kinesis_spark.streaming.intake import PrepIntakeSink
+from kinesis_spark.txstore import tx_current_manifest, tx_read
 
 STREAM = "prod-intake"
 DOC_SCHEMA = "doc_id long, text string, lang string, source string"
@@ -88,133 +83,32 @@ def _put_docs(spool: str, rows: list[dict]) -> None:
 
 
 # ---------------------------------------------------------------------------
-# the intake sink: admission against the durable index + tx commits
+# the intake sink: the library's PrepIntakeSink + per-batch tracking
 # ---------------------------------------------------------------------------
 
 
-class IntakeSink:
-    """foreachBatch admission. Per micro-batch (all library calls):
-
-    1. batch-local exact dedup (min doc_id per content hash),
-    2. exact dedup vs the DURABLE hash store (bloom.bloom_dedup_batch's
-       verify discipline; the store is the truth that survives consumer
-       swaps — streaming dropDuplicates state is per-checkpoint),
-    3. conservative LSH drop: any batch doc sharing a band key with the
-       persisted band index, or with a LOWER-id batch doc (d3's pair
-       rule), is dropped,
-    4. tx_append admitted docs into the (lang, source) txstore —
-       one atomic multi-partition commit per batch,
-    5. append admitted hashes/bands to the durable index,
-    6. incremental rollup: tx_upsert only the touched (lang, source)
-       rollup rows.
-    """
+class IntakeSink(PrepIntakeSink):
+    """The production sink (streaming/intake.py — admission vs the
+    durable hash/band index, atomic tx_append, incremental rollup),
+    plus per-batch doc_id tracking so the test can assert that replays
+    were genuinely DELIVERED and then deduplicated, not just absent."""
 
     def __init__(self, spark, work: str):
-        self.spark = spark
-        self.hashes_dir = f"{work}/index/hashes"
-        self.bands_dir = f"{work}/index/bands"
-        self.store_root = f"{work}/corpus_tx"
-        self.rollup_root = f"{work}/rollup_tx"
+        super().__init__(
+            spark,
+            hashes_dir=f"{work}/index/hashes",
+            bands_dir=f"{work}/index/bands",
+            store_root=f"{work}/corpus_tx",
+            rollup_root=f"{work}/rollup_tx",
+            partition_cols=("lang", "source"),
+        )
         self.seen_doc_ids: list[set[int]] = []  # per-batch, for assertions
 
-    def _existing(self, path: str, schema: str):
-        try:
-            return self.spark.read.schema(schema).parquet(path)
-        except Exception:
-            return self.spark.createDataFrame([], schema)
-
     def process_batch(self, batch, batch_id: int) -> None:
-        from pyspark.sql.window import Window
-
-        from kinesis_spark.checkpoints import pin
-        from kinesis_spark.streaming.neardup import band_keys
-
-        spark = self.spark
-        batch = batch.persist()
-        self.seen_doc_ids.append({r.doc_id for r in batch.select("doc_id").collect()})
-
-        # 1-2: exact dedup, batch-local then vs the durable store
-        h = batch.withColumn("h", F.sha2("text", 256))
-        wh = Window.partitionBy("h").orderBy("doc_id")
-        firsts = h.withColumn("rn", F.row_number().over(wh)).filter(
-            F.col("rn") == 1
-        ).drop("rn")
-        store = self._existing(self.hashes_dir, "h string")
-        fresh = firsts.join(store, "h", "left_anti")
-
-        # 3: conservative LSH admission (persisted index + in-batch pairs)
-        bk = band_keys(fresh.select("doc_id", "text"))
-        index = self._existing(self.bands_dir, "band_key string")
-        hit_index = bk.join(index, "band_key", "left_semi").select("doc_id")
-        lower = bk.alias("a").join(
-            bk.alias("b"),
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(F.col("b.doc_id").alias("doc_id"))
-        near = hit_index.unionByName(lower).distinct()
-        # PIN, not persist: admitted's plan READS the durable hash/band
-        # index that step 5 APPENDS to — without a lineage barrier the
-        # rollup's later evaluation re-reads the index, sees the batch's
-        # own just-appended hashes, and resolves admitted as empty (the
-        # read-your-own-writes trap every maintenance op in the repo
-        # pins against; cache alone is evictable, a checkpoint is not)
-        admitted = fresh.join(near, "doc_id", "left_anti").transform(pin)
-
-        if admitted.isEmpty():
-            batch.unpersist()
-            return
-
-        # 4: atomic multi-partition append into the corpus txstore
-        docs = admitted.select("doc_id", "text", "lang", "source")
-        try:
-            tx_current_manifest(spark, self.store_root)
-            tx_append(spark, self.store_root, docs)
-        except FileNotFoundError:
-            tx_init(spark, self.store_root, docs, partition_col=["lang", "source"])
-
-        # 5: grow the durable index (the artifacts every later batch and
-        # every other consumer reads; prep_index.py's layout)
-        admitted.select("h").write.mode("append").parquet(self.hashes_dir)
-        band_keys(admitted.select("doc_id", "text")).select(
-            "band_key"
-        ).distinct().write.mode("append").parquet(self.bands_dir)
-
-        # 6: incremental rollup — only the touched (lang, source) rows
-        agg = admitted.groupBy("lang", "source").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum(F.size(F.split("text", r"[ \t\n\f\r\x0B]+")))
-            .cast("bigint")
-            .alias("total_tokens"),
-        ).withColumn("ls", F.concat_ws("|", "lang", "source"))
-        try:
-            cur = tx_read(spark, self.rollup_root)
-            merged = (
-                agg.alias("n")
-                .join(cur.alias("o"), "ls", "left")
-                .select(
-                    "ls",
-                    F.col("n.lang").alias("lang"),
-                    F.col("n.source").alias("source"),
-                    (F.col("n.n_docs") + F.coalesce("o.n_docs", F.lit(0)))
-                    .cast("bigint")
-                    .alias("n_docs"),
-                    (
-                        F.col("n.total_tokens")
-                        + F.coalesce("o.total_tokens", F.lit(0))
-                    )
-                    .cast("bigint")
-                    .alias("total_tokens"),
-                )
-            )
-            tx_upsert(spark, self.rollup_root, merged, key="ls")
-        except FileNotFoundError:
-            tx_init(
-                spark,
-                self.rollup_root,
-                agg.select("ls", "lang", "source", "n_docs", "total_tokens"),
-                partition_col="lang",
-            )
-        batch.unpersist()
+        self.seen_doc_ids.append(
+            {r.doc_id for r in batch.select("doc_id").collect()}
+        )
+        super().process_batch(batch, batch_id)
 
 
 def _drain(spark, spool, work, sink: IntakeSink, consumer_id: str, ttl: str):
