@@ -1897,3 +1897,149 @@ def sim16_mips_norm_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 if sim16_mips_norm_augment.__doc__:  # absent under python -OO
     sim16_mips_norm_augment.__doc__ = sim16_mips_norm_augment.__doc__.format(K=TOP_K)
+
+
+# Margin-based bitext mining constants: 20 "source-language" queries
+# (even ids), candidates = every odd id, k=4 margin neighborhood, and
+# the conventional ratio-margin acceptance threshold.
+BITEXT_NQ = 40  # query ids: even vec_id < 40 -> 20 queries
+BITEXT_K = 4
+BITEXT_THRESHOLD = 1.05
+
+
+@register(
+    "sim17_margin_bitext",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT * FROM e WHERE vec_id % 2 = 0 AND vec_id < {BITEXT_NQ}),
+c AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+  FROM q, c
+),
+fwd AS (
+  SELECT query_id,
+         CAST(SUM(CAST(cos_sim AS DECIMAL(9,6))) AS DOUBLE) / {BITEXT_K}.0 AS f
+  FROM (
+    SELECT query_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, match_id) AS rn
+    FROM pairs
+  ) WHERE rn <= {BITEXT_K} GROUP BY query_id
+),
+bwd AS (
+  SELECT match_id,
+         CAST(SUM(CAST(cos_sim AS DECIMAL(9,6))) AS DOUBLE) / {BITEXT_K}.0 AS b
+  FROM (
+    SELECT match_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY match_id
+                              ORDER BY cos_sim DESC, query_id) AS rn
+    FROM pairs
+  ) WHERE rn <= {BITEXT_K} GROUP BY match_id
+),
+m AS (
+  SELECT p.query_id, p.match_id, p.cos_sim,
+         p.cos_sim / ((f.f + b.b) / 2.0) AS margin
+  FROM pairs p JOIN fwd f USING (query_id) JOIN bwd b USING (match_id)
+)
+SELECT query_id, match_id, cos_sim, margin,
+       margin > {BITEXT_THRESHOLD} AS accepted
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY margin DESC, match_id) AS rn
+  FROM m
+) WHERE rn = 1
+""",
+    tags=("similarity", "bitext", "margin", "alignment"),
+)
+def sim17_margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk's ratio margin —
+    the LASER/CCMatrix parallel-corpus alignment op): for each
+    "source-language" query vector (even ids — the label stand-in for
+    language A), the best "target-language" candidate (odd ids) by
+    cos(x,y) / ((avg top-k cos of x) + (avg top-k cos of y)) / 2 —
+    the normalization that kills hub vectors plain cosine retrieval
+    pairs with everything. ``accepted`` applies the conventional >
+    {thr} mining threshold.
+
+    Determinism: cosines through the file-wide 6-dp bridge; each k-NN
+    denominator is an exact DECIMAL(9,6) sum of those rounded cosines
+    divided back as one double op, so the margin is bit-identical
+    cross-engine; ranking ties break on match_id.
+
+    Scale shape: the query side is a fixed broadcast-sized set, so the
+    candidate scan is one narrow pass (sim1's shape); the BACKWARD
+    denominator is computed within the retrieval pool (one window over
+    the pair relation) rather than over all of language A — the
+    documented simplification; production swaps the pool for the ANN
+    index's candidate lists (sim2/sim6), same margin arithmetic."""
+    e = _doubled(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < BITEXT_NQ)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    c = e.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("match_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cn"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "match_id",
+        _cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias(
+            "cos_sim"
+        ),
+    ).transform(pin)
+    dec = F.col("cos_sim").cast("decimal(9,6)")
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("match_id")
+    )
+    fwd = (
+        pairs.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= BITEXT_K)
+        .groupBy("query_id")
+        .agg((F.sum(dec).cast("double") / float(BITEXT_K)).alias("f"))
+    )
+    wb = Window.partitionBy("match_id").orderBy(
+        F.col("cos_sim").desc(), F.col("query_id")
+    )
+    bwd = (
+        pairs.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= BITEXT_K)
+        .groupBy("match_id")
+        .agg((F.sum(dec).cast("double") / float(BITEXT_K)).alias("b"))
+    )
+    m = (
+        pairs.join(F.broadcast(fwd), "query_id")
+        .join(F.broadcast(bwd), "match_id")
+        .select(
+            "query_id",
+            "match_id",
+            "cos_sim",
+            (F.col("cos_sim") / ((F.col("f") + F.col("b")) / 2.0)).alias("margin"),
+        )
+    )
+    wm = Window.partitionBy("query_id").orderBy(
+        F.col("margin").desc(), F.col("match_id")
+    )
+    return (
+        m.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "match_id",
+            "cos_sim",
+            "margin",
+            (F.col("margin") > BITEXT_THRESHOLD).alias("accepted"),
+        )
+    )
+
+
+if sim17_margin_bitext.__doc__:  # absent under python -OO
+    sim17_margin_bitext.__doc__ = sim17_margin_bitext.__doc__.format(
+        thr=BITEXT_THRESHOLD
+    )
