@@ -674,6 +674,31 @@ def _collect_rel_stats(
     return out
 
 
+def rules_validator(rules: dict, max_violation_rate: float = 0.0):
+    """Adapt a declarative rule set (``quality.validate``'s
+    ``{name: good-row predicate}`` form) into a ``tx_publish`` audit
+    validator — the write-audit-publish gate with REAL expectations:
+    staged data whose violation rate on ANY rule exceeds
+    ``max_violation_rate`` aborts the commit with the per-rule counts
+    in the error, and the live table is untouched (stage orphan
+    reclaimed by vacuum). One aggregation pass over the staged files,
+    however many rules (quality.py's single-scan contract)."""
+    from kinesis_spark.quality import validate
+
+    def _check(staged: DataFrame) -> None:
+        bad = [
+            (r["rule"], r["n_violations"], r["n_rows"])
+            for r in validate(staged, rules).collect()
+            if r["n_rows"] > 0
+            and r["n_violations"] / r["n_rows"] > max_violation_rate
+        ]
+        if bad:
+            detail = ", ".join(f"{n}: {v}/{t} rows" for n, v, t in bad)
+            raise TxAuditError(f"staged data failed quality rules — {detail}")
+
+    return _check
+
+
 def tx_init(
     spark: SparkSession,
     root: str,

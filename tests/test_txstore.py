@@ -921,6 +921,50 @@ def test_manifest_stats_data_skipping(spark, tmp_path):
     } & set(man["rel_stats"])
 
 
+def test_rules_validator_gates_the_commit(spark, store):
+    """Write-AUDIT-publish with real expectations: quality.validate's
+    declarative rules run as the audit validator in one staged-files
+    pass — a batch violating any rule beyond the allowed rate aborts
+    with per-rule counts, the table untouched; a tolerance admits a
+    bounded bad fraction; clean batches publish."""
+    from kinesis_spark.txstore import rules_validator, tx_append
+
+    month = tx_read(spark, store).select("month").first()[0]
+    schema = (
+        "o_orderkey long, o_totalprice double, o_orderstatus string, month string"
+    )
+    rules = {
+        "price_positive": F.col("o_totalprice") > 0,
+        "key_present": F.col("o_orderkey").isNotNull(),
+    }
+    before = _snapshot(spark, store)
+    v = tx_current_manifest(spark, store)["version"]
+
+    bad = spark.createDataFrame(
+        [(9_800_001, -5.0, "ZZ", month), (9_800_002, 10.0, "ZZ", month)], schema
+    )
+    with pytest.raises(TxAuditError, match="price_positive: 1/2 rows"):
+        tx_publish(spark, store, bad, append=True, validate=rules_validator(rules))
+    assert tx_current_manifest(spark, store)["version"] == v
+    assert _snapshot(spark, store) == before
+
+    # a 50% tolerance admits the same batch
+    tx_publish(
+        spark,
+        store,
+        bad,
+        append=True,
+        validate=rules_validator(rules, max_violation_rate=0.5),
+    )
+    assert tx_read(spark, store).filter(
+        F.col("o_orderkey").isin([9_800_001, 9_800_002])
+    ).count() == 2
+
+    good = spark.createDataFrame([(9_800_003, 1.0, "ZZ", month)], schema)
+    tx_publish(spark, store, good, append=True, validate=rules_validator(rules))
+    assert tx_read(spark, store).filter(F.col("o_orderkey") == 9_800_003).count() == 1
+
+
 def test_vacuum_spares_fresh_tmp_manifests(spark, store, tmp_path):
     """ADVICE r5 (low): a vacuum running concurrently with an in-flight
     publish must not delete the publisher's just-written temp manifest.
