@@ -113,11 +113,21 @@ class ShardLeases:
     def _resolve(self, stream: str, shard_id: str) -> tuple[dict | None, str | None]:
         """The current lease = highest READABLE epoch file. An unreadable
         higher epoch (mid-first-write) hides nothing a claimant could
-        use: its O_EXCL create of that epoch already fails."""
+        use: its O_EXCL create of that epoch already fails.
+
+        Upgrade path: a lease table written by the pre-epoch format
+        (bare ``<shard>.json``) is adopted as the current lease when no
+        epoch file exists yet — its fencing count and checkpoint carry
+        into the first epoch-file claim, and the sweep retires the bare
+        file once a higher epoch supersedes it."""
         for _count, path in reversed(self._epochs(stream, shard_id)):
             lease = self._read(path)
             if lease is not None:
                 return lease, path
+        legacy = os.path.join(self._dir(stream), f"{shard_id}.json")
+        lease = self._read(legacy)
+        if lease is not None:
+            return lease, legacy
         return None, None
 
     def _write_exclusive(self, path: str, lease: dict) -> bool:
@@ -136,14 +146,19 @@ class ShardLeases:
         os.replace(tmp, path)  # atomic on POSIX
 
     def _sweep_below(self, stream: str, shard_id: str, count: int) -> None:
-        """Unlink superseded epoch files. Safe for anyone to run: readers
-        resolve the max epoch, so files below it are pure garbage."""
+        """Unlink superseded epoch files (and any adopted legacy bare
+        file). Safe for anyone to run: readers resolve the max epoch,
+        so files below it are pure garbage."""
         for c, path in self._epochs(stream, shard_id):
             if c < count:
                 try:
                     os.unlink(path)
                 except FileNotFoundError:
                     pass
+        try:
+            os.unlink(os.path.join(self._dir(stream), f"{shard_id}.json"))
+        except FileNotFoundError:
+            pass
 
     # -- protocol ----------------------------------------------------------
 

@@ -635,6 +635,8 @@ def _register_p7() -> None:
             incremental_prep_indexed,
         )
 
+        import uuid
+
         docs_path = os.path.join(sf_dir, "documents.parquet")
         key = hashlib.md5(
             f"{os.path.realpath(docs_path)}:{os.path.getmtime(docs_path)}".encode()
@@ -643,9 +645,25 @@ def _register_p7() -> None:
         marker = os.path.join(idx, "_COMPLETE")
         d = load_table(spark, sf_dir, "documents")
         if not os.path.exists(marker):
-            build_prep_index(spark, d.filter(F.col("doc_id") % 10 != 0), idx)
-            with open(marker, "w") as f:
+            # build into a process-unique dir, then atomically rename
+            # into place: two concurrent first callers (parallel bench
+            # processes) otherwise overwrite each other's half-built
+            # index under a shared path. The rename loser discards its
+            # build and uses the winner's.
+            scratch = f"{idx}.build-{uuid.uuid4().hex[:8]}"
+            build_prep_index(spark, d.filter(F.col("doc_id") % 10 != 0), scratch)
+            with open(os.path.join(scratch, "_COMPLETE"), "w") as f:
                 f.write(key)
+            import shutil
+
+            if os.path.isdir(idx) and not os.path.exists(marker):
+                # crash leftover: an earlier build died before its
+                # rename; clear it or the rename below can never land
+                shutil.rmtree(idx, ignore_errors=True)
+            try:
+                os.rename(scratch, idx)
+            except OSError:
+                shutil.rmtree(scratch, ignore_errors=True)  # lost the race
         return incremental_prep_indexed(
             spark, d.filter(F.col("doc_id") % 10 == 0), idx
         )

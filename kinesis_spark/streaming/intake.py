@@ -29,6 +29,21 @@ exactly-once content under any replay (tests/test_showcase_e2e.py
 proves the end state equals a greedy sequential oracle across a
 kill/failover with deliberate re-puts).
 
+Crash-INSIDE-a-batch convergence (the harder at-least-once case — the
+hash store and the corpus commit cannot be updated atomically
+together): the batch is ordered so every crash point redoes safely.
+(a) The corpus append is guarded by an anti-join against the touched
+corpus partitions' doc_ids — a redo whose predecessor crashed after
+``tx_append`` but before the hash-store append finds the docs already
+in the corpus and appends nothing. (b) The index artifacts write with
+the HASH STORE LAST: the hash store is the admission gate, so as long
+as it trails everything else, a redo regenerates whatever a partial
+attempt left missing (duplicate band keys/hashes are harmless —
+consumers are semi-joins). (c) The rollup is a RECOUNT of the touched
+corpus partitions, not an accumulated delta — recomputing it is
+idempotent, and it runs even when the batch dedups to nothing so a
+crash between the hash-store append and the rollup still heals.
+
 Ordering contract: within a batch, admission is deterministic (min-id
 window + the a.id < b.id band rule). Across batches it is first-come-
 first-admitted — the arrival order IS the tie-break, which is the only
@@ -92,9 +107,14 @@ class PrepIntakeSink:
     # -- internals -----------------------------------------------------
 
     def _existing(self, path: str, schema: str) -> DataFrame:
+        from pyspark.errors import AnalysisException
+
         try:
             return self.spark.read.schema(schema).parquet(path)
-        except Exception:
+        except AnalysisException:
+            # missing path = empty index. ONLY that: a transient I/O
+            # failure on a populated index must fail the batch (and let
+            # the streaming query retry), not admit everything as fresh
             return self.spark.createDataFrame([], schema)
 
     def _admit(self, batch: DataFrame) -> DataFrame:
@@ -135,10 +155,18 @@ class PrepIntakeSink:
             near, fresh[did] == near["doc_id"], "left_anti"
         ).transform(pin)
 
-    def _refresh_rollup(self, admitted: DataFrame) -> None:
+    def _recount_rollup(self, touched: list[tuple]) -> None:
+        """Recount the touched corpus partitions into the rollup —
+        idempotent by construction (module header, crash point c):
+        values come from the STORE, never from accumulated deltas, so
+        replays and partial-batch redos converge instead of drifting."""
         spark, pcols = self.spark, self.partition_cols
+        try:
+            slice_df = tx_read(spark, self.store_root, partition_values=touched)
+        except FileNotFoundError:
+            return  # nothing ever admitted: nothing to count
         agg = (
-            admitted.groupBy(*pcols)
+            slice_df.groupBy(*pcols)
             .agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                 F.sum(F.size(F.split(self.text_col, WS)))
@@ -149,25 +177,8 @@ class PrepIntakeSink:
         )
         cols = ["ls", *pcols, "n_docs", "total_tokens"]
         try:
-            cur = tx_read(spark, self.rollup_root)
-            merged = (
-                agg.alias("n")
-                .join(cur.alias("o"), "ls", "left")
-                .select(
-                    "ls",
-                    *[F.col(f"n.{c}").alias(c) for c in pcols],
-                    (F.col("n.n_docs") + F.coalesce("o.n_docs", F.lit(0)))
-                    .cast("bigint")
-                    .alias("n_docs"),
-                    (
-                        F.col("n.total_tokens")
-                        + F.coalesce("o.total_tokens", F.lit(0))
-                    )
-                    .cast("bigint")
-                    .alias("total_tokens"),
-                )
-            )
-            tx_upsert(spark, self.rollup_root, merged, key="ls")
+            tx_current_manifest(spark, self.rollup_root)
+            tx_upsert(spark, self.rollup_root, agg.select(*cols), key="ls")
         except FileNotFoundError:
             tx_init(
                 spark,
@@ -181,36 +192,57 @@ class PrepIntakeSink:
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         batch = batch.persist()
         try:
+            # the touched partition set comes from the BATCH, not the
+            # admitted subset: the rollup recount must run even when
+            # everything dedups away (a replayed batch whose first
+            # attempt crashed before the recount — crash point c)
+            touched = [
+                tuple(r)
+                for r in batch.select(*self.partition_cols).distinct().collect()
+            ]
             admitted = self._admit(batch)
-            if admitted.isEmpty():
-                return
-            docs = admitted.drop("__h")
-            try:
-                tx_current_manifest(self.spark, self.store_root)
-                tx_append(self.spark, self.store_root, docs)
-            except FileNotFoundError:
-                tx_init(
-                    self.spark,
-                    self.store_root,
-                    docs,
-                    partition_col=self.partition_cols,
-                )
-            # grow the durable index AFTER the pin (module header)
-            admitted.select(F.col("__h").alias("h")).write.mode(
-                "append"
-            ).parquet(self.hashes_dir)
-            from kinesis_spark.streaming.neardup import band_keys
+            if not admitted.isEmpty():
+                docs = admitted.drop("__h")
+                # corpus-guard (crash point a): drop docs a crashed
+                # predecessor already appended but never hash-indexed
+                try:
+                    tx_current_manifest(self.spark, self.store_root)
+                    present = tx_read(
+                        self.spark, self.store_root, partition_values=touched
+                    ).select(F.col(self.id_col).alias("__present_id"))
+                    fresh_docs = docs.join(
+                        present,
+                        docs[self.id_col] == present["__present_id"],
+                        "left_anti",
+                    )
+                    if not fresh_docs.isEmpty():
+                        tx_append(self.spark, self.store_root, fresh_docs)
+                except FileNotFoundError:
+                    tx_init(
+                        self.spark,
+                        self.store_root,
+                        docs,
+                        partition_col=self.partition_cols,
+                    )
+                # index artifacts from ADMITTED (not the guard's
+                # survivors): a redo must regenerate what a partial
+                # attempt left missing. Bands first, HASH STORE LAST —
+                # it is the admission gate (crash point b)
+                from kinesis_spark.streaming.neardup import band_keys
 
-            band_keys(
-                admitted.select(
-                    F.col(self.id_col).alias("doc_id"),
-                    F.col(self.text_col).alias("text"),
+                band_keys(
+                    admitted.select(
+                        F.col(self.id_col).alias("doc_id"),
+                        F.col(self.text_col).alias("text"),
+                    )
+                ).select("band_key").distinct().write.mode("append").parquet(
+                    self.bands_dir
                 )
-            ).select("band_key").distinct().write.mode("append").parquet(
-                self.bands_dir
-            )
-            if self.rollup_root is not None:
-                self._refresh_rollup(docs)
+                admitted.select(F.col("__h").alias("h")).write.mode(
+                    "append"
+                ).parquet(self.hashes_dir)
+            if self.rollup_root is not None and touched:
+                self._recount_rollup(touched)
         finally:
             batch.unpersist()
 

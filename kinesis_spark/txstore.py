@@ -372,13 +372,25 @@ def tx_read(
             for k, rels in mapping.items()
             if (kept := [r for r in rels if _overlaps(r)])
         }
+    return _read_mapping(spark, root, schema, pcols, mapping)
+
+
+def _read_mapping(
+    spark: SparkSession,
+    root: str,
+    schema: StructType,
+    pcols: list[str] | None,
+    mapping: dict[str, list[str]],
+) -> DataFrame:
+    """Read exactly the generation directories ``mapping`` lists — the
+    one read path shared by :func:`tx_read` and :func:`tx_diff` (group
+    partition dirs by generation so each read gets one basePath)."""
     if not mapping:
         return spark.createDataFrame([], schema)
     if pcols is None:
         return spark.read.schema(schema).parquet(
             *[f"{root}/{rel}" for rels in mapping.values() for rel in rels]
         )
-    # group partition dirs by generation so each read gets one basePath
     by_gen: dict[str, list[str]] = {}
     for rels in mapping.values():
         for rel in rels:
@@ -650,7 +662,34 @@ def _collect_rel_stats(
 ) -> dict[str, dict]:
     """Per-staged-generation-dir [min, max] of ``stats_columns`` — ONE
     aggregation over the staged files (grouped by the partition columns
-    hive-discovery gives back), keyed by the manifest rel path."""
+    hive-discovery gives back), keyed by the manifest rel path.
+
+    Partition-column TYPE INFERENCE is disabled for this read: the
+    manifest keys are the raw directory strings, and inference would
+    rewrite e.g. 'true' -> True ('True') or '01' -> 1 ('1'), silently
+    orphaning the stats of any generation whose inferred value
+    round-trips to a different string."""
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(infer_key, None)
+    spark.conf.set(infer_key, "false")
+    try:
+        return _collect_rel_stats_raw(
+            spark, stage_dir, staged_mapping, pcols, stats_columns
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(infer_key)
+        else:
+            spark.conf.set(infer_key, prev)
+
+
+def _collect_rel_stats_raw(
+    spark: SparkSession,
+    stage_dir: str,
+    staged_mapping: dict[str, str],
+    pcols: list[str] | None,
+    stats_columns: list[str],
+) -> dict[str, dict]:
     stf = spark.read.parquet(stage_dir)
     aggs = []
     for c in stats_columns:
@@ -705,6 +744,7 @@ def tx_init(
     df: DataFrame,
     partition_col: str | None = None,
     stats_columns: list[str] | None = None,
+    arbiter: CommitArbiter | None = None,
 ) -> dict:
     """Bootstrap a transactional store from ``df`` (version 1)."""
     if _latest_version(spark, root) != 0:
@@ -716,6 +756,7 @@ def tx_init(
         partition_col=partition_col,
         replace_all=True,
         stats_columns=stats_columns,
+        arbiter=arbiter,
     )
 
 
@@ -724,6 +765,7 @@ def tx_append(
     root: str,
     rows: DataFrame,
     stats_columns: list[str] | None = None,
+    arbiter: CommitArbiter | None = None,
 ) -> dict:
     """Atomically append ``rows`` to their partitions: one staged
     generation joins the touched partitions' generation lists in a
@@ -741,6 +783,7 @@ def tx_append(
         partition_col=man["partition_col"],
         append=True,
         stats_columns=stats_columns,
+        arbiter=arbiter,
     )
 
 
@@ -794,7 +837,16 @@ def _vacuum_to(
     for name in _fs_list_names(spark, f"{root}/{_TXLOG}"):
         path = f"{root}/{_TXLOG}/{name}"
         if name.startswith(".tmp-"):
-            age_ms = now_ms - fs.getFileStatus(_jpath(spark, path)).getModificationTime()
+            try:
+                age_ms = (
+                    now_ms
+                    - fs.getFileStatus(_jpath(spark, path)).getModificationTime()
+                )
+            except Exception:
+                # renamed into its log slot (or cleaned up) between the
+                # listing and the stat — a concurrent publish completing
+                # is not a vacuum error
+                continue
             if age_ms <= tmp_grace_s * 1000:
                 continue  # possibly an in-flight publish's manifest
         elif (m := re.fullmatch(r"(\d{8})\.json", name)) and int(
@@ -813,7 +865,13 @@ def _vacuum_to(
 # ---------------------------------------------------------------------------
 
 
-def tx_upsert(spark: SparkSession, root: str, updates: DataFrame, key: str) -> int:
+def tx_upsert(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key: str,
+    arbiter: CommitArbiter | None = None,
+) -> int:
     """MERGE ``updates`` into the store — the transactional face of
     ``upsert.upsert_partitioned`` (same key/null/duplicate discipline),
     with the rewrite published atomically. Works on unpartitioned,
@@ -837,7 +895,8 @@ def tx_upsert(spark: SparkSession, root: str, updates: DataFrame, key: str) -> i
             upd_keys, target[key].eqNullSafe(upd_keys[key]), "left_anti"
         ).unionByName(updates.select(*target.columns))
         tx_publish(
-            spark, root, merged, replace_all=True, expect_version=man["version"]
+            spark, root, merged, replace_all=True,
+            expect_version=man["version"], arbiter=arbiter,
         )
         return 1
     # bounded driver-side collect: one row per TOUCHED partition tuple
@@ -859,6 +918,7 @@ def tx_upsert(spark: SparkSession, root: str, updates: DataFrame, key: str) -> i
         partition_col=man["partition_col"],
         replace_values=parts,
         expect_version=man["version"],
+        arbiter=arbiter,
     )
     return len(parts)
 
@@ -869,6 +929,7 @@ def streaming_tx_upsert_query(
     root: str,
     key: str,
     checkpoint_dir: str,
+    arbiter: CommitArbiter | None = None,
 ):
     """Streaming face of :func:`tx_upsert` (mirrors
     ``upsert.streaming_upsert_query``): each micro-batch MERGEs into the
@@ -880,7 +941,7 @@ def streaming_tx_upsert_query(
     Returns the started StreamingQuery."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        tx_upsert(spark, root, batch_df, key)
+        tx_upsert(spark, root, batch_df, key, arbiter=arbiter)
 
     return (
         updates_stream.writeStream.foreachBatch(_apply)
@@ -896,6 +957,7 @@ def tx_erase(
     request: DataFrame,
     key: str,
     erase_retention: bool = False,
+    arbiter: CommitArbiter | None = None,
 ) -> DataFrame:
     """Right-to-erasure on the transactional store — the WAP face of
     ``erasure.erase_by_key`` (same locate/rewrite phases and audit
@@ -937,17 +999,31 @@ def tx_erase(
         )
     )
     hit_rows = located.collect()  # bounded by touched partitions
-    if not hit_rows:
+    # no-hit early return: on the UNPARTITIONED path groupBy() is a
+    # global aggregate that yields one row even with zero matches — the
+    # count, not row presence, is the signal there (a miss would
+    # otherwise publish a pointless full rewrite, and with
+    # erase_retention destroy all history on a no-op replay)
+    if not hit_rows or (pcols is None and hit_rows[0]["n_rows_erased"] == 0):
         return spark.createDataFrame([], AUDIT_SCHEMA)
     if pcols is None:
         parts = None
         survivors = tgt.join(
             req, F.col(key).eqNullSafe(F.col("_erase_key")), "left_anti"
         )
-        new_man = tx_publish(
-            spark, root, survivors, replace_all=True,
-            expect_version=man["version"],
-        )
+        if survivors.isEmpty():
+            # 100% erase: publish the EMPTY table (mapping {}), mirroring
+            # the partitioned path where an emptied partition drops out;
+            # staging zero rows would also break the audit's schema read
+            new_man = tx_publish(
+                spark, root, None, replace_all=True,
+                expect_version=man["version"], arbiter=arbiter,
+            )
+        else:
+            new_man = tx_publish(
+                spark, root, survivors, replace_all=True,
+                expect_version=man["version"], arbiter=arbiter,
+            )
         audit_keys = [(None, "")]
     else:
         parts = [tuple(r[c] for c in pcols) for r in hit_rows]
@@ -961,6 +1037,7 @@ def tx_erase(
             partition_col=man["partition_col"],
             replace_values=parts,
             expect_version=man["version"],
+            arbiter=arbiter,
         )
         audit_keys = [
             (
@@ -1032,7 +1109,10 @@ def _purge_unreferenced_partition_dirs(
 
 
 def tx_compact(
-    spark: SparkSession, root: str, target_file_bytes: int = 128 * 1024 * 1024
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    arbiter: CommitArbiter | None = None,
 ) -> int:
     """Small-file compaction, published atomically: rewrites the whole
     table into ~one target-sized file per partition value and commits it
@@ -1062,6 +1142,7 @@ def tx_compact(
         partition_col=man["partition_col"],
         replace_all=True,
         expect_version=man["version"],
+        arbiter=arbiter,
     )
     n = 0
     for rels in new_man["partitions"].values():
@@ -1114,30 +1195,14 @@ def tx_diff(
                     out[k] = kept
         return out
 
-    def _read_rels(mapping: dict[str, list[str]]) -> DataFrame:
-        if not mapping:
-            return spark.createDataFrame([], schema)
-        if pcols is None:
-            return spark.read.schema(schema).parquet(
-                *[f"{root}/{rel}" for rels in mapping.values() for rel in rels]
-            )
-        by_gen: dict[str, list[str]] = {}
-        for rels in mapping.values():
-            for rel in rels:
-                gen = "/".join(rel.split("/")[:2])
-                by_gen.setdefault(gen, []).append(f"{root}/{rel}")
-        out = None
-        for gen, dirs in sorted(by_gen.items()):
-            piece = (
-                spark.read.schema(schema)
-                .option("basePath", f"{root}/{gen}")
-                .parquet(*sorted(dirs))
-            )
-            out = piece if out is None else out.unionByName(piece)
-        return out
-
-    old_side = _read_rels(_changed(man_from["partitions"], man_to["partitions"]))
-    new_side = _read_rels(_changed(man_to["partitions"], man_from["partitions"]))
+    old_side = _read_mapping(
+        spark, root, schema, pcols,
+        _changed(man_from["partitions"], man_to["partitions"]),
+    )
+    new_side = _read_mapping(
+        spark, root, schema, pcols,
+        _changed(man_to["partitions"], man_from["partitions"]),
+    )
     cols = [f.name for f in schema.fields]
     # BAG semantics (exact multiplicities), null-safe: one partial-agg
     # count per side, one full-outer join on the full row
@@ -1164,7 +1229,12 @@ def tx_diff(
     )
 
 
-def tx_restore(spark: SparkSession, root: str, version: int) -> dict:
+def tx_restore(
+    spark: SparkSession,
+    root: str,
+    version: int,
+    arbiter: CommitArbiter | None = None,
+) -> dict:
     """Roll the table BACK to a retained ``version`` as a NEW commit
     (the RESTORE operation): the restore manifest re-references the old
     version's generation directories verbatim — zero data movement,
@@ -1195,7 +1265,7 @@ def tx_restore(spark: SparkSession, root: str, version: int) -> dict:
             "base_version": current,
         },
     }
-    DEFAULT_ARBITER.commit(
+    (arbiter or DEFAULT_ARBITER).commit(
         spark,
         f"{root}/{_TXLOG}",
         _manifest_name(current + 1),
@@ -1205,7 +1275,10 @@ def tx_restore(spark: SparkSession, root: str, version: int) -> dict:
 
 
 def tx_compact_partitions(
-    spark: SparkSession, root: str, min_generations: int = 2
+    spark: SparkSession,
+    root: str,
+    min_generations: int = 2,
+    arbiter: CommitArbiter | None = None,
 ) -> int:
     """TARGETED small-file compaction: rewrite only partitions whose
     generation list has grown to ``min_generations`` or more (the
@@ -1245,6 +1318,7 @@ def tx_compact_partitions(
         partition_col=man["partition_col"],
         replace_values=parts,
         expect_version=man["version"],
+        arbiter=arbiter,
     )
     return len(frag)
 
@@ -1288,6 +1362,7 @@ def tx_zorder_compact(
     col_a: str,
     col_b: str,
     n_files: int = 32,
+    arbiter: CommitArbiter | None = None,
 ) -> dict:
     """Compaction that also CLUSTERS: rewrite the table range-partitioned
     on (partition columns, Morton key of ``col_a``/``col_b``) and sorted
@@ -1315,6 +1390,7 @@ def tx_zorder_compact(
         partition_col=man["partition_col"],
         replace_all=True,
         expect_version=man["version"],
+        arbiter=arbiter,
     )
 
 
@@ -1325,6 +1401,7 @@ def streaming_tx_erasure_query(
     key: str,
     checkpoint_dir: str,
     erase_retention: bool = False,
+    arbiter: CommitArbiter | None = None,
 ):
     """Streaming face of :func:`tx_erase` (mirrors
     ``erasure.streaming_erasure_query``): each micro-batch of erasure
@@ -1335,7 +1412,10 @@ def streaming_tx_erasure_query(
     history. Returns the started StreamingQuery."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        tx_erase(spark, root, batch_df, key, erase_retention=erase_retention)
+        tx_erase(
+            spark, root, batch_df, key,
+            erase_retention=erase_retention, arbiter=arbiter,
+        )
 
     return (
         requests_stream.writeStream.foreachBatch(_apply)

@@ -318,3 +318,34 @@ def test_lease_random_walk_invariants(tmp_path):
                     # fencing epoch never decreases
                     assert lease["count"] >= max_count[s2], (seed, step, s2)
                     max_count[s2] = lease["count"]
+
+
+def test_legacy_bare_lease_file_is_adopted(tmp_path):
+    """Upgrade path: a round-5-format lease table (bare <shard>.json, no
+    epoch suffix) is adopted — its fencing count and checkpoint carry
+    into the first epoch-file claim, a LIVE legacy lease is respected,
+    and the bare file is swept once superseded."""
+    import json
+    import os
+
+    d = str(tmp_path / "l")
+    os.makedirs(os.path.join(d, STREAM))
+    for sh, expires in (("s-exp", 5.0), ("s-live", 1000.0)):
+        with open(os.path.join(d, STREAM, f"{sh}.json"), "w") as f:
+            json.dump(
+                {"owner": "old", "expires_at": expires, "count": 7,
+                 "ckpt": "00000042"},
+                f,
+            )
+    clock = VClock()
+    clock.t = 10.0  # s-exp expired, s-live still held
+    b = ShardLeases(d, owner="B", ttl_s=10, clock=clock)
+    # checkpoints are readable pre-claim (new claimant resumes after them)
+    assert b.last_checkpoint(STREAM, "s-exp") == "00000042"
+    assert not b.try_acquire(STREAM, "s-live")  # live legacy lease holds
+    assert b.try_acquire(STREAM, "s-exp")
+    lease = b.current_lease(STREAM, "s-exp")
+    assert lease["owner"] == "B"
+    assert lease["count"] == 8  # fencing token continues, never regresses
+    assert lease["ckpt"] == "00000042"  # checkpoint survived the upgrade
+    assert not os.path.exists(os.path.join(d, STREAM, "s-exp.json"))  # swept

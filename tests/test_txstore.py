@@ -615,6 +615,49 @@ def test_tx_erase_unpartitioned(spark, tmp_path):
         tx_read(spark, root, version=1)
 
 
+def test_tx_erase_unpartitioned_no_hit_is_a_noop(spark, tmp_path):
+    """Review fix: on the unpartitioned path groupBy() is a GLOBAL
+    aggregate (one row even with zero matches), so the no-hit detection
+    must read the count — a miss publishes nothing (and with
+    erase_retention must NOT destroy history), keeping the streaming
+    erasure face's replay-convergence contract."""
+    root = str(tmp_path / "flat_nohit")
+    df = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(6)], "id long, payload string"
+    )
+    tx_init(spark, root, df)
+    missing = spark.createDataFrame([(999,), (998,)], "id long")
+    audit = tx_erase(spark, root, missing, key="id", erase_retention=True)
+    assert audit.count() == 0
+    assert tx_current_manifest(spark, root)["version"] == 1  # no commit
+    assert tx_read(spark, root, version=1).count() == 6  # history intact
+    # replaying the same no-op (the streaming face's checkpoint replay)
+    # still publishes nothing
+    tx_erase(spark, root, missing, key="id")
+    assert tx_current_manifest(spark, root)["version"] == 1
+
+
+def test_tx_erase_unpartitioned_full_erase_empties_table(spark, tmp_path):
+    """Review fix: erasing EVERY row of an unpartitioned store publishes
+    the empty table (mapping {}), mirroring the partitioned path where
+    an emptied partition drops out — and the audit says so."""
+    root = str(tmp_path / "flat_all")
+    df = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(5)], "id long, payload string"
+    )
+    tx_init(spark, root, df)
+    everyone = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    audit = tx_erase(spark, root, everyone, key="id", erase_retention=True)
+    row = audit.first()
+    assert row["n_rows_erased"] == 5 and row["partition_emptied"] is True
+    assert tx_current_manifest(spark, root)["partitions"] == {}
+    assert tx_read(spark, root).count() == 0
+    # bytes gone too: no parquet file survives anywhere under _data
+    import glob as _glob
+
+    assert _glob.glob(f"{root}/_data/**/*.parquet", recursive=True) == []
+
+
 def test_conditional_put_arbiter_single_winner(spark, store):
     """VERDICT r5 task 3: the commit CAS is an injectable seam. Race two
     committers through a fake S3-style conditional-PUT arbiter
