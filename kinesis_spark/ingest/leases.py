@@ -119,7 +119,12 @@ class ShardLeases:
         (bare ``<shard>.json``) is adopted as the current lease when no
         epoch file exists yet — its fencing count and checkpoint carry
         into the first epoch-file claim, and the sweep retires the bare
-        file once a higher epoch supersedes it."""
+        file once a higher epoch supersedes it. The upgrade is a
+        FLAG-DAY: drain every pre-epoch consumer before starting
+        epoch-format ones. A still-running old consumer only watches
+        the bare file, so after adoption it would re-create it and
+        believe it owns the shard alongside the epoch-format owner —
+        the two formats cannot safely share a live table."""
         for _count, path in reversed(self._epochs(stream, shard_id)):
             lease = self._read(path)
             if lease is not None:

@@ -658,8 +658,13 @@ def _register_p7() -> None:
 
             if os.path.isdir(idx) and not os.path.exists(marker):
                 # crash leftover: an earlier build died before its
-                # rename; clear it or the rename below can never land
-                shutil.rmtree(idx, ignore_errors=True)
+                # rename. Rename it ASIDE (atomic, one winner) instead
+                # of rmtree — a stale isdir/marker check must never
+                # delete an index another process just completed
+                try:
+                    os.rename(idx, f"{idx}.stale-{uuid.uuid4().hex[:8]}")
+                except OSError:
+                    pass  # someone else already moved or replaced it
             try:
                 os.rename(scratch, idx)
             except OSError:

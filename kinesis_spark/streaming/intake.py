@@ -30,41 +30,55 @@ proves the end state equals a greedy sequential oracle across a
 kill/failover with deliberate re-puts).
 
 Crash-INSIDE-a-batch convergence (the harder at-least-once case — the
-hash store and the corpus commit cannot be updated atomically
-together): the batch is ordered so every crash point redoes safely.
-(a) The corpus append is guarded by an anti-join against the touched
-corpus partitions' doc_ids — a redo whose predecessor crashed after
-``tx_append`` but before the hash-store append finds the docs already
-in the corpus and appends nothing. (b) The index artifacts write with
-the HASH STORE LAST: the hash store is the admission gate, so as long
-as it trails everything else, a redo regenerates whatever a partial
-attempt left missing (duplicate band keys/hashes are harmless —
-consumers are semi-joins). (c) The rollup is a RECOUNT of the touched
-corpus partitions, not an accumulated delta — recomputing it is
-idempotent, and it runs even when the batch dedups to nothing so a
-crash between the hash-store append and the rollup still heals.
+hash store, band index, corpus commit, and rollup cannot be updated
+atomically together) uses bloom_dedup.py's staged-batch discipline:
+
+- The admitted set is computed ONCE and STAGED to a per-(run, batch)
+  parquet snapshot before any durable state mutates; a ``_STAGED``
+  sidecar marks the snapshot complete. A redo whose snapshot is marked
+  reloads it VERBATIM instead of re-deriving admission against indexes
+  a partial attempt already mutated (re-deriving would, e.g., see the
+  batch's own band keys and resolve itself empty — then the hash store
+  could never be completed). The snapshot read is also the lineage
+  barrier against the read-your-own-writes trap.
+- The corpus append runs an anti-join guard against the touched
+  partitions' doc_ids ONLY on the redo path — the steady-state batch
+  never scans the corpus; a redo whose predecessor died after
+  ``tx_append`` finds the docs present and appends nothing.
+- Index appends (bands, then hashes) are harmless to repeat —
+  consumers are semi-joins, duplicates are noise, not state.
+- The rollup applies an O(batch) DELTA on the fresh path and an
+  idempotent RECOUNT of the touched partitions on the redo path (a
+  delta can't know whether the crashed attempt already applied it).
+- A ``_done`` marker written LAST makes full replays of completed
+  batches (failover re-delivery) a metadata no-op; the staging
+  snapshot is deleted after it.
+
+Identity contract: ``id_col`` is unique across the stream (the
+producer's contract — two DIFFERENT documents must not share an id).
+The sink dedups CONTENT; it does not adjudicate id collisions.
 
 Ordering contract: within a batch, admission is deterministic (min-id
 window + the a.id < b.id band rule). Across batches it is first-come-
 first-admitted — the arrival order IS the tie-break, which is the only
 meaningful contract for an unbounded stream.
 
-Scale shape per batch: one narrow pass over the batch (row-local
+Scale shape per FRESH batch: one narrow pass over the batch (row-local
 probes), a hash-store scan pruned to its single column with the
 batch-scale candidate set broadcast (never the store), a band-index
-equi-join, and one manifest swap per touched store. Nothing scales
-with the corpus except the two hash/key-sized index-relation scans.
-The lineage of the admitted relation is PINNED before step 5 — its
-plan reads the same index directories step 5 appends to, and an
-unpinned re-evaluation would see the batch's own hashes and resolve
-itself empty (the read-your-own-writes trap)."""
+equi-join, one batch-sized staging write/read, one manifest swap per
+touched store, and a rollup delta over rollup-sized rows. Nothing
+scales with the corpus except the two hash/key-sized index-relation
+scans; corpus-partition scans happen only on crash-redo."""
 
 from __future__ import annotations
+
+import hashlib
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_spark.checkpoints import pin
 from kinesis_spark.txstore import (
     tx_append,
     tx_current_manifest,
@@ -81,7 +95,10 @@ class PrepIntakeSink:
     ``bands_dir`` follow prep_index.py's layout (bootstrap them with
     ``build_prep_index`` or let the sink grow them from empty);
     ``store_root`` / ``rollup_root`` are transactional stores created on
-    first use, partitioned by ``partition_cols``."""
+    first use, partitioned by ``partition_cols``. ``run_token`` scopes
+    batch numbering to one streaming query (``start_prep_intake``
+    derives it from the checkpoint location, so restarts of the same
+    checkpoint share markers while a NEW query's batch 0 is new work)."""
 
     def __init__(
         self,
@@ -94,6 +111,7 @@ class PrepIntakeSink:
         partition_cols: tuple[str, ...] = ("lang", "source"),
         id_col: str = "doc_id",
         text_col: str = "text",
+        run_token: str = "manual",
     ) -> None:
         self.spark = spark
         self.hashes_dir = hashes_dir
@@ -103,22 +121,41 @@ class PrepIntakeSink:
         self.partition_cols = list(partition_cols)
         self.id_col = id_col
         self.text_col = text_col
+        self.run_token = run_token
 
     # -- internals -----------------------------------------------------
+
+    def _intake_dir(self) -> str:
+        return os.path.join(self.store_root, "_intake")
+
+    def _marker(self, kind: str, batch_id: int) -> str:
+        return os.path.join(
+            self._intake_dir(), f"_{kind}-{self.run_token}-{batch_id}"
+        )
+
+    def _stage_dir(self, batch_id: int) -> str:
+        return os.path.join(
+            self._intake_dir(), "staging", f"b-{self.run_token}-{batch_id}"
+        )
 
     def _existing(self, path: str, schema: str) -> DataFrame:
         from pyspark.errors import AnalysisException
 
+        from kinesis_spark.partitioned_store import is_missing_store
+
         try:
             return self.spark.read.schema(schema).parquet(path)
-        except AnalysisException:
-            # missing path = empty index. ONLY that: a transient I/O
-            # failure on a populated index must fail the batch (and let
-            # the streaming query retry), not admit everything as fresh
+        except AnalysisException as exc:
+            # missing path = empty index. ONLY that: any other failure
+            # on a populated index must fail the batch (and let the
+            # streaming query retry), not admit everything as fresh
+            if not is_missing_store(exc):
+                raise
             return self.spark.createDataFrame([], schema)
 
     def _admit(self, batch: DataFrame) -> DataFrame:
-        """Steps 1-3: the admitted subset of ``batch``, lineage-pinned."""
+        """Steps 1-3: the admitted subset of ``batch`` (lazy — the
+        caller materializes it into the staging snapshot)."""
         from pyspark.sql.window import Window
 
         from kinesis_spark.streaming.neardup import band_keys
@@ -151,22 +188,12 @@ class PrepIntakeSink:
             .select(F.col("b.doc_id").alias("doc_id"))
         )
         near = hit_index.unionByName(lower).distinct()
-        return fresh.join(
-            near, fresh[did] == near["doc_id"], "left_anti"
-        ).transform(pin)
+        return fresh.join(near, fresh[did] == near["doc_id"], "left_anti")
 
-    def _recount_rollup(self, touched: list[tuple]) -> None:
-        """Recount the touched corpus partitions into the rollup —
-        idempotent by construction (module header, crash point c):
-        values come from the STORE, never from accumulated deltas, so
-        replays and partial-batch redos converge instead of drifting."""
-        spark, pcols = self.spark, self.partition_cols
-        try:
-            slice_df = tx_read(spark, self.store_root, partition_values=touched)
-        except FileNotFoundError:
-            return  # nothing ever admitted: nothing to count
-        agg = (
-            slice_df.groupBy(*pcols)
+    def _rollup_agg(self, docs: DataFrame) -> DataFrame:
+        pcols = self.partition_cols
+        return (
+            docs.groupBy(*pcols)
             .agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                 F.sum(F.size(F.split(self.text_col, WS)))
@@ -174,77 +201,141 @@ class PrepIntakeSink:
                 .alias("total_tokens"),
             )
             .withColumn("ls", F.concat_ws("|", *pcols))
+            .select("ls", *pcols, "n_docs", "total_tokens")
         )
-        cols = ["ls", *pcols, "n_docs", "total_tokens"]
+
+    def _rollup_delta(self, docs: DataFrame) -> None:
+        """Fresh path: add the batch's counts to the touched rollup rows
+        (O(batch) + rollup-sized reads; runs at most once per batch —
+        any crash reroutes the batch through the redo RECOUNT)."""
+        spark, pcols = self.spark, self.partition_cols
+        agg = self._rollup_agg(docs)
         try:
             tx_current_manifest(spark, self.rollup_root)
-            tx_upsert(spark, self.rollup_root, agg.select(*cols), key="ls")
         except FileNotFoundError:
-            tx_init(
-                spark,
-                self.rollup_root,
-                agg.select(*cols),
-                partition_col=pcols[0],
+            tx_init(spark, self.rollup_root, agg, partition_col=pcols[0])
+            return
+        cur = tx_read(spark, self.rollup_root)
+        merged = (
+            agg.alias("n")
+            .join(cur.alias("o"), "ls", "left")
+            .select(
+                "ls",
+                *[F.col(f"n.{c}").alias(c) for c in pcols],
+                (F.col("n.n_docs") + F.coalesce("o.n_docs", F.lit(0)))
+                .cast("bigint")
+                .alias("n_docs"),
+                (
+                    F.col("n.total_tokens")
+                    + F.coalesce("o.total_tokens", F.lit(0))
+                )
+                .cast("bigint")
+                .alias("total_tokens"),
             )
+        )
+        tx_upsert(spark, self.rollup_root, merged, key="ls")
+
+    def _rollup_recount(self, touched: list[tuple]) -> None:
+        """Redo path: recount the touched corpus partitions — idempotent
+        (values come from the STORE, not accumulated deltas), so a redo
+        converges no matter where the crashed attempt stopped."""
+        spark = self.spark
+        try:
+            slice_df = tx_read(spark, self.store_root, partition_values=touched)
+        except FileNotFoundError:
+            return  # nothing ever admitted: nothing to count
+        agg = self._rollup_agg(slice_df)
+        try:
+            tx_current_manifest(spark, self.rollup_root)
+            tx_upsert(spark, self.rollup_root, agg, key="ls")
+        except FileNotFoundError:
+            tx_init(spark, self.rollup_root, agg, partition_col=self.partition_cols[0])
 
     # -- the sink --------------------------------------------------------
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        batch = batch.persist()
-        try:
-            # the touched partition set comes from the BATCH, not the
-            # admitted subset: the rollup recount must run even when
-            # everything dedups away (a replayed batch whose first
-            # attempt crashed before the recount — crash point c)
+        if os.path.exists(self._marker("done", batch_id)):
+            return  # full replay of a completed batch: metadata no-op
+
+        stage = self._stage_dir(batch_id)
+        staged_marker = self._marker("staged", batch_id)
+        redo = os.path.exists(staged_marker)
+        if redo:
+            # a prior attempt crashed after staging: reuse ITS admitted
+            # set verbatim — the indexes may already contain this
+            # batch's keys, so re-deriving admission would be wrong
+            admitted = self.spark.read.parquet(stage)
+        else:
+            # stage the admitted snapshot before any durable mutation
+            # (overwrite: a crash mid-write just re-stages); the
+            # read-back is also the lineage barrier against the
+            # read-your-own-writes trap
+            self._admit(batch).write.mode("overwrite").parquet(stage)
+            os.makedirs(self._intake_dir(), exist_ok=True)
+            with open(staged_marker, "w") as f:
+                f.write(str(batch_id))
+            admitted = self.spark.read.parquet(stage)
+
+        if not admitted.isEmpty():
+            docs = admitted.drop("__h")
             touched = [
                 tuple(r)
-                for r in batch.select(*self.partition_cols).distinct().collect()
+                for r in docs.select(*self.partition_cols).distinct().collect()
             ]
-            admitted = self._admit(batch)
-            if not admitted.isEmpty():
-                docs = admitted.drop("__h")
-                # corpus-guard (crash point a): drop docs a crashed
-                # predecessor already appended but never hash-indexed
-                try:
-                    tx_current_manifest(self.spark, self.store_root)
+            try:
+                tx_current_manifest(self.spark, self.store_root)
+                to_append = docs
+                if redo:
+                    # corpus-guard, REDO ONLY: the crashed attempt may
+                    # have appended already; the steady state never
+                    # pays this corpus-partition scan
                     present = tx_read(
                         self.spark, self.store_root, partition_values=touched
                     ).select(F.col(self.id_col).alias("__present_id"))
-                    fresh_docs = docs.join(
+                    to_append = docs.join(
                         present,
                         docs[self.id_col] == present["__present_id"],
                         "left_anti",
                     )
-                    if not fresh_docs.isEmpty():
-                        tx_append(self.spark, self.store_root, fresh_docs)
-                except FileNotFoundError:
-                    tx_init(
-                        self.spark,
-                        self.store_root,
-                        docs,
-                        partition_col=self.partition_cols,
-                    )
-                # index artifacts from ADMITTED (not the guard's
-                # survivors): a redo must regenerate what a partial
-                # attempt left missing. Bands first, HASH STORE LAST —
-                # it is the admission gate (crash point b)
-                from kinesis_spark.streaming.neardup import band_keys
-
-                band_keys(
-                    admitted.select(
-                        F.col(self.id_col).alias("doc_id"),
-                        F.col(self.text_col).alias("text"),
-                    )
-                ).select("band_key").distinct().write.mode("append").parquet(
-                    self.bands_dir
+                if not to_append.isEmpty():
+                    tx_append(self.spark, self.store_root, to_append)
+            except FileNotFoundError:
+                tx_init(
+                    self.spark,
+                    self.store_root,
+                    docs,
+                    partition_col=self.partition_cols,
                 )
-                admitted.select(F.col("__h").alias("h")).write.mode(
-                    "append"
-                ).parquet(self.hashes_dir)
-            if self.rollup_root is not None and touched:
-                self._recount_rollup(touched)
-        finally:
-            batch.unpersist()
+            # index appends are repeat-harmless (semi-join consumers);
+            # the snapshot guarantees the SAME rows on every attempt
+            from kinesis_spark.streaming.neardup import band_keys
+
+            band_keys(
+                admitted.select(
+                    F.col(self.id_col).alias("doc_id"),
+                    F.col(self.text_col).alias("text"),
+                )
+            ).select("band_key").distinct().write.mode("append").parquet(
+                self.bands_dir
+            )
+            admitted.select(F.col("__h").alias("h")).write.mode(
+                "append"
+            ).parquet(self.hashes_dir)
+            if self.rollup_root is not None:
+                if redo:
+                    self._rollup_recount(touched)
+                else:
+                    self._rollup_delta(docs)
+
+        with open(self._marker("done", batch_id), "w") as f:
+            f.write(str(batch_id))
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+        try:
+            os.unlink(staged_marker)
+        except FileNotFoundError:
+            pass
 
 
 def start_prep_intake(
@@ -256,7 +347,13 @@ def start_prep_intake(
     """Wire the sink into a streaming query. The caller owns the
     upstream gate (language/length/quality filters are stream-safe
     projections) and any replay-shield ``dropDuplicates`` it wants in
-    front; returns the started StreamingQuery."""
+    front. Scopes the sink's batch markers to this checkpoint, so a
+    restart of the SAME checkpoint replays against its own markers
+    while a fresh query starts a fresh marker space. Returns the
+    started StreamingQuery."""
+    sink.run_token = hashlib.md5(
+        os.path.realpath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
     writer = (
         docs_stream.writeStream.foreachBatch(sink.process_batch)
         .option("checkpointLocation", checkpoint_dir)

@@ -661,36 +661,16 @@ def _collect_rel_stats(
     stats_columns: list[str],
 ) -> dict[str, dict]:
     """Per-staged-generation-dir [min, max] of ``stats_columns`` — ONE
-    aggregation over the staged files (grouped by the partition columns
-    hive-discovery gives back), keyed by the manifest rel path.
+    aggregation over the staged files, keyed by the manifest rel path.
 
-    Partition-column TYPE INFERENCE is disabled for this read: the
-    manifest keys are the raw directory strings, and inference would
-    rewrite e.g. 'true' -> True ('True') or '01' -> 1 ('1'), silently
-    orphaning the stats of any generation whose inferred value
-    round-trips to a different string."""
-    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    prev = spark.conf.get(infer_key, None)
-    spark.conf.set(infer_key, "false")
-    try:
-        return _collect_rel_stats_raw(
-            spark, stage_dir, staged_mapping, pcols, stats_columns
-        )
-    finally:
-        if prev is None:
-            spark.conf.unset(infer_key)
-        else:
-            spark.conf.set(infer_key, prev)
-
-
-def _collect_rel_stats_raw(
-    spark: SparkSession,
-    stage_dir: str,
-    staged_mapping: dict[str, str],
-    pcols: list[str] | None,
-    stats_columns: list[str],
-) -> dict[str, dict]:
-    stf = spark.read.parquet(stage_dir)
+    Grouping key = the partition DIRECTORY path extracted from
+    ``input_file_name()``, never hive type inference: inference rewrites
+    e.g. 'true' -> True ('True') or '01' -> 1 ('1'), silently orphaning
+    the stats of any generation whose inferred value round-trips to a
+    different string — and flipping the inference conf session-wide
+    would change concurrent readers' dtypes. The recursive leaf read
+    sees data columns only; the file path IS the raw key."""
+    stf = spark.read.option("recursiveFileLookup", "true").parquet(stage_dir)
     aggs = []
     for c in stats_columns:
         aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
@@ -702,9 +682,21 @@ def _collect_rel_stats_raw(
             for c in stats_columns
         }
         return out
-    for r in stf.groupBy(*[F.col(c) for c in pcols]).agg(*aggs).collect():
-        key = _tuple_key([_value_key(r[c]) for c in pcols])
-        rel = staged_mapping.get(key)
+    # .../<stage token>/col1=v1[/col2=v2...]/part-xyz.parquet
+    #     -> "col1=v1[/col2=v2...]" (the ESCAPED on-disk form)
+    subdir = F.regexp_extract(
+        F.input_file_name(),
+        re.escape(stage_dir.rstrip("/")) + r"/(.+)/[^/]+$",
+        1,
+    )
+    for r in stf.groupBy(subdir.alias("__subdir")).agg(*aggs).collect():
+        segs = r["__subdir"].split("/")
+        if len(segs) != len(pcols):
+            continue  # not a partition leaf of this layout
+        vals = [
+            _unescape_partition_dir(seg, col) for seg, col in zip(segs, pcols)
+        ]
+        rel = staged_mapping.get(_tuple_key(vals))
         if rel is not None:
             out[rel] = {
                 c: [_json_stat(r[f"__mn_{c}"]), _json_stat(r[f"__mx_{c}"])]

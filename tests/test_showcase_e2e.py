@@ -139,12 +139,16 @@ def _drain(spark, spool, work, sink: IntakeSink, consumer_id: str, ttl: str):
         )
         .dropDuplicates(["doc_id"])
     )
+    from kinesis_spark.streaming.intake import start_prep_intake
+
     with state_store(spark, "rocksdb"):
-        q = (
-            docs.writeStream.foreachBatch(sink.process_batch)
-            .option("checkpointLocation", f"{work}/ckpt-{consumer_id}")
-            .trigger(availableNow=True)
-            .start()
+        # start_prep_intake scopes the sink's batch markers to this
+        # consumer's checkpoint — B's batch 0 must not collide with A's
+        q = start_prep_intake(
+            docs,
+            sink,
+            f"{work}/ckpt-{consumer_id}",
+            trigger_available_now=True,
         )
         assert q.awaitTermination(240)
         q.stop()

@@ -1008,6 +1008,30 @@ def test_rules_validator_gates_the_commit(spark, store):
     assert tx_read(spark, store).filter(F.col("o_orderkey") == 9_800_003).count() == 1
 
 
+def test_manifest_stats_keys_survive_type_inference_traps(spark, tmp_path):
+    """Review fix: stats are keyed by the raw partition DIRECTORY path,
+    not hive type inference — boolean and zero-padded partition values
+    (whose inferred form round-trips to a different string) must still
+    get stats, and the skip must still fire on them."""
+    from kinesis_spark.txstore import tx_manifest
+
+    root = str(tmp_path / "bool_tx")
+    df = spark.createDataFrame(
+        [(1, 10, True, "01"), (2, 20, True, "01"),
+         (3, 1000, False, "1"), (4, 2000, False, "1")],
+        "id long, seq long, flag boolean, code string",
+    )
+    tx_init(spark, root, df, partition_col=["flag", "code"],
+            stats_columns=["seq"])
+    man = tx_manifest(spark, root)
+    # every generation dir earned stats despite bool/zero-padded values
+    all_rels = {r for rels in man["partitions"].values() for r in rels}
+    assert set(man["rel_stats"]) == all_rels and len(all_rels) == 2
+    hit = tx_read(spark, root, stats_filter={"seq": (0, 100)})
+    assert sorted(r.id for r in hit.collect()) == [1, 2]
+    assert all("flag=true" in f for f in hit.inputFiles())  # other gen skipped
+
+
 def test_vacuum_spares_fresh_tmp_manifests(spark, store, tmp_path):
     """ADVICE r5 (low): a vacuum running concurrently with an in-flight
     publish must not delete the publisher's just-written temp manifest.
