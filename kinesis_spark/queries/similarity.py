@@ -2043,3 +2043,123 @@ if sim17_margin_bitext.__doc__:  # absent under python -OO
     sim17_margin_bitext.__doc__ = sim17_margin_bitext.__doc__.format(
         thr=BITEXT_THRESHOLD
     )
+
+
+@register(
+    "sim18_ann_recall_eval",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_aggregate(list_transform(range(1, 9),
+             i -> CASE WHEN embedding[CAST(i AS INT)] >= 0 THEN '1' ELSE '0' END),
+             'string_agg', '') AS bucket
+  FROM embeddings
+),
+ex AS (
+  SELECT query_id, match_id, rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6) DESC,
+                        c.vec_id) AS rank
+    FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id
+  ) WHERE rank <= {TOP_K}
+),
+ann AS (
+  SELECT query_id, match_id, rank AS ann_rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6) DESC,
+                        c.vec_id) AS rank
+    FROM e q JOIN e c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rank <= {TOP_K}
+),
+per AS (
+  SELECT x.query_id,
+         CAST(SUM(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits,
+         CAST(COALESCE(MAX(CASE WHEN x.rank = 1 THEN a.ann_rank END), 0)
+              AS BIGINT) AS top1_ann_rank
+  FROM ex x LEFT JOIN ann a
+    ON x.query_id = a.query_id AND x.match_id = a.match_id
+  GROUP BY x.query_id
+),
+scored AS (
+  SELECT query_id, n_hits,
+         CAST(n_hits AS DOUBLE) / {TOP_K} AS recall_at_k,
+         CASE WHEN top1_ann_rank = 0 THEN 0.0
+              ELSE 1.0 / top1_ann_rank END AS rr
+  FROM per
+)
+SELECT query_id, n_hits, recall_at_k, rr,
+       CAST(SUM(n_hits) OVER () AS DOUBLE) / {N_QUERIES * TOP_K} AS mean_recall,
+       CAST(SUM(CAST(rr AS DECIMAL(9,6))) OVER () AS DOUBLE) / {N_QUERIES}.0
+         AS mrr
+FROM scored
+""",
+    tags=("similarity", "ann", "evaluation", "recall"),
+)
+def sim18_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN EVALUATION as a first-class operator — the report every
+    index deployment runs before trusting approximate retrieval:
+    per-query recall@{K} of the sign-LSH ANN (sim2) against the exact
+    brute-force baseline (sim1), the reciprocal rank of the true
+    nearest neighbor in the ANN list (0 when the bucket missed it),
+    and table-level mean recall + MRR carried on every row. Composed
+    from the two REGISTERED operators, so the evaluation measures
+    exactly what the production queries serve (the pytest recall-floor
+    suites pin thresholds; this face ships the numbers).
+
+    Determinism: both retrievals already rank on the 6-dp-rounded
+    cosine with id tie-breaks, so hit sets are exact; mean recall
+    derives from integer hit counts (one division), and MRR sums the
+    reciprocal ranks through a DECIMAL(9,6) bridge before its single
+    division — no order-dependent double accumulation.
+
+    Scale shape: inherits sim1's one-narrow-pass baseline (the exact
+    side is the expensive half — which is WHY evaluation runs on a
+    query SAMPLE, a fixed broadcast-sized set by construction) and
+    sim2's equi-join candidates; the eval join itself is per-(query,
+    match) over k-sized lists."""
+    ex = sim1_topk_cosine(spark, sf_dir).select("query_id", "match_id", "rank")
+    ann = sim2_lsh_bucketed_ann(spark, sf_dir).select(
+        "query_id", "match_id", F.col("rank").alias("ann_rank")
+    )
+    j = ex.join(ann, ["query_id", "match_id"], "left")
+    per = j.groupBy("query_id").agg(
+        F.sum(F.when(F.col("ann_rank").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hits"),
+        F.coalesce(
+            F.max(F.when(F.col("rank") == 1, F.col("ann_rank"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("top1_ann_rank"),
+    )
+    scored = per.select(
+        "query_id",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.lit(float(TOP_K))).alias(
+            "recall_at_k"
+        ),
+        F.when(F.col("top1_ann_rank") == 0, F.lit(0.0))
+        .otherwise(F.lit(1.0) / F.col("top1_ann_rank"))
+        .alias("rr"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return scored.select(
+        "query_id",
+        "n_hits",
+        "recall_at_k",
+        "rr",
+        (
+            F.sum("n_hits").over(wall).cast("double")
+            / F.lit(float(N_QUERIES * TOP_K))
+        ).alias("mean_recall"),
+        (
+            F.sum(F.col("rr").cast("decimal(9,6)")).over(wall).cast("double")
+            / F.lit(float(N_QUERIES))
+        ).alias("mrr"),
+    )
