@@ -57,7 +57,14 @@ import uuid
 
 def _seq_key(seq: str) -> tuple[int, str]:
     """Monotonicity key for sequence-number strings: numeric order for
-    unsigned decimal strings of any width ('9' < '10' < '0012')."""
+    unsigned decimal strings of any width ('9' < '10' < '0012').
+    Leading zeros are stripped first so MIXED padding can't regress a
+    checkpoint: without it, '08' after '9' compares higher
+    ((2,'08') > (1,'9')) and would overwrite the checkpoint with a
+    numerically smaller sequence. Non-numeric sequences fall back to
+    the raw (len, seq) key unchanged."""
+    if seq.isdigit():
+        seq = seq.lstrip("0") or "0"
     return (len(seq), seq)
 
 

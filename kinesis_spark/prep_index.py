@@ -103,8 +103,14 @@ def incremental_prep_indexed(
     hashes = spark.read.parquet(os.path.join(index_dir, "hashes"))
     probed = probe_bloom_dense(bh, dense, "h")
     cand_keys = probed.filter(F.col("maybe_member")).select("h").distinct()
+    # .distinct(): the hash store may legitimately hold duplicate hashes
+    # (intake.py's crash-redo path re-appends admitted hashes — "index
+    # appends are harmless to repeat"); without it the left join below
+    # fans out and double-counts docs. Bounded by the batch candidate set.
     confirmed = (
         hashes.join(F.broadcast(cand_keys), "h", "left_semi")
+        .select("h")
+        .distinct()
         .withColumn("in_corpus", F.lit(True))
     )
     flagged = probed.join(F.broadcast(confirmed), "h", "left").select(

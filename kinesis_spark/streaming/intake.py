@@ -75,6 +75,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -116,6 +117,21 @@ class PrepIntakeSink:
         self.spark = spark
         self.hashes_dir = hashes_dir
         self.bands_dir = bands_dir
+        # The staged/done markers and the staging snapshot use local
+        # os.path/open/shutil I/O; a non-local store_root (hdfs://, s3a://)
+        # would silently write markers to a misleading local path and void
+        # the crash-redo protocol. Fail fast until marker I/O is routed
+        # through the Hadoop FS like txstore's _fs helpers.
+        scheme = urllib.parse.urlparse(store_root).scheme
+        if scheme:
+            # even file:// breaks: os.path.join would treat the URI as a
+            # relative path, creating a literal "file:" directory in cwd
+            raise ValueError(
+                "PrepIntakeSink markers use local-filesystem I/O; "
+                f"store_root must be a plain local path, got scheme "
+                f"{scheme!r} ({store_root!r}). Mount the store locally or "
+                "extend the sink's marker I/O to the Hadoop FS first."
+            )
         self.store_root = store_root
         self.rollup_root = rollup_root
         self.partition_cols = list(partition_cols)

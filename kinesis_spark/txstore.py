@@ -818,14 +818,46 @@ def _vacuum_to(
             for rel in rels:
                 # token dir is the generation unit: _data/<token>[/col=v]
                 referenced.add(rel.split("/")[1])
+    referenced_ever: set[str] = set(referenced)
+    for name in _fs_list_names(spark, f"{root}/{_TXLOG}"):
+        if not re.fullmatch(r"(\d{8})\.json", name):
+            continue
+        try:
+            old = json.loads(_fs_read_text(spark, f"{root}/{_TXLOG}/{name}"))
+        except Exception:
+            continue  # removed by a concurrent vacuum between list and read
+        for rels in old["partitions"].values():
+            for rel in rels:
+                referenced_ever.add(rel.split("/")[1])
     removed = []
     fs = _fs(spark, root)
     now_ms = spark._jvm.System.currentTimeMillis()
     for token in _fs_list_names(spark, f"{root}/{_DATA}"):
-        if token not in referenced:
-            path = f"{root}/{_DATA}/{token}"
-            fs.delete(_jpath(spark, path), True)
-            removed.append(path)
+        if token in referenced:
+            continue
+        path = f"{root}/{_DATA}/{token}"
+        if token not in referenced_ever:
+            # Never referenced by ANY manifest: either an IN-FLIGHT
+            # publish's staged generation (data lands under _data/<token>
+            # BEFORE the manifest commits — deleting it makes that commit
+            # publish a manifest pointing at missing files) or an orphan
+            # from a crashed publish. Age is the only distinguishing
+            # signal, so apply the same grace window as for .tmp-
+            # manifests. Tokens referenced by a to-be-dropped manifest
+            # were committed and superseded (or are being erased) and
+            # delete immediately — sparing them would void
+            # erase_retention's physical-destruction guarantee.
+            try:
+                age_ms = (
+                    now_ms
+                    - fs.getFileStatus(_jpath(spark, path)).getModificationTime()
+                )
+            except Exception:
+                continue  # vanished between listing and stat
+            if age_ms <= tmp_grace_s * 1000:
+                continue
+        fs.delete(_jpath(spark, path), True)
+        removed.append(path)
     for name in _fs_list_names(spark, f"{root}/{_TXLOG}"):
         path = f"{root}/{_TXLOG}/{name}"
         if name.startswith(".tmp-"):
@@ -880,6 +912,10 @@ def tx_upsert(
         .select(key, *[F.col(f"_row.{c}").alias(c) for c in other])
     )
     if pcols is None:
+        if updates.isEmpty():
+            # mirror the partitioned path's `if not parts: return 0` —
+            # an empty micro-batch must not publish a full-table rewrite
+            return 0
         # unpartitioned: the whole table is the one touched "partition"
         target = tx_read(spark, root)
         upd_keys = updates.select(key)

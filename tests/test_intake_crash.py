@@ -170,3 +170,32 @@ def test_completed_batch_replay_is_a_noop(spark, sf_dir, tmp_path):
     assert os.path.exists(sink._marker("done", 0))
     sink.process_batch(b1, 0)
     assert _end_state(spark, sink) == state
+
+
+def test_non_local_store_root_fails_fast(spark, tmp_path):
+    """ADVICE r6 (low): the sink's markers/staging are local-filesystem
+    I/O; a remote store_root would silently write markers to a
+    misleading local path and void the crash-redo protocol. Construction
+    must reject non-local roots until marker I/O goes through Hadoop FS."""
+    import pytest
+
+    for bad in (
+        "hdfs://nn:8020/corpus",
+        "s3a://bucket/corpus",
+        f"file://{tmp_path}/corpus",  # even file:// — os.path would
+        # treat the URI as a relative path ("file:" dir in cwd)
+    ):
+        with pytest.raises(ValueError, match="local"):
+            PrepIntakeSink(
+                spark,
+                hashes_dir=f"{tmp_path}/h",
+                bands_dir=f"{tmp_path}/b",
+                store_root=bad,
+            )
+    # plain local paths stay accepted
+    PrepIntakeSink(
+        spark,
+        hashes_dir=f"{tmp_path}/h",
+        bands_dir=f"{tmp_path}/b",
+        store_root=f"{tmp_path}/ok",
+    )

@@ -251,6 +251,24 @@ def test_checkpoint_orders_variable_width_sequences_numerically(tmp_path):
     assert a.last_checkpoint(STREAM, "s") == "10"
 
 
+def test_checkpoint_mixed_zero_padding_cannot_regress(tmp_path):
+    """ADVICE r6 (low): mixed zero-padding must not smuggle a numeric
+    regression past the (len, seq) key — checkpoint('08') after
+    checkpoint('9') is a regress (8 < 9) even though the padded string
+    is longer. Leading zeros are stripped before comparison."""
+    clock = VClock()
+    a = ShardLeases(str(tmp_path / "l"), owner="A", ttl_s=100, clock=clock)
+    assert a.try_acquire(STREAM, "s")
+    assert a.checkpoint(STREAM, "s", "9")
+    a.checkpoint(STREAM, "s", "08")  # numerically smaller: swallowed
+    assert a.last_checkpoint(STREAM, "s") == "9"
+    assert a.checkpoint(STREAM, "s", "0010")  # numerically larger: advances
+    assert a.last_checkpoint(STREAM, "s") == "0010"
+    # all-zeros edge: '000' is 0, never beats anything positive
+    a.checkpoint(STREAM, "s", "000")
+    assert a.last_checkpoint(STREAM, "s") == "0010"
+
+
 def test_lease_random_walk_invariants(tmp_path):
     """Model-based sequential walk of the epoch-file protocol (the
     txstore random-walk's sibling): random acquire/renew/checkpoint/

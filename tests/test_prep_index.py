@@ -44,6 +44,30 @@ def test_indexed_report_equals_p3_with_zero_corpus_scans(spark, sf_dir, tmp_path
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, p3.collect()))
 
 
+def test_duplicate_store_hashes_do_not_fan_out_report(spark, sf_dir, tmp_path):
+    """intake.py's crash-redo path legitimately re-appends admitted
+    hashes ('index appends are harmless to repeat'): a duplicated hash
+    store must produce the identical report, not double-counted
+    n_batch/n_exact_dup rows via join fan-out."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus_docs = d.filter(F.col("doc_id") % 10 != 0)
+    batch_docs = d.filter(F.col("doc_id") % 10 == 0)
+    idx = str(tmp_path / "prep_index")
+    build_prep_index(spark, corpus_docs, idx)
+    batch_path = str(tmp_path / "batch")
+    batch_docs.write.parquet(batch_path)
+    batch = spark.read.parquet(batch_path)
+
+    clean = sorted(map(tuple, incremental_prep_indexed(spark, batch, idx).collect()))
+
+    # simulate the redo: every store hash appended a second time
+    hashes = spark.read.parquet(f"{idx}/hashes")
+    hashes.write.mode("append").parquet(f"{idx}/hashes")
+
+    redone = sorted(map(tuple, incremental_prep_indexed(spark, batch, idx).collect()))
+    assert redone == clean
+
+
 def test_bloom_rebuilds_from_hash_store_without_corpus(spark, sf_dir, tmp_path):
     """The bitmap is derived state: losing it costs one scan of the
     persisted hash store, never a corpus scan."""

@@ -83,8 +83,14 @@ def test_crash_after_audit_leaves_old_table_visible(spark, store):
     with pytest.raises(RuntimeError, match="simulated crash"):
         tx_publish(spark, store, updates, _fail_at="after-audit")
     assert _snapshot(spark, store) == before
-    # the orphaned stage generation is reclaimable
-    removed = tx_vacuum(spark, store, keep_manifests=1)
+    # a default-grace vacuum SPARES the fresh orphan — it cannot tell it
+    # from an in-flight publish's staging (ADVICE r6) — so within the
+    # grace window the table is merely unchanged, not yet reclaimed
+    assert not any(
+        "_data/" in p for p in tx_vacuum(spark, store, keep_manifests=1)
+    )
+    # the orphaned stage generation is reclaimable at explicit zero grace
+    removed = tx_vacuum(spark, store, keep_manifests=1, tmp_grace_s=0.0)
     assert any("_data/" in p for p in removed)
     assert _snapshot(spark, store) == before
 
@@ -1051,6 +1057,74 @@ def test_vacuum_spares_fresh_tmp_manifests(spark, store, tmp_path):
     assert any(p.endswith(".tmp-crashed.json") for p in removed)
     assert not any(p.endswith(".tmp-inflight.json") for p in removed)
     assert os.path.exists(fresh) and not os.path.exists(stale)
+
+
+def test_vacuum_spares_fresh_staged_data_tokens(spark, store):
+    """ADVICE r6 (medium): an in-flight publish stages its generation
+    under _data/<token> BEFORE committing the manifest — a concurrent
+    vacuum must not delete it (the publish would commit a manifest
+    pointing at missing files). Fresh never-referenced tokens survive;
+    stale orphans (crashed publishes) are reclaimed; and superseded
+    tokens (referenced only by dropped manifests) still delete
+    immediately so erase_retention's destruction guarantee holds."""
+    import os
+    import time as _time
+
+    data_dir = f"{store}/_data"
+    fresh = os.path.join(data_dir, "g-inflight")
+    stale = os.path.join(data_dir, "g-crashed")
+    for d in (fresh, stale):
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0.parquet"), "w") as f:
+            f.write("x")
+    old = _time.time() - 7200
+    os.utime(stale, (old, old))
+
+    # a superseded generation: version 2 rewrites everything, so v1's
+    # token is referenced only by the to-be-dropped manifest
+    tx_publish(
+        spark, store, tx_read(spark, store), partition_col="month",
+        replace_all=True,
+    )
+    import json
+
+    with open(f"{store}/_txlog/00000001.json") as f:
+        v1_tokens = {
+            rel.split("/")[1]
+            for rels in json.load(f)["partitions"].values()
+            for rel in rels
+        }
+
+    removed = tx_vacuum(spark, store, keep_manifests=1)
+    assert os.path.exists(fresh), "in-flight staged generation was vacuumed"
+    assert not os.path.exists(stale), "crashed-publish orphan survived"
+    assert any(p.endswith("g-crashed") for p in removed)
+    # superseded (dropped-manifest-referenced) generations went despite
+    # being younger than the grace window
+    assert any("/_data/" in p and not p.endswith("g-crashed") for p in removed)
+    for t in v1_tokens:
+        assert not os.path.exists(os.path.join(data_dir, t))
+    # zero grace reclaims the fresh orphan too (explicit operator choice)
+    removed2 = tx_vacuum(spark, store, keep_manifests=1, tmp_grace_s=0.0)
+    assert any(p.endswith("g-inflight") for p in removed2)
+    assert not os.path.exists(fresh)
+
+
+def test_tx_upsert_unpartitioned_empty_updates_is_noop(spark, tmp_path):
+    """ADVICE r6 (low): an empty updates DataFrame (e.g. an empty
+    micro-batch from streaming_tx_upsert_query) must not publish a
+    pointless full-table rewrite on an unpartitioned store."""
+    root = str(tmp_path / "flat_tx")
+    rows = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, v string"
+    )
+    txstore.tx_init(spark, root, rows, partition_col=None)
+    v_before = tx_current_manifest(spark, root)["version"]
+    n = tx_upsert(
+        spark, root, spark.createDataFrame([], "k int, v string"), key="k"
+    )
+    assert n == 0
+    assert tx_current_manifest(spark, root)["version"] == v_before
 
 
 def test_streaming_tx_erasure_applies_and_replays(spark, store, tmp_path):
