@@ -19,6 +19,7 @@ Determinism rules (so the driver's order-insensitive value-hash matches):
 
 from __future__ import annotations
 
+import os as _os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -204,72 +205,104 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "u3_grouped_agg_pandas",
 )
 
-# Queries whose SEMANTICS changed after earning a driver-green row,
-# mapped to the LAST round whose CORRECTNESS rows validated the OLD
-# definition. A row from a LATER round re-verifies the new semantics
-# and clears the entry automatically — no manual edit, no permanently
-# burned window slots.
-FORCE_REVERIFY: dict[str, int] = {
-    # changed in r4: sim9 re-blocked on (label, scaled sign-LSH
-    # sub-bucket); sim12 assignment rerouted through the hierarchical
-    # two-level quantizer (cluster ids now coarse*2^20+fine); sim6's
-    # cell argmin now ranks on the ROUNDED squared distance (the
-    # file-wide fp bridge, oracle changed in lockstep). Rows from
-    # rounds <= 3 validated the old definitions.
-    "sim9_semdedup_prune": 3,
-    "sim12_semdedup_bounded": 3,
-    "sim6_ivf_ann": 3,
-    # changed in r4 (events review round): e1's oracle day column is
-    # CAST to TIMESTAMP (DuckDB date_trunc('day') yields DATE, Spark
-    # yields TIMESTAMP — the r1 row passed because the driver hashed
-    # string forms that happened to agree); e10's oracle session
-    # numbering gained the (ts, event_id) tie-break the Spark side
-    # always had; e14's oracle now mirrors from_json's integer-only
-    # strictness (json_type gate) instead of CAST-coercing strings.
-    # Rows from rounds <= 3 validated the old oracle definitions.
-    "e1_daily_type_rollup": 3,
-    "e10_session_window_builtin": 3,
-    "e14_typed_props_rollup": 3,
-    # changed in r4 (tpch review round): q11's 0.1%-of-total threshold
-    # compare moved from an order-dependent double window sum to an
-    # exact decimal compare (pv*1000 > total) on both engines.
-    "q11_important_stock": 3,
-    # changed in r4 (setops review round): s12's A-Res priority now
-    # rounds ln(u) to 6 dp through an exact decimal before the /w
-    # division (JVM Math.log vs libm differ in the last ulp on ~7% of
-    # inputs — measured; the rounded chain is bit-identical).
-    "s12_weighted_sample": 3,
-    # changed in r4 (scalars review round): sc1 gained trim/pad/split
-    # columns (schema change); sc2's oracle month_start is CAST to
-    # TIMESTAMP (DuckDB DATE_TRUNC yields DATE — e1's fix, same class).
-    "sc1_string_funcs": 3,
-    "sc2_date_funcs": 3,
-    # changed in r5: s16's gram->bucket hash moved from md5 to the
-    # code-point multiplicative hash (bucket assignments, hence scores,
-    # changed — oracle in lockstep); sim16 ships UNROUNDED ip/rankings
-    # (the half-tie fix). Rows from rounds <= 4 validated the old
-    # definitions.
-    "s16_dsir_reweight": 4,
-    "sim16_mips_norm_augment": 4,
-}
+# ---------------------------------------------------------------------------
+# Change-aware rotation state (VERDICT r6 task 1): each query carries a
+# FINGERPRINT (hash of its resolved oracle SQL + the spark_fn's source +
+# the defining module's source — module-level because semantics often
+# live in module constants/helpers, e.g. s16's gram hash). The committed
+# snapshot ``fingerprints.json`` records, per query, the fingerprint the
+# last refresh saw and the LAST round whose CORRECTNESS rows validated
+# OLD semantics ("round": 0 = never changed). Editing a query drifts its
+# fingerprint from the snapshot; ``tests/test_driver_rotation.py`` fails
+# until ``python scripts/refresh_fingerprints.py`` re-records it with
+# round = the newest CORRECTNESS round on disk — which re-queues the
+# query at the FRONT of the driver window until a LATER round re-greens
+# it. No manual bookkeeping, no permanently burned window slots.
+# ---------------------------------------------------------------------------
+
+_FP_PATH = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), "fingerprints.json"
+)
 
 
-def _driver_verified_names() -> frozenset[str]:
-    """Names that already have a CORRECTNESS row validating their
-    CURRENT semantics — read from the CORRECTNESS_r*.json files the
-    harness drops in the repo root. Used to rotate never-verified
-    queries into the driver's fixed-size window automatically each
-    round; falls back to the static round-1 list when the files are
-    unreadable. A FORCE_REVERIFY name counts only when its green row
-    comes from a round AFTER the semantics change, so the entry
-    self-clears the moment the driver re-verifies it."""
+def _query_fingerprint(q: Query) -> str:
+    import hashlib
+    import inspect
+
+    mod = inspect.getmodule(q.spark_fn)
+    parts = [
+        q.oracle or "",
+        inspect.getsource(q.spark_fn),
+        inspect.getsource(mod) if mod is not None else "",
+    ]
+    return hashlib.sha256("\x00".join(parts).encode()).hexdigest()
+
+
+def compute_fingerprints() -> dict[str, str]:
+    return {n: _query_fingerprint(q) for n, q in get_registry().items()}
+
+
+def load_fingerprint_snapshot() -> dict[str, dict]:
+    import json
+
+    try:
+        with open(_FP_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _max_round_on_disk() -> int:
+    import glob
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return max(rounds, default=0)
+
+
+def refresh_fingerprints(write: bool = True) -> dict[str, dict]:
+    """Re-record the snapshot: unchanged entries keep their round; a
+    CHANGED fingerprint gets round = the newest CORRECTNESS round on
+    disk (every existing green row predates the edit, so none validates
+    the new semantics); new names enter with round 0 (the never-verified
+    rotation already fronts them). Returns the new snapshot."""
+    import json
+
+    old = load_fingerprint_snapshot()
+    fps = compute_fingerprints()
+    cur_round = _max_round_on_disk()
+    snap: dict[str, dict] = {}
+    for name in sorted(fps):
+        prev = old.get(name)
+        if prev is None:
+            snap[name] = {"fp": fps[name], "round": 0}
+        elif prev["fp"] == fps[name]:
+            snap[name] = prev
+        else:
+            snap[name] = {"fp": fps[name], "round": cur_round}
+    if write:
+        with open(_FP_PATH, "w") as f:
+            json.dump(snap, f, indent=1, sort_keys=True)
+            f.write("\n")
+    return snap
+
+
+def _green_rounds() -> dict[str, int]:
+    """name -> newest round with a PASSING CORRECTNESS row (or the
+    deliberate rows-only kind); failed/errored rows don't count."""
     import glob
     import json
     import os
     import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    seen: set[str] = set()
+    best: dict[str, int] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
@@ -279,19 +312,38 @@ def _driver_verified_names() -> frozenset[str]:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            # a row counts as verified only if it PASSED (or is the
-            # deliberate rows-only kind); a failed/errored row keeps the
-            # query in the front of the window for re-verification
             if not isinstance(row, dict):
                 continue
-            if rnd <= FORCE_REVERIFY.get(name, 0):
-                continue  # row validated the OLD semantics
             err = row.get("err")
             if err is None or err == "no_oracle":
-                seen.add(name)
-    if not seen:
-        return R1_VERIFIED - {n for n, r in FORCE_REVERIFY.items() if r >= 1}
-    return frozenset(seen)
+                best[name] = max(best.get(name, 0), rnd)
+    return best
+
+
+def _driver_verified_names() -> frozenset[str]:
+    """Names with a CORRECTNESS row validating their CURRENT semantics:
+    a green row from a round AFTER the snapshot's last-old-semantics
+    round, AND a current fingerprint matching the snapshot (a drifted
+    fingerprint means the query changed since the snapshot — its green
+    rows validated older code). Falls back to the static round-1 list
+    when no CORRECTNESS files are readable."""
+    green = _green_rounds()
+    snap = load_fingerprint_snapshot()
+    if not green:
+        return R1_VERIFIED - {
+            n for n, s in snap.items() if s.get("round", 0) >= 1
+        }
+    fps = compute_fingerprints()
+    verified: set[str] = set()
+    for name, rnd in green.items():
+        s = snap.get(name)
+        if s is None:
+            # no snapshot entry (pre-snapshot era or brand-new): trust
+            # the green row as before
+            verified.add(name)
+        elif rnd > s.get("round", 0) and s.get("fp") == fps.get(name):
+            verified.add(name)
+    return frozenset(verified)
 
 
 # Names the driver verified in round 1 (keys of CORRECTNESS_r01.json). These
@@ -327,17 +379,26 @@ R1_VERIFIED: frozenset[str] = frozenset(
 
 def get_registry_ordered() -> dict[str, Query]:
     """Registry reordered for the driver's fixed-size per-round window:
-    (1) DRIVER_PRIORITY names still lacking a CORRECTNESS row, (2) every
-    other never-verified query in registration order, (3) already-
-    verified queries last. Verification state comes from the
-    CORRECTNESS_r*.json files on disk, so the rotation advances itself
-    each round without editing this file. Content identical to
-    ``get_registry()``."""
+    (0) CHANGED-since-verified queries (once green, but edited after —
+    fingerprint drift or a snapshot round at/after their newest green
+    row), (1) DRIVER_PRIORITY names still lacking a CORRECTNESS row,
+    (2) every other never-verified query in registration order,
+    (3) already-verified queries last. Verification state comes from the
+    CORRECTNESS_r*.json files + the fingerprint snapshot on disk, so the
+    rotation advances itself each round without editing this file.
+    Content identical to ``get_registry()``."""
     reg = get_registry()
     verified = _driver_verified_names()
+    green = _green_rounds()
     ordered: dict[str, Query] = {}
+    # (0) semantics changed after a green row: these carry a STALE
+    # verdict, the most urgent kind of unverified — ahead of the
+    # never-verified backlog
+    for name, q in reg.items():
+        if name not in verified and name in green:
+            ordered[name] = q
     for name in DRIVER_PRIORITY:
-        if name in reg and name not in verified:
+        if name in reg and name not in verified and name not in ordered:
             ordered[name] = reg[name]
     for name, q in reg.items():  # other never-verified, registration order
         if name not in ordered and name not in verified:

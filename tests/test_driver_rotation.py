@@ -1,15 +1,22 @@
 """The driver verifies a fixed-size window of queries per round, walking
-the ordered registry. The ordering must put never-verified queries first
-(reading CORRECTNESS_r*.json state from the repo root) so coverage
-rotates itself across rounds."""
+the ordered registry. The ordering must put changed-since-verified
+queries first (fingerprint snapshot), then never-verified ones (reading
+CORRECTNESS_r*.json state from the repo root), so coverage rotates — and
+re-verifies edits — across rounds automatically."""
 
 from __future__ import annotations
 
+import kinesis_spark.queries as Q
 from kinesis_spark.queries import (
     DRIVER_PRIORITY,
     _driver_verified_names,
+    _green_rounds,
+    _max_round_on_disk,
+    compute_fingerprints,
     get_registry,
     get_registry_ordered,
+    load_fingerprint_snapshot,
+    refresh_fingerprints,
 )
 
 
@@ -38,36 +45,71 @@ def test_round2_window_is_the_priority_list():
     assert list(get_registry_ordered())[:50] == list(DRIVER_PRIORITY)
 
 
-def test_force_reverify_reenters_the_window():
-    """A query whose semantics changed after earning a green row must be
-    treated as never-verified: it appears before every verified name
-    even though CORRECTNESS_r*.json has a passing row for it — UNLESS a
-    green row from a round AFTER the change exists (then the entry has
-    self-cleared and the query is ordinarily verified again)."""
-    import glob
-    import json
-    import os
-    import re
+def test_fingerprint_snapshot_is_current():
+    """The committed snapshot must match the code: editing a query's
+    oracle, body, or module without re-recording leaves the driver
+    rotation blind to the change. Run scripts/refresh_fingerprints.py
+    and commit the updated fingerprints.json."""
+    snap = load_fingerprint_snapshot()
+    fps = compute_fingerprints()
+    assert set(snap) == set(fps), (
+        "fingerprints.json names out of date — run "
+        "scripts/refresh_fingerprints.py "
+        f"(missing={sorted(set(fps) - set(snap))[:5]}, "
+        f"stale={sorted(set(snap) - set(fps))[:5]})"
+    )
+    drifted = [n for n in fps if snap[n]["fp"] != fps[n]]
+    assert not drifted, (
+        f"query code changed without re-recording fingerprints: {drifted} "
+        "— run scripts/refresh_fingerprints.py and commit the result"
+    )
 
-    from kinesis_spark.queries import FORCE_REVERIFY
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    green_rounds: dict[str, list[int]] = {}
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-        rnd = int(re.search(r"r(\d+)\.json$", path).group(1))
-        for name, row in json.load(open(path)).items():
-            if isinstance(row, dict) and row.get("err") in (None, "no_oracle"):
-                green_rounds.setdefault(name, []).append(rnd)
-
+def test_changed_since_verified_reenters_the_window():
+    """A query whose semantics changed after earning a green row (its
+    snapshot round >= its newest green round) must be held out of the
+    verified set and ordered before every verified name — UNLESS a
+    green row from a round AFTER the change exists (self-cleared)."""
+    green = _green_rounds()
+    snap = load_fingerprint_snapshot()
     verified = _driver_verified_names()
     names = list(get_registry_ordered())
     reg = get_registry()
     first_verified = next(i for i, n in enumerate(names) if n in verified)
-    for n, changed in FORCE_REVERIFY.items():
-        if n not in reg:
+    for n, s in snap.items():
+        if n not in reg or s["round"] == 0:
             continue
-        if any(r > changed for r in green_rounds.get(n, [])):
+        if green.get(n, 0) > s["round"]:
             assert n in verified, f"{n} re-verified but still held out"
-        else:
+        elif n in green:
             assert n not in verified
             assert names.index(n) < first_verified, n
+
+
+def test_edited_oracle_requeues_query(monkeypatch):
+    """Editing a VERIFIED query (simulated: the snapshot still carries
+    the pre-edit fingerprint) immediately drops it from the verified set
+    and fronts it in the ordered registry."""
+    verified = _driver_verified_names()
+    victim = next(n for n in get_registry() if n in verified)
+    edited = {k: dict(v) for k, v in load_fingerprint_snapshot().items()}
+    edited[victim]["fp"] = "0" * 64  # pre-edit fp != current code's fp
+    monkeypatch.setattr(Q, "load_fingerprint_snapshot", lambda: edited)
+    assert victim not in _driver_verified_names()
+    assert list(get_registry_ordered())[0] == victim
+
+
+def test_refresh_bumps_round_for_changed_fingerprint(monkeypatch):
+    """refresh_fingerprints records a changed entry with round = the
+    newest CORRECTNESS round on disk, so every existing green row stops
+    counting and the query re-queues until a LATER round re-greens it."""
+    victim = next(iter(get_registry()))
+    stale = {k: dict(v) for k, v in load_fingerprint_snapshot().items()}
+    stale[victim] = {"fp": "0" * 64, "round": 0}
+    monkeypatch.setattr(Q, "load_fingerprint_snapshot", lambda: stale)
+    new = refresh_fingerprints(write=False)
+    assert new[victim]["fp"] == compute_fingerprints()[victim]
+    assert new[victim]["round"] == _max_round_on_disk() >= 1
+    # unchanged entries keep their recorded state verbatim
+    other = next(n for n in new if n != victim)
+    assert new[other] == stale[other]
