@@ -88,7 +88,56 @@ def _consume(args, stdout) -> int:
     return 0
 
 
+def _intake_cmd(argv: list[str]) -> int:
+    """``python -m kinesis_spark intake``: one availableNow drain of the
+    production intake pipeline (kinesis_spark/pipeline.py — leased
+    consumer → gate/dedup → durable admission → transactional corpus +
+    rollup), printing the audit rows as JSON lines."""
+    parser = argparse.ArgumentParser(
+        prog="kinesis_spark intake",
+        description="drain a stream through the production intake pipeline",
+    )
+    parser.add_argument("--spool", required=True, metavar="DIR",
+                        help="stream transport dir (the fake-SDK spool)")
+    parser.add_argument("--stream", required=True)
+    parser.add_argument("--work", required=True, metavar="DIR",
+                        help="root for index/corpus/rollup/lease/ckpt state")
+    parser.add_argument("--consumer-id", default="consumer-1")
+    parser.add_argument("--lease-ttl-s", type=float, default=30.0)
+    parser.add_argument("--shards-dir", default=None,
+                        help="also write training shards here after the drain")
+    parser.add_argument("--n-shards", type=int, default=8)
+    parser.add_argument("--await-s", type=float, default=240.0)
+    args = parser.parse_args(argv)
+
+    from kinesis_spark.pipeline import IntakeConfig, run_intake
+    from kinesis_spark.session import get_spark
+
+    spark = get_spark("kinesis-intake")
+    audit = run_intake(
+        spark,
+        IntakeConfig(
+            spool_dir=args.spool,
+            stream=args.stream,
+            work_dir=args.work,
+            consumer_id=args.consumer_id,
+            lease_ttl_s=args.lease_ttl_s,
+            shards_dir=args.shards_dir,
+            n_shards=args.n_shards,
+            await_s=args.await_s,
+        ),
+    )
+    # bounded: one row per (lang, source) partition tuple
+    for line in audit.toJSON().collect():
+        print(line)
+    return 0
+
+
 def main(argv: list[str] | None = None, client=None, stdin=None, stdout=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "intake":
+        return _intake_cmd(argv[1:])
     parser = argparse.ArgumentParser(
         prog="kinesis_spark",
         description="stream stdin to a Kinesis stream (or --consume it back)",

@@ -119,3 +119,57 @@ def test_bench_warmup_names_are_registered():
     reg = get_registry()
     missing = [n for n in bench.WARMUP if n not in reg]
     assert not missing, missing
+
+
+def test_cli_intake_verb_drains_and_prints_audit(tmp_path, capsys, spark, sf_dir):
+    """``python -m kinesis_spark intake``: the production-pipeline verb
+    drains the spooled stream through the one-call API and prints the
+    per-(lang, source) audit rows as JSON lines."""
+    import pytest
+
+    pytest.importorskip("pyspark")
+    from pyspark.sql import functions as F
+
+    from kinesis_spark.ingest.writer import Record
+    from kinesis_spark.io import load_table
+    from kinesis_spark.queries.pipelines import _KEEP_LANGS
+    from kinesis_spark.streaming.spool import SpoolStreamClient
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang").isin(*_KEEP_LANGS))
+        .select("doc_id", "text", "lang", "source")
+        .orderBy("doc_id")
+        .limit(20)
+        .collect()
+    )
+    spool = str(tmp_path / "spool")
+    SpoolStreamClient(spool).put_records(
+        "docs",
+        [
+            Record(
+                data=json.dumps(r.asDict(), sort_keys=True).encode(),
+                partition_key=f"pk{r.doc_id % 2}",
+            )
+            for r in docs
+        ],
+    )
+    rc = main(
+        [
+            "intake",
+            "--spool", spool,
+            "--stream", "docs",
+            "--work", str(tmp_path / "work"),
+            "--await-s", "240",
+        ]
+    )
+    assert rc == 0
+    rows = [json.loads(line) for line in capsys.readouterr().out.splitlines()]
+    assert rows and all(r["consumer_id"] == "consumer-1" for r in rows)
+    assert all(r["corpus_version"] >= 1 for r in rows)
+    # the audit is the rollup: admission can only shrink the batch, and
+    # every audited partition tuple comes from the delivered docs
+    assert 0 < sum(r["n_docs"] for r in rows) <= len(docs)
+    assert {(r["lang"], r["source"]) for r in rows} <= {
+        (r.lang, r.source) for r in docs
+    }

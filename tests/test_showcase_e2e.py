@@ -37,14 +37,13 @@ from pyspark.sql import functions as F
 
 from kinesis_spark.ingest.writer import Record
 from kinesis_spark.io import load_table
+from kinesis_spark.pipeline import IntakeConfig, run_intake, takeover
 from kinesis_spark.queries.pipelines import _KEEP_LANGS, _MIN_TOKENS
-from kinesis_spark.session import state_store
 from kinesis_spark.streaming.spool import SpoolStreamClient
 from kinesis_spark.streaming.intake import PrepIntakeSink
 from kinesis_spark.txstore import tx_current_manifest, tx_read
 
 STREAM = "prod-intake"
-DOC_SCHEMA = "doc_id long, text string, lang string, source string"
 
 
 def _corpus_rows(spark, sf_dir) -> list[dict]:
@@ -93,14 +92,14 @@ class IntakeSink(PrepIntakeSink):
     plus per-batch doc_id tracking so the test can assert that replays
     were genuinely DELIVERED and then deduplicated, not just absent."""
 
-    def __init__(self, spark, work: str):
+    def __init__(self, spark, cfg: IntakeConfig):
         super().__init__(
             spark,
-            hashes_dir=f"{work}/index/hashes",
-            bands_dir=f"{work}/index/bands",
-            store_root=f"{work}/corpus_tx",
-            rollup_root=f"{work}/rollup_tx",
-            partition_cols=("lang", "source"),
+            hashes_dir=cfg.hashes,
+            bands_dir=cfg.bands,
+            store_root=cfg.corpus,
+            rollup_root=cfg.rollup,
+            partition_cols=cfg.partition_cols,
         )
         self.seen_doc_ids: list[set[int]] = []  # per-batch, for assertions
 
@@ -109,49 +108,6 @@ class IntakeSink(PrepIntakeSink):
             {r.doc_id for r in batch.select("doc_id").collect()}
         )
         super().process_batch(batch, batch_id)
-
-
-def _drain(spark, spool, work, sink: IntakeSink, consumer_id: str, ttl: str):
-    """One availableNow drain as ``consumer_id``: leased KCL consumer →
-    parse → gate → RocksDB-backed dropDuplicates(doc_id) (the
-    within-drain replay shield) → IntakeSink."""
-    from kinesis_spark.streaming.kinesis_source import KinesisConsumerDataSource
-
-    spark.dataSource.register(KinesisConsumerDataSource)
-    stream = (
-        spark.readStream.format("kinesis_consumer")
-        .option("spool_dir", spool)
-        .option("stream", STREAM)
-        .option("lease_dir", f"{work}/leases")
-        .option("consumer_id", consumer_id)
-        .option("lease_ttl_s", ttl)
-        .option("lineage_state_path", f"{work}/lineage-{consumer_id}.json")
-        .load()
-    )
-    docs = (
-        stream.select(
-            F.from_json(F.col("data").cast("string"), DOC_SCHEMA).alias("j")
-        )
-        .select("j.*")
-        .filter(
-            F.col("lang").isin(*_KEEP_LANGS)
-            & (F.size(F.split("text", r"[ \t\n\f\r\x0B]+")) >= _MIN_TOKENS)
-        )
-        .dropDuplicates(["doc_id"])
-    )
-    from kinesis_spark.streaming.intake import start_prep_intake
-
-    with state_store(spark, "rocksdb"):
-        # start_prep_intake scopes the sink's batch markers to this
-        # consumer's checkpoint — B's batch 0 must not collide with A's
-        q = start_prep_intake(
-            docs,
-            sink,
-            f"{work}/ckpt-{consumer_id}",
-            trigger_available_now=True,
-        )
-        assert q.awaitTermination(240)
-        q.stop()
 
 
 # ---------------------------------------------------------------------------
@@ -245,18 +201,27 @@ def test_production_pipeline_end_to_end(spark, sf_dir, tmp_path):
     assert len(rows) == 130
     wave1, wave2 = rows[:80], rows[80:]
 
+    # the one-call public API (kinesis_spark/pipeline.py) drives the
+    # whole chain; this test subclasses the sink only to OBSERVE batches
+    cfg = IntakeConfig(
+        spool_dir=spool, stream=STREAM, work_dir=work,
+        consumer_id="A", lease_ttl_s=0.5,
+    )
     _put_docs(spool, wave1)
-    sink = IntakeSink(spark, work)
-    _drain(spark, spool, work, sink, "A", ttl="0.5")
+    sink = IntakeSink(spark, cfg)
+    audit_a = run_intake(spark, cfg, sink=sink)
     n_batches_a = len(sink.seen_doc_ids)
     assert tx_read(spark, sink.store_root).count() > 0
+    assert audit_a.filter(F.col("consumer_id") != "A").count() == 0
 
     __import__("time").sleep(0.8)  # A's leases lapse: it is dead
 
-    # wave 2 + the producer re-puts three wave-1 records (at-least-once)
+    # wave 2 + the producer re-puts three wave-1 records (at-least-once);
+    # consumer B takes over: same stores/leases, its own checkpoint
     reput = wave1[:3]
     _put_docs(spool, wave2 + reput)
-    _drain(spark, spool, work, sink, "B", ttl="30")
+    cfg_b = takeover(cfg, "B", lease_ttl_s=30.0)
+    audit_b = run_intake(spark, cfg_b, sink=sink)
 
     # B really did replay/see duplicates: every re-put doc_id appears in
     # B's batches even though A already admitted it
@@ -283,10 +248,17 @@ def test_production_pipeline_end_to_end(spark, sf_dir, tmp_path):
         (F.col("lang") == vals[0]) & (F.col("source") == vals[1])
     ).count()
 
+    # ---- the audit DataFrame IS the rollup, stamped with run identity --
+    assert {r.consumer_id for r in audit_b.select("consumer_id").collect()} == {"B"}
+    assert (
+        audit_b.select("corpus_version").distinct().collect()[0][0]
+        == man["version"]
+    )
+
     # ---- incremental rollup face == recomputed-from-scratch ------------
     rollup = {
         (r.lang, r.source): (r.n_docs, r.total_tokens)
-        for r in tx_read(spark, sink.rollup_root).collect()
+        for r in audit_b.collect()
     }
     truth = {
         (r.lang, r.source): (r.n_docs, r.total_tokens)
@@ -319,7 +291,16 @@ def test_production_pipeline_end_to_end(spark, sf_dir, tmp_path):
     from kinesis_spark.shards import read_split, write_training_shards
 
     out1, out2 = f"{work}/shards1", f"{work}/shards2"
-    write_training_shards(corpus, out1, n_shards=2)
+    # the first write rides the public config path: a re-drain of
+    # consumer B (no new input — a metadata no-op) with shards_dir set;
+    # the second is the direct library call, so equal bytes also prove
+    # the config path adds nothing
+    audit_c = run_intake(
+        spark, takeover(cfg_b, "B", shards_dir=out1, n_shards=2), sink=sink
+    )
+    assert sorted(map(tuple, audit_c.collect())) == sorted(
+        map(tuple, audit_b.collect())
+    )
     write_training_shards(corpus, out2, n_shards=2)
     d1, d2 = _shard_digest(out1), _shard_digest(out2)
     assert d1 and d1 == d2  # identical bytes, file for file
