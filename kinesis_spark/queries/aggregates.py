@@ -191,23 +191,82 @@ def a7_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "a8_sketch_aggregates",
-    oracle=None,  # sketch internals differ per engine; accuracy pinned in pytest
-    tags=("aggregate", "sketch", "approx"),
-)
-def a8_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based aggregates — the 100 TB path for distincts and
+def _sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw sketch aggregation — the 100 TB path for distincts and
     quantiles: HyperLogLog++ (``approx_count_distinct``) and the
     Greenwald-Khanna/KLL-style ``percentile_approx``. Both are
     mergeable, bounded-memory, one-pass — no per-group sort, no exact
-    distinct shuffle. tests/test_sketches.py pins their error bounds
-    against the exact answers."""
+    distinct shuffle. The ESTIMATES themselves are engine-internal
+    (DuckDB's HLL/quantile sketches produce different values, and
+    Spark's depend on partial-merge order), so a8 exposes them only as
+    within-published-error booleans; tests/test_sketches.py pins the
+    raw accuracy here against exact answers."""
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "a8_sketch_aggregates",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS hll_ok,
+       TRUE AS p50_ok
+FROM events
+GROUP BY event_type
+""",
+    tags=("aggregate", "sketch", "approx"),
+)
+def a8_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates with driver-checkable error bounds (was the
+    registry's one rows-only aggregate through r6 — VERDICT r6 task 6
+    folded its a8c companion in so every ``a*`` entry is oracle-backed):
+    the exact answers ride along as bigints; the HLL++ and
+    percentile_approx estimates collapse to within-published-error
+    booleans (a sketch regression flips one to FALSE and fails the hash
+    compare). Raw estimates stay available via ``_sketch_estimates``.
+
+    COUNT(DISTINCT) is kept OUT of the sketch aggregation on purpose:
+    combining it with percentile_approx makes Catalyst's distinct
+    rewrite (Expand) instantiate and merge one accuracy-10000
+    QuantileSummaries state per (event_type, user_id) partial group —
+    measured 3.8 s vs 0.3 s for either aggregate alone at sf0.1. The
+    exact distinct count instead runs as its own two-stage partial agg
+    (group by (type, user) then count per type) and joins back on the
+    group key — both sides are #event_types rows, so the join is a
+    broadcast of a handful of rows."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.expr("percentile(value, 0.5D)").alias("exact_p50"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+    )
+    distinct_users = (
+        e.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_users"))
+    )
+    # eqNullSafe: a NULL event_type group survives the oracle's GROUP BY
+    # but a null-rejecting equi-join would silently drop it here
+    g = base.join(
+        distinct_users,
+        base["event_type"].eqNullSafe(distinct_users["event_type"]),
+    ).drop(distinct_users["event_type"])
+    hll_tol = F.greatest(F.lit(2.0), 0.05 * F.col("exact_users"))
+    p50_tol = 0.02 * F.greatest(F.lit(1.0), F.abs(F.col("exact_p50")))
+    return g.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        (F.abs(F.col("approx_users") - F.col("exact_users")) <= hll_tol).alias("hll_ok"),
+        (F.abs(F.col("approx_p50") - F.col("exact_p50")) <= p50_tol).alias("p50_ok"),
     )
 
 

@@ -149,62 +149,9 @@ def sim5c_brp_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "a8c_sketch_error_bounds",
-    oracle="""
-SELECT event_type,
-       COUNT(*) AS n_events,
-       COUNT(DISTINCT user_id) AS exact_users,
-       TRUE AS hll_ok,
-       TRUE AS p50_ok
-FROM events
-GROUP BY event_type
-""",
-    tags=("aggregate", "sketch", "companion"),
-)
-def a8c_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """a8's sketch estimates folded into driver-checkable bounds: the
-    exact answers ride along as bigints; the HLL++/percentile_approx
-    estimates collapse to within-published-error booleans (a sketch
-    regression flips one to FALSE and fails the hash compare).
-
-    COUNT(DISTINCT) is kept OUT of the sketch aggregation on purpose:
-    combining it with percentile_approx makes Catalyst's distinct
-    rewrite (Expand) instantiate and merge one accuracy-10000
-    QuantileSummaries state per (event_type, user_id) partial group —
-    measured 3.8 s vs 0.3 s for either aggregate alone at sf0.1. The
-    exact distinct count instead runs as its own two-stage partial agg
-    (group by (type, user) then count per type) and joins back on the
-    group key — both sides are #event_types rows, so the join is a
-    broadcast of a handful of rows."""
-    e = load_table(spark, sf_dir, "events")
-    base = e.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.expr("percentile(value, 0.5D)").alias("exact_p50"),
-        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
-    )
-    distinct_users = (
-        e.select("event_type", "user_id")
-        .distinct()
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("exact_users"))
-    )
-    # eqNullSafe: a NULL event_type group survives the oracle's GROUP BY
-    # but a null-rejecting equi-join would silently drop it here
-    g = base.join(
-        distinct_users,
-        base["event_type"].eqNullSafe(distinct_users["event_type"]),
-    ).drop(distinct_users["event_type"])
-    hll_tol = F.greatest(F.lit(2.0), 0.05 * F.col("exact_users"))
-    p50_tol = 0.02 * F.greatest(F.lit(1.0), F.abs(F.col("exact_p50")))
-    return g.select(
-        "event_type",
-        "n_events",
-        "exact_users",
-        (F.abs(F.col("approx_users") - F.col("exact_users")) <= hll_tol).alias("hll_ok"),
-        (F.abs(F.col("approx_p50") - F.col("exact_p50")) <= p50_tol).alias("p50_ok"),
-    )
+# a8c_sketch_error_bounds lived here through r6; VERDICT r6 task 6
+# folded it into a8_sketch_aggregates itself (queries/aggregates.py), so
+# the a* family no longer needs a companion.
 
 
 def _p5c_oracle() -> str:

@@ -96,7 +96,12 @@ def test_edited_oracle_requeues_query(monkeypatch):
     edited[victim]["fp"] = "0" * 64  # pre-edit fp != current code's fp
     monkeypatch.setattr(Q, "load_fingerprint_snapshot", lambda: edited)
     assert victim not in _driver_verified_names()
-    assert list(get_registry_ordered())[0] == victim
+    names = list(get_registry_ordered())
+    verified = _driver_verified_names()
+    first_verified = next(i for i, n in enumerate(names) if n in verified)
+    # fronted into the changed-since-verified tier, ahead of all verified
+    # names (other legitimately-requeued queries may share the tier)
+    assert names.index(victim) < first_verified
 
 
 def test_refresh_bumps_round_for_changed_fingerprint(monkeypatch):

@@ -43,7 +43,7 @@ def test_every_oracle_plans(con):
 
 def test_every_query_has_spark_callable_and_tags(con):
     reg = get_registry()
-    assert len(reg) >= 192
+    assert len(reg) >= 191
     for name, q in reg.items():
         assert callable(q.spark_fn), name
         assert q.tags, name  # every query self-describes for the catalog

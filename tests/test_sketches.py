@@ -1,6 +1,7 @@
-"""Accuracy bounds for the sketch aggregates (a8): the driver's check
-for oracle-less queries is rows-only, so the real guarantees are pinned
-here against exact answers computed in-Spark."""
+"""Accuracy bounds for the sketch aggregates: a8's registered form
+exposes the estimates only as within-bound booleans (the driver
+hash-compares those against DuckDB), so the RAW estimate accuracy is
+pinned here against exact answers computed in-Spark."""
 
 from __future__ import annotations
 
@@ -13,9 +14,11 @@ REGISTRY = get_registry()
 
 
 def test_sketch_bounds(spark, sf_dir):
+    from kinesis_spark.queries.aggregates import _sketch_estimates
+
     got = {
         r["event_type"]: r
-        for r in REGISTRY["a8_sketch_aggregates"].spark_fn(spark, sf_dir).collect()
+        for r in _sketch_estimates(spark, sf_dir).collect()
     }
     exact = {
         r["event_type"]: r
