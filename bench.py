@@ -169,6 +169,31 @@ def bench_ingest_soak(spark, seconds: float = 12.0, rows_per_second: int = 100,
     }
 
 
+def find_regressions(
+    prev_path: str, queries: dict[str, float], sf: float
+) -> dict[str, dict]:
+    """Per-query regression tripwire (VERDICT r6 task 7): diff this
+    run against the previously committed BENCH_full.json so a slowdown
+    surfaces IN the round, not in the next verdict. A query regresses
+    when it is >30% slower AND >0.5 s absolutely slower (same-HEAD
+    sub-second queries are noisier than their plans — README). Returns
+    {} when the previous file is missing/unreadable or was measured at
+    a different scale factor."""
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    if prev.get("sf") != sf:
+        return {}
+    out: dict[str, dict] = {}
+    for name, t in queries.items():
+        p = prev.get("queries", {}).get(name)
+        if p and p > 0 and t > 0 and t > p * 1.3 and t - p > 0.5:
+            out[name] = {"prev": p, "now": t, "ratio": round(t / p, 2)}
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -194,6 +219,15 @@ def main() -> None:
         + headroom["seconds"],
         3,
     )
+    regressions = find_regressions(
+        os.path.join(REPO, "BENCH_full.json"), queries, sf
+    )
+    for name, r in sorted(regressions.items()):
+        print(
+            f"bench: REGRESSION {name}: {r['prev']}s -> {r['now']}s "
+            f"({r['ratio']}x)",
+            file=sys.stderr,
+        )
     payload = json.dumps(
         {
             "metric": "suite_seconds",
@@ -203,6 +237,7 @@ def main() -> None:
             "sf": sf,
             "ingest": ingest,
             "ingest_headroom": headroom,
+            "regressions": regressions,
         }
     )
     print(payload)
@@ -235,6 +270,7 @@ def main() -> None:
             "families": fams,
             "n_queries": len(queries),
             "n_failed": sum(f["failed"] for f in fams.values()),
+            "regressions": regressions,
             "sf": sf,
             "ingest": ingest,
             "ingest_headroom": headroom,

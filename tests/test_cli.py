@@ -173,3 +173,32 @@ def test_cli_intake_verb_drains_and_prints_audit(tmp_path, capsys, spark, sf_dir
     assert {(r["lang"], r["source"]) for r in rows} <= {
         (r.lang, r.source) for r in docs
     }
+
+
+def test_bench_regression_tripwire(tmp_path):
+    """find_regressions flags >30%-and->0.5s slowdowns vs the previous
+    committed BENCH_full.json, ignores sub-threshold noise, failed runs,
+    and cross-scale-factor comparisons."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from bench import find_regressions
+
+    prev = {
+        "sf": 0.1,
+        "queries": {
+            "q_slow": 2.0,    # -> 3.0: +50%, +1.0s  => regression
+            "q_noise": 0.2,   # -> 0.4: +100% but only +0.2s => ignored
+            "q_ok": 2.0,      # -> 2.2: +10% => ignored
+            "q_failed": 2.0,  # -> -1.0 (failed): ignored here
+        },
+    }
+    p = tmp_path / "BENCH_full.json"
+    p.write_text(json.dumps(prev))
+    now = {"q_slow": 3.0, "q_noise": 0.4, "q_ok": 2.2, "q_failed": -1.0,
+           "q_new": 5.0}
+    got = find_regressions(str(p), now, 0.1)
+    assert set(got) == {"q_slow"}
+    assert got["q_slow"] == {"prev": 2.0, "now": 3.0, "ratio": 1.5}
+    # different sf: no comparison
+    assert find_regressions(str(p), now, 0.01) == {}
+    # missing file: no comparison
+    assert find_regressions(str(tmp_path / "nope.json"), now, 0.1) == {}
