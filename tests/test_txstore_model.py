@@ -275,10 +275,15 @@ def test_multiwriter_contention_soak(spark, tmp_path, make_arbiter):
         t.join()
     assert not errors, errors
 
-    # 1. the version chain is LINEAR: contiguous 1..V, no gaps, no forks
+    # 1. the version chain is LINEAR: the retained window is contiguous
+    # up to the latest version — no gaps, no forks (mid-soak vacuums
+    # legitimately trim manifests older than their retention, so the
+    # chain may START above 1)
     h = tx_history(spark, root).collect()
     versions = sorted(r["version"] for r in h)
-    assert versions == list(range(1, versions[-1] + 1))
+    assert versions == list(range(versions[0], versions[-1] + 1))
+    total_commits = 1 + sum(len(rows_list) for rows_list in appended)
+    assert versions[-1] >= total_commits  # every append really committed
 
     # 2. nothing lost, nothing doubled: content == init + every append
     # that reported success (conflicted attempts never became visible)
