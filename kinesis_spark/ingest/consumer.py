@@ -229,6 +229,24 @@ class SpoolConsumerClient:
         }
 
     # -- connector helper (not an AWS API) -------------------------------
+    def records_behind(
+        self, stream_name: str, committed: dict[str, str]
+    ) -> dict[str, int]:
+        """Per-shard consumer lag in RECORDS: how many records sit after
+        each shard's ``committed`` sequence number (``""`` = nothing
+        consumed). One pass over the spool for all shards. A real
+        Kinesis backend cannot count records server-side — its
+        connector reports the GetRecords ``MillisBehindLatest`` probe
+        instead; this spool-side record count is the deterministic
+        analog the tests can assert growth on."""
+        topo = self._topology()
+        lag: dict[str, int] = {s.shard_id: 0 for s in topo.shard_infos()}
+        for r in self._iter_spool_records(stream_name):
+            sh = topo.shard_for(r["pk"], r["seq"])
+            if r["seq"] > committed.get(sh, ""):
+                lag[sh] = lag.get(sh, 0) + 1
+        return lag
+
     def latest_sequence_numbers(self, stream_name: str) -> dict[str, str]:
         """Current tip (last sequence number, ``""`` when empty) per
         shard — what a real connector derives from a LATEST iterator /

@@ -122,3 +122,115 @@ def test_failover_resumes_after_lease_checkpoint(spark, tmp_path):
     assert rows_b & rows_a1 == set()  # checkpointed prefix never re-read
     shards_b = {sh for sh, _ in rows_b}
     assert shards_b <= {shard_for_key("pk0"), shard_for_key("pk1")}
+
+
+def test_stalled_shard_lag_grows_monotonically(tmp_path):
+    """VERDICT r6 task 5: per-shard consumer lag is a first-class
+    metric. A shard leased by ANOTHER (live) consumer cannot be drained
+    by this one — its records_behind in the reader's lag snapshot must
+    grow monotonically as the producer keeps putting, flagged stalled;
+    after the lease frees and the batch cycle consumes, lag returns to
+    zero. Drives the reader object directly (the same methods the
+    streaming runner calls)."""
+    from kinesis_spark.ingest.leases import ShardLeases
+    from kinesis_spark.streaming.kinesis_source import (
+        KinesisShardStreamReader,
+        read_lag,
+    )
+
+    spool = str(tmp_path / "spool")
+    sink = SpoolStreamClient(spool)
+    sink.put_records(STREAM, [Record(data=b"r0", partition_key="pk0")])
+    sh = shard_for_key("pk0")
+
+    lease_dir = str(tmp_path / "leases")
+    # a LIVE foreign consumer holds every shard
+    other = ShardLeases(lease_dir, owner="other", ttl_s=3600)
+    reader = KinesisShardStreamReader(
+        {
+            "spool_dir": spool,
+            "stream": STREAM,
+            "lease_dir": lease_dir,
+            "consumer_id": "me",
+            "lease_ttl_s": "3600",
+            "lineage_state_path": str(tmp_path / "state.json"),
+            "lag_path": str(tmp_path / "lag.json"),
+        }
+    )
+    start = reader.initialOffset()
+    for s in start:
+        assert other.try_acquire(STREAM, s)
+
+    lags = []
+    for i in range(3):
+        reader.latestOffset()
+        snap = read_lag(str(tmp_path / "lag.json"))
+        assert snap["shards"][sh]["stalled"] is True
+        lags.append(snap["shards"][sh]["records_behind"])
+        sink.put_records(
+            STREAM, [Record(data=f"r{i + 1}".encode(), partition_key="pk0")]
+        )
+    assert lags[0] >= 1
+    assert lags == sorted(lags) and lags[-1] > lags[0]  # monotone growth
+
+    # foreign consumer releases; we claim, consume, and lag hits zero
+    for s in start:
+        other.release(STREAM, s)
+    end = reader.latestOffset()
+    snap = read_lag(str(tmp_path / "lag.json"))
+    assert snap["shards"][sh]["stalled"] is False
+    assert snap["shards"][sh]["records_behind"] >= 4
+    list(reader.read(next(p for p in reader.partitions(start, end)
+                          if p.shard_id == sh)))
+    reader.commit(end)
+    reader.latestOffset()
+    snap = read_lag(str(tmp_path / "lag.json"))
+    assert snap["shards"][sh]["records_behind"] == 0
+    assert snap["shards"][sh]["stalled"] is False
+
+
+@pytest.mark.streaming
+def test_lag_listener_mirrors_snapshot_into_driver(spark, tmp_path):
+    """attach_lag_listener surfaces the reader's lag snapshot into a
+    driver-side dict on progress events — the drop-accumulator channel
+    for consumer lag."""
+    from kinesis_spark.streaming.kinesis_source import (
+        KinesisConsumerDataSource,
+        attach_lag_listener,
+    )
+
+    spool = _fill_spool(tmp_path)
+    lag_path = str(tmp_path / "lag.json")
+    lags: dict = {}
+    listener = attach_lag_listener(spark, lags, lag_path)
+    try:
+        spark.dataSource.register(KinesisConsumerDataSource)
+        q = (
+            spark.readStream.format("kinesis_consumer")
+            .option("spool_dir", spool)
+            .option("stream", STREAM)
+            .option(
+                "lineage_state_path", str(tmp_path / "state.json")
+            )
+            .option("lag_path", lag_path)
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+        # give the final progress event a beat to fire
+        deadline = time.time() + 15
+        while not lags and time.time() < deadline:
+            time.sleep(0.25)
+    finally:
+        spark.streams.removeListener(listener)
+    assert lags.get("stream") == STREAM
+    shards = lags.get("shards", {})
+    assert shards, lags
+    assert all(
+        isinstance(v["records_behind"], int) and v["records_behind"] >= 0
+        for v in shards.values()
+    )
