@@ -138,6 +138,20 @@ OPERATORS = [
     # and the timed warm runs measure only the probe.
     "p3_incremental_prep",
     "p7_incremental_prep_indexed",
+    # r7 (VERDICT r6 task 3): the round-6 newcomers. p8 is one scan of
+    # documents with a 6-row funnel window; dq4 one orders scan into a
+    # fixed bin spine; dq5 one embeddings scan into a 64-dim spine —
+    # all should be ~linear. sim17's margin mining runs k-NN folds over
+    # a fixed query set (linear in corpus); sim18 composes the sim2 ANN
+    # probe with a fixed-query exact ground truth (ANN candidate volume
+    # grows with bucket occupancy — the replica corpus makes every
+    # bucket 10-deep, so expect superlinear CANDIDATES with linear
+    # per-candidate work, like d3/d14).
+    "p8_pipeline_funnel",
+    "dq4_psi_drift",
+    "dq5_embedding_drift",
+    "sim17_margin_bitext",
+    "sim18_ann_recall_eval",
 ]
 
 
@@ -318,6 +332,71 @@ def time_streaming_twin(spark, name: str, sf_dir: str) -> float:
     return round(best, 2)
 
 
+def time_tx_faces(spark, sf_dir: str) -> dict[str, float]:
+    """The transactional store's maintenance faces at scale (r7, VERDICT
+    r6 task 3): build a month-partitioned store from the scaled orders
+    (untimed), then time one append (1% of rows), the CDC diff of that
+    append, a targeted compaction of the fragmented partitions, and a
+    zero-copy restore. Structural bounds under test: tx_diff must scan
+    ONLY the appended generation (append-sized, ~linear in the append);
+    tx_compact_partitions rewrites only touched partitions (linear in
+    partition bytes); tx_restore is manifest-only (≈ constant — THE
+    headline: rolling back a 100 TB table costs no data movement)."""
+    import shutil
+    import tempfile
+
+    from kinesis_spark.txstore import (
+        tx_compact_partitions,
+        tx_current_manifest,
+        tx_diff,
+        tx_init,
+        tx_publish,
+        tx_read,
+        tx_restore,
+    )
+
+    work = tempfile.mkdtemp(prefix="scale-tx-")
+    out: dict[str, float] = {}
+    try:
+        root = os.path.join(work, "orders_tx")
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_totalprice",
+            "o_orderstatus",
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        tx_init(spark, root, o, partition_col="month")
+        v1 = tx_current_manifest(spark, root)["version"]
+        extra = o.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+            "o_orderkey", -F.col("o_orderkey") - 1
+        )
+
+        t0 = time.monotonic()
+        tx_publish(spark, root, extra, append=True)
+        out["tx_append"] = round(time.monotonic() - t0, 2)
+        v2 = tx_current_manifest(spark, root)["version"]
+
+        t0 = time.monotonic()
+        tx_diff(spark, root, v1, v2).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out["tx_diff"] = round(time.monotonic() - t0, 2)
+
+        t0 = time.monotonic()
+        tx_compact_partitions(spark, root, min_generations=2)
+        out["tx_compact_partitions"] = round(time.monotonic() - t0, 2)
+
+        t0 = time.monotonic()
+        tx_restore(spark, root, v1)
+        out["tx_restore"] = round(time.monotonic() - t0, 2)
+        # the restore really is metadata-only: content equals v1 without
+        # any data rewrite (count is cheap and keeps the harness honest)
+        assert tx_read(spark, root).count() == o.count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     spark = get_spark("kinesis_spark-scale-stress")
     spark.sparkContext.setLogLevel("ERROR")
@@ -339,17 +418,41 @@ def main() -> None:
     for d in (SF1X, SF10X):  # warm footers
         load_table(spark, d, "documents").count()
         load_table(spark, d, "embeddings").count()
+    only: set[str] | None = None
+    if "--only" in sys.argv:  # quick iteration: comma-separated names
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
     out = {}
     for name in OPERATORS:
+        if only is not None and name not in only:
+            continue
         x1 = time_warm(spark, name, SF1X)
         x10 = time_warm(spark, name, SF10X)
         out[name] = {"x1": x1, "x10": x10, "ratio": round(x10 / max(x1, 1e-9), 1)}
         print(f"# {name}: {x1}s -> {x10}s ({out[name]['ratio']}x)", file=sys.stderr)
     for name in STREAMING_TWINS:
+        if only is not None and name not in only:
+            continue
         x1 = time_streaming_twin(spark, name, SF1X)
         x10 = time_streaming_twin(spark, name, SF10X)
         out[name] = {"x1": x1, "x10": x10, "ratio": round(x10 / max(x1, 1e-9), 1)}
         print(f"# {name}: {x1}s -> {x10}s ({out[name]['ratio']}x)", file=sys.stderr)
+    if only is not None and not {"tx_append", "tx_diff", "tx_restore",
+                                 "tx_compact_partitions", "tx"} & only:
+        print(json.dumps({"replicas": REPLICAS, "queries": out}))
+        spark.stop()
+        return
+    tx1 = time_tx_faces(spark, SF1X)
+    tx10 = time_tx_faces(spark, SF10X)
+    for name in tx1:
+        out[name] = {
+            "x1": tx1[name],
+            "x10": tx10[name],
+            "ratio": round(tx10[name] / max(tx1[name], 1e-9), 1),
+        }
+        print(
+            f"# {name}: {tx1[name]}s -> {tx10[name]}s ({out[name]['ratio']}x)",
+            file=sys.stderr,
+        )
     print(json.dumps({"replicas": REPLICAS, "queries": out}))
     spark.stop()
 
