@@ -136,7 +136,12 @@ def _intake_cmd(argv: list[str]) -> int:
 def main(argv: list[str] | None = None, client=None, stdin=None, stdout=None) -> int:
     if argv is None:
         argv = sys.argv[1:]
-    if argv and argv[0] == "intake":
+    # the verb form always carries --spool; a STREAM literally named
+    # "intake" (positional + -p, the reference CLI shape) still routes
+    # to the producer path
+    if argv and argv[0] == "intake" and any(
+        a == "--spool" or a.startswith("--spool=") for a in argv
+    ):
         return _intake_cmd(argv[1:])
     parser = argparse.ArgumentParser(
         prog="kinesis_spark",

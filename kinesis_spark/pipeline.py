@@ -183,6 +183,19 @@ def run_intake(
         finally:
             q.stop()
 
+    try:
+        version = tx_current_manifest(spark, cfg.corpus)["version"]
+    except FileNotFoundError:
+        # zero admissions ever (empty stream, everything gated out, or a
+        # pure replay): the sink lazily creates its stores on the first
+        # admitted batch, so none exists — the audit is EMPTY, not a crash
+        schema = ", ".join(
+            [f"{c} string" for c in cfg.partition_cols]
+            + ["n_docs bigint", "total_tokens bigint",
+               "corpus_version int", "consumer_id string"]
+        )
+        return spark.createDataFrame([], schema)
+
     if cfg.shards_dir is not None:
         from kinesis_spark.shards import write_training_shards
 
@@ -190,7 +203,6 @@ def run_intake(
             tx_read(spark, cfg.corpus), cfg.shards_dir, n_shards=cfg.n_shards
         )
 
-    version = tx_current_manifest(spark, cfg.corpus)["version"]
     return (
         tx_read(spark, cfg.rollup)
         .withColumn("corpus_version", F.lit(version).cast("int"))

@@ -320,14 +320,15 @@ def _green_rounds() -> dict[str, int]:
     return best
 
 
-def _driver_verified_names() -> frozenset[str]:
+def _driver_verified_names(green: dict[str, int] | None = None) -> frozenset[str]:
     """Names with a CORRECTNESS row validating their CURRENT semantics:
     a green row from a round AFTER the snapshot's last-old-semantics
     round, AND a current fingerprint matching the snapshot (a drifted
     fingerprint means the query changed since the snapshot — its green
     rows validated older code). Falls back to the static round-1 list
-    when no CORRECTNESS files are readable."""
-    green = _green_rounds()
+    when no CORRECTNESS files are readable. ``green`` lets a caller that
+    already scanned the CORRECTNESS files pass the result through."""
+    green = _green_rounds() if green is None else green
     snap = load_fingerprint_snapshot()
     if not green:
         return R1_VERIFIED - {
@@ -388,8 +389,8 @@ def get_registry_ordered() -> dict[str, Query]:
     rotation advances itself each round without editing this file.
     Content identical to ``get_registry()``."""
     reg = get_registry()
-    verified = _driver_verified_names()
     green = _green_rounds()
+    verified = _driver_verified_names(green)
     ordered: dict[str, Query] = {}
     # (0) semantics changed after a green row: these carry a STALE
     # verdict, the most urgent kind of unverified — ahead of the

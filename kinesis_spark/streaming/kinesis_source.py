@@ -308,9 +308,14 @@ class KinesisShardStreamReader(DataSourceStreamReader):
         try:
             floors = dict(self._committed)
             if self._leases is not None:
+                from kinesis_spark.ingest.leases import _seq_key
+
                 for sh in client.list_shards(self._stream):
                     lc = self._leases.last_checkpoint(self._stream, sh)
-                    if lc > floors.get(sh, ""):
+                    # _seq_key, not raw strings: lease checkpoints may be
+                    # variable-width digit sequences ('10' > '9') even
+                    # though the spool's own seqs are fixed-width
+                    if _seq_key(lc) > _seq_key(floors.get(sh, "")):
                         floors[sh] = lc
             behind = probe(self._stream, floors)
             snap = {

@@ -820,7 +820,8 @@ def _vacuum_to(
                 referenced.add(rel.split("/")[1])
     referenced_ever: set[str] = set(referenced)
     for name in _fs_list_names(spark, f"{root}/{_TXLOG}"):
-        if not re.fullmatch(r"(\d{8})\.json", name):
+        m = re.fullmatch(r"(\d{8})\.json", name)
+        if not m:
             continue
         try:
             old = json.loads(_fs_read_text(spark, f"{root}/{_TXLOG}/{name}"))
@@ -828,7 +829,14 @@ def _vacuum_to(
             continue  # removed by a concurrent vacuum between list and read
         for rels in old["partitions"].values():
             for rel in rels:
-                referenced_ever.add(rel.split("/")[1])
+                token = rel.split("/")[1]
+                referenced_ever.add(token)
+                if int(m.group(1)) > max(keep_versions):
+                    # a CONCURRENT writer committed this version after
+                    # the retention snapshot resolved: its generations
+                    # are LIVE, not superseded — deleting one destroys
+                    # an acknowledged commit's data
+                    referenced.add(token)
     removed = []
     fs = _fs(spark, root)
     now_ms = spark._jvm.System.currentTimeMillis()
@@ -873,11 +881,17 @@ def _vacuum_to(
                 continue
             if age_ms <= tmp_grace_s * 1000:
                 continue  # possibly an in-flight publish's manifest
-        elif (m := re.fullmatch(r"(\d{8})\.json", name)) and int(
-            m.group(1)
-        ) in keep_versions:
-            continue
-        elif not re.fullmatch(r"(\d{8})\.json", name):
+        elif m := re.fullmatch(r"(\d{8})\.json", name):
+            v = int(m.group(1))
+            if v in keep_versions:
+                continue
+            if v > max(keep_versions):
+                # committed by a CONCURRENT writer after this vacuum
+                # resolved its retention snapshot — deleting it would
+                # silently roll back an acknowledged commit. Newer
+                # manifests are the next vacuum's business.
+                continue
+        else:
             continue  # not ours to delete
         fs.delete(_jpath(spark, path), False)
         removed.append(path)

@@ -8,9 +8,10 @@ until a later round re-verifies it; unchanged entries keep their state.
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from kinesis_spark.queries import load_fingerprint_snapshot, refresh_fingerprints
 

@@ -420,7 +420,10 @@ def main() -> None:
         load_table(spark, d, "embeddings").count()
     only: set[str] | None = None
     if "--only" in sys.argv:  # quick iteration: comma-separated names
-        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        i = sys.argv.index("--only") + 1
+        if i >= len(sys.argv):
+            raise SystemExit("usage: scale_stress.py --only name1,name2[,tx]")
+        only = set(sys.argv[i].split(","))
     out = {}
     for name in OPERATORS:
         if only is not None and name not in only:

@@ -202,3 +202,53 @@ def test_bench_regression_tripwire(tmp_path):
     assert find_regressions(str(p), now, 0.01) == {}
     # missing file: no comparison
     assert find_regressions(str(tmp_path / "nope.json"), now, 0.1) == {}
+
+
+def test_cli_stream_named_intake_still_produces(tmp_path):
+    """r7 review: the intake VERB is selected by argv[0]=='intake' plus
+    --spool; a stream literally named 'intake' driven through the
+    reference CLI shape (positional + -p) must still hit the producer
+    path."""
+    spool = str(tmp_path / "spool")
+    rc = main(
+        ["intake", "-p", "k", "--fake-sink", spool, "--flush-seconds", "9"],
+        stdin=io.BytesIO(b"XYZ"),
+    )
+    assert rc == 0
+    entries = _spooled(spool)
+    assert {e["stream"] for e in entries} == {"intake"}
+    assert sum(e["n"] for e in entries) == 3
+
+
+def test_intake_zero_admission_drain_returns_empty_audit(spark, tmp_path):
+    """r7 review: a drain where every record is gated out (or the
+    stream is empty) never creates the lazily-initialized stores — the
+    audit must be an EMPTY DataFrame with the documented schema, not a
+    FileNotFoundError."""
+    from kinesis_spark.ingest.writer import Record
+    from kinesis_spark.pipeline import IntakeConfig, run_intake
+    from kinesis_spark.streaming.spool import SpoolStreamClient
+
+    spool = str(tmp_path / "spool")
+    SpoolStreamClient(spool).put_records(
+        "docs",
+        [
+            Record(
+                data=json.dumps(
+                    {"doc_id": 1, "text": "zz", "lang": "zz", "source": "s"}
+                ).encode(),
+                partition_key="pk0",
+            )
+        ],
+    )
+    audit = run_intake(
+        spark,
+        IntakeConfig(
+            spool_dir=spool, stream="docs", work_dir=str(tmp_path / "work")
+        ),
+    )
+    assert audit.count() == 0
+    assert audit.columns == [
+        "lang", "source", "n_docs", "total_tokens",
+        "corpus_version", "consumer_id",
+    ]

@@ -1110,6 +1110,29 @@ def test_vacuum_spares_fresh_staged_data_tokens(spark, store):
     assert not os.path.exists(fresh)
 
 
+def test_vacuum_never_touches_versions_newer_than_its_snapshot(spark, store):
+    """r7 review: a writer can commit version N+1 while a vacuum that
+    snapshotted retention at N is mid-sweep. The sweep must treat every
+    version above its snapshot as live — deleting the newer manifest
+    (or its generation) would silently roll back an acknowledged
+    commit. Simulated by invoking the sweep with a stale snapshot."""
+    from kinesis_spark.txstore import _vacuum_to
+
+    before = _snapshot(spark, store)
+    extra = tx_read(spark, store).limit(3).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    tx_publish(spark, store, extra, append=True)  # version 2 "lands mid-vacuum"
+    after = _snapshot(spark, store)
+    assert len(after) == len(before) + 3
+
+    removed = _vacuum_to(spark, store, keep_versions=[1], tmp_grace_s=0.0)
+    # nothing of version 2 was touched: manifest still present, data intact
+    assert not any(p.endswith("00000002.json") for p in removed)
+    assert tx_current_manifest(spark, store)["version"] == 2
+    assert _snapshot(spark, store) == after
+
+
 def test_tx_upsert_unpartitioned_empty_updates_is_noop(spark, tmp_path):
     """ADVICE r6 (low): an empty updates DataFrame (e.g. an empty
     micro-batch from streaming_tx_upsert_query) must not publish a
