@@ -508,10 +508,17 @@ def dq4_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cur_cnt", F.lit(0)).cast("bigint").alias("cur_cnt"),
         )
     )
-    tot = filled.agg(
-        F.sum("ref_cnt").alias("ref_tot"), F.sum("cur_cnt").alias("cur_tot")
-    )
-    terms = filled.crossJoin(F.broadcast(tot)).select(
+    # totals as a window over the {bins}-row spine, NOT a separate
+    # .agg() joined back: the agg form re-derives `filled` — i.e. a
+    # SECOND full orders scan — because Spark does not share scans
+    # across plan branches (r7 plan audit). Exact bigint sums either way.
+    from pyspark.sql.window import Window as _W
+
+    _wall = _W.rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing)
+    tot = filled.withColumn(
+        "ref_tot", F.sum("ref_cnt").over(_wall)
+    ).withColumn("cur_tot", F.sum("cur_cnt").over(_wall))
+    terms = tot.select(
         "bin",
         "ref_cnt",
         "cur_cnt",
@@ -651,25 +658,36 @@ def dq5_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("mean_cur") - F.col("mean_ref")).alias("shift"),
     )
 
+    # summary folds as windows over the 64-row dim spine, NOT a
+    # separate .agg() joined back: the agg form re-derives `shifts` —
+    # a SECOND full embeddings scan + explode — because Spark does not
+    # share scans across plan branches (r7 plan audit). The decimal
+    # fixed-point bridge is identical either way.
+    from pyspark.sql.window import Window as _W
+
+    _wall = _W.rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing)
+
     def _fold(expr):
         return (
-            F.sum(F.floor(expr * _EMB_Q2).cast("decimal(38,0)")).cast("double")
+            F.sum(F.floor(expr * _EMB_Q2).cast("decimal(38,0)"))
+            .over(_wall)
+            .cast("double")
             / _EMB_Q2
         )
 
-    summary = shifts.agg(
-        _fold(F.col("shift") * F.col("shift")).alias("l2sq"),
-        _fold(F.col("mean_ref") * F.col("mean_cur")).alias("dot"),
-        _fold(F.col("mean_ref") * F.col("mean_ref")).alias("nr"),
-        _fold(F.col("mean_cur") * F.col("mean_cur")).alias("nc"),
-    )
-    return shifts.crossJoin(F.broadcast(summary)).select(
+    return shifts.select(
         "dim",
         "mean_ref",
         "mean_cur",
         "shift",
-        F.sqrt("l2sq").alias("shift_l2"),
-        (F.col("dot") / (F.sqrt("nr") * F.sqrt("nc"))).alias("mean_cosine"),
+        F.sqrt(_fold(F.col("shift") * F.col("shift"))).alias("shift_l2"),
+        (
+            _fold(F.col("mean_ref") * F.col("mean_cur"))
+            / (
+                F.sqrt(_fold(F.col("mean_ref") * F.col("mean_ref")))
+                * F.sqrt(_fold(F.col("mean_cur") * F.col("mean_cur")))
+            )
+        ).alias("mean_cosine"),
     )
 
 

@@ -254,14 +254,15 @@ FROM stages
         release ships next to its shards — a collapsed stage is visible
         as a cliff in dropped_here before anyone trains on the output.
 
-        Plan shape: per-doc ``stage_reached`` is computed once (gates
-        row-local; exact-keep one hash-window; near-keep the band
-        machinery on gate survivors only), then the funnel is ONE
-        6-group aggregate + a descending cumulative window over the
-        6-row spine — stage counts are never 6 separate scans. The
-        early/late funnel halves re-evaluate the gate projection twice
-        (map-only; cheaper at any scale than materializing the token
-        arrays the near-dup half needs)."""
+        Plan shape: per-doc ``stage_reached`` is computed in ONE chain
+        off ONE documents scan (plan-asserted in tests/test_plans.py):
+        gates are row-local; every row rides the exact-dedup hash
+        window and the band window, with non-candidates given
+        per-doc-unique hash/band keys (singleton partitions — no skew,
+        no effect on real buckets) so no branch ever re-scans the
+        corpus; then the funnel is ONE 6-group aggregate + a descending
+        cumulative window over the 6-row spine — stage counts are never
+        6 separate scans."""
         from pyspark.sql.window import Window
 
         d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
@@ -290,41 +291,63 @@ FROM stages
             (score >= P8_QUALITY_MIN).alias("q_ok"),
         )
 
-        # early half: stages 0-3 are row-local verdicts
-        early = flags.select(
-            "doc_id",
-            "n_toks",
-            F.when(~F.col("lang_ok"), 0)
-            .when(~F.col("len_ok"), 1)
-            .when(~F.col("q_ok"), 2)
-            .otherwise(3)
-            .alias("stage_reached"),
-        ).filter(F.col("stage_reached") < 3)
-
-        # late half: gate survivors run the dedup machinery
-        gated = flags.filter(
-            F.col("lang_ok") & F.col("len_ok") & F.col("q_ok")
-        ).select("doc_id", "toks", "n_toks", F.sha2("text", 256).alias("h"))
-        wh = Window.partitionBy("h").orderBy("doc_id")
-        ranked = gated.withColumn("rn", F.row_number().over(wh))
-        exact_losers = ranked.filter(F.col("rn") > 1).select(
-            "doc_id", "n_toks", F.lit(3).alias("stage_reached")
+        # ONE chain, no branches: every row rides the hash window and
+        # the band window. Non-candidates (gated-out docs; exact-dup
+        # losers in the band stage) carry per-doc-UNIQUE keys — they
+        # form singleton window partitions (no skew, a sha2 hex can
+        # never collide with the "ng-"/"x-" prefixes) and contribute
+        # nothing to real buckets, so the verdicts are identical to the
+        # former three-branch form while the corpus is scanned once.
+        from kinesis_spark.queries.dedup import (
+            _band_key_expr,
+            _minhash_sig_spark,
+            _shingles_of,
         )
-        exact = ranked.filter(F.col("rn") == 1)
-        bands = _band_keys_of(exact, "n_toks")
+
+        gate_ok = F.col("lang_ok") & F.col("len_ok") & F.col("q_ok")
+        hashed = flags.select(
+            "doc_id", "n_toks", "lang_ok", "len_ok", "q_ok", "toks",
+            F.when(gate_ok, F.sha2("text", 256))
+            .otherwise(F.concat(F.lit("ng-"), F.col("doc_id")))
+            .alias("h"),
+        )
+        wh = Window.partitionBy("h").orderBy("doc_id")
+        ranked = hashed.withColumn("rn", F.row_number().over(wh))
+        eligible = gate_ok & (F.col("rn") == 1)  # the band-stage entrants
+        shb = F.when(eligible, _shingles_of(F.col("toks"))).otherwise(
+            F.array(F.lit(""))
+        )
+        carry = ["doc_id", "n_toks", "lang_ok", "len_ok", "q_ok", "rn"]
+        sigs = ranked.select(*carry, *_minhash_sig_spark(shb))
+        banded = sigs.select(
+            *carry, _band_key_expr().alias("band_key")
+        ).withColumn(
+            "band_key",
+            F.when(
+                F.col("lang_ok")
+                & F.col("len_ok")
+                & F.col("q_ok")
+                & (F.col("rn") == 1),
+                F.col("band_key"),
+            ).otherwise(F.concat(F.lit("x-"), F.col("doc_id"))),
+        )
         wb = Window.partitionBy("band_key")
-        flagged = bands.withColumn("bucket_min", F.min("doc_id").over(wb))
-        late = flagged.groupBy("doc_id", "n_toks").agg(
+        flagged = banded.withColumn("bucket_min", F.min("doc_id").over(wb))
+        reached = flagged.groupBy(*carry).agg(
             F.max((F.col("doc_id") > F.col("bucket_min")).cast("int")).alias(
                 "dropped"
             )
         ).select(
             "doc_id",
             "n_toks",
-            F.when(F.col("dropped") == 1, 4).otherwise(5).alias("stage_reached"),
+            F.when(~F.col("lang_ok"), 0)
+            .when(~F.col("len_ok"), 1)
+            .when(~F.col("q_ok"), 2)
+            .when(F.col("rn") > 1, 3)
+            .when(F.col("dropped") == 1, 4)
+            .otherwise(5)
+            .alias("stage_reached"),
         )
-
-        reached = early.unionByName(exact_losers).unionByName(late)
         per_stage = reached.groupBy("stage_reached").agg(
             F.count(F.lit(1)).alias("cnt"),
             F.sum("n_toks").cast("bigint").alias("tok"),

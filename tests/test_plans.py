@@ -792,3 +792,62 @@ def test_s16_scoring_is_map_only(spark, sf_dir):
     assert "hashpartitioning(doc_id" not in plan  # scoring adds no shuffle
     assert "partial_count" in plan  # stats combine map-side
     assert "CartesianProduct" not in plan
+
+
+def _tree_scans(plan: str) -> list[str]:
+    """Parquet scans in the plan TREE (the detail blocks repeat each
+    scan's header, so counting the whole text double-counts)."""
+    import re
+
+    return re.findall(r"Scan parquet[^\n]*\(\d+\)", plan.split("\n\n")[0])
+
+
+def test_p8_funnel_scans_documents_once(plan_of):
+    """p8's whole 6-stage funnel must derive from ONE documents scan —
+    the former three-branch form (early gates / exact losers / band
+    survivors) re-scanned the corpus three times (r7 plan audit)."""
+    plan = plan_of("p8_pipeline_funnel")
+    assert len(_tree_scans(plan)) == 1, _tree_scans(plan)
+    assert "partial" in plan  # map-side combine before the stage rollup
+
+
+def test_dq4_one_orders_pass_two_columns(plan_of):
+    """dq4's PSI profile is one orders scan reading exactly the price +
+    date columns; the totals ride a window over the 10-row bin spine —
+    the former .agg()-and-join-back form re-scanned orders (r7)."""
+    plan = plan_of("dq4_psi_drift")
+    assert len(_tree_scans(plan)) == 1, _tree_scans(plan)
+    schema = plan[plan.index("ReadSchema") :]
+    assert "o_totalprice" in schema and "o_orderdate" in schema
+    for col in ("o_orderkey", "o_custkey", "o_orderstatus", "o_comment"):
+        assert col not in schema
+    assert "partial" in plan
+    assert "SortMergeJoin" not in plan  # bin spine join broadcast
+
+
+def test_dq5_one_embeddings_pass(plan_of):
+    """dq5's drift monitor is one embeddings scan into a 64-dim spine;
+    the summary folds ride windows over the spine — the former
+    .agg()-and-join-back form re-scanned embeddings (r7)."""
+    plan = plan_of("dq5_embedding_drift")
+    assert len(_tree_scans(plan)) == 1, _tree_scans(plan)
+    assert "partial" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sim17_no_cartesian_no_shuffle_join(plan_of):
+    """sim17's pair stage broadcasts the FIXED query set against a
+    streamed candidate scan (materialized behind a pin — the broadcast
+    itself is asserted at construction inside the pinned subtree); the
+    visible plan must carry no cartesian product and no shuffle join."""
+    plan = plan_of("sim17_margin_bitext")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sim18_eval_joins_are_keyed(plan_of):
+    """sim18 composes two registered retrievals; the eval join is a
+    keyed (query_id, match_id) join over k-sized lists — no cartesian
+    anywhere in the composition."""
+    plan = plan_of("sim18_ann_recall_eval")
+    assert "CartesianProduct" not in plan
