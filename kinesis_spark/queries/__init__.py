@@ -394,10 +394,15 @@ def get_registry_ordered() -> dict[str, Query]:
     ordered: dict[str, Query] = {}
     # (0) semantics changed after a green row: these carry a STALE
     # verdict, the most urgent kind of unverified — ahead of the
-    # never-verified backlog
-    for name, q in reg.items():
-        if name not in verified and name in green:
-            ordered[name] = q
+    # never-verified backlog. Within the tier, the STALEST verdict
+    # first (ascending newest-green round, then registration order): a
+    # query that last matched its oracle many rounds ago must not be
+    # crowded out of the fixed-size driver window by a fresher batch
+    # of requeues.
+    reg_pos = {n: i for i, n in enumerate(reg)}
+    changed = [n for n in reg if n not in verified and n in green]
+    for name in sorted(changed, key=lambda n: (green[n], reg_pos[n])):
+        ordered[name] = reg[name]
     for name in DRIVER_PRIORITY:
         if name in reg and name not in verified and name not in ordered:
             ordered[name] = reg[name]

@@ -414,9 +414,14 @@ def a12_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg("user_id", 12).alias("sketch"),
         F.count_distinct("user_id").alias("exact_users"),
     )
-    rolled = per_type.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_total")
-    )
+    # the rolled-up union rides a WINDOW over the per-type spine — the
+    # former .agg()-and-crossJoin-back re-derived per_type, i.e. a
+    # second full events scan + distinct (r7 plan audit). exact_total
+    # stays its own scan by necessity: a global COUNT(DISTINCT) is not
+    # derivable from the per-type exact counts.
+    from pyspark.sql.window import Window as _W
+
+    _wall = _W.rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing)
     exact_total = e.agg(F.count_distinct("user_id").alias("exact_total"))
     tol = lambda exact: F.greatest(F.lit(16.0), 0.05 * exact)  # noqa: E731
     return (
@@ -428,9 +433,11 @@ def a12_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.hll_sketch_estimate("sketch") - F.col("exact_users")
                 ) <= tol(F.col("exact_users"))
             ).alias("type_estimate_ok"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch").over(_wall)).alias(
+                "approx_total"
+            ),
         )
         .crossJoin(F.broadcast(exact_total))
-        .crossJoin(F.broadcast(rolled))
         .select(
             "event_type",
             "exact_users",

@@ -964,14 +964,21 @@ def p6_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w"),
         "t",
     )
-    tot = per_src.agg(
-        F.sum("t").cast("bigint").alias("tt"), F.sum("w").cast("bigint").alias("ww")
-    )
     from pyspark.sql.window import Window
 
+    # EVERY global (tt/ww/b, k*, ctk/cwk) rides a window over the
+    # per-source spine instead of an .agg() crossJoined back (r7 plan
+    # audit): each agg-and-join-back re-derived `per_src` — the one
+    # corpus-scale tokenize-aggregate — and the former tot→k*→level
+    # chain re-derived it SIX times. Windows chain over the ~20-row
+    # spine in the same single pass; the exact integer arithmetic is
+    # unchanged.
     order = [(F.col("t").cast("double") / F.col("w")), F.col("source")]
     w_rk = Window.orderBy(*order)
     w_cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     ranked = per_src.select(
         "source",
         "w",
@@ -979,27 +986,38 @@ def p6_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_rk).alias("rk"),
         F.sum("t").over(w_cum).alias("ct"),
         F.sum("w").over(w_cum).alias("cw"),
+        F.sum("t").over(w_all).cast("bigint").alias("tt"),
+        F.sum("w").over(w_all).cast("bigint").alias("ww"),
     )
-    base = ranked.crossJoin(F.broadcast(tot)).withColumn(
+    base = ranked.withColumn(
         "b", F.expr(f"(tt * {MIX_BUDGET_NUM}) div {MIX_BUDGET_DEN}")
     )
-    kstar = base.filter(
-        F.col("t") * (F.col("ww") - F.col("cw"))
-        <= (F.col("b") - F.col("ct")) * F.col("w")
-    ).agg(F.coalesce(F.max("rk"), F.lit(0)).alias("k"))
-    lvl = (
-        base.crossJoin(F.broadcast(kstar))
-        .agg(
-            F.first("k").alias("k"),
-            F.coalesce(
-                F.max(F.when(F.col("rk") == F.col("k"), F.col("ct"))), F.lit(0)
-            ).alias("ctk"),
-            F.coalesce(
-                F.max(F.when(F.col("rk") == F.col("k"), F.col("cw"))), F.lit(0)
-            ).alias("cwk"),
-        )
+    with_k = base.withColumn(
+        "k",
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("t") * (F.col("ww") - F.col("cw"))
+                    <= (F.col("b") - F.col("ct")) * F.col("w"),
+                    F.col("rk"),
+                )
+            ).over(w_all),
+            F.lit(0),
+        ),
     )
-    out = base.crossJoin(F.broadcast(lvl))
+    out = with_k.withColumn(
+        "ctk",
+        F.coalesce(
+            F.max(F.when(F.col("rk") == F.col("k"), F.col("ct"))).over(w_all),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "cwk",
+        F.coalesce(
+            F.max(F.when(F.col("rk") == F.col("k"), F.col("cw"))).over(w_all),
+            F.lit(0),
+        ),
+    )
     level = ((F.col("b") - F.col("ctk")) * F.col("w")).cast("double") / (
         F.col("ww") - F.col("cwk")
     )

@@ -260,12 +260,16 @@ def s8_domain_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation. Two scans of the corpus, zero wide shuffles of it."""
     d = load_table(spark, sf_dir, "documents")
     counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
-    totals = counts.agg(
-        F.sum("cnt").cast("bigint").alias("total"),
-        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
-    )
+    # totals as a window over the tiny per-source spine, NOT an .agg()
+    # crossJoined back: the agg form re-derives `counts` — a THIRD
+    # corpus scan — because Spark does not share scans across plan
+    # branches (r7 plan audit). Exact bigint arithmetic either way.
+    from pyspark.sql.window import Window as _W
+
+    _wall = _W.rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing)
     rates = (
-        counts.crossJoin(F.broadcast(totals))
+        counts.withColumn("total", F.sum("cnt").over(_wall).cast("bigint"))
+        .withColumn("n_sources", F.count(F.lit(1)).over(_wall).cast("bigint"))
         .select(
             "source",
             "cnt",
@@ -530,14 +534,17 @@ def s13_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("w"),
     )
-    totals = weighted.agg(
-        F.sum("cnt").cast("bigint").alias("total"),
-        F.sum("w").cast("bigint").alias("wsum"),
-    )
+    # totals as a window over the per-source spine (s8's r7 fix — the
+    # .agg()-and-join-back form re-scanned the corpus a third time).
+    from pyspark.sql.window import Window as _W
+
+    _wall = _W.rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing)
     # total*w can pass int64 at extreme corpus sizes (1e13 docs x 2^20-
     # scaled weights) — the product runs in DECIMAL(38,0) (Spark) /
     # HUGEINT (oracle), still exact integer arithmetic.
-    rates = weighted.crossJoin(F.broadcast(totals)).select(
+    rates = weighted.withColumn(
+        "total", F.sum("cnt").over(_wall).cast("bigint")
+    ).withColumn("wsum", F.sum("w").over(_wall).cast("bigint")).select(
         "source",
         "cnt",
         F.least(
@@ -834,8 +841,15 @@ def s16_dsir_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
         ).alias("ct"),
     )
-    tot = stats.agg(F.sum("cc").alias("nc"), F.sum("ct").alias("nt"))
-    w = stats.crossJoin(F.broadcast(tot)).select(
+    # corpus/target gram totals as a window over the 4096-bucket stats
+    # spine (r7 plan audit): the former .agg()-and-crossJoin-back form
+    # re-derived `stats` — a second explode+aggregate pass over the
+    # pinned bucket relation (bk is checkpointed, so no corpus re-scan,
+    # but the gram explode is the expensive half of this query).
+    _wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w = stats.withColumn("nc", F.sum("cc").over(_wall)).withColumn(
+        "nt", F.sum("ct").over(_wall)
+    ).select(
         "b",
         # products go through DECIMAL(38,0): Spark long*long silently
         # wraps past ~3e9 grams. The oracle is safe for a different

@@ -851,3 +851,28 @@ def test_sim18_eval_joins_are_keyed(plan_of):
     anywhere in the composition."""
     plan = plan_of("sim18_ann_recall_eval")
     assert "CartesianProduct" not in plan
+
+
+def test_p6_waterfill_is_one_tokenize_aggregate_scan(plan_of):
+    """p6's globals (budget, k*, boundary cumulative sums) all ride
+    windows over the per-source spine — the former .agg()-and-join-back
+    chain re-derived the corpus tokenize-aggregate SIX times (r7)."""
+    plan = plan_of("p6_mixture_waterfill")
+    assert len(_tree_scans(plan)) == 1, _tree_scans(plan)
+
+
+def test_s8_s13_two_corpus_scans_only(plan_of):
+    """The mixture samplers are count-pass + probe-pass: exactly two
+    corpus scans (their documented shape) — the totals spine no longer
+    adds a third (r7)."""
+    for name in ("s8_domain_mix_rebalance", "s13_temperature_mixture"):
+        plan = plan_of(name)
+        assert len(_tree_scans(plan)) == 2, (name, _tree_scans(plan))
+
+
+def test_a12_two_events_scans_only(plan_of):
+    """a12: one per-type sketch pass + one inherent global-distinct
+    pass; the rolled-up union rides a window over the per-type spine
+    instead of re-scanning events (r7)."""
+    plan = plan_of("a12_hll_sketch_union")
+    assert len(_tree_scans(plan)) == 2, _tree_scans(plan)
