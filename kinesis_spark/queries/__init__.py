@@ -378,6 +378,29 @@ R1_VERIFIED: frozenset[str] = frozenset(
 )
 
 
+# Queries whose SEMANTICS (not just module text) changed in the current
+# round — curated per round so the driver's fixed-size window verifies
+# them before any module-coarseness requeue (fingerprint drift with
+# unchanged behavior). Self-clearing: once a query earns a green row
+# after its snapshot round, it leaves the changed tier entirely.
+REVERIFY_FIRST: tuple[str, ...] = (
+    # r7: a8 folded its error-bound companion in (new oracle form);
+    # e6/p6/p8/dq4/dq5/s8/s13/s16/a12 were re-planned to single-scan
+    # forms (window-over-spine totals; verified bit-exact locally but
+    # the driver gate is the record)
+    "s16_dsir_reweight",
+    "a8_sketch_aggregates",
+    "e6_funnel_analysis",
+    "p6_mixture_waterfill",
+    "p8_pipeline_funnel",
+    "dq4_psi_drift",
+    "dq5_embedding_drift",
+    "s8_domain_mix_rebalance",
+    "s13_temperature_mixture",
+    "a12_hll_sketch_union",
+)
+
+
 def get_registry_ordered() -> dict[str, Query]:
     """Registry reordered for the driver's fixed-size per-round window:
     (0) CHANGED-since-verified queries (once green, but edited after —
@@ -394,15 +417,20 @@ def get_registry_ordered() -> dict[str, Query]:
     ordered: dict[str, Query] = {}
     # (0) semantics changed after a green row: these carry a STALE
     # verdict, the most urgent kind of unverified — ahead of the
-    # never-verified backlog. Within the tier, the STALEST verdict
-    # first (ascending newest-green round, then registration order): a
-    # query that last matched its oracle many rounds ago must not be
-    # crowded out of the fixed-size driver window by a fresher batch
-    # of requeues.
+    # never-verified backlog. REVERIFY_FIRST (the hand-curated true
+    # semantic changes of the current round) leads; the rest order
+    # stalest-verdict-first (ascending newest-green round, then
+    # registration order), so module-coarseness requeues — fingerprint
+    # drift with UNCHANGED behavior — are the only thing a full window
+    # can push to the next round.
     reg_pos = {n: i for i, n in enumerate(reg)}
     changed = [n for n in reg if n not in verified and n in green]
+    for name in REVERIFY_FIRST:
+        if name in reg and name in changed:
+            ordered[name] = reg[name]
     for name in sorted(changed, key=lambda n: (green[n], reg_pos[n])):
-        ordered[name] = reg[name]
+        if name not in ordered:
+            ordered[name] = reg[name]
     for name in DRIVER_PRIORITY:
         if name in reg and name not in verified and name not in ordered:
             ordered[name] = reg[name]

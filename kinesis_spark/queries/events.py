@@ -273,29 +273,52 @@ FROM v LEFT JOIN c ON v.user_id = c.user_id
 )
 def e6_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-sequence funnel: first view → first subsequent click →
-    first subsequent purchase, per user. Three stage aggregations, each
-    shuffling only (user_id, one timestamp); stage joins are on user_id
-    (the natural partitioning), and the stage relations shrink
-    monotonically — the standard scalable funnel shape."""
-    ev = load_table(spark, sf_dir, "events")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("view_ts"))
+    first subsequent purchase, per user — in ONE events scan and ONE
+    user_id shuffle (plan-asserted). The three stage timestamps chain
+    as windows over the same user partitioning (no extra exchange per
+    stage — each is min-of-a-conditional, O(1) window state), and the
+    final per-user collapse rides the same partitioning. The former
+    stage-join form (filter → aggregate → join per stage) re-scanned
+    events SIX times through the plan's branches (r7 plan audit).
+
+    Null semantics kept from the join form: a NULL user_id survives the
+    view aggregate but can never advance (the stage equi-joins dropped
+    it), so the later-stage windows gate on ``user_id IS NOT NULL``."""
+    from pyspark.sql.window import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_type", "ts")
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("view_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("click_ts"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("click_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("purchase_ts"))
+    wu = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "view_ts",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu),
+        )
+        .withColumn(
+            "click_ts",
+            F.min(
+                F.when(
+                    F.col("user_id").isNotNull()
+                    & (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("view_ts")),
+                    F.col("ts"),
+                )
+            ).over(wu),
+        )
+        .withColumn(
+            "purchase_ts",
+            F.min(
+                F.when(
+                    F.col("user_id").isNotNull()
+                    & (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("click_ts")),
+                    F.col("ts"),
+                )
+            ).over(wu),
+        )
     )
     depth = (
         F.lit(1)
@@ -303,10 +326,17 @@ def e6_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.col("purchase_ts").isNotNull(), 1).otherwise(0)
     ).cast("bigint")
     return (
-        v.join(c, "user_id", "left")
-        .join(p, "user_id", "left")
-        .select("user_id", "view_ts", "click_ts", "purchase_ts",
-                depth.alias("funnel_depth"))
+        staged.filter(F.col("view_ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max("view_ts").alias("view_ts"),
+            F.max("click_ts").alias("click_ts"),
+            F.max("purchase_ts").alias("purchase_ts"),
+        )
+        .select(
+            "user_id", "view_ts", "click_ts", "purchase_ts",
+            depth.alias("funnel_depth"),
+        )
     )
 
 

@@ -876,3 +876,14 @@ def test_a12_two_events_scans_only(plan_of):
     instead of re-scanning events (r7)."""
     plan = plan_of("a12_hll_sketch_union")
     assert len(_tree_scans(plan)) == 2, _tree_scans(plan)
+
+
+def test_e6_funnel_one_scan_one_exchange(plan_of):
+    """e6: the whole three-stage funnel is one events scan + one
+    user_id shuffle with chained same-partitioning windows — the former
+    stage-join form re-scanned events six times (r7)."""
+    import re
+
+    plan = plan_of("e6_funnel_analysis")
+    assert len(_tree_scans(plan)) == 1, _tree_scans(plan)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
