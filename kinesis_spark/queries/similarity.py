@@ -1730,6 +1730,13 @@ def sim15_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dist2")
         )
     )
+    # persist: BOTH the label-mean aggregate and the final join consume
+    # d2; without it each consumer re-derives the whole explode+centroid
+    # chain — two extra embeddings passes (r7 plan audit). d2 is narrow
+    # (vec_id, label, dist2), so the cache is ~24 B/vector. A window
+    # over labels would avoid the cache but has no partial aggregation —
+    # one task per label is a skew cliff at corpus scale.
+    d2 = d2.persist()
     m = d2.groupBy("label").agg(
         (
             F.sum(F.floor(F.col("dist2") * F.lit(Q_SCALE)).cast("decimal(38,0)"))
