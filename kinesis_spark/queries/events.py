@@ -283,9 +283,10 @@ def e6_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Null semantics kept from the join form: a NULL user_id survives the
     view aggregate but can never advance (the stage equi-joins dropped
-    it), so the later-stage windows gate on ``user_id IS NOT NULL``."""
-    from pyspark.sql.window import Window
-
+    it), so the later-stage windows gate on ``user_id IS NOT NULL``;
+    and a user whose only view rows carry a NULL ts still emits a
+    depth-1 row with a NULL view_ts (MIN over nulls), so membership is
+    gated on HAVING a view event, not on view_ts being non-null."""
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("view", "click", "purchase"))
@@ -294,6 +295,10 @@ def e6_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     wu = Window.partitionBy("user_id")
     staged = (
         ev.withColumn(
+            "has_view",
+            F.max((F.col("event_type") == "view").cast("int")).over(wu),
+        )
+        .withColumn(
             "view_ts",
             F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu),
         )
@@ -326,7 +331,7 @@ def e6_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.col("purchase_ts").isNotNull(), 1).otherwise(0)
     ).cast("bigint")
     return (
-        staged.filter(F.col("view_ts").isNotNull())
+        staged.filter(F.col("has_view") == 1)
         .groupBy("user_id")
         .agg(
             F.max("view_ts").alias("view_ts"),

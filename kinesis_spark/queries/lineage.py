@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kinesis_spark.io import load_table
 from kinesis_spark.queries import register
@@ -512,9 +513,7 @@ def dq4_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # .agg() joined back: the agg form re-derives `filled` — i.e. a
     # SECOND full orders scan — because Spark does not share scans
     # across plan branches (r7 plan audit). Exact bigint sums either way.
-    from pyspark.sql.window import Window as _W
-
-    _wall = _W.rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing)
+    _wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     tot = filled.withColumn(
         "ref_tot", F.sum("ref_cnt").over(_wall)
     ).withColumn("cur_tot", F.sum("cur_cnt").over(_wall))
@@ -540,8 +539,6 @@ def dq4_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decimal(28,12)"
         ),
     )
-    from pyspark.sql.window import Window
-
     w = Window.partitionBy()  # one {bins}-row partition: the bin spine
     total = F.sum("term_dec").over(w).cast("double")
     return scored.select(
@@ -663,9 +660,7 @@ def dq5_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a SECOND full embeddings scan + explode — because Spark does not
     # share scans across plan branches (r7 plan audit). The decimal
     # fixed-point bridge is identical either way.
-    from pyspark.sql.window import Window as _W
-
-    _wall = _W.rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing)
+    _wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
 
     def _fold(expr):
         return (

@@ -306,13 +306,22 @@ FROM stages
 
         gate_ok = F.col("lang_ok") & F.col("len_ok") & F.col("q_ok")
         hashed = flags.select(
-            "doc_id", "n_toks", "lang_ok", "len_ok", "q_ok", "toks",
+            "doc_id", "n_toks", "lang_ok", "len_ok", "q_ok",
+            # null out gated-out docs' token arrays BEFORE the hash
+            # exchange: toks is the widest column and is provably never
+            # read for them (shb gates on eligibility below) — at harsh
+            # gate rates the shuffle payload shrinks to gate survivors
+            F.when(gate_ok, F.col("toks")).alias("toks"),
             F.when(gate_ok, F.sha2("text", 256))
             .otherwise(F.concat(F.lit("ng-"), F.col("doc_id")))
             .alias("h"),
         )
         wh = Window.partitionBy("h").orderBy("doc_id")
         ranked = hashed.withColumn("rn", F.row_number().over(wh))
+        # ONE eligibility expression feeds BOTH the shingle gate and the
+        # band-key gate — if they ever drifted apart, non-entrants would
+        # keep real band keys computed from the placeholder signature
+        # (all identical!) and collapse into a single mega-bucket
         eligible = gate_ok & (F.col("rn") == 1)  # the band-stage entrants
         shb = F.when(eligible, _shingles_of(F.col("toks"))).otherwise(
             F.array(F.lit(""))
@@ -320,16 +329,15 @@ FROM stages
         carry = ["doc_id", "n_toks", "lang_ok", "len_ok", "q_ok", "rn"]
         sigs = ranked.select(*carry, *_minhash_sig_spark(shb))
         banded = sigs.select(
-            *carry, _band_key_expr().alias("band_key")
+            *carry,
+            _band_key_expr().alias("band_key"),
         ).withColumn(
+            # `eligible` resolves by name post-explode (its constituent
+            # flags all ride `carry`)
             "band_key",
-            F.when(
-                F.col("lang_ok")
-                & F.col("len_ok")
-                & F.col("q_ok")
-                & (F.col("rn") == 1),
-                F.col("band_key"),
-            ).otherwise(F.concat(F.lit("x-"), F.col("doc_id"))),
+            F.when(eligible, F.col("band_key")).otherwise(
+                F.concat(F.lit("x-"), F.col("doc_id"))
+            ),
         )
         wb = Window.partitionBy("band_key")
         flagged = banded.withColumn("bucket_min", F.min("doc_id").over(wb))

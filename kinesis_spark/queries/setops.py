@@ -264,9 +264,7 @@ def s8_domain_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # crossJoined back: the agg form re-derives `counts` — a THIRD
     # corpus scan — because Spark does not share scans across plan
     # branches (r7 plan audit). Exact bigint arithmetic either way.
-    from pyspark.sql.window import Window as _W
-
-    _wall = _W.rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing)
+    _wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     rates = (
         counts.withColumn("total", F.sum("cnt").over(_wall).cast("bigint"))
         .withColumn("n_sources", F.count(F.lit(1)).over(_wall).cast("bigint"))
@@ -536,9 +534,7 @@ def s13_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # totals as a window over the per-source spine (s8's r7 fix — the
     # .agg()-and-join-back form re-scanned the corpus a third time).
-    from pyspark.sql.window import Window as _W
-
-    _wall = _W.rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing)
+    _wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     # total*w can pass int64 at extreme corpus sizes (1e13 docs x 2^20-
     # scaled weights) — the product runs in DECIMAL(38,0) (Spark) /
     # HUGEINT (oracle), still exact integer arithmetic.

@@ -1,59 +1,46 @@
 #!/usr/bin/env python
 """The /verify recipe as a runnable script: drive __spark_entry__.entry,
-then every queries() entry at sf0.01 against its oracle_sql() twin via
-DuckDB (bit-exact compare, float columns included). PASS = every
-oracle-backed query prints EXACT MATCH and FAILURES is empty."""
+then every queries() entry at sf0.01 against its oracle_sql() twin —
+through tests/oracle_utils (the SAME comparator the pytest gate uses:
+dtype-kind asserts, bit-exact float compare, targeted diagnostics), so
+the script and the test gate can never drift. PASS = every oracle-backed
+query prints EXACT MATCH and FAILURES is empty (exit 0)."""
 
+import os
 import sys
 
-sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
-
-import duckdb
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
 
 import __spark_entry__ as e
 from kinesis_spark.session import get_spark
+from oracle_utils import compare, run_oracle
 
 
 def main() -> int:
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     spark = get_spark("verify-drive")
     spark.sparkContext.setLogLevel("ERROR")
     assert len(e.entry(spark).collect()) > 0
-
-    sf = "/root/testdata/sf0.01"
-    con = duckdb.connect()
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"]:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
-        )
 
     qs, osql = e.queries(), e.oracle_sql()
     fails = []
     for name, fn in qs.items():
         try:
-            got = fn(spark, sf).toPandas()
+            # bench.py's isolation rule: queries that persist internal
+            # subtrees (sim15, sim8, MLlib pipelines) must not stack 191
+            # cached relations across the sweep
+            spark.catalog.clearCache()
+            df = fn(spark, sf)
             if name not in osql:
-                print(name, "rows-only", len(got), flush=True)
+                print(name, "rows-only", df.count(), flush=True)
                 continue
-            want = con.execute(osql[name]).fetchdf()
-            cols = sorted(got.columns)
-            g = got[cols].sort_values(cols).reset_index(drop=True)
-            w = want[sorted(want.columns)].sort_values(
-                sorted(want.columns)
-            ).reset_index(drop=True)
-            assert list(g.columns) == list(w.columns) and len(g) == len(w), name
-            for c in cols:
-                gv, wv = g[c], w[c]
-                ok = (
-                    (gv.astype(str).values == wv.astype(str).values)
-                    if gv.dtype.kind != "f"
-                    else ((gv.values == wv.values) | (gv.isna() & wv.isna()).values)
-                )
-                assert ok.all(), (name, c)
-            print(name, "EXACT MATCH", len(g), flush=True)
+            compare(df, run_oracle(osql[name], sf), name)
+            print(name, "EXACT MATCH", flush=True)
         except Exception as ex:  # noqa: BLE001 - collect, report all
             fails.append(name)
-            print(name, "FAIL", repr(ex)[:200], flush=True)
+            print(name, "FAIL", repr(ex)[:300], flush=True)
     print("FAILURES:", fails, flush=True)
     spark.stop()
     return 1 if fails else 0
