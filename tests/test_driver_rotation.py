@@ -118,3 +118,32 @@ def test_refresh_bumps_round_for_changed_fingerprint(monkeypatch):
     # unchanged entries keep their recorded state verbatim
     other = next(n for n in new if n != victim)
     assert new[other] == stale[other]
+
+
+def test_reverify_first_leads_the_changed_tier():
+    """Every REVERIFY_FIRST name that is currently changed-since-
+    verified must sit inside the driver's 50-query window, ahead of
+    module-coarseness requeues; once re-greened, entries self-clear
+    (they become verified and leave the tier)."""
+    from kinesis_spark.queries import REVERIFY_FIRST
+
+    reg = get_registry()
+    verified = _driver_verified_names()
+    names = list(get_registry_ordered())
+    window = set(names[:50])
+    pending = [
+        n for n in REVERIFY_FIRST if n in reg and n not in verified
+    ]
+    for n in pending:
+        assert n in window, f"{n} (true semantic change) pushed out of window"
+    # the tier leads: every pending name precedes every OTHER changed
+    # name that is not itself in REVERIFY_FIRST
+    green = _green_rounds()
+    others = [
+        n for n in names
+        if n not in verified and n in green and n not in REVERIFY_FIRST
+    ]
+    if pending and others:
+        assert max(names.index(n) for n in pending) < min(
+            names.index(n) for n in others
+        )
