@@ -258,3 +258,119 @@ def resize_images(
             )
 
     return imgs.mapInPandas(_fake, schema=RESIZED_SCHEMA)
+
+
+#: dHash layout: an 8-row × 9-column sampled grayscale grid yields
+#: 8×8 = 64 row-wise difference bits, packed as 4 × 16-bit band ints
+#: (the LSH band key width used by the mm7 near-dup join).
+DHASH_GRID_W = 9
+DHASH_GRID_H = 8
+DHASH_BAND_BITS = 16
+DHASH_BANDS = (DHASH_GRID_W - 1) * DHASH_GRID_H // DHASH_BAND_BITS
+
+#: Deterministic payload transforms for the pHash evaluation protocol
+#: (every perceptual-hash paper validates this way: inject a known
+#: order-preserving transform — it MUST match its original — and a
+#: destructive one — it must NOT). Each entry is
+#: (n_expr, cell_tx) applied to the sampling-grid SQL: ``bright`` adds
+#: a constant to every grayscale cell (clamped at 255; order-preserving,
+#: so dHash is provably invariant while byte-level hashes all change);
+#: ``crop`` keeps the first half of the payload (content lands at
+#: different grid fractions, so the grid decorrelates).
+DHASH_VARIANTS: dict[str, tuple[str, str]] = {
+    "orig": ("n_bytes", "{x}"),
+    "bright": ("n_bytes", "least({x} + 16, 255)"),
+    "crop": ("(n_bytes div 2)", "{x}"),
+}
+
+
+def _dhash_cell_sql(variants: tuple[str, ...]) -> tuple[str, str]:
+    """(n_eff, cell) SQL for the variant-dispatched sampling grid: the
+    effective payload length and the transformed grayscale cell as ONE
+    expression pair CASE-dispatched on the exploded ``variant`` column —
+    so every variant's grid derives from a single payload read (one
+    documents scan total, not one per variant)."""
+    n_eff = (
+        "CASE variant "
+        + " ".join(
+            f"WHEN '{v}' THEN ({DHASH_VARIANTS[v][0]})" for v in variants
+        )
+        + " END"
+    )
+    x = (
+        f"ascii(cast(substring(payload, "
+        f"cast((k * ({n_eff} - 1)) div {DHASH_GRID_W * DHASH_GRID_H - 1} as int)"
+        f" + 1, 1) as string))"
+    )
+    cell = (
+        "CASE variant "
+        + " ".join(
+            f"WHEN '{v}' THEN ({DHASH_VARIANTS[v][1].format(x=x)})"
+            for v in variants
+        )
+        + " END"
+    )
+    return n_eff, cell
+
+
+def dhash_min_bytes(variant: str) -> int:
+    """Smallest payload a variant can hash (crop halves the payload, so
+    it needs 2 surviving bytes = 4 raw)."""
+    return 4 if "div 2" in DHASH_VARIANTS[variant][0] else 2
+
+
+def dhash_images(media: DataFrame, variants: tuple[str, ...] = ("orig",)) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image payload, entirely
+    JVM-side: sample a ``DHASH_GRID_H × DHASH_GRID_W`` byte grid at
+    evenly-spaced payload offsets (the no-codec stand-in for
+    grayscale-resize), then emit one bit per horizontally adjacent cell
+    pair (right > left), packed into ``DHASH_BANDS`` 16-bit band
+    integers ``h0..h3``. One output row per (image, variant) —
+    ``variants`` selects which :data:`DHASH_VARIANTS` transforms run.
+
+    With a real codec the grid would come from a decoded luma plane
+    (swap the sampling expression for a decode ``mapInPandas`` stage);
+    everything downstream — banding, bucketing, Hamming verify — is
+    byte-source-agnostic. Too-short payloads (< 2 bytes effective; see
+    :func:`dhash_min_bytes`) are filtered per variant.
+
+    Scale shape: ONE scan, map-only, whole-stage codegen — the variant
+    fan-out is a row-local explode of the variant name BEFORE the grid
+    is computed, so all variants' grids derive from a single payload
+    read (72 one-byte substrings + 64 integer compares per row per
+    variant); output is 4 ints per row, so the downstream LSH shuffle
+    carries ~28 B/image no matter how large the payloads are. Reference
+    parity: payloads stay opaque bytes end-to-end
+    (kinesis/kinesis.go:199,213).
+    """
+    cells = DHASH_GRID_W * DHASH_GRID_H
+    _, cell = _dhash_cell_sql(variants)
+    rows = media.select(
+        "media_id",
+        "n_bytes",
+        "payload",
+        F.explode(F.array(*[F.lit(v) for v in variants])).alias("variant"),
+    ).filter(
+        F.col("n_bytes")
+        >= F.expr(
+            "CASE variant "
+            + " ".join(
+                f"WHEN '{v}' THEN {dhash_min_bytes(v)}" for v in variants
+            )
+            + " END"
+        )
+    )
+    grid = F.expr(f"transform(sequence(0, {cells - 1}), k -> {cell})")
+    sig = rows.select("media_id", "variant", grid.alias("g"))
+    bands = []
+    for b in range(DHASH_BANDS):
+        band = None
+        for j in range(DHASH_BAND_BITS):
+            i = b * DHASH_BAND_BITS + j          # bit index = row*8 + col
+            r, c = divmod(i, DHASH_GRID_W - 1)
+            cur = F.element_at(F.col("g"), r * DHASH_GRID_W + c + 1)
+            nxt = F.element_at(F.col("g"), r * DHASH_GRID_W + c + 2)
+            term = F.when(nxt > cur, F.lit(1 << j)).otherwise(F.lit(0))
+            band = term if band is None else band + term
+        bands.append(band.cast("int").alias(f"h{b}"))
+    return sig.select("media_id", "variant", *bands)

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesis_spark import multimodal as _DH
 from kinesis_spark.io import ensure_min_partitions, load_table
 from kinesis_spark.multimodal import (
     MODALITIES,
@@ -160,6 +161,31 @@ def mm4_nibble_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nibble_histogram(_media(spark, sf_dir))
 
 
+def _frame_energy_df(media: DataFrame) -> DataFrame:
+    """(media_id, modality, frame_idx, energy, peak) per 256-byte frame,
+    JVM-only — shared by mm5 (the profile itself) and mm8 (scene
+    segmentation over the energy sequence)."""
+    frames = sample_frames(media, frame_bytes=256, every_k=1)
+    # Generate barrier: decode once per frame; without it the lambda's
+    # substring(decode(frame), i, 1) re-decodes per element (256x) —
+    # same pitfall as dedup._tokens_barrier. 4.2 s -> 1.6 s at sf0.1.
+    decoded = frames.select(
+        "media_id", "modality", "frame_idx",
+        F.explode(F.array(F.decode("frame", "UTF-8"))).alias("txt"),
+    )
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length("txt")),
+        lambda i: F.ascii(F.substring(F.col("txt"), i, F.lit(1))),
+    )
+    energy = F.aggregate(codes, F.lit(0).cast("bigint"),
+                         lambda acc, x: acc + x.cast("bigint"))
+    peak = F.array_max(codes).cast("bigint")
+    return decoded.select(
+        "media_id", "modality", "frame_idx",
+        energy.alias("energy"), peak.alias("peak"),
+    )
+
+
 @register(
     "mm5_frame_energy",
     oracle=f"""
@@ -196,25 +222,7 @@ def mm5_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     + peak per fixed-size frame), computed JVM-side over every frame's
     bytes — no Python in the loop. ASCII corpus ⇒ byte value == code
     point, so the oracle replays it over text."""
-    frames = sample_frames(_media(spark, sf_dir), frame_bytes=256, every_k=1)
-    # Generate barrier: decode once per frame; without it the lambda's
-    # substring(decode(frame), i, 1) re-decodes per element (256x) —
-    # same pitfall as dedup._tokens_barrier. 4.2 s -> 1.6 s at sf0.1.
-    decoded = frames.select(
-        "media_id", "modality", "frame_idx",
-        F.explode(F.array(F.decode("frame", "UTF-8"))).alias("txt"),
-    )
-    codes = F.transform(
-        F.sequence(F.lit(1), F.length("txt")),
-        lambda i: F.ascii(F.substring(F.col("txt"), i, F.lit(1))),
-    )
-    energy = F.aggregate(codes, F.lit(0).cast("bigint"),
-                         lambda acc, x: acc + x.cast("bigint"))
-    peak = F.array_max(codes).cast("bigint")
-    return decoded.select(
-        "media_id", "modality", "frame_idx",
-        energy.alias("energy"), peak.alias("peak"),
-    )
+    return _frame_energy_df(_media(spark, sf_dir))
 
 
 @register(
@@ -274,4 +282,274 @@ def mm6_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("px_val"),
+    )
+
+
+# mm7 dHash near-dup knobs: verify threshold (bits of 64) and the
+# d14-style hot-bucket cap (buckets larger than this are dropped
+# wholesale BEFORE pair expansion — both engines apply it identically).
+MM7_HAMMING_MAX = 6
+MM7_BUCKET_CAP = 32
+
+# The oracle's grid/band SQL is generated at import time from the SAME
+# (grid, band, variant) layout constants as multimodal.dhash_images, so
+# the two assemblies cannot drift independently.
+def _mm7_band_sql(b: int) -> str:
+    terms = []
+    for j in range(_DH.DHASH_BAND_BITS):
+        i = b * _DH.DHASH_BAND_BITS + j          # bit index = row*8 + col
+        r, c = divmod(i, _DH.DHASH_GRID_W - 1)
+        cur = f"g[{r * _DH.DHASH_GRID_W + c + 1}]"
+        nxt = f"g[{r * _DH.DHASH_GRID_W + c + 2}]"
+        terms.append(f"(CASE WHEN {nxt} > {cur} THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_MM7_CELLS = _DH.DHASH_GRID_W * _DH.DHASH_GRID_H
+_MM7_BANDS_SQL = ",\n         ".join(
+    f"CAST({_mm7_band_sql(b)} AS INT) AS h{b}" for b in range(_DH.DHASH_BANDS)
+)
+_MM7_HAMMING_SQL = " + ".join(
+    f"bit_count(xor(a.h{b}, b.h{b}))" for b in range(_DH.DHASH_BANDS)
+)
+
+
+def _mm7_grid_sql(variant: str) -> str:
+    """DuckDB twin of multimodal._dhash_grid_expr for one variant
+    (Spark `div` ↔ DuckDB `//`; `ascii(substring(payload ...))` ↔
+    `ascii(substr(text ...))` — the corpus is pure ASCII, see module
+    docstring)."""
+    n_expr, cell_tx = _DH.DHASH_VARIANTS[variant]
+    n_sql = n_expr.replace("n_bytes", "n").replace(" div ", " // ")
+    x = f"ascii(substr(text, CAST((k * ({n_sql} - 1)) // {_MM7_CELLS - 1} AS INT) + 1, 1))"
+    return (
+        f"list_transform(range(0, {_MM7_CELLS}), k -> {cell_tx.format(x=x)})"
+    )
+
+
+_MM7_SIGS_SQL = "\n  UNION ALL\n".join(
+    f"""  SELECT media_id, '{v}' AS variant, {_mm7_grid_sql(v)} AS g
+  FROM img WHERE n >= {_DH.dhash_min_bytes(v)}"""
+    for v in _DH.DHASH_VARIANTS
+)
+
+_MM7_ORACLE = f"""
+WITH img AS (
+  SELECT doc_id AS media_id, text, length(text) AS n
+  FROM documents
+  WHERE {_MODALITY_SQL} = 'image'
+),
+grid AS (
+{_MM7_SIGS_SQL}
+),
+sig AS (
+  SELECT media_id, variant,
+         {_MM7_BANDS_SQL}
+  FROM grid
+),
+bands AS (
+  SELECT media_id, variant, h0, h1, h2, h3, b.band_idx,
+         CASE b.band_idx WHEN 0 THEN h0 WHEN 1 THEN h1
+                         WHEN 2 THEN h2 ELSE h3 END AS band_val
+  FROM sig, (SELECT unnest(range({_DH.DHASH_BANDS})) AS band_idx) b
+),
+capped AS (
+  SELECT * FROM (
+    SELECT bands.*, COUNT(*) OVER (PARTITION BY band_idx, band_val) AS bn
+    FROM bands
+  ) WHERE bn BETWEEN 2 AND {MM7_BUCKET_CAP}
+)
+SELECT DISTINCT a.media_id AS media_a, a.variant AS variant_a,
+       b.media_id AS media_b, b.variant AS variant_b,
+       CAST({_MM7_HAMMING_SQL} AS BIGINT) AS hamming
+FROM capped a JOIN capped b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND (a.media_id < b.media_id
+          OR (a.media_id = b.media_id AND a.variant < b.variant))
+WHERE {_MM7_HAMMING_SQL} <= {MM7_HAMMING_MAX}
+"""
+
+
+@register(
+    "mm7_phash_neardup",
+    oracle=_MM7_ORACLE,
+    tags=("multimodal", "dedup", "lsh", "phash"),
+)
+def mm7_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup — the multimodal face of the
+    dedup family (re-encodes, brightness/contrast shifts, thumbnails
+    that byte-level hashes miss): 64-bit dHash per image payload
+    (``multimodal.dhash_images``, JVM-only), banded into 4 x 16-bit LSH
+    keys, candidates from a band equi-join with d14-style hot-bucket
+    capping, verified by exact 64-bit Hamming distance.
+
+    Run under the standard pHash evaluation protocol (the fixture
+    corpus has no byte-level image near-dups, so recall is proven on
+    injected transforms, exactly how perceptual hashes are validated):
+    each image enters as ``orig`` plus a ``bright`` variant (+16 per
+    grayscale cell — every payload byte differs, md5/sha dedup all
+    miss it, but dHash's adjacent-cell comparisons are order-invariant
+    so it MUST match at hamming 0) and a ``crop`` variant (first half —
+    content lands at different grid fractions, so it must NOT match).
+
+    Scale shape (same skeleton as d7, proven there at 10x): signatures
+    are map-only over one scan; the band shuffle carries
+    (media_id, variant, 4 ints) per row regardless of payload size;
+    buckets above MM7_BUCKET_CAP are dropped wholesale BEFORE pair
+    expansion, bounding the within-bucket blowup; the verify is
+    row-local integer math on band ints already inside the pair. At
+    100 TB nothing in the plan touches payload bytes after the
+    signature scan."""
+    from kinesis_spark.multimodal import dhash_images
+    from kinesis_spark.queries.dedup import _ordered_pairs
+
+    media = _media(spark, sf_dir).filter(F.col("modality") == "image")
+    sigs = dhash_images(media, variants=tuple(_DH.DHASH_VARIANTS))
+    hcols = [f"h{b}" for b in range(_DH.DHASH_BANDS)]
+    bands = sigs.select(
+        "media_id",
+        "variant",
+        *hcols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.col(f"h{b}").alias("band_val"),
+                    )
+                    for b in range(_DH.DHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("media_id", "variant", *hcols, "band.band_idx", "band.band_val")
+    # single-scan within-bucket expansion (d7's rationale: a band
+    # self-join would run the signature scan twice); members carry the
+    # band ints so the Hamming verify reads them straight out of the
+    # pair, and the (media_id, variant)-leading struct sort gives the
+    # same pair orientation as the oracle's lexicographic join.
+    buckets = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("media_id", "variant", *hcols))
+            ).alias("ms")
+        )
+        .filter(F.size("ms").between(2, MM7_BUCKET_CAP))
+    )
+
+    def _pair_of(x, y):
+        ham = None
+        for b in range(_DH.DHASH_BANDS):
+            t = F.bit_count(x[f"h{b}"].bitwiseXOR(y[f"h{b}"]))
+            ham = t if ham is None else ham + t
+        return F.struct(
+            x["media_id"].alias("media_a"),
+            x["variant"].alias("variant_a"),
+            y["media_id"].alias("media_b"),
+            y["variant"].alias("variant_b"),
+            ham.cast("bigint").alias("hamming"),
+        )
+
+    pair_arr = _ordered_pairs(F.col("ms"), pair_of=_pair_of)
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.media_a", "p.variant_a", "p.media_b", "p.variant_b", "p.hamming")
+        .filter(F.col("hamming") <= MM7_HAMMING_MAX)
+        .distinct()
+    )
+
+
+# mm8 boundary rule: a frame starts a new scene when its energy moved by
+# more than 1/MM8_DELTA_DIV of the previous frame's energy (exact
+# integer cross-multiplication — no float threshold on either engine).
+MM8_DELTA_DIV = 10
+
+
+@register(
+    "mm8_scene_segments",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id AS media_id, text, length(text) AS nb
+  FROM documents
+  WHERE {_MODALITY_SQL} = 'video'
+),
+f AS (
+  SELECT media_id, unnest(range(0, (nb + 255) // 256)) AS frame_idx, text
+  FROM m
+),
+fr AS (
+  SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         substr(text, CAST(frame_idx * 256 + 1 AS INT), 256) AS frame
+  FROM f
+),
+fe AS (
+  SELECT media_id, frame_idx,
+         CAST(list_sum(list_transform(range(1, length(frame) + 1),
+                                      i -> ascii(substr(frame, CAST(i AS INT), 1))))
+              AS BIGINT) AS energy
+  FROM fr
+),
+b AS (
+  SELECT media_id, frame_idx, energy,
+         CASE WHEN lag(energy) OVER w IS NULL THEN 1
+              WHEN {MM8_DELTA_DIV} * abs(energy - lag(energy) OVER w)
+                   > lag(energy) OVER w THEN 1
+              ELSE 0 END AS boundary
+  FROM fe
+  WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)
+),
+s AS (
+  SELECT media_id, frame_idx, energy,
+         SUM(boundary) OVER (PARTITION BY media_id ORDER BY frame_idx
+                             ROWS UNBOUNDED PRECEDING) AS scene_id
+  FROM b
+)
+SELECT media_id, CAST(scene_id AS BIGINT) AS scene_id,
+       MIN(frame_idx) AS start_frame, MAX(frame_idx) AS end_frame,
+       COUNT(*) AS n_frames, CAST(SUM(energy) AS BIGINT) AS scene_energy
+FROM s GROUP BY media_id, scene_id
+""",
+    tags=("multimodal", "video", "window", "segmentation"),
+)
+def mm8_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene segmentation from the per-frame energy sequence — the
+    temporal-sampling primitive of a video training pipeline (scene-
+    balanced frame sampling, shot-boundary stats, per-scene captioning
+    budgets): a frame opens a new scene when its energy moves by more
+    than 1/MM8_DELTA_DIV vs the previous frame (exact integer
+    cross-multiplication), scene ids are the running boundary count, and
+    each scene reports its frame span and total energy. With a real
+    codec the energy column would come from decoded luma/PCM frames
+    (mm5's stub note); the segmentation algebra is source-agnostic.
+
+    Scale shape: frame explode and energy are row-local over one scan;
+    the two windows and the scene aggregation all cluster on media_id,
+    so the whole query is ONE narrow shuffle of (media_id, frame_idx,
+    energy) rows — frame bytes never move; the scene groupBy reuses the
+    window's hash partitioning (plan-audited)."""
+    fe = _frame_energy_df(
+        _media(spark, sf_dir).filter(F.col("modality") == "video")
+    ).select("media_id", "frame_idx", "energy")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    prev = F.lag("energy").over(w)
+    boundary = (
+        F.when(prev.isNull(), F.lit(1))
+        .when(
+            F.abs(F.col("energy") - prev) * MM8_DELTA_DIV > prev, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+    )
+    scened = fe.withColumn("boundary", boundary).withColumn(
+        "scene_id",
+        F.sum("boundary")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    return scened.groupBy("media_id", "scene_id").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.max("frame_idx").alias("end_frame"),
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("energy").cast("bigint").alias("scene_energy"),
     )

@@ -42,8 +42,11 @@ from kinesis_spark.session import get_spark  # noqa: E402
 
 SF_SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SF1X = os.path.join(REPO, ".scale", "x1")
-SF10X = os.path.join(REPO, ".scale", "x10")
-REPLICAS = 10
+# SCALE_STRESS_REPLICAS picks the high point (default 10; e.g. 30 for a
+# second point on the growth curve — each multiplier gets its own
+# .scale/x{N} dir so the 10x and 30x corpora coexist)
+REPLICAS = int(os.environ.get("SCALE_STRESS_REPLICAS", "10"))
+SF10X = os.path.join(REPO, ".scale", f"x{REPLICAS}")
 # slowest members of each family (bench.py ranking) + the r1 table's rows
 OPERATORS = [
     "d3_minhash_lsh_pairs",
@@ -54,6 +57,7 @@ OPERATORS = [
     "t7_decontamination",
     "mm4_nibble_histogram",
     "mm5_frame_energy",
+    "mm7_phash_neardup",
     "sim1_topk_cosine",
     "sim5_brp_ann_mllib",
     "sim6_ivf_ann",

@@ -147,3 +147,53 @@ def test_null_payload_yields_null_features_not_crash(spark):
     rz = {r.media_id: r for r in resize_images(media, fake=True).collect()}
     assert rz[1].pixels is not None
     assert rz[2].pixels is None
+
+
+def test_dhash_bright_invariance_and_crop_decorrelation(media):
+    """The pHash protocol's two contracts, asserted at the library level:
+    (a) the order-preserving `bright` transform (+16 per cell, no clamp
+    on ASCII) leaves the dHash EXACTLY unchanged for every image even
+    though every payload byte differs; (b) the `crop` transform moves
+    content to different grid fractions, so most crop hashes differ from
+    their original by more than the mm7 verify threshold."""
+    from kinesis_spark.multimodal import dhash_images
+    from kinesis_spark.queries.multimodal import MM7_HAMMING_MAX
+
+    sigs = dhash_images(
+        media.filter(F.col("modality") == "image"),
+        variants=("orig", "bright", "crop"),
+    )
+    wide = (
+        sigs.groupBy("media_id")
+        .pivot("variant", ["orig", "bright", "crop"])
+        .agg(F.first(F.struct("h0", "h1", "h2", "h3")))
+    ).collect()
+    assert wide, "fixture should contain images"
+
+    def ham(a, b):
+        return sum(bin(a[f"h{i}"] ^ b[f"h{i}"]).count("1") for i in range(4))
+
+    far = 0
+    for r in wide:
+        assert r.bright is not None and ham(r.orig, r.bright) == 0, r.media_id
+        if r.crop is not None and ham(r.orig, r.crop) > MM7_HAMMING_MAX:
+            far += 1
+    with_crop = sum(1 for r in wide if r.crop is not None)
+    assert far >= 0.8 * with_crop, (far, with_crop)
+
+
+def test_dhash_min_bytes_filter(spark):
+    """Payloads below a variant's minimum are dropped per-variant, not
+    globally: a 3-byte image hashes as orig/bright but has no crop row
+    (crop needs 4 raw bytes for a 2-byte effective payload)."""
+    from kinesis_spark.multimodal import dhash_images
+
+    rows = [(1, "image", bytearray(b"abc"), 3), (2, "image", bytearray(b"a"), 1)]
+    df = spark.createDataFrame(
+        rows, "media_id long, modality string, payload binary, n_bytes long"
+    )
+    got = {
+        (r.media_id, r.variant)
+        for r in dhash_images(df, variants=("orig", "bright", "crop")).collect()
+    }
+    assert got == {(1, "orig"), (1, "bright")}

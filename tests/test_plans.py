@@ -887,3 +887,27 @@ def test_e6_funnel_one_scan_one_exchange(plan_of):
     plan = plan_of("e6_funnel_analysis")
     assert len(_tree_scans(plan)) == 1, _tree_scans(plan)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_mm7_single_scan_narrow_shuffle(plan_of):
+    """dHash near-dup reads documents ONCE (the variant fan-out is a
+    row-local explode below the signature projection, not a per-variant
+    union of scans) and no exchange ever carries payload bytes — the
+    LSH shuffle moves (media_id, variant, 4 band ints) per row."""
+    plan = plan_of("mm7_phash_neardup")
+    assert plan.count("documents.parquet") == 1
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "payload" not in line, line
+
+
+def test_mm8_single_narrow_shuffle(plan_of):
+    """Scene segmentation is one scan -> row-local frame energy -> ONE
+    media_id hash exchange that the lag window, the running-sum window,
+    and the scene aggregation all reuse (frame bytes never shuffle; the
+    only other exchange is the fixture parallelism floor's round-robin)."""
+    plan = plan_of("mm8_scene_segments")
+    assert plan.count("documents.parquet") == 1
+    hash_ex = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert len(hash_ex) == 1 and "media_id" in hash_ex[0], hash_ex
