@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 
 from kinesis_spark.checkpoints import pin
 from kinesis_spark.io import ensure_min_partitions, load_table
-from kinesis_spark.queries import register
+from kinesis_spark.queries import WS_RE, register
 
 N_HASHES = 8  # minhash signature length
 BAND_ROWS = 2  # rows per LSH band → 4 bands
@@ -1142,4 +1142,157 @@ def d17_containment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             size_min.alias("size_min"),
             (n_inter.cast("double") / size_min).alias("containment"),
         )
+    )
+
+
+# d18: duplicated-span excision (the REWRITE step after d16's candidate
+# detection — Lee et al.'s "Deduplicating Training Data Makes Language
+# Models Better" substring dedup, token-window granularity): any
+# EX_WINDOW-token window occurring >= 2 times corpus-wide keeps its
+# first occurrence (min doc_id, then min start) and every other
+# occurrence's token span is cut from its document.
+EX_WINDOW = 4
+
+
+@register(
+    "d18_dup_span_excision",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(text, '{WS_RE}') AS ts FROM documents
+  WHERE len(regexp_split_to_array(text, '{WS_RE}')) >= {EX_WINDOW}
+),
+occ AS (
+  SELECT doc_id, unnest(range(1, len(ts) - {EX_WINDOW - 2})) AS pos, ts
+  FROM toks
+),
+occh AS (
+  SELECT doc_id, pos,
+         CAST(('0x' || substr(md5(ts[pos] || ' ' || ts[pos+1] || ' ' ||
+                                  ts[pos+2] || ' ' || ts[pos+3]), 1, 15))
+              AS BIGINT) AS h
+  FROM occ
+),
+flags AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           COUNT(*) OVER (PARTITION BY h) AS total,
+           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+    FROM occh)
+  WHERE total >= 2 AND rn > 1
+),
+tok AS (
+  SELECT doc_id, unnest(range(1, len(ts) + 1)) AS tpos, ts FROM toks
+),
+tokf AS (
+  SELECT t.doc_id, t.tpos, t.ts[t.tpos] AS tok,
+         CASE WHEN f.pos IS NULL THEN 0 ELSE 1 END AS flag
+  FROM tok t LEFT JOIN flags f ON f.doc_id = t.doc_id AND f.pos = t.tpos
+),
+cov AS (
+  SELECT doc_id, tpos, tok, flag,
+         SUM(flag) OVER (PARTITION BY doc_id ORDER BY tpos
+                         RANGE BETWEEN {EX_WINDOW - 1} PRECEDING
+                               AND CURRENT ROW) AS c
+  FROM tokf
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(flag) AS BIGINT) AS n_cut_starts,
+       CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       md5(COALESCE(string_agg(CASE WHEN c = 0 THEN tok END, ' '
+                               ORDER BY tpos), '')) AS clean_md5
+FROM cov GROUP BY doc_id
+""",
+    tags=("dedup", "substring", "excision", "rewrite"),
+)
+def d18_dup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span EXCISION — the rewrite stage of substring-level
+    dedup (Lee et al. 2022), where d16 only detects: every 4-token
+    window occurring twice or more anywhere in the corpus keeps exactly
+    its first occurrence (lexicographic min (doc_id, start)); every
+    other occurrence's span is cut, and the cleaned document is
+    rebuilt from the surviving tokens (clean_md5 pins the rebuilt BYTES
+    against the oracle, not just counts — a off-by-one in span
+    coverage or token order fails the hash).
+
+    Pipeline: one posexplode to positional token rows (persisted — the
+    repo's pinned-narrow-relation pattern: the rebuild join would
+    otherwise re-derive the explode); 4-token window hashes via lead()
+    over the doc window; ONE hash-keyed shuffle ranks occurrences and
+    emits non-canonical starts; flags equi-join back onto token rows;
+    a RANGE window (W-1 PRECEDING) turns start flags into span
+    coverage; one doc aggregation rebuilds the text and the accounting.
+
+    Scale shape: no all-pairs anywhere — the occurrence relation
+    shuffles (h, doc_id, pos) once (16B rows after the gram is hashed
+    and dropped); flags are dup-occurrence-sized; the rebuild is one
+    doc_id-clustered join + window + aggregation. A boilerplate window
+    shared by millions of docs makes ONE hot hash partition whose
+    output is still one row per occurrence (rank + filter, no pair
+    expansion) — the same bound d16 documents, without its bucket
+    blowup. clean text grouping is bounded by document size.
+    """
+    tokd = _tokens_barrier(
+        load_table(spark, sf_dir, "documents"), min_words=EX_WINDOW
+    )
+    toks = tokd.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("tpos"), "tok")
+    # persisted: both the gram-occurrence branch and the rebuild join
+    # consume it; without the pin each re-runs the split+explode
+    toks = toks.persist()
+
+    wdoc = Window.partitionBy("doc_id").orderBy("tpos")
+    gram = F.concat_ws(
+        " ",
+        F.col("tok"),
+        *[F.lead("tok", j).over(wdoc) for j in range(1, EX_WINDOW)],
+    )
+    occs = (
+        toks.select(
+            "doc_id",
+            F.col("tpos").alias("pos"),
+            F.lead("tok", EX_WINDOW - 1).over(wdoc).alias("last"),
+            gram.alias("gram"),
+        )
+        .filter(F.col("last").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    wh = Window.partitionBy("h")
+    who = Window.partitionBy("h").orderBy("doc_id", "pos")
+    flags = (
+        occs.withColumn("total", F.count(F.lit(1)).over(wh))
+        .withColumn("rn", F.row_number().over(who))
+        .filter((F.col("total") >= 2) & (F.col("rn") > 1))
+        .select("doc_id", F.col("pos").alias("tpos"), F.lit(1).alias("flag"))
+    )
+    covered = toks.join(flags, ["doc_id", "tpos"], "left").withColumn(
+        "c",
+        F.sum(F.coalesce("flag", F.lit(0))).over(
+            wdoc.rangeBetween(-(EX_WINDOW - 1), 0)
+        ),
+    )
+    kept = F.when(
+        F.col("c") == 0, F.struct(F.col("tpos"), F.col("tok"))
+    )  # no otherwise: collect_list drops the null (removed) entries
+    return covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.coalesce("flag", F.lit(0))).cast("bigint").alias("n_cut_starts"),
+        F.sum(F.when(F.col("c") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda x: x["tok"]
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
     )

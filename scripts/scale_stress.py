@@ -58,6 +58,7 @@ OPERATORS = [
     "mm4_nibble_histogram",
     "mm5_frame_energy",
     "mm7_phash_neardup",
+    "mm8_scene_segments",
     "sim1_topk_cosine",
     "sim5_brp_ann_mllib",
     "sim6_ivf_ann",

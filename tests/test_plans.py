@@ -911,3 +911,18 @@ def test_mm8_single_narrow_shuffle(plan_of):
     assert plan.count("documents.parquet") == 1
     hash_ex = [l for l in plan.splitlines() if "hashpartitioning" in l]
     assert len(hash_ex) == 1 and "media_id" in hash_ex[0], hash_ex
+
+
+def test_d18_single_scan_no_pairs(plan_of):
+    """Span excision reads documents once (the positional token relation
+    is pinned and shared by the gram branch and the rebuild join) and
+    never forms pairs: occurrences rank within their hash partition
+    (count+row_number, no within-bucket expansion), so no cartesian or
+    pair blowup exists anywhere in the plan."""
+    plan = plan_of("d18_dup_span_excision")
+    assert plan.count("documents.parquet") == 1
+    assert "CartesianProduct" not in plan
+    # shuffles carry hashed grams / positions, never gram or doc text
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "gram" not in line and "text#" not in line, line
