@@ -59,6 +59,7 @@ OPERATORS = [
     "mm5_frame_energy",
     "mm7_phash_neardup",
     "mm8_scene_segments",
+    "d18_dup_span_excision",
     "sim1_topk_cosine",
     "sim5_brp_ann_mllib",
     "sim6_ivf_ann",
