@@ -143,3 +143,104 @@ def incremental_prep_indexed(
         .cast("bigint")
         .alias("admitted_tokens"),
     )
+
+
+def ensure_local_index(sf_dir: str, prefix: str, build_fn) -> str:
+    """Bootstrap-once helper for tmp-dir persisted indexes keyed by the
+    documents table's (path, mtime): returns the index dir, calling
+    ``build_fn(scratch_dir)`` at most once per key with the atomic-
+    rename dance (two concurrent first callers never overwrite each
+    other's half-built index; the rename loser discards its build and
+    uses the winner's). Shared by p7 (prep index) and p9 (gram index)."""
+    import hashlib
+    import shutil
+    import tempfile
+    import uuid
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.realpath(docs_path)}:{os.path.getmtime(docs_path)}".encode()
+    ).hexdigest()[:16]
+    idx = os.path.join(tempfile.gettempdir(), f"{prefix}-{key}")
+    marker = os.path.join(idx, "_COMPLETE")
+    if not os.path.exists(marker):
+        scratch = f"{idx}.build-{uuid.uuid4().hex[:8]}"
+        build_fn(scratch)
+        with open(os.path.join(scratch, "_COMPLETE"), "w") as f:
+            f.write(key)
+        if os.path.isdir(idx) and not os.path.exists(marker):
+            # crash leftover: an earlier build died before its rename.
+            # Rename it ASIDE (atomic, one winner) instead of rmtree — a
+            # stale isdir/marker check must never delete an index
+            # another process just completed
+            try:
+                os.rename(idx, f"{idx}.stale-{uuid.uuid4().hex[:8]}")
+            except OSError:
+                pass  # someone else already moved or replaced it
+        try:
+            os.rename(scratch, idx)
+        except OSError:
+            shutil.rmtree(scratch, ignore_errors=True)  # lost the race
+    return idx
+
+
+def build_gram_index(spark: SparkSession, corpus_docs: DataFrame, index_dir: str) -> dict:
+    """Bootstrap the substring-dedup gram index: the DISTINCT 8-byte
+    hashes of every EX_WINDOW-token window in the corpus, persisted at
+    ``<index_dir>/grams/``. One corpus scan; the relation is
+    hash-sized (8 B per distinct window), never document-sized. The
+    incremental maintainer is the same append discipline as the hash
+    store (re-appending a batch's grams after a crash is harmless —
+    probes .distinct() the matched keys)."""
+    from kinesis_spark.queries.dedup import positional_tokens, window_hashes
+
+    grams = window_hashes(positional_tokens(corpus_docs)).select("h").distinct()
+    gram_dir = os.path.join(index_dir, "grams")
+    grams.write.mode("overwrite").parquet(gram_dir)
+    return {"grams": spark.read.parquet(gram_dir).count()}
+
+
+def incremental_span_excision(
+    spark: SparkSession, batch_docs: DataFrame, index_dir: str
+) -> DataFrame:
+    """d18's span excision, the incremental/production way: a new batch
+    lands against the PERSISTED corpus gram index — a batch window is
+    cut when its gram already exists in the corpus (the corpus holds
+    the canonical copy) OR repeats within the batch (first batch
+    occurrence kept); the cleaned batch documents are rebuilt and
+    reported exactly like d18 (clean_md5 pins the bytes).
+
+    Scale shape: zero corpus scans — inputs are the batch and the gram
+    relation. The gram store is scanned pruned to its single column and
+    confirmed via a batch-scale broadcast semi-join (the p7/bloom-
+    confirm discipline: the corpus-sized side is never shuffled, never
+    broadcast); the matched-key relation is bounded by the batch's
+    distinct gram count, so the flag join broadcasts. At 100 TB the
+    gram store would also be bucketed by h so the confirm scan prunes
+    files, same as the ANN cells layout."""
+    from kinesis_spark.queries.dedup import (
+        excision_report,
+        positional_tokens,
+        window_hashes,
+    )
+
+    toks = positional_tokens(batch_docs).persist()
+    occs = window_hashes(toks)
+    grams = spark.read.parquet(os.path.join(index_dir, "grams"))
+    batch_keys = occs.select("h").distinct()
+    # .distinct(): crash-redo appends may duplicate stored grams (see
+    # incremental_prep_indexed's identical confirm step)
+    matched = (
+        grams.join(F.broadcast(batch_keys), "h", "left_semi")
+        .select("h")
+        .distinct()
+        .withColumn("in_corpus", F.lit(1))
+    )
+    who = Window.partitionBy("h").orderBy("doc_id", "pos")
+    flags = (
+        occs.withColumn("rn", F.row_number().over(who))
+        .join(F.broadcast(matched), "h", "left")
+        .filter((F.col("rn") > 1) | F.col("in_corpus").isNotNull())
+        .select("doc_id", F.col("pos").alias("tpos"), F.lit(1).alias("flag"))
+    )
+    return excision_report(toks, flags)

@@ -1232,23 +1232,43 @@ def d18_dup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion) — the same bound d16 documents, without its bucket
     blowup. clean text grouping is bounded by document size.
     """
-    tokd = _tokens_barrier(
-        load_table(spark, sf_dir, "documents"), min_words=EX_WINDOW
+    toks = positional_tokens(
+        load_table(spark, sf_dir, "documents")
+    ).persist()  # pinned: the gram branch and the rebuild join share it
+    occs = window_hashes(toks)
+    wh = Window.partitionBy("h")
+    who = Window.partitionBy("h").orderBy("doc_id", "pos")
+    flags = (
+        occs.withColumn("total", F.count(F.lit(1)).over(wh))
+        .withColumn("rn", F.row_number().over(who))
+        .filter((F.col("total") >= 2) & (F.col("rn") > 1))
+        .select("doc_id", F.col("pos").alias("tpos"), F.lit(1).alias("flag"))
     )
-    toks = tokd.select(
+    return excision_report(toks, flags)
+
+
+def positional_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, tpos, tok) rows for docs with >= EX_WINDOW tokens —
+    the shared tokenization of the excision family (d18 global,
+    prep_index.incremental_span_excision / p9 batch-vs-corpus). tpos is
+    1-based so it matches the oracles' DuckDB list indexing."""
+    tokd = _tokens_barrier(docs, min_words=EX_WINDOW)
+    return tokd.select(
         "doc_id", F.posexplode("toks").alias("p0", "tok")
     ).select("doc_id", (F.col("p0") + 1).alias("tpos"), "tok")
-    # persisted: both the gram-occurrence branch and the rebuild join
-    # consume it; without the pin each re-runs the split+explode
-    toks = toks.persist()
 
+
+def window_hashes(toks: DataFrame) -> DataFrame:
+    """(doc_id, pos, h) — the 8-byte hash of each EX_WINDOW-token
+    window, via lead() over the doc order (no second tokenize pass; the
+    gram string is hashed and dropped before anything shuffles)."""
     wdoc = Window.partitionBy("doc_id").orderBy("tpos")
     gram = F.concat_ws(
         " ",
         F.col("tok"),
         *[F.lead("tok", j).over(wdoc) for j in range(1, EX_WINDOW)],
     )
-    occs = (
+    return (
         toks.select(
             "doc_id",
             F.col("tpos").alias("pos"),
@@ -1264,14 +1284,14 @@ def d18_dup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("h"),
         )
     )
-    wh = Window.partitionBy("h")
-    who = Window.partitionBy("h").orderBy("doc_id", "pos")
-    flags = (
-        occs.withColumn("total", F.count(F.lit(1)).over(wh))
-        .withColumn("rn", F.row_number().over(who))
-        .filter((F.col("total") >= 2) & (F.col("rn") > 1))
-        .select("doc_id", F.col("pos").alias("tpos"), F.lit(1).alias("flag"))
-    )
+
+
+def excision_report(toks: DataFrame, flags: DataFrame) -> DataFrame:
+    """Cut every flagged window start's EX_WINDOW-token span and rebuild:
+    flags (doc_id, tpos, flag=1) equi-join onto the token rows, a RANGE
+    window turns starts into span coverage, one doc aggregation emits
+    (n_tokens, n_cut_starts, n_removed, clean_md5)."""
+    wdoc = Window.partitionBy("doc_id").orderBy("tpos")
     covered = toks.join(flags, ["doc_id", "tpos"], "left").withColumn(
         "c",
         F.sum(F.coalesce("flag", F.lit(0))).over(

@@ -30,6 +30,7 @@ from kinesis_spark.queries.dedup import (
     _minhash_sig_sql,
     _minhash_sig_spark,
     _shingles_of,
+    EX_WINDOW,
     N_HASHES,
 )
 
@@ -657,55 +658,122 @@ def _register_p7() -> None:
         local tmp dir and is reused across calls — amortized exactly
         like production, where streaming/bloom_dedup.py maintains it
         incrementally instead."""
-        import hashlib
-        import os
-        import tempfile
-
         from kinesis_spark.prep_index import (
             build_prep_index,
+            ensure_local_index,
             incremental_prep_indexed,
         )
 
-        import uuid
-
-        docs_path = os.path.join(sf_dir, "documents.parquet")
-        key = hashlib.md5(
-            f"{os.path.realpath(docs_path)}:{os.path.getmtime(docs_path)}".encode()
-        ).hexdigest()[:16]
-        idx = os.path.join(tempfile.gettempdir(), f"kinesis_prep_index-{key}")
-        marker = os.path.join(idx, "_COMPLETE")
         d = load_table(spark, sf_dir, "documents")
-        if not os.path.exists(marker):
-            # build into a process-unique dir, then atomically rename
-            # into place: two concurrent first callers (parallel bench
-            # processes) otherwise overwrite each other's half-built
-            # index under a shared path. The rename loser discards its
-            # build and uses the winner's.
-            scratch = f"{idx}.build-{uuid.uuid4().hex[:8]}"
-            build_prep_index(spark, d.filter(F.col("doc_id") % 10 != 0), scratch)
-            with open(os.path.join(scratch, "_COMPLETE"), "w") as f:
-                f.write(key)
-            import shutil
-
-            if os.path.isdir(idx) and not os.path.exists(marker):
-                # crash leftover: an earlier build died before its
-                # rename. Rename it ASIDE (atomic, one winner) instead
-                # of rmtree — a stale isdir/marker check must never
-                # delete an index another process just completed
-                try:
-                    os.rename(idx, f"{idx}.stale-{uuid.uuid4().hex[:8]}")
-                except OSError:
-                    pass  # someone else already moved or replaced it
-            try:
-                os.rename(scratch, idx)
-            except OSError:
-                shutil.rmtree(scratch, ignore_errors=True)  # lost the race
+        idx = ensure_local_index(
+            sf_dir,
+            "kinesis_prep_index",
+            lambda scratch: build_prep_index(
+                spark, d.filter(F.col("doc_id") % 10 != 0), scratch
+            ),
+        )
         return incremental_prep_indexed(
             spark, d.filter(F.col("doc_id") % 10 == 0), idx
         )
 
-
 _register_p7()
+
+
+def _p9_window_sql(ts: str = "ts") -> str:
+    """One EX_WINDOW-token window hash in DuckDB terms, generated from
+    the same constant as dedup.window_hashes (ts[pos] .. ts[pos+W-1]
+    joined by single spaces, md5, first 15 hex digits as BIGINT)."""
+    parts = [f"{ts}[pos]"] + [f"{ts}[pos+{j}]" for j in range(1, EX_WINDOW)]
+    gram = " || ' ' || ".join(parts)
+    return f"CAST(('0x' || substr(md5({gram}), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "p9_incremental_span_excision",
+    oracle=f"""
+WITH ctoks AS (
+  SELECT regexp_split_to_array(text, '{WS_RE}') AS ts FROM documents
+  WHERE doc_id % 10 != 0
+    AND len(regexp_split_to_array(text, '{WS_RE}')) >= {EX_WINDOW}
+),
+cg AS (
+  SELECT DISTINCT {_p9_window_sql()} AS h
+  FROM (SELECT ts, unnest(range(1, len(ts) - {EX_WINDOW - 2})) AS pos FROM ctoks)
+),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(text, '{WS_RE}') AS ts FROM documents
+  WHERE doc_id % 10 = 0
+    AND len(regexp_split_to_array(text, '{WS_RE}')) >= {EX_WINDOW}
+),
+occh AS (
+  SELECT doc_id, pos, {_p9_window_sql()} AS h
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - {EX_WINDOW - 2})) AS pos
+        FROM toks)
+),
+flags AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, h,
+           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+    FROM occh) o
+  WHERE rn > 1 OR h IN (SELECT h FROM cg)
+),
+tok AS (
+  SELECT doc_id, unnest(range(1, len(ts) + 1)) AS tpos, ts FROM toks
+),
+tokf AS (
+  SELECT t.doc_id, t.tpos, t.ts[t.tpos] AS tok,
+         CASE WHEN f.pos IS NULL THEN 0 ELSE 1 END AS flag
+  FROM tok t LEFT JOIN flags f ON f.doc_id = t.doc_id AND f.pos = t.tpos
+),
+cov AS (
+  SELECT doc_id, tpos, tok, flag,
+         SUM(flag) OVER (PARTITION BY doc_id ORDER BY tpos
+                         RANGE BETWEEN {EX_WINDOW - 1} PRECEDING
+                               AND CURRENT ROW) AS c
+  FROM tokf
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(flag) AS BIGINT) AS n_cut_starts,
+       CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       md5(COALESCE(string_agg(CASE WHEN c = 0 THEN tok END, ' '
+                               ORDER BY tpos), '')) AS clean_md5
+FROM cov GROUP BY doc_id
+""",
+    tags=("pipeline", "incremental", "dedup", "substring", "index"),
+)
+def p9_incremental_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d18's duplicated-span excision run the PRODUCTION way — the p7
+    pattern applied to substring dedup: the corpus's distinct window-
+    gram hashes live in a PERSISTED index (prep_index.build_gram_index,
+    bootstrapped once per documents (path, mtime)); each new batch
+    (doc_id % 10 == 0, the p3/p7 split) cuts any window already in the
+    corpus (the corpus holds the canonical copy) or repeated within the
+    batch, and rebuilds its documents with d18's byte-pinned report.
+
+    Scale shape: the recurring per-batch plan scans documents ONCE (the
+    batch slice) — corpus grams come from the index via a batch-scale
+    broadcast semi-confirm (the corpus-sized gram store is scanned
+    single-column, never shuffled, never broadcast). Tested for report
+    agreement on planted duplicates and plan-asserted zero-corpus-scan
+    in tests/test_span_excision.py."""
+    from kinesis_spark.prep_index import (
+        build_gram_index,
+        ensure_local_index,
+        incremental_span_excision,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = ensure_local_index(
+        sf_dir,
+        "kinesis_gram_index",
+        lambda scratch: build_gram_index(
+            spark, d.filter(F.col("doc_id") % 10 != 0), scratch
+        ),
+    )
+    return incremental_span_excision(
+        spark, d.filter(F.col("doc_id") % 10 == 0), idx
+    )
 
 
 @register(
