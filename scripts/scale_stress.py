@@ -60,6 +60,7 @@ OPERATORS = [
     "mm7_phash_neardup",
     "mm8_scene_segments",
     "d18_dup_span_excision",
+    "p9_incremental_span_excision",
     "sim1_topk_cosine",
     "sim5_brp_ann_mllib",
     "sim6_ivf_ann",
