@@ -1175,10 +1175,9 @@ occh AS (
 flags AS (
   SELECT doc_id, pos FROM (
     SELECT doc_id, pos,
-           COUNT(*) OVER (PARTITION BY h) AS total,
            ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
     FROM occh)
-  WHERE total >= 2 AND rn > 1
+  WHERE rn > 1
 ),
 tok AS (
   SELECT doc_id, unnest(range(1, len(ts) + 1)) AS tpos, ts FROM toks
@@ -1207,7 +1206,7 @@ FROM cov GROUP BY doc_id
 )
 def d18_dup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-span EXCISION — the rewrite stage of substring-level
-    dedup (Lee et al. 2022), where d16 only detects: every 4-token
+    dedup (Lee et al.'s 2022 paper), where d16 only detects: every 4-token
     window occurring twice or more anywhere in the corpus keeps exactly
     its first occurrence (lexicographic min (doc_id, start)); every
     other occurrence's span is cut, and the cleaned document is
@@ -1236,12 +1235,11 @@ def d18_dup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
     ).persist()  # pinned: the gram branch and the rebuild join share it
     occs = window_hashes(toks)
-    wh = Window.partitionBy("h")
     who = Window.partitionBy("h").orderBy("doc_id", "pos")
+    # rn > 1 alone implies the window occurs >= 2 times — no count() pass
     flags = (
-        occs.withColumn("total", F.count(F.lit(1)).over(wh))
-        .withColumn("rn", F.row_number().over(who))
-        .filter((F.col("total") >= 2) & (F.col("rn") > 1))
+        occs.withColumn("rn", F.row_number().over(who))
+        .filter(F.col("rn") > 1)
         .select("doc_id", F.col("pos").alias("tpos"), F.lit(1).alias("flag"))
     )
     return excision_report(toks, flags)

@@ -333,6 +333,13 @@ _MM7_SIGS_SQL = "\n  UNION ALL\n".join(
     for v in _DH.DHASH_VARIANTS
 )
 
+_MM7_HCOLS_SQL = ", ".join(f"h{b}" for b in range(_DH.DHASH_BANDS))
+_MM7_BAND_CASE_SQL = (
+    "CASE b.band_idx "
+    + " ".join(f"WHEN {b} THEN h{b}" for b in range(_DH.DHASH_BANDS - 1))
+    + f" ELSE h{_DH.DHASH_BANDS - 1} END"
+)
+
 _MM7_ORACLE = f"""
 WITH img AS (
   SELECT doc_id AS media_id, text, length(text) AS n
@@ -348,9 +355,8 @@ sig AS (
   FROM grid
 ),
 bands AS (
-  SELECT media_id, variant, h0, h1, h2, h3, b.band_idx,
-         CASE b.band_idx WHEN 0 THEN h0 WHEN 1 THEN h1
-                         WHEN 2 THEN h2 ELSE h3 END AS band_val
+  SELECT media_id, variant, {_MM7_HCOLS_SQL}, b.band_idx,
+         {_MM7_BAND_CASE_SQL} AS band_val
   FROM sig, (SELECT unnest(range({_DH.DHASH_BANDS})) AS band_idx) b
 ),
 capped AS (
@@ -400,11 +406,10 @@ def mm7_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-local integer math on band ints already inside the pair. At
     100 TB nothing in the plan touches payload bytes after the
     signature scan."""
-    from kinesis_spark.multimodal import dhash_images
     from kinesis_spark.queries.dedup import _ordered_pairs
 
     media = _media(spark, sf_dir).filter(F.col("modality") == "image")
-    sigs = dhash_images(media, variants=tuple(_DH.DHASH_VARIANTS))
+    sigs = _DH.dhash_images(media, variants=tuple(_DH.DHASH_VARIANTS))
     hcols = [f"h{b}" for b in range(_DH.DHASH_BANDS)]
     bands = sigs.select(
         "media_id",
