@@ -244,3 +244,29 @@ def incremental_span_excision(
         .select("doc_id", F.col("pos").alias("tpos"), F.lit(1).alias("flag"))
     )
     return excision_report(toks, flags)
+
+
+def append_gram_index(spark: SparkSession, batch_docs: DataFrame, index_dir: str) -> int:
+    """The gram index's incremental maintainer: after a batch is
+    admitted, append ITS window-gram hashes so the next batch's
+    excision sees them as corpus-owned (the hash-store append
+    discipline: a crash between excision and append just re-appends on
+    redo — probes ``.distinct()`` the matched keys, so duplicates are
+    harmless). Appends only hashes NOT already present (a batch-scale
+    broadcast semi-join against the store, same confirm shape as the
+    probe — the store is never shuffled). Returns the number of new
+    gram hashes appended."""
+    from kinesis_spark.queries.dedup import positional_tokens, window_hashes
+
+    gram_dir = os.path.join(index_dir, "grams")
+    batch = window_hashes(positional_tokens(batch_docs)).select("h").distinct()
+    existing = spark.read.parquet(gram_dir)
+    # anti-join orientation: batch (small) is the left side and the
+    # store side arrives via broadcast of the batch keys, so the
+    # corpus-sized store is scanned once, pruned to one column
+    matched = existing.join(F.broadcast(batch), "h", "left_semi").distinct()
+    fresh = batch.join(F.broadcast(matched), "h", "left_anti")
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(gram_dir)
+    return n

@@ -135,3 +135,37 @@ def test_p9_zero_corpus_scans(spark, planted_split):
     plan = buf.getvalue()
     assert plan.count("documents.parquet") == 1
     assert "grams" in plan
+
+
+def test_gram_index_append_makes_next_batch_see_prior_batches(spark, tmp_path):
+    """The day-over-day loop: bootstrap from the corpus, excise batch 1,
+    APPEND batch 1's grams, then batch 2 — which shares a window with
+    batch 1 but not with the corpus — gets that window cut. Without the
+    append, batch 2 would sail through untouched."""
+    from pyspark.sql import functions as F
+
+    from kinesis_spark.prep_index import (
+        append_gram_index,
+        build_gram_index,
+        incremental_span_excision,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    idx = str(tmp_path / "gramidx")
+    build_gram_index(spark, docs([(1, "A B C D E F")]), idx)
+
+    batch1 = docs([(10, "K L M N O P")])
+    r1 = {r.doc_id: r for r in incremental_span_excision(spark, batch1, idx).collect()}
+    assert (r1[10].n_cut_starts, r1[10].n_removed) == (0, 0)  # nothing shared yet
+    appended = append_gram_index(spark, batch1, idx)
+    assert appended == 3  # the 3 windows of a 6-token doc
+
+    # re-append is harmless (crash-redo discipline): zero new hashes
+    assert append_gram_index(spark, batch1, idx) == 0
+
+    batch2 = docs([(20, "X K L M N Z")])  # shares "K L M N" with batch 1 only
+    r2 = {r.doc_id: r for r in incremental_span_excision(spark, batch2, idx).collect()}
+    assert (r2[20].n_cut_starts, r2[20].n_removed) == (1, 4)
+    assert r2[20].clean_md5 == _md5("X Z")
