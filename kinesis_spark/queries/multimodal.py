@@ -161,11 +161,12 @@ def mm4_nibble_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nibble_histogram(_media(spark, sf_dir))
 
 
-def _frame_energy_df(media: DataFrame) -> DataFrame:
-    """(media_id, modality, frame_idx, energy, peak) per 256-byte frame,
-    JVM-only — shared by mm5 (the profile itself) and mm8 (scene
-    segmentation over the energy sequence)."""
-    frames = sample_frames(media, frame_bytes=256, every_k=1)
+def _frame_energy_df(media: DataFrame, frame_bytes: int = 256) -> DataFrame:
+    """(media_id, modality, frame_idx, energy, peak) per fixed-size
+    frame, JVM-only — shared by mm5 (the profile itself), mm8 (scene
+    segmentation over the energy sequence) and mm9 (fingerprint keys
+    over the delta-sign sequence, at a finer 16-byte framing)."""
+    frames = sample_frames(media, frame_bytes=frame_bytes, every_k=1)
     # Generate barrier: decode once per frame; without it the lambda's
     # substring(decode(frame), i, 1) re-decodes per element (256x) —
     # same pitfall as dedup._tokens_barrier. 4.2 s -> 1.6 s at sf0.1.
@@ -557,4 +558,142 @@ def mm8_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("frame_idx").alias("end_frame"),
         F.count(F.lit(1)).alias("n_frames"),
         F.sum("energy").cast("bigint").alias("scene_energy"),
+    )
+
+
+# mm9 audio fingerprinting: 16-byte frames -> energy delta-sign bits ->
+# 8-bit keys at every offset; a clip identifies its source by the
+# OFFSET-HISTOGRAM vote (the Shazam alignment trick: key collisions are
+# expected at 8 bits — random collisions scatter across offsets while a
+# true match stacks them on one). At production scale the key widens to
+# 16-32 bits and the corpus key relation is a partitioned index like
+# ann.py's cells; the alignment algebra below is unchanged.
+MM9_FRAME_BYTES = 16
+MM9_KEY_BITS = 8
+MM9_CLIP_KEYS = 8          # keys per clip => max votes per alignment
+MM9_MIN_VOTES = 6          # alignment survives with >= this many
+
+
+@register(
+    "mm9_clip_fingerprint_match",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id AS media_id, text, length(text) AS nb
+  FROM documents
+  WHERE {_MODALITY_SQL} = 'audio'
+),
+f AS (
+  SELECT media_id,
+         unnest(range(0, (nb + {MM9_FRAME_BYTES - 1}) // {MM9_FRAME_BYTES}))
+           AS frame_idx,
+         text
+  FROM m
+),
+fe AS (
+  SELECT media_id, CAST(frame_idx AS BIGINT) AS t,
+         CAST(list_sum(list_transform(range(1, length(fr) + 1),
+                                      i -> ascii(substr(fr, CAST(i AS INT), 1))))
+              AS BIGINT) AS energy
+  FROM (SELECT media_id, frame_idx,
+               substr(text, CAST(frame_idx * {MM9_FRAME_BYTES} + 1 AS INT),
+                      {MM9_FRAME_BYTES}) AS fr
+        FROM f)
+),
+bits AS (
+  SELECT media_id, t,
+         CASE WHEN lead(energy) OVER w > energy THEN 1 ELSE 0 END AS bit,
+         lead(energy) OVER w IS NULL AS last
+  FROM fe WINDOW w AS (PARTITION BY media_id ORDER BY t)
+),
+keys AS (
+  SELECT media_id, t,
+         {" + ".join(f"(lead(bit, {j}) OVER w << {j})" for j in range(8))} AS key
+  FROM (SELECT media_id, t, bit FROM bits WHERE NOT last)
+  WINDOW w AS (PARTITION BY media_id ORDER BY t)
+  QUALIFY lead(bit, {MM9_KEY_BITS - 1}) OVER w IS NOT NULL
+),
+clips AS (
+  SELECT media_id AS clip_id, t - (media_id % 4 + 1) AS u, key
+  FROM keys
+  WHERE t BETWEEN media_id % 4 + 1 AND media_id % 4 + {MM9_CLIP_KEYS}
+)
+SELECT c.clip_id, k.media_id AS match_media,
+       CAST(k.t - c.u AS BIGINT) AS offset,
+       COUNT(*) AS votes
+FROM clips c JOIN keys k ON c.key = k.key
+GROUP BY c.clip_id, k.media_id, k.t - c.u
+HAVING COUNT(*) >= {MM9_MIN_VOTES}
+""",
+    tags=("multimodal", "audio", "fingerprint", "alignment"),
+)
+def mm9_clip_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-clip identification — the subsequence-retrieval shape
+    (which track contains this snippet): per 16-byte frame energies,
+    delta-sign bits, and an 8-bit fingerprint key at every frame
+    offset; a clip (16 consecutive frames of each sufficiently long
+    audio payload, derived in-query since the fixtures ship no external
+    snippets) joins the corpus key relation and candidates are scored
+    by the OFFSET HISTOGRAM — votes group on (clip, media,
+    corpus_t − clip_u), so the true source stacks all MM9_CLIP_KEYS
+    votes on one alignment while random 8-bit collisions scatter.
+    Every clip must re-identify its source at offset = its clip start
+    (asserted in tests); cross-media alignments above MM9_MIN_VOTES
+    are shared-content findings.
+
+    Scale shape: energies/bits/keys are one narrow media_id shuffle
+    (windows over the frame spine — frame bytes never shuffle); the
+    clip relation is a filtered view of the SAME key relation (no
+    recompute); the match join is an equi-join on the key with the
+    per-key fan-out bounded by key-space collision rates (at 100 TB
+    the key widens and the corpus side becomes a partitioned index —
+    the vote algebra is unchanged); votes partial-aggregate map-side."""
+    fe = _frame_energy_df(
+        _media(spark, sf_dir).filter(F.col("modality") == "audio"),
+        frame_bytes=MM9_FRAME_BYTES,
+    ).select("media_id", F.col("frame_idx").alias("t"), "energy")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("media_id").orderBy("t")
+    nxt = F.lead("energy").over(w)
+    bits = fe.select(
+        "media_id",
+        "t",
+        F.when(nxt > F.col("energy"), 1).otherwise(0).alias("bit"),
+        nxt.isNull().alias("last"),
+    ).filter(~F.col("last"))
+    key = None
+    for j in range(MM9_KEY_BITS):
+        term = F.shiftleft(F.lead("bit", j).over(w), j)
+        key = term if key is None else key + term
+    keys = (
+        bits.select(
+            "media_id",
+            "t",
+            key.alias("key"),
+            F.lead("bit", MM9_KEY_BITS - 1).over(w).alias("guard"),
+        )
+        .filter(F.col("guard").isNotNull())
+        .select("media_id", "t", "key")
+        # pinned: the clip filter and the match join both consume it;
+        # without the persist each re-derives the frame/energy chain
+        # (a second documents scan — the d18/sim15 narrow-relation rule)
+        .persist()
+    )
+    s0 = F.pmod(F.col("media_id"), F.lit(4)) + 1
+    clips = keys.filter(
+        (F.col("t") >= s0) & (F.col("t") <= s0 + (MM9_CLIP_KEYS - 1))
+    ).select(
+        F.col("media_id").alias("clip_id"),
+        (F.col("t") - s0).alias("u"),
+        "key",
+    )
+    matches = clips.join(keys, "key").select(
+        "clip_id",
+        F.col("media_id").alias("match_media"),
+        (F.col("t") - F.col("u")).cast("bigint").alias("offset"),
+    )
+    return (
+        matches.groupBy("clip_id", "match_media", "offset")
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .filter(F.col("votes") >= MM9_MIN_VOTES)
     )

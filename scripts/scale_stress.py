@@ -61,6 +61,7 @@ OPERATORS = [
     "mm8_scene_segments",
     "d18_dup_span_excision",
     "p9_incremental_span_excision",
+    "mm9_clip_fingerprint_match",
     "sim1_topk_cosine",
     "sim5_brp_ann_mllib",
     "sim6_ivf_ann",

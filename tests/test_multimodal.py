@@ -197,3 +197,30 @@ def test_dhash_min_bytes_filter(spark):
         for r in dhash_images(df, variants=("orig", "bright", "crop")).collect()
     }
     assert got == {(1, "orig"), (1, "bright")}
+
+
+def test_mm9_every_full_clip_identifies_its_source(spark, sf_dir):
+    """The fingerprint matcher's defining property: a clip whose 8 keys
+    all exist re-identifies its OWN source with all votes stacked on
+    one alignment, at exactly its clip-start offset."""
+    from kinesis_spark.queries import get_registry
+
+    rows = (
+        get_registry()["mm9_clip_fingerprint_match"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    )
+    full_self = [
+        r for r in rows if r.clip_id == r.match_media and r.votes == 8
+    ]
+    assert len(full_self) >= 50, len(full_self)  # fixture has ~80+
+    # every full-vote self-matcher aligns at its clip start; repeated
+    # content may legitimately add FURTHER full-vote alignments (a loop
+    # aligns at every period), so assert containment, not uniqueness
+    by_clip: dict[int, set] = {}
+    for r in full_self:
+        by_clip.setdefault(r.clip_id, set()).add(r.offset)
+    for clip_id, offsets in by_clip.items():
+        assert clip_id % 4 + 1 in offsets, (clip_id, offsets)
+    # no alignment can exceed the clip's key count
+    assert all(r.votes <= 8 for r in rows)

@@ -926,3 +926,12 @@ def test_d18_single_scan_no_pairs(plan_of):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "gram" not in line and "text#" not in line, line
+
+
+def test_mm9_single_scan(plan_of):
+    """The clip relation is a filtered view of the pinned key relation,
+    not a recompute: documents is scanned once and the vote aggregation
+    partial-aggregates before its exchange."""
+    plan = plan_of("mm9_clip_fingerprint_match")
+    assert plan.count("documents.parquet") == 1
+    assert "partial_count" in plan
