@@ -264,9 +264,16 @@ def append_gram_index(spark: SparkSession, batch_docs: DataFrame, index_dir: str
     # anti-join orientation: batch (small) is the left side and the
     # store side arrives via broadcast of the batch keys, so the
     # corpus-sized store is scanned once, pruned to one column
-    matched = existing.join(F.broadcast(batch), "h", "left_semi").distinct()
-    fresh = batch.join(F.broadcast(matched), "h", "left_anti")
+    matched = (
+        existing.join(F.broadcast(batch), "h", "left_semi")
+        .select("h")
+        .distinct()
+    )
+    # pinned: count + write are two consumers; without it each re-scans
+    # the corpus-sized store and re-tokenizes the batch
+    fresh = batch.join(F.broadcast(matched), "h", "left_anti").persist()
     n = fresh.count()
     if n:
         fresh.write.mode("append").parquet(gram_dir)
+    fresh.unpersist()
     return n

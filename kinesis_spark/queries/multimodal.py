@@ -607,7 +607,7 @@ bits AS (
 ),
 keys AS (
   SELECT media_id, t,
-         {" + ".join(f"(lead(bit, {j}) OVER w << {j})" for j in range(8))} AS key
+         {" + ".join(f"(lead(bit, {j}) OVER w << {j})" for j in range(MM9_KEY_BITS))} AS key
   FROM (SELECT media_id, t, bit FROM bits WHERE NOT last)
   WINDOW w AS (PARTITION BY media_id ORDER BY t)
   QUALIFY lead(bit, {MM9_KEY_BITS - 1}) OVER w IS NOT NULL

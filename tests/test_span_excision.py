@@ -142,8 +142,6 @@ def test_gram_index_append_makes_next_batch_see_prior_batches(spark, tmp_path):
     APPEND batch 1's grams, then batch 2 — which shares a window with
     batch 1 but not with the corpus — gets that window cut. Without the
     append, batch 2 would sail through untouched."""
-    from pyspark.sql import functions as F
-
     from kinesis_spark.prep_index import (
         append_gram_index,
         build_gram_index,
