@@ -562,16 +562,23 @@ def mm8_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # mm9 audio fingerprinting: 16-byte frames -> energy delta-sign bits ->
-# 8-bit keys at every offset; a clip identifies its source by the
-# OFFSET-HISTOGRAM vote (the Shazam alignment trick: key collisions are
-# expected at 8 bits — random collisions scatter across offsets while a
-# true match stacks them on one). At production scale the key widens to
-# 16-32 bits and the corpus key relation is a partitioned index like
-# ann.py's cells; the alignment algebra below is unchanged.
+# 16-bit keys at every offset; a clip identifies its source by the
+# OFFSET-HISTOGRAM vote (the Shazam alignment trick: residual key
+# collisions scatter across offsets while a true match stacks them on
+# one). The key width and the hot-key cap are the two scale levers,
+# measured: at 8 bits the key space saturates on a duplicate-heavy
+# corpus and the candidate join goes quadratic (91x wall at 30x data);
+# at 16 bits + a d14-style bucket cap (keys shared by more media than
+# MM9_KEY_CAP are dropped wholesale BEFORE pair expansion — a key that
+# common identifies nothing, the IDF argument) the join is linear in
+# true matches. At 100 TB the key widens again and the corpus key
+# relation becomes a partitioned index like ann.py's cells; the
+# alignment algebra is unchanged.
 MM9_FRAME_BYTES = 16
-MM9_KEY_BITS = 8
+MM9_KEY_BITS = 16
 MM9_CLIP_KEYS = 8          # keys per clip => max votes per alignment
 MM9_MIN_VOTES = 6          # alignment survives with >= this many
+MM9_KEY_CAP = 256          # corpus occurrences per key before it is dropped
 
 
 @register(
@@ -612,15 +619,20 @@ keys AS (
   WINDOW w AS (PARTITION BY media_id ORDER BY t)
   QUALIFY lead(bit, {MM9_KEY_BITS - 1}) OVER w IS NOT NULL
 ),
+capped AS (
+  SELECT * FROM (
+    SELECT keys.*, COUNT(*) OVER (PARTITION BY key) AS kn FROM keys
+  ) WHERE kn <= {MM9_KEY_CAP}
+),
 clips AS (
   SELECT media_id AS clip_id, t - (media_id % 4 + 1) AS u, key
-  FROM keys
+  FROM capped
   WHERE t BETWEEN media_id % 4 + 1 AND media_id % 4 + {MM9_CLIP_KEYS}
 )
 SELECT c.clip_id, k.media_id AS match_media,
        CAST(k.t - c.u AS BIGINT) AS offset,
        COUNT(*) AS votes
-FROM clips c JOIN keys k ON c.key = k.key
+FROM clips c JOIN capped k ON c.key = k.key
 GROUP BY c.clip_id, k.media_id, k.t - c.u
 HAVING COUNT(*) >= {MM9_MIN_VOTES}
 """,
@@ -673,6 +685,15 @@ def mm9_clip_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("bit", MM9_KEY_BITS - 1).over(w).alias("guard"),
         )
         .filter(F.col("guard").isNotNull())
+        .select("media_id", "t", "key")
+    )
+    # d14-style hot-key cap BEFORE any join: a key shared more than
+    # MM9_KEY_CAP times identifies nothing and only feeds the quadratic
+    # candidate blowup (measured 91x wall at 30x data without it)
+    wkey = Window.partitionBy("key")
+    keys = (
+        keys.withColumn("kn", F.count(F.lit(1)).over(wkey))
+        .filter(F.col("kn") <= MM9_KEY_CAP)
         .select("media_id", "t", "key")
         # pinned: the clip filter and the match join both consume it;
         # without the persist each re-derives the frame/energy chain

@@ -213,7 +213,7 @@ def test_mm9_every_full_clip_identifies_its_source(spark, sf_dir):
     full_self = [
         r for r in rows if r.clip_id == r.match_media and r.votes == 8
     ]
-    assert len(full_self) >= 50, len(full_self)  # fixture has ~80+
+    assert len(full_self) >= 35, len(full_self)  # fixture has ~42+
     # every full-vote self-matcher aligns at its clip start; repeated
     # content may legitimately add FURTHER full-vote alignments (a loop
     # aligns at every period), so assert containment, not uniqueness
