@@ -273,8 +273,10 @@ DHASH_BANDS = (DHASH_GRID_W - 1) * DHASH_GRID_H // DHASH_BAND_BITS
 #: order-preserving transform — it MUST match its original — and a
 #: destructive one — it must NOT). Each entry is
 #: (n_expr, cell_tx) applied to the sampling-grid SQL: ``bright`` adds
-#: a constant to every grayscale cell (clamped at 255; order-preserving,
-#: so dHash is provably invariant while byte-level hashes all change);
+#: a constant to every grayscale cell, clamped at 255 — order-preserving
+#: (hence dHash-invariant) whenever no cell clamps, i.e. all cells
+#: < 240; the ASCII corpus (max 126) never clamps, while two clamped
+#: cells collapse to equal, exactly like real overexposure;
 #: ``crop`` keeps the first half of the payload (content lands at
 #: different grid fractions, so the grid decorrelates).
 DHASH_VARIANTS: dict[str, tuple[str, str]] = {
