@@ -581,13 +581,65 @@ MM9_MIN_VOTES = 6          # alignment survives with >= this many
 MM9_KEY_CAP = 256          # corpus occurrences per key before it is dropped
 
 
-@register(
-    "mm9_clip_fingerprint_match",
-    oracle=f"""
-WITH m AS (
+def _fingerprint_keys(spark: SparkSession, sf_dir: str, modality: str) -> DataFrame:
+    """The shared fingerprint-key relation of mm9/mm10: per 16-byte
+    frame energies -> delta-sign bits -> MM9_KEY_BITS-bit key at every
+    frame offset, with the d14-style hot-key cap applied BEFORE any join
+    (a key shared more than MM9_KEY_CAP times identifies nothing and
+    only feeds the quadratic candidate blowup — measured 91x wall at
+    30x data without it). Returned PERSISTED: every caller joins it
+    against a projection of itself, and without the pin each branch
+    re-derives the frame/energy chain (a second documents scan — the
+    d18/sim15 narrow-relation rule)."""
+    fe = _frame_energy_df(
+        _media(spark, sf_dir).filter(F.col("modality") == modality),
+        frame_bytes=MM9_FRAME_BYTES,
+    ).select("media_id", F.col("frame_idx").alias("t"), "energy")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("media_id").orderBy("t")
+    nxt = F.lead("energy").over(w)
+    bits = fe.select(
+        "media_id",
+        "t",
+        F.when(nxt > F.col("energy"), 1).otherwise(0).alias("bit"),
+        nxt.isNull().alias("last"),
+    ).filter(~F.col("last"))
+    key = None
+    for j in range(MM9_KEY_BITS):
+        term = F.shiftleft(F.lead("bit", j).over(w), j)
+        key = term if key is None else key + term
+    keys = (
+        bits.select(
+            "media_id",
+            "t",
+            key.alias("key"),
+            F.lead("bit", MM9_KEY_BITS - 1).over(w).alias("guard"),
+        )
+        .filter(F.col("guard").isNotNull())
+        .select("media_id", "t", "key")
+    )
+    wkey = Window.partitionBy("key")
+    return (
+        keys.withColumn("kn", F.count(F.lit(1)).over(wkey))
+        .filter(F.col("kn") <= MM9_KEY_CAP)
+        .select("media_id", "t", "key")
+        .persist()
+    )
+
+
+def _mm9_keys_cte(modality: str) -> str:
+    """The capped fingerprint-key CTE chain (m -> f -> fe -> bits ->
+    keys -> capped) shared by the mm9 and mm10 oracles — generated from
+    the same MM9_* constants as the Spark-side _fingerprint_keys, so
+    the two key assemblies cannot drift."""
+    key_sum = " + ".join(
+        f"(lead(bit, {j}) OVER w << {j})" for j in range(MM9_KEY_BITS)
+    )
+    return f"""m AS (
   SELECT doc_id AS media_id, text, length(text) AS nb
   FROM documents
-  WHERE {_MODALITY_SQL} = 'audio'
+  WHERE {_MODALITY_SQL} = '{modality}'
 ),
 f AS (
   SELECT media_id,
@@ -614,7 +666,7 @@ bits AS (
 ),
 keys AS (
   SELECT media_id, t,
-         {" + ".join(f"(lead(bit, {j}) OVER w << {j})" for j in range(MM9_KEY_BITS))} AS key
+         {key_sum} AS key
   FROM (SELECT media_id, t, bit FROM bits WHERE NOT last)
   WINDOW w AS (PARTITION BY media_id ORDER BY t)
   QUALIFY lead(bit, {MM9_KEY_BITS - 1}) OVER w IS NOT NULL
@@ -623,7 +675,13 @@ capped AS (
   SELECT * FROM (
     SELECT keys.*, COUNT(*) OVER (PARTITION BY key) AS kn FROM keys
   ) WHERE kn <= {MM9_KEY_CAP}
-),
+)"""
+
+
+@register(
+    "mm9_clip_fingerprint_match",
+    oracle=f"""
+WITH {_mm9_keys_cte("audio")},
 clips AS (
   SELECT media_id AS clip_id, t - (media_id % 4 + 1) AS u, key
   FROM capped
@@ -659,47 +717,7 @@ def mm9_clip_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key fan-out bounded by key-space collision rates (at 100 TB
     the key widens and the corpus side becomes a partitioned index —
     the vote algebra is unchanged); votes partial-aggregate map-side."""
-    fe = _frame_energy_df(
-        _media(spark, sf_dir).filter(F.col("modality") == "audio"),
-        frame_bytes=MM9_FRAME_BYTES,
-    ).select("media_id", F.col("frame_idx").alias("t"), "energy")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("media_id").orderBy("t")
-    nxt = F.lead("energy").over(w)
-    bits = fe.select(
-        "media_id",
-        "t",
-        F.when(nxt > F.col("energy"), 1).otherwise(0).alias("bit"),
-        nxt.isNull().alias("last"),
-    ).filter(~F.col("last"))
-    key = None
-    for j in range(MM9_KEY_BITS):
-        term = F.shiftleft(F.lead("bit", j).over(w), j)
-        key = term if key is None else key + term
-    keys = (
-        bits.select(
-            "media_id",
-            "t",
-            key.alias("key"),
-            F.lead("bit", MM9_KEY_BITS - 1).over(w).alias("guard"),
-        )
-        .filter(F.col("guard").isNotNull())
-        .select("media_id", "t", "key")
-    )
-    # d14-style hot-key cap BEFORE any join: a key shared more than
-    # MM9_KEY_CAP times identifies nothing and only feeds the quadratic
-    # candidate blowup (measured 91x wall at 30x data without it)
-    wkey = Window.partitionBy("key")
-    keys = (
-        keys.withColumn("kn", F.count(F.lit(1)).over(wkey))
-        .filter(F.col("kn") <= MM9_KEY_CAP)
-        .select("media_id", "t", "key")
-        # pinned: the clip filter and the match join both consume it;
-        # without the persist each re-derives the frame/energy chain
-        # (a second documents scan — the d18/sim15 narrow-relation rule)
-        .persist()
-    )
+    keys = _fingerprint_keys(spark, sf_dir, "audio")
     s0 = F.pmod(F.col("media_id"), F.lit(4)) + 1
     clips = keys.filter(
         (F.col("t") >= s0) & (F.col("t") <= s0 + (MM9_CLIP_KEYS - 1))
@@ -717,4 +735,70 @@ def mm9_clip_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         matches.groupBy("clip_id", "match_media", "offset")
         .agg(F.count(F.lit(1)).alias("votes"))
         .filter(F.col("votes") >= MM9_MIN_VOTES)
+    )
+
+
+# mm10 segment-dedup knob: media pairs sharing this many key alignments
+# at ONE consistent lag contain a common segment of >= MM10_MIN_ALIGNED
+# + MM9_KEY_BITS + 1 frames (~350 shared bytes at the 16-byte framing).
+MM10_MIN_ALIGNED = 6
+
+
+@register(
+    "mm10_shared_segment_pairs",
+    oracle=f"""
+WITH {_mm9_keys_cte("video")}
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       CAST(b.t - a.t AS BIGINT) AS lag,
+       COUNT(*) AS n_aligned
+FROM capped a JOIN capped b
+  ON a.key = b.key AND a.media_id < b.media_id
+GROUP BY a.media_id, b.media_id, b.t - a.t
+HAVING COUNT(*) >= {MM10_MIN_ALIGNED}
+""",
+    tags=("multimodal", "video", "dedup", "fingerprint", "alignment"),
+)
+def mm10_shared_segment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-media SEGMENT-level near-dup — which videos share any
+    common segment (reused intros/outros, copied clips, re-posted
+    footage), the dedup face of mm9's alignment machinery: every pair
+    of media whose capped fingerprint keys align >= MM10_MIN_ALIGNED
+    times at ONE consistent lag (b.t − a.t) contains a shared frame run
+    — unlike whole-item dedup (mm7/d*), a 30-second shared intro inside
+    two otherwise-unrelated videos still stacks its alignments.
+
+    Scale shape: the d7 single-scan pattern on the shared capped key
+    relation — keys group into buckets (hot keys already dropped by
+    MM9_KEY_CAP, bounding the within-bucket expansion), ordered pairs
+    expand WITHIN buckets only, and the lag vote partial-aggregates.
+    Never all-pairs: candidates exist only where keys truly collide."""
+    from kinesis_spark.queries.dedup import _ordered_pairs
+
+    keys = _fingerprint_keys(spark, sf_dir, "video")
+    buckets = (
+        keys.groupBy("key")
+        .agg(F.array_sort(F.collect_list(F.struct("media_id", "t"))).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+
+    def _pair_of(x, y):
+        return F.struct(
+            x["media_id"].alias("media_a"),
+            y["media_id"].alias("media_b"),
+            (y["t"] - x["t"]).cast("bigint").alias("lag"),
+        )
+
+    pair_arr = _ordered_pairs(F.col("ms"), pair_of=_pair_of)
+    pairs = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.media_a", "p.media_b", "p.lag")
+        # ordered pairs sort by (media_id, t): equal-media entries are
+        # within-media repeats (mm9's periodic-content case), not
+        # cross-media shared segments
+        .filter(F.col("media_a") != F.col("media_b"))
+    )
+    return (
+        pairs.groupBy("media_a", "media_b", "lag")
+        .agg(F.count(F.lit(1)).alias("n_aligned"))
+        .filter(F.col("n_aligned") >= MM10_MIN_ALIGNED)
     )

@@ -62,6 +62,7 @@ OPERATORS = [
     "d18_dup_span_excision",
     "p9_incremental_span_excision",
     "mm9_clip_fingerprint_match",
+    "mm10_shared_segment_pairs",
     "sim1_topk_cosine",
     "sim5_brp_ann_mllib",
     "sim6_ivf_ann",

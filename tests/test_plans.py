@@ -935,3 +935,13 @@ def test_mm9_single_scan(plan_of):
     plan = plan_of("mm9_clip_fingerprint_match")
     assert plan.count("documents.parquet") == 1
     assert "partial_count" in plan
+
+
+def test_mm10_single_scan_in_bucket_pairs(plan_of):
+    """Segment dedup is the d7 single-scan pattern on the pinned key
+    relation: one documents scan, pairs expand within key buckets only
+    (no self-join that would re-derive the fingerprint chain), and no
+    cartesian anywhere."""
+    plan = plan_of("mm10_shared_segment_pairs")
+    assert plan.count("documents.parquet") == 1
+    assert "CartesianProduct" not in plan
