@@ -581,16 +581,19 @@ MM9_MIN_VOTES = 6          # alignment survives with >= this many
 MM9_KEY_CAP = 256          # corpus occurrences per key before it is dropped
 
 
-def _fingerprint_keys(spark: SparkSession, sf_dir: str, modality: str) -> DataFrame:
+def _fingerprint_keys(
+    spark: SparkSession, sf_dir: str, modality: str, persist: bool = False
+) -> DataFrame:
     """The shared fingerprint-key relation of mm9/mm10: per 16-byte
     frame energies -> delta-sign bits -> MM9_KEY_BITS-bit key at every
     frame offset, with the d14-style hot-key cap applied BEFORE any join
     (a key shared more than MM9_KEY_CAP times identifies nothing and
     only feeds the quadratic candidate blowup — measured 91x wall at
-    30x data without it). Returned PERSISTED: every caller joins it
-    against a projection of itself, and without the pin each branch
-    re-derives the frame/energy chain (a second documents scan — the
-    d18/sim15 narrow-relation rule)."""
+    30x data without it). ``persist=True`` pins the relation for callers
+    that consume it twice (mm9's clip filter + match join — without the
+    pin each branch re-derives the frame/energy chain, a second
+    documents scan, the d18/sim15 narrow-relation rule); mm10 consumes
+    it once and skips the cache."""
     fe = _frame_energy_df(
         _media(spark, sf_dir).filter(F.col("modality") == modality),
         frame_bytes=MM9_FRAME_BYTES,
@@ -620,12 +623,12 @@ def _fingerprint_keys(spark: SparkSession, sf_dir: str, modality: str) -> DataFr
         .select("media_id", "t", "key")
     )
     wkey = Window.partitionBy("key")
-    return (
+    capped = (
         keys.withColumn("kn", F.count(F.lit(1)).over(wkey))
         .filter(F.col("kn") <= MM9_KEY_CAP)
         .select("media_id", "t", "key")
-        .persist()
     )
+    return capped.persist() if persist else capped
 
 
 def _mm9_keys_cte(modality: str) -> str:
@@ -717,7 +720,7 @@ def mm9_clip_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key fan-out bounded by key-space collision rates (at 100 TB
     the key widens and the corpus side becomes a partitioned index —
     the vote algebra is unchanged); votes partial-aggregate map-side."""
-    keys = _fingerprint_keys(spark, sf_dir, "audio")
+    keys = _fingerprint_keys(spark, sf_dir, "audio", persist=True)
     s0 = F.pmod(F.col("media_id"), F.lit(4)) + 1
     clips = keys.filter(
         (F.col("t") >= s0) & (F.col("t") <= s0 + (MM9_CLIP_KEYS - 1))
@@ -740,7 +743,9 @@ def mm9_clip_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # mm10 segment-dedup knob: media pairs sharing this many key alignments
 # at ONE consistent lag contain a common segment of >= MM10_MIN_ALIGNED
-# + MM9_KEY_BITS + 1 frames (~350 shared bytes at the 16-byte framing).
+# + MM9_KEY_BITS frames (22 frames ≈ 350 shared bytes at 16-byte
+# framing: a key at offset t spans delta bits t..t+15, and bit p needs
+# frames p and p+1).
 MM10_MIN_ALIGNED = 6
 
 

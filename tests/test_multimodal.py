@@ -224,3 +224,34 @@ def test_mm9_every_full_clip_identifies_its_source(spark, sf_dir):
         assert clip_id % 4 + 1 in offsets, (clip_id, offsets)
     # no alignment can exceed the clip's key count
     assert all(r.votes <= 8 for r in rows)
+
+
+def test_mm10_planted_shared_segment_surfaces_at_expected_lag(spark, tmp_path):
+    """mm10's defining property on a planted corpus: two videos sharing
+    a frame-aligned 600-byte segment (video B carries it 10 frames
+    later than video A) must surface as a pair at exactly lag 10 with
+    enough aligned keys, and unrelated videos must not pair."""
+    from kinesis_spark.queries import get_registry
+
+    seg = "".join(chr(65 + (i * 7 + i // 9) % 26) for i in range(600))
+    tail_a = "".join(chr(97 + (i * 5) % 26) for i in range(96))
+    prefix_b = "".join(chr(97 + (i * 11 + 3) % 26) for i in range(160))
+    tail_b = "".join(chr(97 + (i * 13 + 7) % 26) for i in range(64))
+    other = "".join(chr(65 + (i * 17 + 5) % 26) for i in range(700))
+    rows = [  # doc_id % 3 == 2 -> video modality
+        (2, seg + tail_a, "en", "s", len(seg + tail_a)),
+        (5, prefix_b + seg + tail_b, "en", "s", len(prefix_b + seg + tail_b)),
+        (8, other, "en", "s", len(other)),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    got = (
+        get_registry()["mm10_shared_segment_pairs"].spark_fn(spark, sf).collect()
+    )
+    hits = [r for r in got if r.media_a == 2 and r.media_b == 5]
+    # the 160-byte prefix = 10 frames, so B's segment keys sit at +10
+    assert any(r.lag == 10 and r.n_aligned >= 6 for r in hits), got
+    assert not any(8 in (r.media_a, r.media_b) for r in got), got
