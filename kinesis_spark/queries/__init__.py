@@ -206,18 +206,23 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 )
 
 # ---------------------------------------------------------------------------
-# Change-aware rotation state (VERDICT r6 task 1): each query carries a
-# FINGERPRINT (hash of its resolved oracle SQL + the spark_fn's source +
-# the defining module's source — module-level because semantics often
-# live in module constants/helpers, e.g. s16's gram hash). The committed
-# snapshot ``fingerprints.json`` records, per query, the fingerprint the
-# last refresh saw and the LAST round whose CORRECTNESS rows validated
-# OLD semantics ("round": 0 = never changed). Editing a query drifts its
-# fingerprint from the snapshot; ``tests/test_driver_rotation.py`` fails
-# until ``python scripts/refresh_fingerprints.py`` re-records it with
-# round = the newest CORRECTNESS round on disk — which re-queues the
-# query at the FRONT of the driver window until a LATER round re-greens
-# it. No manual bookkeeping, no permanently burned window slots.
+# Change-aware rotation state (VERDICT r6 task 1; narrowed r8 per VERDICT
+# r7 task 1b): each query carries a FINGERPRINT — hash of its resolved
+# oracle SQL, the spark_fn's own source, and (transitively) the source of
+# every kinesis_spark function/class it references plus the canonical
+# repr of every module-level constant it references. Function-level, not
+# module-level: adding a new query to dedup.py must not drift its 18
+# module-mates into the changed tier (round 7 carried 59 spurious
+# requeues that starved the never-verified newcomers out of the driver's
+# 50-slot window). The committed snapshot ``fingerprints.json`` records,
+# per query, the fingerprint the last refresh saw and the LAST round
+# whose CORRECTNESS rows validated OLD semantics ("round": 0 = never
+# changed). Editing a query drifts its fingerprint from the snapshot;
+# ``tests/test_driver_rotation.py`` fails until
+# ``python scripts/refresh_fingerprints.py`` re-records it with round =
+# the newest CORRECTNESS round on disk — which re-queues the query in
+# the driver window until a LATER round re-greens it. No manual
+# bookkeeping, no permanently burned window slots.
 # ---------------------------------------------------------------------------
 
 _FP_PATH = _os.path.join(
@@ -225,17 +230,94 @@ _FP_PATH = _os.path.join(
 )
 
 
+def _canon_repr(v) -> str:
+    """Deterministic repr for module-level constants: set/frozenset
+    iteration order depends on PYTHONHASHSEED, so sort elements; dicts
+    keep insertion order (deterministic given the same source); any
+    non-scalar leaf collapses to a type token (object reprs embed
+    memory addresses, which differ per process)."""
+    if isinstance(v, (set, frozenset)):
+        return "{" + ",".join(sorted(_canon_repr(x) for x in v)) + "}"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{_canon_repr(k)}:{_canon_repr(x)}" for k, x in v.items()) + "}"
+    if isinstance(v, (list, tuple)):
+        inner = ",".join(_canon_repr(x) for x in v)
+        return f"[{inner}]" if isinstance(v, list) else f"({inner})"
+    if isinstance(v, (str, bytes, int, float, bool, complex, type(None))):
+        return repr(v)
+    return f"<{type(v).__module__}.{type(v).__qualname__}>"
+
+
+_CONST_TYPES = (str, bytes, int, float, bool, complex, tuple, list, dict,
+                set, frozenset, type(None))
+
+# Registry plumbing excluded from fingerprints: REGISTRY mutates on every
+# registration (including a new query's), so hashing it would re-create
+# the exact module-coarseness drift this function exists to kill.
+_FP_IGNORE_NAMES = frozenset({"REGISTRY", "register", "get_registry",
+                              "load_all_modules", "get_registry_ordered"})
+
+
 def _query_fingerprint(q: Query) -> str:
+    """Hash of the query's SEMANTICS, not its module's text: oracle SQL +
+    the spark_fn's source + (recursively) the sources of kinesis_spark
+    functions/classes it references and the values of module-level
+    constants it references. References are read from compiled code
+    objects (co_names/co_freevars, nested code included), so helpers
+    referenced only inside lambdas/comprehensions count too."""
     import hashlib
     import inspect
+    import types
 
-    mod = inspect.getmodule(q.spark_fn)
-    parts = [
-        q.oracle or "",
-        inspect.getsource(q.spark_fn),
-        inspect.getsource(mod) if mod is not None else "",
-    ]
-    return hashlib.sha256("\x00".join(parts).encode()).hexdigest()
+    parts: dict[str, str] = {"__oracle__": q.oracle or ""}
+    seen: set[int] = set()
+
+    def code_names(code) -> set[str]:
+        names = set(code.co_names) | set(code.co_freevars)
+        for c in code.co_consts:
+            if isinstance(c, types.CodeType):
+                names |= code_names(c)
+        return names
+
+    def visit(name: str, val, modname: str) -> None:
+        if name in _FP_IGNORE_NAMES:
+            return
+        label = f"{modname}.{name}"
+        if isinstance(val, types.FunctionType):
+            if (val.__module__ or "").startswith("kinesis_spark"):
+                expand(val, label)
+        elif inspect.isclass(val):
+            if (val.__module__ or "").startswith("kinesis_spark") and label not in parts:
+                try:
+                    parts[label] = inspect.getsource(val)
+                except (OSError, TypeError):
+                    parts[label] = f"<class {val.__module__}.{val.__qualname__}>"
+        elif isinstance(val, _CONST_TYPES):
+            parts.setdefault(label, _canon_repr(val))
+
+    def expand(fn: types.FunctionType, label: str) -> None:
+        if id(fn) in seen:
+            return
+        seen.add(id(fn))
+        try:
+            parts[label] = inspect.getsource(fn)
+        except (OSError, TypeError):
+            parts[label] = f"<fn {fn.__module__}.{fn.__qualname__}>"
+            return
+        modname = fn.__globals__.get("__name__", "")
+        if fn.__closure__:
+            for var, cell in zip(fn.__code__.co_freevars, fn.__closure__):
+                try:
+                    visit(var, cell.cell_contents, modname)
+                except ValueError:  # empty cell
+                    continue
+        for name in sorted(code_names(fn.__code__)):
+            if name in fn.__globals__:
+                visit(name, fn.__globals__[name], modname)
+
+    expand(q.spark_fn, "__fn__")
+    blob = "\x00".join(f"{k}\x01{parts[k]}" for k in sorted(parts))
+    return hashlib.sha256(blob.encode()).hexdigest()
 
 
 def compute_fingerprints() -> dict[str, str]:
@@ -266,12 +348,17 @@ def _max_round_on_disk() -> int:
     return max(rounds, default=0)
 
 
-def refresh_fingerprints(write: bool = True) -> dict[str, dict]:
+def refresh_fingerprints(write: bool = True, migrate: bool = False) -> dict[str, dict]:
     """Re-record the snapshot: unchanged entries keep their round; a
     CHANGED fingerprint gets round = the newest CORRECTNESS round on
     disk (every existing green row predates the edit, so none validates
     the new semantics); new names enter with round 0 (the never-verified
-    rotation already fronts them). Returns the new snapshot."""
+    rotation already fronts them). Returns the new snapshot.
+
+    ``migrate=True`` is for FINGERPRINT-ALGORITHM changes only: every fp
+    is recomputed but each entry KEEPS its recorded round, because the
+    hash changing does not mean the query changed — bumping all rounds
+    would dump the whole verified catalog into the changed tier."""
     import json
 
     old = load_fingerprint_snapshot()
@@ -284,6 +371,8 @@ def refresh_fingerprints(write: bool = True) -> dict[str, dict]:
             snap[name] = {"fp": fps[name], "round": 0}
         elif prev["fp"] == fps[name]:
             snap[name] = prev
+        elif migrate:
+            snap[name] = {"fp": fps[name], "round": prev.get("round", 0)}
         else:
             snap[name] = {"fp": fps[name], "round": cur_round}
     if write:
@@ -403,42 +492,41 @@ REVERIFY_FIRST: tuple[str, ...] = (
 
 def get_registry_ordered() -> dict[str, Query]:
     """Registry reordered for the driver's fixed-size per-round window:
-    (0) CHANGED-since-verified queries (once green, but edited after —
-    fingerprint drift or a snapshot round at/after their newest green
-    row), (1) DRIVER_PRIORITY names still lacking a CORRECTNESS row,
-    (2) every other never-verified query in registration order,
-    (3) already-verified queries last. Verification state comes from the
-    CORRECTNESS_r*.json files + the fingerprint snapshot on disk, so the
-    rotation advances itself each round without editing this file.
-    Content identical to ``get_registry()``."""
+    (0) REVERIFY_FIRST — the hand-curated TRUE semantic changes of the
+    current round (they carry a stale green verdict, the most urgent
+    kind of wrong), (1) NEVER-verified queries — no green row in ANY
+    round (brand-new queries; DRIVER_PRIORITY order first, then
+    registration order), (2) drift requeues — once green but edited
+    after (fingerprint drift), stalest-verdict-first, (3) already-
+    verified queries last. Never-verified outranks drift requeues
+    (VERDICT r7 task 1a): a query with NO correctness row ever must not
+    starve behind re-checks of already-green queries whose fingerprint
+    merely moved. Verification state comes from the CORRECTNESS_r*.json
+    files + the fingerprint snapshot on disk, so the rotation advances
+    itself each round without editing this file. Content identical to
+    ``get_registry()``."""
     reg = get_registry()
     green = _green_rounds()
     verified = _driver_verified_names(green)
     ordered: dict[str, Query] = {}
-    # (0) semantics changed after a green row: these carry a STALE
-    # verdict, the most urgent kind of unverified — ahead of the
-    # never-verified backlog. REVERIFY_FIRST (the hand-curated true
-    # semantic changes of the current round) leads; the rest order
-    # stalest-verdict-first (ascending newest-green round, then
-    # registration order), so module-coarseness requeues — fingerprint
-    # drift with UNCHANGED behavior — are the only thing a full window
-    # can push to the next round.
     reg_pos = {n: i for i, n in enumerate(reg)}
     changed = [n for n in reg if n not in verified and n in green]
+    # (0) curated semantic changes of the round
     for name in REVERIFY_FIRST:
         if name in reg and name in changed:
             ordered[name] = reg[name]
-    for name in sorted(changed, key=lambda n: (green[n], reg_pos[n])):
-        if name not in ordered:
-            ordered[name] = reg[name]
+    # (1) never verified in any round: no green row at all
     for name in DRIVER_PRIORITY:
-        if name in reg and name not in verified and name not in ordered:
-            ordered[name] = reg[name]
-    for name, q in reg.items():  # other never-verified, registration order
-        if name not in ordered and name not in verified:
-            ordered[name] = q
-    for name, q in reg.items():  # already driver-verified
-        if name not in ordered:
-            ordered[name] = q
+        if name in reg and name not in green and name not in verified:
+            ordered.setdefault(name, reg[name])
+    for name, q in reg.items():
+        if name not in green and name not in verified:
+            ordered.setdefault(name, q)
+    # (2) drift requeues, stalest green verdict first
+    for name in sorted(changed, key=lambda n: (green[n], reg_pos[n])):
+        ordered.setdefault(name, reg[name])
+    # (3) already driver-verified
+    for name, q in reg.items():
+        ordered.setdefault(name, q)
     assert len(ordered) == len(reg)
     return ordered

@@ -4,6 +4,10 @@ registered query (tests/test_driver_rotation.py fails until you run
 this). A changed fingerprint gets round = the newest CORRECTNESS round
 on disk, which re-queues the query at the front of the driver window
 until a later round re-verifies it; unchanged entries keep their state.
+
+--migrate: for fingerprint-ALGORITHM changes only — recompute every fp
+but keep each entry's recorded round (an algorithm switch is not a
+semantic change; bumping rounds would requeue the whole catalog).
 """
 
 from __future__ import annotations
@@ -18,7 +22,7 @@ from kinesis_spark.queries import load_fingerprint_snapshot, refresh_fingerprint
 
 def main() -> None:
     old = load_fingerprint_snapshot()
-    new = refresh_fingerprints(write=True)
+    new = refresh_fingerprints(write=True, migrate="--migrate" in sys.argv)
     changed = [
         n for n in new
         if n not in old or old[n]["fp"] != new[n]["fp"]

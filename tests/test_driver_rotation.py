@@ -120,6 +120,51 @@ def test_refresh_bumps_round_for_changed_fingerprint(monkeypatch):
     assert new[other] == stale[other]
 
 
+def test_brand_new_query_outranks_drift_requeue(monkeypatch):
+    """VERDICT r7 task 1a: a query with NO correctness row in ANY round
+    must enter the driver window AHEAD of drift requeues of already-
+    green queries (round 7's six newcomers starved at positions 59-64
+    behind ~50 module-coarseness requeues)."""
+    reg = get_registry()
+    verified = _driver_verified_names()
+    # not in REVERIFY_FIRST: curated semantic changes legitimately lead
+    # even brand-new queries — the starvation bug was about UNcurated
+    # module-coarseness requeues
+    victim = next(
+        n for n in reg if n in verified and n not in Q.REVERIFY_FIRST
+    )
+    edited = {k: dict(v) for k, v in load_fingerprint_snapshot().items()}
+    edited[victim]["fp"] = "0" * 64  # turn the victim into a drift requeue
+    monkeypatch.setattr(Q, "load_fingerprint_snapshot", lambda: edited)
+
+    def zz_brand_new_probe(spark, sf_dir):  # pragma: no cover - never run
+        raise NotImplementedError
+
+    monkeypatch.setitem(
+        Q.REGISTRY,
+        "zz_brand_new_probe",
+        Q.Query(name="zz_brand_new_probe", spark_fn=zz_brand_new_probe),
+    )
+    names = list(get_registry_ordered())
+    assert names.index("zz_brand_new_probe") < names.index(victim)
+    # and inside the driver's 50-slot window regardless of backlog size
+    assert names.index("zz_brand_new_probe") < 50
+
+
+def test_fingerprint_is_function_scoped(monkeypatch):
+    """VERDICT r7 task 1b: the fingerprint must hash the query function
+    and what it references — NOT the whole defining module — so adding
+    one query to dedup.py no longer drifts its 18 module-mates. Two
+    queries from the same module must have different fingerprints, and
+    each must be stable across recomputation."""
+    fps1 = compute_fingerprints()
+    fps2 = compute_fingerprints()
+    assert fps1 == fps2, "fingerprints must be deterministic within a run"
+    # d1 and d2 share dedup.py; module-level hashing gave them the same
+    # drift behavior — function-level hashing gives distinct hashes
+    assert fps1["d1_exact_dedup"] != fps1["d2_content_hash_dedup"]
+
+
 def test_reverify_first_leads_the_changed_tier():
     """Every REVERIFY_FIRST name that is currently changed-since-
     verified must sit inside the driver's 50-query window, ahead of
