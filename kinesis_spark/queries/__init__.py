@@ -282,6 +282,11 @@ def _query_fingerprint(q: Query) -> str:
     def visit(name: str, val, modname: str) -> None:
         if name in _FP_IGNORE_NAMES:
             return
+        if name.startswith("_") and isinstance(val, (dict, list, set)):
+            # private MUTABLE module state (e.g. io._PLAN_CACHE) is
+            # runtime-varying, not semantics: hashing it would drift
+            # every fingerprint the moment a query runs in-process
+            return
         label = f"{modname}.{name}"
         if isinstance(val, types.FunctionType):
             if (val.__module__ or "").startswith("kinesis_spark"):
@@ -473,20 +478,17 @@ R1_VERIFIED: frozenset[str] = frozenset(
 # unchanged behavior). Self-clearing: once a query earns a green row
 # after its snapshot round, it leaves the changed tier entirely.
 REVERIFY_FIRST: tuple[str, ...] = (
-    # r7: a8 folded its error-bound companion in (new oracle form);
-    # e6/p6/p8/dq4/dq5/s8/s13/s16/a12 were re-planned to single-scan
-    # forms (window-over-spine totals; verified bit-exact locally but
-    # the driver gate is the record)
-    "s16_dsir_reweight",
-    "a8_sketch_aggregates",
-    "e6_funnel_analysis",
-    "p6_mixture_waterfill",
-    "p8_pipeline_funnel",
-    "dq4_psi_drift",
-    "dq5_embedding_drift",
-    "s8_domain_mix_rebalance",
-    "s13_temperature_mixture",
-    "a12_hll_sketch_union",
+    # r8 (VERDICT r7 task 2): the verify/consume family now defaults to
+    # the CAPPED candidate relation (hot LSH buckets dropped before pair
+    # expansion) — different pairs/components where buckets run hot, so
+    # the oracles moved in lockstep and the driver gate must re-record.
+    # s14 inherits through d9. Verified bit-exact locally; the driver
+    # row is the record.
+    "d9_dedup_components",
+    "d10_edit_distance_verify",
+    "d13_canonical_selection",
+    "d17_containment_overlap",
+    "s14_leakage_free_split",
 )
 
 

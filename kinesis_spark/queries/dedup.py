@@ -263,6 +263,30 @@ pairs AS (
 )"""
 )
 
+MAX_BUCKET = 4  # LSH bucket-size cap: bigger buckets are dropped wholesale
+
+# The CAPPED candidate CTE (d14's semantics): hot band keys are dropped
+# wholesale before pair expansion. This is the candidate relation the
+# VERIFY/CONSUME family (d9/d10/d13/d17, setops' s14) defaults to —
+# uncapped pair volume grows quadratically in dup-group width (measured
+# 31.9x wall for d10 at a 30x duplicate-heavy corpus, SCALE_r07_x30), and
+# d10's pair-list broadcast would hit the broadcast ceiling outright.
+_CAPPED_PAIRS_SQL = (
+    _SIGS_BANDS_SQL
+    + f""",
+kept AS (
+  SELECT band_key FROM bands
+  GROUP BY band_key
+  HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN kept k ON a.band_key = k.band_key
+  JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
+)
+
 
 @register(
     "d3_minhash_lsh_pairs",
@@ -546,7 +570,7 @@ MAX_CC_ITERS = 20
     "d9_dedup_components",
     oracle=f"""
 WITH RECURSIVE
-{_PAIRS_SQL},
+{_CAPPED_PAIRS_SQL},
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL
@@ -564,10 +588,22 @@ GROUP BY v
 """,
     tags=("dedup", "components", "iterative"),
 )
-def d9_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d9_dedup_components(
+    spark: SparkSession, sf_dir: str, candidates: DataFrame | None = None
+) -> DataFrame:
     """Dedup clusters: connected components over the MinHash-LSH
-    candidate graph (d3's pairs) via iterative min-label propagation —
-    the step that turns pairwise matches into dedup groups.
+    candidate graph via iterative min-label propagation — the step that
+    turns pairwise matches into dedup groups.
+
+    ``candidates`` is the (doc_a, doc_b) edge source; the default is the
+    CAPPED relation (d14 — hot LSH buckets dropped wholesale before pair
+    expansion). The uncapped graph (pass ``d3_minhash_lsh_pairs(...)``)
+    grows quadratically in dup-group width: at a 30x duplicate-heavy
+    corpus the downstream verify/select stages measured 19-32x wall
+    (SCALE_r07_x30), and at 100 TB a hot template bucket alone can
+    produce more pairs than the cluster can shuffle. The cap bounds
+    per-bucket work at MAX_BUCKET**2 while keeping every informative
+    collision — the standard web-scale MinHash practice (d14 docstring).
 
     Each iteration is one join + one aggregation (label[v] :=
     min(label[v], min over neighbors)); the driver loop only checks a
@@ -579,7 +615,9 @@ def d9_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     min doc_id reachable, component_size = |reachable set| (equal for
     every member of a component, a cross-check that labels converged).
     """
-    pairs = d3_minhash_lsh_pairs(spark, sf_dir)
+    pairs = candidates if candidates is not None else d14_capped_lsh_pairs(
+        spark, sf_dir
+    )
     # pin (eager; reliable checkpoint under a checkpoint dir, else
     # localCheckpoint): materializes AND truncates lineage, so
     # iteration N's plan doesn't replay iterations 0..N-1 (lineage growth
@@ -644,7 +682,7 @@ def d9_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d10_edit_distance_verify",
     oracle=f"""
-WITH {_PAIRS_SQL}
+WITH {_CAPPED_PAIRS_SQL}
 SELECT p.doc_a, p.doc_b,
        CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
        CAST(greatest(length(da.text), length(db.text)) AS BIGINT) AS max_len,
@@ -656,26 +694,33 @@ JOIN documents db ON db.doc_id = p.doc_b
 """,
     tags=("dedup", "edit-distance", "verify"),
 )
-def d10_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d10_edit_distance_verify(
+    spark: SparkSession, sf_dir: str, candidates: DataFrame | None = None
+) -> DataFrame:
     """Edit-distance verification of LSH candidates: exact Levenshtein
     (integer DP, bit-identical across engines) computed ONLY on the
-    candidate pairs from d3's banding — at 100 TB the O(len²) distance
-    runs on thousands of candidate pairs, never the corpus square.
+    candidate pairs — at 100 TB the O(len²) distance runs on thousands
+    of candidate pairs, never the corpus square.
 
-    Join shape: the PAIR side is the broadcast side — pairs are melted
-    to (doc_a, doc_b, doc_id) and broadcast against ONE streamed corpus
-    scan, so matching rows are selected map-side; the corpus is never
-    shuffled and never broadcast (plan-audited: no BroadcastExchange
-    carries text). The broadcast is bounded by the CANDIDATE-PAIR
-    count, which is the right bound to accept: a corpus whose uncapped
-    pair set approached the broadcast cap would be un-verifiable anyway
-    (this operator's own edit-distance cost is linear in the same
-    quantity) — the production answer for duplicate-heavy corpora is to
-    cap hot buckets FIRST (d14) and verify the capped set. The only
-    shuffle regroups the pair-scale match set (≤ 2 rows per candidate
-    pair) back into (text_a, text_b) rows.
+    ``candidates`` defaults to the CAPPED relation (d14): this operator
+    BROADCASTS the melted pair list, so its hard bound is the candidate
+    count — the uncapped graph (pass ``d3_minhash_lsh_pairs(...)`` for
+    oracle-parity studies) grows quadratically in dup-group width and
+    measured 31.9x wall at a 30x duplicate-heavy corpus
+    (SCALE_r07_x30); past ~8 GiB it is a broadcast-ceiling job failure,
+    not a slowdown. With the cap the broadcast is bounded by the number
+    of 2..MAX_BUCKET buckets — duplicate-density-proof.
+
+    Join shape: pairs are melted to (doc_a, doc_b, doc_id) and broadcast
+    against ONE streamed corpus scan, so matching rows are selected
+    map-side; the corpus is never shuffled and never broadcast
+    (plan-audited: no BroadcastExchange carries text). The only shuffle
+    regroups the pair-scale match set (≤ 2 rows per candidate pair)
+    back into (text_a, text_b) rows.
     """
-    pairs = d3_minhash_lsh_pairs(spark, sf_dir)
+    pairs = candidates if candidates is not None else d14_capped_lsh_pairs(
+        spark, sf_dir
+    )
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     melted = pairs.select(
         "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
@@ -819,9 +864,12 @@ def d12_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# d9's oracle CTE chain (CAPPED candidates — see d9's docstring); also
+# composed by setops' s14_leakage_free_split, whose split assignment
+# must ride the SAME dedup groups d9/d13 produce.
 _D9_COMPONENTS_CTE = f"""
 WITH RECURSIVE
-{_PAIRS_SQL},
+{_CAPPED_PAIRS_SQL},
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL
@@ -866,7 +914,10 @@ def d13_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the ranking window partitions by component (parallel
     across clusters; cluster sizes are near-dup group sizes, never the
     corpus); the per-cluster rollup partial-aggregates. Reuses d9's
-    labels, so the expensive part is the component computation itself.
+    labels — and therefore d9's CAPPED candidate default (hot-bucket cap
+    before pair expansion; the uncapped graph measured 19.6x wall at a
+    30x duplicate-heavy corpus, SCALE_r07_x30) — so the expensive part
+    is the component computation itself, bounded by candidate volume.
     """
     labels = d9_dedup_components(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
@@ -885,22 +936,11 @@ def d13_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MAX_BUCKET = 4  # LSH bucket-size cap: bigger buckets are dropped wholesale
-
-
 @register(
     "d14_capped_lsh_pairs",
     oracle=f"""
-WITH {_SIGS_BANDS_SQL},
-kept AS (
-  SELECT band_key FROM bands
-  GROUP BY band_key
-  HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a
-JOIN kept k ON a.band_key = k.band_key
-JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+WITH {_CAPPED_PAIRS_SQL}
+SELECT doc_a, doc_b FROM pairs
 """,
     tags=("dedup", "minhash", "lsh", "capped"),
 )
@@ -1083,7 +1123,7 @@ def d16_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d17_containment_overlap",
     oracle=f"""
-WITH {_PAIRS_SQL},
+WITH {_CAPPED_PAIRS_SQL},
 sh AS (
   SELECT doc_id, {_SHINGLES2_SQL} AS shingles
   FROM documents
@@ -1101,7 +1141,9 @@ JOIN sh b ON b.doc_id = p.doc_b
 """,
     tags=("dedup", "containment", "lsh"),
 )
-def d17_containment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d17_containment_overlap(
+    spark: SparkSession, sf_dir: str, candidates: DataFrame | None = None
+) -> DataFrame:
     """Asymmetric CONTAINMENT verification of the LSH candidate pairs —
     the overlap coefficient |A∩B| / min(|A|, |B|) on word-2-gram shingle
     sets. Jaccard (d4) under-scores the quote-inclusion case (a short
@@ -1111,21 +1153,25 @@ def d17_containment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data pipelines use to drop subsumed documents rather than
     merely mutual near-twins.
 
-    Plan shape: candidates come from d3's banded LSH (linear, never
-    all-pairs); the shingle relation joins onto the pair list by doc_id
-    twice — two equi-shuffles keyed on doc ids, shipping shingle arrays
-    ONLY for documents that appear in some candidate pair (Catalyst
-    pushes the join keys down as a semi-join filter on the shingle
-    build). Counts are exact ints; the coefficient is one correctly
-    rounded IEEE division — bit-identical cross-engine.
+    Plan shape: ``candidates`` defaults to the CAPPED banded LSH (d14 —
+    hot buckets dropped before pair expansion, so candidate volume is
+    duplicate-density-proof; pass ``d3_minhash_lsh_pairs(...)`` for the
+    uncapped study); the shingle relation joins onto the pair list by
+    doc_id twice — two equi-shuffles keyed on doc ids, shipping shingle
+    arrays ONLY for documents that appear in some candidate pair
+    (Catalyst pushes the join keys down as a semi-join filter on the
+    shingle build). Counts are exact ints; the coefficient is one
+    correctly rounded IEEE division — bit-identical cross-engine.
 
-    At 100 TB the candidate list is the LSH output (bounded by d14's cap
-    when buckets run hot) and the per-pair work is |A|+|B| — the
-    verify stage stays proportional to candidate volume, not corpus².
-    Production shrink: hash shingles to 8-byte ints before the join
-    (md5 strings kept here for oracle parity, same plan).
+    At 100 TB the candidate list is the capped LSH output and the
+    per-pair work is |A|+|B| — the verify stage stays proportional to
+    candidate volume, not corpus². Production shrink: hash shingles to
+    8-byte ints before the join (md5 strings kept here for oracle
+    parity, same plan).
     """
-    pairs = d3_minhash_lsh_pairs(spark, sf_dir)
+    pairs = candidates if candidates is not None else d14_capped_lsh_pairs(
+        spark, sf_dir
+    )
     tokd = _tokens_barrier(load_table(spark, sf_dir, "documents"), min_words=2)
     sh = tokd.select("doc_id", _shingles_of(F.col("toks"), k=2).alias("shingles"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))

@@ -603,7 +603,12 @@ def s14_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding → iterative min-label propagation) define the group; the
     group's canonical id feeds s9's salted-md5 bucket (shards.py) so the
     assignment stays append-stable and engine-independent. Documents
-    below d9's token gate are their own singleton groups.
+    below d9's token gate are their own singleton groups. The guarantee
+    is relative to d9's CAPPED candidate graph (r8, with d9's default):
+    pairs sharing ONLY a hot band key (> MAX_BUCKET members — boilerplate
+    collisions carrying no near-dup signal) are not constrained, the
+    standard trade every capped web-scale dedup makes; the property test
+    pins the capped-graph version.
 
     Scale shape: inherits d9's shape (banded equi-join, no all-pairs;
     per-iteration pin); the split assignment itself adds one

@@ -165,6 +165,17 @@ def test_fingerprint_is_function_scoped(monkeypatch):
     assert fps1["d1_exact_dedup"] != fps1["d2_content_hash_dedup"]
 
 
+def test_fingerprints_ignore_runtime_caches(monkeypatch):
+    """Running a query fills io._PLAN_CACHE; private mutable module
+    state must NOT feed fingerprints, or every fingerprint drifts the
+    moment any query executes in-process (the bug this pins)."""
+    import kinesis_spark.io as kio
+
+    before = compute_fingerprints()
+    monkeypatch.setitem(kio._PLAN_CACHE, ("app", "sf", "documents"), object())
+    assert compute_fingerprints() == before
+
+
 def test_reverify_first_leads_the_changed_tier():
     """Every REVERIFY_FIRST name that is currently changed-since-
     verified must sit inside the driver's 50-query window, ahead of

@@ -307,6 +307,37 @@ def test_d10_never_broadcasts_document_bodies(plan_of):
         assert "text#" not in m.group(1), m.group(1)
 
 
+def test_d10_broadcast_is_cap_bounded(plan_of):
+    """VERDICT r7 task 2: d10 BROADCASTS the melted candidate list, so
+    its candidates must come from the CAPPED relation — the plan's
+    bucket filter must carry the <= MAX_BUCKET bound, which makes the
+    broadcast bounded by the number of small buckets instead of growing
+    quadratically with dup-group width (measured 31.9x at a 30x
+    duplicate-heavy corpus before the fix)."""
+    import re
+
+    from kinesis_spark.queries.dedup import MAX_BUCKET
+
+    plan = plan_of("d10_edit_distance_verify")
+    assert re.search(rf"size\(ids#\d+[^)]*\) <= {MAX_BUCKET}", plan), (
+        "candidate source lost the hot-bucket cap:\n" + plan[:800]
+    )
+
+
+def test_d17_rides_capped_candidates(plan_of):
+    """d17 defaults to the capped candidate relation: its plan carries
+    the bucket-size cap filter. (d9/d13/s14 pin the edge relation — the
+    checkpoint truncates lineage, so their cap is asserted behaviorally
+    in test_queries_oracle.test_d9_candidate_seam_defaults_capped and by
+    the capped oracles themselves.)"""
+    import re
+
+    from kinesis_spark.queries.dedup import MAX_BUCKET
+
+    plan = plan_of("d17_containment_overlap")
+    assert re.search(rf"size\(ids#\d+[^)]*\) <= {MAX_BUCKET}", plan)
+
+
 def test_d9_sizes_join_not_hint_broadcast(plan_of):
     """`sizes` is one row per component — corpus-order at scale. The
     final join must not carry a broadcast hint; AQE may still broadcast
