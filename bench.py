@@ -37,6 +37,7 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+from kinesis_spark.pins import release_shared_pins  # noqa: E402
 from kinesis_spark.queries import get_registry  # noqa: E402
 from kinesis_spark.session import get_spark  # noqa: E402
 
@@ -72,6 +73,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     for name in WARMUP:
         if name in reg:
             try:
+                release_shared_pins()
                 spark.catalog.clearCache()
                 materialize(reg[name].spark_fn(spark, sf_dir))
             except Exception:
@@ -95,6 +97,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                 # in-sequence vs 2.5 s isolated). Clearing per attempt
                 # measures each query cold-cache and reproducibly —
                 # a query's own persist still helps within its run.
+                release_shared_pins()
                 spark.catalog.clearCache()
                 t0 = time.monotonic()
                 materialize(q.spark_fn(spark, sf_dir))

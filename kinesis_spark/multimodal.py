@@ -279,10 +279,15 @@ DHASH_BANDS = (DHASH_GRID_W - 1) * DHASH_GRID_H // DHASH_BAND_BITS
 #: cells collapse to equal, exactly like real overexposure;
 #: ``crop`` keeps the first half of the payload (content lands at
 #: different grid fractions, so the grid decorrelates).
-DHASH_VARIANTS: dict[str, tuple[str, str]] = {
-    "orig": ("n_bytes", "{x}"),
-    "bright": ("n_bytes", "least({x} + 16, 255)"),
-    "crop": ("(n_bytes div 2)", "{x}"),
+#: The third field is the variant's MINIMUM RAW payload bytes: the grid
+#: samples positions up to n_eff - 1, so n_eff must be >= 2 AFTER the
+#: length transform (substring position 0/negative is where Spark and
+#: DuckDB semantics diverge). Stored explicitly — inferring it from the
+#: n_expr string would silently mis-gate any future length transform.
+DHASH_VARIANTS: dict[str, tuple[str, str, int]] = {
+    "orig": ("n_bytes", "{x}", 2),
+    "bright": ("n_bytes", "least({x} + 16, 255)", 2),
+    "crop": ("(n_bytes div 2)", "{x}", 4),
 }
 
 
@@ -316,9 +321,10 @@ def _dhash_cell_sql(variants: tuple[str, ...]) -> tuple[str, str]:
 
 
 def dhash_min_bytes(variant: str) -> int:
-    """Smallest payload a variant can hash (crop halves the payload, so
-    it needs 2 surviving bytes = 4 raw)."""
-    return 4 if "div 2" in DHASH_VARIANTS[variant][0] else 2
+    """Smallest RAW payload a variant can hash (crop halves the payload,
+    so it needs 2 surviving bytes = 4 raw) — read from the variant's
+    declared min_bytes field, never inferred from its SQL text."""
+    return DHASH_VARIANTS[variant][2]
 
 
 def dhash_images(media: DataFrame, variants: tuple[str, ...] = ("orig",)) -> DataFrame:

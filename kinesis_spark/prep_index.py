@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kinesis_spark.bloom import build_bloom, densify_bloom, probe_bloom_dense
+from kinesis_spark.pins import pin_shared
 
 
 def _gated(d: DataFrame) -> DataFrame:
@@ -224,7 +225,7 @@ def incremental_span_excision(
         window_hashes,
     )
 
-    toks = positional_tokens(batch_docs).persist()
+    toks = pin_shared(positional_tokens(batch_docs))
     occs = window_hashes(toks)
     grams = spark.read.parquet(os.path.join(index_dir, "grams"))
     batch_keys = occs.select("h").distinct()

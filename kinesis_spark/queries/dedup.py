@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 
 from kinesis_spark.checkpoints import pin
 from kinesis_spark.io import ensure_min_partitions, load_table
+from kinesis_spark.pins import pin_shared
 from kinesis_spark.queries import WS_RE, register
 
 N_HASHES = 8  # minhash signature length
@@ -1277,9 +1278,9 @@ def d18_dup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion) — the same bound d16 documents, without its bucket
     blowup. clean text grouping is bounded by document size.
     """
-    toks = positional_tokens(
-        load_table(spark, sf_dir, "documents")
-    ).persist()  # pinned: the gram branch and the rebuild join share it
+    # pinned: the gram branch and the rebuild join share it; registered
+    # so the consumer can release it (kinesis_spark.pins)
+    toks = pin_shared(positional_tokens(load_table(spark, sf_dir, "documents")))
     occs = window_hashes(toks)
     who = Window.partitionBy("h").orderBy("doc_id", "pos")
     # rn > 1 alone implies the window occurs >= 2 times — no count() pass

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis_spark.io import ensure_min_partitions, load_table
+from kinesis_spark.pins import pin_shared
 from kinesis_spark.queries import register
 
 SEED = 42
@@ -59,7 +60,7 @@ def _shingle_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approxSimilarityJoin would otherwise each re-run the tokenize/
     # shingle/TF map stage — three evaluations of the most expensive
     # stage per query run. Vector rows are small (sparse binary TF).
-    return tf.transform(sh).select("doc_id", "features").persist()
+    return pin_shared(tf.transform(sh).select("doc_id", "features"))
 
 
 @register(
@@ -111,10 +112,10 @@ def sim5_brp_ann_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform("embedding", lambda x: x.cast("double"))
             ).alias("features"),
         )
-        # persist: fit() + both approxSimilarityJoin sides re-run the
-        # vector transform otherwise (same reuse as _shingle_vectors)
-        .persist()
     )
+    # persist: fit() + both approxSimilarityJoin sides re-run the
+    # vector transform otherwise (same reuse as _shingle_vectors)
+    e = pin_shared(e)
     brp = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=2.0,
         numHashTables=4, seed=SEED,

@@ -27,6 +27,7 @@ from kinesis_spark.multimodal import (
     nibble_histogram,
     sample_frames,
 )
+from kinesis_spark.pins import pin_shared
 from kinesis_spark.queries import register
 
 # generated from MODALITIES so the oracle can never drift from
@@ -320,7 +321,7 @@ def _mm7_grid_sql(variant: str) -> str:
     (Spark `div` ↔ DuckDB `//`; `ascii(substring(payload ...))` ↔
     `ascii(substr(text ...))` — the corpus is pure ASCII, see module
     docstring)."""
-    n_expr, cell_tx = _DH.DHASH_VARIANTS[variant]
+    n_expr, cell_tx, _min_bytes = _DH.DHASH_VARIANTS[variant]
     n_sql = n_expr.replace("n_bytes", "n").replace(" div ", " // ")
     x = f"ascii(substr(text, CAST((k * ({n_sql} - 1)) // {_MM7_CELLS - 1} AS INT) + 1, 1))"
     return (
@@ -628,7 +629,7 @@ def _fingerprint_keys(
         .filter(F.col("kn") <= MM9_KEY_CAP)
         .select("media_id", "t", "key")
     )
-    return capped.persist() if persist else capped
+    return pin_shared(capped) if persist else capped
 
 
 def _mm9_keys_cte(modality: str) -> str:
@@ -701,17 +702,19 @@ HAVING COUNT(*) >= {MM9_MIN_VOTES}
 )
 def mm9_clip_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-clip identification — the subsequence-retrieval shape
-    (which track contains this snippet): per 16-byte frame energies,
-    delta-sign bits, and an 8-bit fingerprint key at every frame
-    offset; a clip (16 consecutive frames of each sufficiently long
-    audio payload, derived in-query since the fixtures ship no external
-    snippets) joins the corpus key relation and candidates are scored
-    by the OFFSET HISTOGRAM — votes group on (clip, media,
-    corpus_t − clip_u), so the true source stacks all MM9_CLIP_KEYS
-    votes on one alignment while random 8-bit collisions scatter.
-    Every clip must re-identify its source at offset = its clip start
-    (asserted in tests); cross-media alignments above MM9_MIN_VOTES
-    are shared-content findings.
+    (which track contains this snippet): per MM9_FRAME_BYTES-byte frame
+    energies, delta-sign bits, and an MM9_KEY_BITS-bit (16-bit, capped)
+    fingerprint key at every frame offset; a clip (MM9_CLIP_KEYS
+    consecutive KEYS of each sufficiently long audio payload — spanning
+    MM9_CLIP_KEYS + MM9_KEY_BITS = 24 frames, since the key at t covers
+    delta bits t..t+15 and bit p needs frames p and p+1 — derived
+    in-query since the fixtures ship no external snippets) joins the
+    corpus key relation and candidates are scored by the OFFSET
+    HISTOGRAM — votes group on (clip, media, corpus_t − clip_u), so the
+    true source stacks all MM9_CLIP_KEYS votes on one alignment while
+    random 16-bit collisions scatter. Every clip must re-identify its
+    source at offset = its clip start (asserted in tests); cross-media
+    alignments above MM9_MIN_VOTES are shared-content findings.
 
     Scale shape: energies/bits/keys are one narrow media_id shuffle
     (windows over the frame spine — frame bytes never shuffle); the

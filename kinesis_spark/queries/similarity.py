@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 
 from kinesis_spark.checkpoints import pin
 from kinesis_spark.io import load_table
+from kinesis_spark.pins import pin_shared
 from kinesis_spark.queries import register
 
 N_QUERIES = 10
@@ -421,11 +422,10 @@ def sim6_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist (not pin) keeps the subtree visible to plan
     # audits; this is the self-contained demo of what ann.py amortizes
     # properly (build the index once on disk, probe it many times).
-    assign = (
+    assign = pin_shared(
         ivf_assign(e, cent)
         .filter(F.col("crk") <= max(1, N_PROBE))
         .withColumn("norm", _norm(F.col("v")))
-        .persist()
     )
     cells = assign.filter(F.col("crk") == 1).select(
         F.col("vec_id").alias("match_id"), F.col("v").alias("cv_vec"),
@@ -1452,11 +1452,10 @@ def sim13_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cent = ivf_codebook(e)
     # one assignment pass feeds cells and probes (sim6's persist note)
-    assign = (
+    assign = pin_shared(
         ivf_assign(e, cent)
         .filter(F.col("crk") <= N_PROBE_FILTERED)
         .withColumn("norm", _norm(F.col("v")))
-        .persist()
     )
     cells = assign.filter(F.col("crk") == 1).select(
         F.col("vec_id").alias("match_id"),
@@ -1736,7 +1735,7 @@ def sim15_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (vec_id, label, dist2), so the cache is ~24 B/vector. A window
     # over labels would avoid the cache but has no partial aggregation —
     # one task per label is a skew cliff at corpus scale.
-    d2 = d2.persist()
+    d2 = pin_shared(d2)
     m = d2.groupBy("label").agg(
         (
             F.sum(F.floor(F.col("dist2") * F.lit(Q_SCALE)).cast("decimal(38,0)"))

@@ -36,6 +36,7 @@ from kinesis_spark.queries import (  # noqa: E402
     get_registry,
     load_fingerprint_snapshot,
 )
+from kinesis_spark.pins import release_shared_pins  # noqa: E402
 from kinesis_spark.session import get_spark  # noqa: E402
 from oracle_utils import compare, run_oracle  # noqa: E402
 
@@ -57,6 +58,7 @@ def main() -> int:
     for name in changed:
         q = reg[name]
         try:
+            release_shared_pins()
             spark.catalog.clearCache()
             df = q.spark_fn(spark, sf)
             if q.oracle is None:

@@ -37,6 +37,7 @@ sys.path.insert(0, REPO)
 from pyspark.sql import functions as F  # noqa: E402
 
 from kinesis_spark.io import load_table  # noqa: E402
+from kinesis_spark.pins import release_shared_pins  # noqa: E402
 from kinesis_spark.queries import get_registry  # noqa: E402
 from kinesis_spark.session import get_spark  # noqa: E402
 
@@ -258,6 +259,7 @@ def time_warm(spark, name: str, sf_dir: str) -> float:
     for _ in range(2):
         # same isolation as bench.py: persisted subtrees left by earlier
         # operators evict under pressure and inflate later measurements
+        release_shared_pins()
         spark.catalog.clearCache()
         t0 = time.monotonic()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

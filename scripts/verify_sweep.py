@@ -14,6 +14,7 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 import __spark_entry__ as e
+from kinesis_spark.pins import release_shared_pins
 from kinesis_spark.session import get_spark
 from oracle_utils import compare, run_oracle
 
@@ -31,6 +32,7 @@ def main() -> int:
             # bench.py's isolation rule: queries that persist internal
             # subtrees (sim15, sim8, MLlib pipelines) must not stack 191
             # cached relations across the sweep
+            release_shared_pins()
             spark.catalog.clearCache()
             df = fn(spark, sf)
             if name not in osql:
