@@ -141,6 +141,19 @@ def g1_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is {ITERS} equi-join shuffles. The same loop body serves any
     edge set — swap `pairs` for d3's near-dup candidates to rank
     duplication hubs.
+
+    Production knob (the 30x harness's superlinear step explained): the
+    scale harness FREEZES spark.sql.shuffle.partitions=32 at every
+    corpus size to isolate data volume. On a real cluster the knob that
+    keeps each round data-linear is partition count ~ edges / 64 MiB
+    (bounding per-task shuffle memory so nothing spills), rising with
+    executor count; the edge relation is already pre-partitioned on
+    src, so only the 16 B/node rank relation reshuffles each round.
+    Measured on THIS harness (one 32-core JVM, 30x corpus): 32
+    partitions 21.9 s vs 128 partitions 39.8 s — more partitions only
+    add task overhead when there is no per-executor memory wall to
+    relieve, which is exactly why the knob belongs to the deployment,
+    not the query.
     """
     edges = _trade_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))

@@ -466,6 +466,102 @@ def mm7_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm7c_phash_recall",
+    oracle=f"""
+WITH mm7 AS ({_MM7_ORACLE}),
+elig AS (
+  SELECT variant, COUNT(*) AS n_eligible
+  FROM documents, (SELECT unnest(['bright', 'crop']) AS variant) v
+  WHERE {_MODALITY_SQL} = 'image'
+    AND length(text) >= CASE variant
+                          WHEN 'crop' THEN {_DH.dhash_min_bytes("crop")}
+                          ELSE {_DH.dhash_min_bytes("bright")} END
+  GROUP BY variant
+),
+found AS (
+  SELECT variant_a AS variant,
+         COUNT(*) AS n_matched,
+         CAST(SUM(CASE WHEN hamming = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ham0
+  FROM mm7
+  WHERE media_a = media_b AND variant_b = 'orig'
+        AND variant_a IN ('bright', 'crop')
+  GROUP BY variant_a
+)
+SELECT e.variant,
+       e.n_eligible,
+       COALESCE(f.n_matched, 0) AS n_matched,
+       COALESCE(f.n_ham0, 0) AS n_ham0,
+       CAST(COALESCE(f.n_ham0, 0) AS DOUBLE) / e.n_eligible AS ham0_rate
+FROM elig e LEFT JOIN found f USING (variant)
+""",
+    tags=("multimodal", "phash", "recall", "companion"),
+)
+def mm7c_phash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mm7 recall protocol as a driver-visible companion (VERDICT r7
+    task 7): per injected transform, how many planted variants did the
+    LSH + Hamming pipeline recover against their own original?
+
+    ``bright`` is the order-preserving transform — every payload byte
+    differs (so md5/sha dedup scores 0 here) but dHash must recover it
+    at hamming 0, so its floor is ham0_rate = 1.0 on the never-clamping
+    ASCII corpus *except* pairs lost to the MM7_BUCKET_CAP drop (a
+    hot-bucket cap trades exactly this recall for bounded pair volume —
+    the companion makes that trade measurable). ``crop`` is the
+    destructive transform — content lands at different grid fractions —
+    so its rate is the protocol's false-match gauge, expected ~0.
+    tests/test_multimodal.py pins the floors; this query publishes the
+    numbers through the driver's correctness gate.
+
+    Scale shape: reuses mm7's pair output (one signature scan, capped
+    band shuffle); eligibility is a metadata-only pruned scan (length,
+    never payload bytes); both aggregates are tiny keyed rollups."""
+    pairs = mm7_phash_neardup(spark, sf_dir)
+    media = _media(spark, sf_dir).filter(F.col("modality") == "image")
+    variants = ("bright", "crop")
+    elig = (
+        media.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.when(
+                            F.col("n_bytes") >= _DH.dhash_min_bytes(v), F.lit(v)
+                        )
+                        for v in variants
+                    ]
+                )
+            ).alias("variant")
+        )
+        .filter(F.col("variant").isNotNull())
+        .groupBy("variant")
+        .agg(F.count(F.lit(1)).alias("n_eligible"))
+    )
+    zero = F.lit(0).cast("bigint")
+    found = (
+        pairs.filter(
+            (F.col("media_a") == F.col("media_b"))
+            & (F.col("variant_b") == "orig")
+            & F.col("variant_a").isin(*variants)
+        )
+        .groupBy(F.col("variant_a").alias("variant"))
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum(F.when(F.col("hamming") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_ham0"),
+        )
+    )
+    return elig.join(found, "variant", "left").select(
+        "variant",
+        "n_eligible",
+        F.coalesce("n_matched", zero).alias("n_matched"),
+        F.coalesce("n_ham0", zero).alias("n_ham0"),
+        (F.coalesce("n_ham0", zero).cast("double") / F.col("n_eligible")).alias(
+            "ham0_rate"
+        ),
+    )
+
+
 # mm8 boundary rule: a frame starts a new scene when its energy moved by
 # more than 1/MM8_DELTA_DIV of the previous frame's energy (exact
 # integer cross-multiplication — no float threshold on either engine).
