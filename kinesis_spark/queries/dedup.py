@@ -120,6 +120,24 @@ def _band_key_expr():
     )
 
 
+def _minhash_sigs(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh{{N_HASHES-1}}) — ONE definition of the MinHash
+    signature relation shared by the banding pipeline (d3/d14 via
+    :func:`_lsh_band_buckets`) and signature-space estimation (d19).
+    Tokenize barrier → shingle explode → per-doc min-hash per seed; the
+    groupBy shuffles only (doc_id, 32-B hash) partial mins."""
+    tokd = _tokens_barrier(docs, min_words=3)
+    exploded = tokd.select(
+        "doc_id", F.explode(_shingles_of(F.col("toks"))).alias("s")
+    )
+    return exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{seed}#"), F.col("s")))).alias(f"mh{seed}")
+            for seed in range(N_HASHES)
+        ]
+    )
+
+
 def _lsh_band_buckets(docs: DataFrame, max_bucket: int | None = None) -> DataFrame:
     """ONE definition of the MinHash({n})+LSH banding pipeline shared by
     d3 (uncapped) and d14 (capped): tokenize barrier → shingle explode →
@@ -134,17 +152,7 @@ def _lsh_band_buckets(docs: DataFrame, max_bucket: int | None = None) -> DataFra
     band_key shuffles the same key the join would and collects each
     bucket's members for :func:`_ordered_pairs`.
     """
-    tokd = _tokens_barrier(docs, min_words=3)
-    exploded = tokd.select(
-        "doc_id", F.explode(_shingles_of(F.col("toks"))).alias("s")
-    )
-    sigs = exploded.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{seed}#"), F.col("s")))).alias(f"mh{seed}")
-            for seed in range(N_HASHES)
-        ]
-    )
-    bands = sigs.select("doc_id", _band_key_expr().alias("band_key"))
+    bands = _minhash_sigs(docs).select("doc_id", _band_key_expr().alias("band_key"))
     keep = F.size("ids") >= 2
     if max_bucket is not None:
         keep = keep & (F.size("ids") <= max_bucket)
@@ -1360,4 +1368,79 @@ def excision_report(toks: DataFrame, flags: DataFrame) -> DataFrame:
                 " ",
             )
         ).alias("clean_md5"),
+    )
+
+
+_D19_AGREE_SQL = " + ".join(
+    f"CASE WHEN a.mh{s} = b.mh{s} THEN 1 ELSE 0 END" for s in range(N_HASHES)
+)
+
+
+@register(
+    "d19_signature_jaccard_estimate",
+    oracle=f"""
+WITH {_CAPPED_PAIRS_SQL}
+SELECT p.doc_a, p.doc_b,
+       CAST({_D19_AGREE_SQL} AS BIGINT) AS n_agree,
+       CAST({_D19_AGREE_SQL} AS DOUBLE) / {N_HASHES} AS est_jaccard
+FROM pairs p
+JOIN sigs a ON a.doc_id = p.doc_a
+JOIN sigs b ON b.doc_id = p.doc_b
+""",
+    tags=("dedup", "minhash", "estimate"),
+)
+def d19_signature_jaccard_estimate(
+    spark: SparkSession, sf_dir: str, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Signature-space Jaccard ESTIMATION — Broder's estimator: the
+    fraction of the {n} MinHash components on which two documents agree
+    is an unbiased estimate of their shingle-set Jaccard similarity.
+    This is the verify step production pipelines actually run between
+    LSH candidacy and any document fetch: thresholding on the estimate
+    needs only the signatures, so NO document bytes move — unlike the
+    exact verifiers (d4's shingle intersection, d10's Levenshtein,
+    d17's containment) whose inputs are the texts themselves.
+
+    ``candidates`` defaults to the capped relation (the family default,
+    d9's docstring); the estimate joins the signature relation onto the
+    pair list by doc_id — two equi-shuffles carrying (doc_id, {n}x32-B
+    hashes), bounded by candidate volume. The divisor {n} is a power of
+    two, so est_jaccard = n_agree / {n} is exact in IEEE double and
+    bit-identical cross-engine. At 100 TB the signatures come from a
+    persisted index (the prep_index discipline: computed once at
+    ingest, reused by every probe), making this a signature-store join
+    with zero corpus scans.
+    """
+    pairs = candidates if candidates is not None else d14_capped_lsh_pairs(
+        spark, sf_dir
+    )
+    sigs = _minhash_sigs(load_table(spark, sf_dir, "documents"))
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{s}").alias(f"a{s}") for s in range(N_HASHES)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{s}").alias(f"b{s}") for s in range(N_HASHES)],
+    )
+    n_agree = None
+    for s in range(N_HASHES):
+        term = F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        n_agree = term if n_agree is None else n_agree + term
+    n_agree = n_agree.cast("bigint")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_agree.alias("n_agree"),
+            (n_agree.cast("double") / F.lit(N_HASHES)).alias("est_jaccard"),
+        )
+    )
+
+
+if d19_signature_jaccard_estimate.__doc__:  # absent under python -OO
+    d19_signature_jaccard_estimate.__doc__ = (
+        d19_signature_jaccard_estimate.__doc__.format(n=N_HASHES)
     )

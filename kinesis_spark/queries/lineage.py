@@ -732,3 +732,94 @@ def prov4_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return diff_by_key(snap_a, snap_b, "doc_id", F.md5("text"))
+
+
+# dq6 sweeps DQ6_BUCKETS thresholds (k/DQ6_BUCKETS for k = 0..9) over
+# t2's quality score. Bucket assignment floors score*DQ6_BUCKETS — the
+# score is computed by identical IEEE expressions on both engines, so
+# the floor (and therefore every threshold count) is bit-identical.
+DQ6_BUCKETS = 10
+
+
+def _dq6_oracle() -> str:
+    # compose t2's REGISTERED oracle verbatim — one definition of the
+    # score on each engine; a scoring change re-sweeps automatically
+    from kinesis_spark.queries import REGISTRY
+    from kinesis_spark.queries import textstats as _ts  # noqa: F401  (registers t2)
+
+    t2 = REGISTRY["t2_quality_score"].oracle
+    return f"""
+WITH scored AS ({t2}),
+b AS (
+  SELECT LEAST(CAST(FLOOR(quality_score * {DQ6_BUCKETS}) AS BIGINT),
+               {DQ6_BUCKETS - 1}) AS bucket,
+         COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS ch
+  FROM scored GROUP BY 1
+),
+spine AS (SELECT unnest(range({DQ6_BUCKETS})) AS bucket),
+cum AS (
+  SELECT s.bucket,
+         SUM(COALESCE(b.n, 0)) OVER (ORDER BY s.bucket DESC) AS n_kept,
+         SUM(COALESCE(b.ch, 0)) OVER (ORDER BY s.bucket DESC) AS kept_chars,
+         SUM(COALESCE(b.n, 0)) OVER () AS total
+  FROM spine s LEFT JOIN b USING (bucket)
+)
+SELECT CAST(bucket AS DOUBLE) / {DQ6_BUCKETS} AS threshold,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       CAST(kept_chars AS BIGINT) AS kept_chars,
+       CAST(n_kept AS DOUBLE) / total AS keep_rate
+FROM cum
+"""
+
+
+@register(
+    "dq6_quality_threshold_sweep",
+    oracle=_dq6_oracle(),
+    tags=("quality", "sweep", "report"),
+)
+def dq6_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-tuning curve for the quality gate: for each candidate
+    threshold k/10, how many documents (and how many characters of
+    training data) survive ``quality_score >= threshold`` — the report
+    every pipeline reads before choosing its filter cutoff, since the
+    threshold trades data volume against quality and the right value is
+    corpus-specific (Gopher/C4 both published exactly this sweep shape).
+
+    Plan shape: t2's one-scan scoring feeds a 10-bucket keyed rollup
+    (floor(score*10), partial-aggregated map-side); the per-threshold
+    cumulative "docs kept at >= k/10" is a running sum over the TEN-row
+    bucket spine, not the corpus — so the sweep costs one corpus scan +
+    one 10-row window regardless of how many thresholds it reports.
+    The spine left-join keeps empty buckets so the curve always has
+    exactly 10 points.
+    """
+    from kinesis_spark.queries.textstats import t2_quality_score
+
+    scored = t2_quality_score(spark, sf_dir).select("n_chars", "quality_score")
+    bucket = F.least(
+        F.floor(F.col("quality_score") * DQ6_BUCKETS).cast("bigint"),
+        F.lit(DQ6_BUCKETS - 1).cast("bigint"),
+    )
+    per = scored.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("bigint").alias("ch"),
+    )
+    spine = spark.range(DQ6_BUCKETS).select(F.col("id").alias("bucket"))
+    joined = spine.join(per, "bucket", "left").select(
+        "bucket",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("ch", F.lit(0).cast("bigint")).alias("ch"),
+    )
+    w_desc = (
+        Window.orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    return joined.select(
+        (F.col("bucket").cast("double") / DQ6_BUCKETS).alias("threshold"),
+        F.sum("n").over(w_desc).cast("bigint").alias("n_kept"),
+        F.sum("ch").over(w_desc).cast("bigint").alias("kept_chars"),
+        (
+            F.sum("n").over(w_desc).cast("double") / F.sum("n").over(w_all)
+        ).alias("keep_rate"),
+    )

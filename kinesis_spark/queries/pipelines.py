@@ -1114,3 +1114,66 @@ if p6_mixture_waterfill.__doc__:  # absent under python -OO
     p6_mixture_waterfill.__doc__ = p6_mixture_waterfill.__doc__.format(
         num=MIX_BUDGET_NUM, den=MIX_BUDGET_DEN
     )
+
+
+def _p11_oracle() -> str:
+    from kinesis_spark.queries.textstats import _BPE_PAT_SQL
+
+    return f"""
+WITH c AS (
+  SELECT lang, source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(len(regexp_extract_all(text, '{_BPE_PAT_SQL}'))) AS BIGINT)
+           AS bpe_tokens,
+         CAST(SUM(len(regexp_split_to_array(text, '{WS_RE}'))) AS BIGINT)
+           AS ws_tokens,
+         CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars
+  FROM documents
+  GROUP BY lang, source
+)
+SELECT lang, source, n_docs, bpe_tokens, ws_tokens, n_chars,
+       CAST(bpe_tokens AS DOUBLE) / ws_tokens AS fertility,
+       CAST(n_chars AS DOUBLE) / bpe_tokens AS chars_per_token
+FROM c
+"""
+
+
+@register(
+    "p11_tokenizer_fertility",
+    oracle=_p11_oracle(),
+    tags=("pipeline", "tokenize", "report"),
+)
+def p11_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report per (lang, source): BPE-ish tokens per
+    whitespace word and characters per token — the compression table
+    that prices every training mix (a source at fertility 2.0 costs 2x
+    the compute of one at 1.0 for the same word count) and the standard
+    gauge of tokenizer fit per language (high fertility on a language =
+    the vocabulary under-serves it; multilingual-tokenizer papers
+    report exactly this table).
+
+    Plan shape: one corpus scan, both token counts evaluated per row by
+    JVM regex (t8's pre-tokenizer, shared pattern constant), partial
+    BIGINT sums into a (lang x source)-sized keyed rollup; the ratios
+    are single IEEE divisions of exact integers — bit-identical
+    cross-engine. At 100 TB this is a map-only pass plus a shuffle of
+    ~|lang x source| rows.
+    """
+    from kinesis_spark.queries.textstats import _BPE_PAT
+
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)).cast("bigint")
+    n_ws = F.size(F.split("text", WS_RE)).cast("bigint")
+    c = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_bpe).cast("bigint").alias("bpe_tokens"),
+        F.sum(n_ws).cast("bigint").alias("ws_tokens"),
+        F.sum(F.length("text").cast("bigint")).cast("bigint").alias("n_chars"),
+    )
+    return c.select(
+        "lang", "source", "n_docs", "bpe_tokens", "ws_tokens", "n_chars",
+        (F.col("bpe_tokens").cast("double") / F.col("ws_tokens")).alias("fertility"),
+        (F.col("n_chars").cast("double") / F.col("bpe_tokens")).alias(
+            "chars_per_token"
+        ),
+    )

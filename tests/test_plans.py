@@ -976,3 +976,29 @@ def test_mm10_single_scan_in_bucket_pairs(plan_of):
     plan = plan_of("mm10_shared_segment_pairs")
     assert plan.count("documents.parquet") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_dq6_sweep_is_one_scan(plan_of):
+    """The threshold sweep must not rescan per threshold: one documents
+    scan feeds the 10-bucket rollup; the cumulative curve runs over the
+    ten-row spine."""
+    plan = plan_of("dq6_quality_threshold_sweep")
+    assert plan.count("documents.parquet") == 1
+
+
+def test_p11_fertility_is_single_scan_rollup(plan_of):
+    """Both token counts evaluate row-locally in one scan; the only
+    shuffle is the (lang, source) rollup with map-side partials."""
+    plan = plan_of("p11_tokenizer_fertility")
+    assert plan.count("documents.parquet") == 1
+    assert "partial_sum" in plan
+
+
+def test_d19_estimate_joins_signatures_not_texts(plan_of):
+    """Signature-space estimation must never ship document bodies: no
+    exchange and no broadcast carries `text` (the signatures relation
+    is the whole point)."""
+    plan = plan_of("d19_signature_jaccard_estimate")
+    for line in plan.splitlines():
+        if ("Exchange" in line or "Broadcast" in line) and "text#" in line:
+            raise AssertionError(f"document bodies on the wire: {line}")
