@@ -416,6 +416,67 @@ PSI_SPLIT_YEAR = 1998  # fixture dates span 1995-2001; ref = the first ~45%
 PSI_ALERT = 0.2  # the industry convention: PSI > 0.2 = significant drift
 
 
+def psi_bin(value):
+    """Bin id for a value under dq4's fixed-width binning (shared with
+    the streaming drift face, streaming/drift.py — one binning
+    definition, or the monitor silently profiles a different
+    distribution than the batch report)."""
+    return (
+        F.least(F.floor(value / PSI_BIN_WIDTH), F.lit(PSI_BINS - 1))
+        .cast("bigint")
+    )
+
+
+def psi_score(filled: DataFrame) -> DataFrame:
+    """dq4's PSI report over a PRE-FILLED (bin, ref_cnt, cur_cnt)
+    relation of exactly PSI_BINS rows — the scoring shared by the batch
+    query and the streaming monitor. Totals ride a window over the
+    {bins}-row spine, NOT a separate .agg() joined back: the agg form
+    re-derives `filled` — i.e. a SECOND full source scan — because
+    Spark does not share scans across plan branches (r7 plan audit).
+    Bit-determinism per the dq4 docstring: one correctly-rounded
+    division per share, the 6-dp decimal ln bridge, exact
+    DECIMAL(28,12) total."""
+    _wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tot = filled.withColumn(
+        "ref_tot", F.sum("ref_cnt").over(_wall)
+    ).withColumn("cur_tot", F.sum("cur_cnt").over(_wall))
+    terms = tot.select(
+        "bin",
+        "ref_cnt",
+        "cur_cnt",
+        (
+            (F.col("ref_cnt") + 1).cast("double")
+            / (F.col("ref_tot") + PSI_BINS).cast("double")
+        ).alias("ref_share"),
+        (
+            (F.col("cur_cnt") + 1).cast("double")
+            / (F.col("cur_tot") + PSI_BINS).cast("double")
+        ).alias("cur_share"),
+    )
+    ln6 = F.round(F.log(F.col("cur_share") / F.col("ref_share")), 6).cast(
+        "decimal(9,6)"
+    )
+    scored = terms.withColumn(
+        "term_dec",
+        ((F.col("cur_share") - F.col("ref_share")) * ln6.cast("double")).cast(
+            "decimal(28,12)"
+        ),
+    )
+    w = Window.partitionBy()  # one PSI_BINS-row partition: the bin spine
+    total = F.sum("term_dec").over(w).cast("double")
+    return scored.select(
+        "bin",
+        "ref_cnt",
+        "cur_cnt",
+        "ref_share",
+        "cur_share",
+        F.col("term_dec").cast("double").alias("psi_term"),
+        total.alias("psi_total"),
+        (total > PSI_ALERT).alias("drift_alert"),
+    )
+
+
 @register(
     "dq4_psi_drift",
     oracle=f"""
@@ -491,9 +552,7 @@ def dq4_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift costs exactly one pass, like dq2."""
     o = load_table(spark, sf_dir, "orders")
     binned = o.select(
-        F.least(F.floor(F.col("o_totalprice") / PSI_BIN_WIDTH), F.lit(PSI_BINS - 1))
-        .cast("bigint")
-        .alias("bin"),
+        psi_bin(F.col("o_totalprice")).alias("bin"),
         (F.year("o_orderdate") < PSI_SPLIT_YEAR).alias("is_ref"),
     )
     counts = binned.groupBy("bin").agg(
@@ -509,48 +568,7 @@ def dq4_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cur_cnt", F.lit(0)).cast("bigint").alias("cur_cnt"),
         )
     )
-    # totals as a window over the {bins}-row spine, NOT a separate
-    # .agg() joined back: the agg form re-derives `filled` — i.e. a
-    # SECOND full orders scan — because Spark does not share scans
-    # across plan branches (r7 plan audit). Exact bigint sums either way.
-    _wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    tot = filled.withColumn(
-        "ref_tot", F.sum("ref_cnt").over(_wall)
-    ).withColumn("cur_tot", F.sum("cur_cnt").over(_wall))
-    terms = tot.select(
-        "bin",
-        "ref_cnt",
-        "cur_cnt",
-        (
-            (F.col("ref_cnt") + 1).cast("double")
-            / (F.col("ref_tot") + PSI_BINS).cast("double")
-        ).alias("ref_share"),
-        (
-            (F.col("cur_cnt") + 1).cast("double")
-            / (F.col("cur_tot") + PSI_BINS).cast("double")
-        ).alias("cur_share"),
-    )
-    ln6 = F.round(F.log(F.col("cur_share") / F.col("ref_share")), 6).cast(
-        "decimal(9,6)"
-    )
-    scored = terms.withColumn(
-        "term_dec",
-        ((F.col("cur_share") - F.col("ref_share")) * ln6.cast("double")).cast(
-            "decimal(28,12)"
-        ),
-    )
-    w = Window.partitionBy()  # one {bins}-row partition: the bin spine
-    total = F.sum("term_dec").over(w).cast("double")
-    return scored.select(
-        "bin",
-        "ref_cnt",
-        "cur_cnt",
-        "ref_share",
-        "cur_share",
-        F.col("term_dec").cast("double").alias("psi_term"),
-        total.alias("psi_total"),
-        (total > PSI_ALERT).alias("drift_alert"),
-    )
+    return psi_score(filled)
 
 
 if dq4_psi_drift.__doc__:  # absent under python -OO

@@ -1,0 +1,114 @@
+"""Streaming PSI drift monitor (streaming/drift.py): bit-exact parity
+with the batch dq4 report after draining the same current slice, and
+replay convergence under at-least-once redelivery."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from kinesis_spark.io import load_table
+from kinesis_spark.queries.lineage import PSI_SPLIT_YEAR, dq4_psi_drift
+from kinesis_spark.streaming.drift import (
+    start_psi_drift_query,
+    write_psi_reference,
+)
+
+
+def _drain(spark, cur_path, ref_path, work, tag):
+    state = os.path.join(work, f"state-{tag}")
+    out = os.path.join(work, f"out-{tag}")
+    ckpt = os.path.join(work, f"ckpt-{tag}")
+    schema = spark.read.parquet(cur_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cur_path)
+    )
+    q = start_psi_drift_query(
+        stream, ref_path, "o_totalprice", state, out, ckpt,
+        trigger_available_now=True,
+    )
+    assert q.awaitTermination(300), "drain exceeded 300s"
+    return out
+
+
+def test_streaming_monitor_matches_batch_dq4(spark, sf_dir, tmp_path):
+    work = str(tmp_path)
+    o = load_table(spark, sf_dir, "orders")
+    ref = o.filter(F.year("o_orderdate") < PSI_SPLIT_YEAR)
+    cur = o.filter(F.year("o_orderdate") >= PSI_SPLIT_YEAR)
+
+    ref_path = os.path.join(work, "ref")
+    write_psi_reference(ref, "o_totalprice", ref_path)
+    cur_path = os.path.join(work, "cur")
+    cur.repartition(4).write.parquet(cur_path)  # -> 4 micro-batches
+
+    out = _drain(spark, cur_path, ref_path, work, "a")
+    rep = spark.read.parquet(out)
+    last = rep.agg(F.max("batch_id")).first()[0]
+    assert last >= 1, "expected multiple micro-batches"
+    final = rep.filter(F.col("batch_id") == last).drop("batch_id")
+
+    batch = dq4_psi_drift(spark, sf_dir)
+    got = sorted(map(tuple, final.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    # bit-exact: same binning, same smoothing, same decimal ln bridge
+    assert got == want
+
+    # replay convergence: a second from-scratch drain (fresh checkpoint,
+    # SAME state/out dirs) redelivers every batch id — the overwrite
+    # commits must converge to the identical report, never double-count
+    out2 = _drain(spark, cur_path, ref_path, work, "a")  # reuses dirs? no:
+    # _drain derives dirs from the tag; reuse the first run's dirs by
+    # calling with the same tag but a fresh checkpoint
+    # (ckpt-a exists and is DONE — availableNow with an existing
+    # checkpoint emits no new batches, which itself must keep the
+    # report unchanged)
+    rep2 = spark.read.parquet(out2)
+    got2 = sorted(
+        map(tuple, rep2.filter(F.col("batch_id") == last).drop("batch_id").collect())
+    )
+    assert got2 == want
+
+
+def test_redelivered_batch_overwrites_not_doubles(spark, sf_dir, tmp_path):
+    """Simulate at-least-once redelivery: drain once, then drain again
+    with a FRESH checkpoint into the same state/out dirs — every batch
+    id re-commits over its own slot and the final report is unchanged."""
+    work = str(tmp_path)
+    o = load_table(spark, sf_dir, "orders")
+    ref = o.filter(F.year("o_orderdate") < PSI_SPLIT_YEAR)
+    cur = o.filter(F.year("o_orderdate") >= PSI_SPLIT_YEAR)
+    ref_path = os.path.join(work, "ref")
+    write_psi_reference(ref, "o_totalprice", ref_path)
+    cur_path = os.path.join(work, "cur")
+    cur.repartition(3).write.parquet(cur_path)
+
+    out = _drain(spark, cur_path, ref_path, work, "b")
+    rep1 = spark.read.parquet(out)
+    last = rep1.agg(F.max("batch_id")).first()[0]
+    want = sorted(
+        map(tuple, rep1.filter(F.col("batch_id") == last).drop("batch_id").collect())
+    )
+
+    # fresh checkpoint, same state/out: full redelivery of ids 0..last
+    state = os.path.join(work, "state-b")
+    schema = spark.read.parquet(cur_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cur_path)
+    )
+    q = start_psi_drift_query(
+        stream, ref_path, "o_totalprice", state, out,
+        os.path.join(work, "ckpt-b2"), trigger_available_now=True,
+    )
+    assert q.awaitTermination(300)
+    rep2 = spark.read.parquet(out)
+    assert rep2.agg(F.max("batch_id")).first()[0] == last
+    got = sorted(
+        map(tuple, rep2.filter(F.col("batch_id") == last).drop("batch_id").collect())
+    )
+    assert got == want
