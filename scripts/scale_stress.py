@@ -162,6 +162,14 @@ OPERATORS = [
     "dq5_embedding_drift",
     "sim17_margin_bitext",
     "sim18_ann_recall_eval",
+    # r8: d19 joins the signature relation onto capped candidates (two
+    # narrow equi-shuffles, candidate-bounded); dq6 is one scan + a
+    # 10-row window; p11 one map-only scan + (lang x source) rollup;
+    # mm7c reuses mm7's pair output + a metadata-only scan
+    "d19_signature_jaccard_estimate",
+    "dq6_quality_threshold_sweep",
+    "p11_tokenizer_fertility",
+    "mm7c_phash_recall",
 ]
 
 
@@ -278,6 +286,9 @@ STREAMING_TWINS = [
     "stream_bloom_dedup",
     "stream_neardup",
     "stream_prep_intake",
+    # r8: the PSI drift monitor — per-batch work is spine-sized, so its
+    # ratio should track scan cost only
+    "stream_psi_drift",
 ]
 
 
@@ -291,6 +302,43 @@ def _docs_stream(spark, sf_dir: str, mfpt: int = 8):
     )
 
 
+def _psi_ref_build(spark, sf_dir: str, work: str) -> str:
+    """Untimed: capture the reference profile (binned on n_chars — the
+    drift-relevant numeric the documents table has)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_spark.streaming.drift import write_psi_reference
+
+    ref_path = os.path.join(work, "ref")
+    write_psi_reference(
+        load_table(spark, sf_dir, "documents").select(
+            F.col("n_chars").cast("double").alias("v")
+        ),
+        "v",
+        ref_path,
+    )
+    return ref_path
+
+
+def _psi_drift_twin(spark, sf_dir: str, work: str, ref_path: str):
+    from pyspark.sql import functions as F
+
+    from kinesis_spark.streaming.drift import start_psi_drift_query
+
+    docs = _docs_stream(spark, sf_dir).select(
+        F.col("n_chars").cast("double").alias("v")
+    )
+    return start_psi_drift_query(
+        docs,
+        ref_path,
+        "v",
+        os.path.join(work, "state"),
+        os.path.join(work, "out"),
+        os.path.join(work, "ckpt"),
+        trigger_available_now=True,
+    )
+
+
 def time_streaming_twin(spark, name: str, sf_dir: str) -> float:
     import shutil
     import tempfile
@@ -300,8 +348,12 @@ def time_streaming_twin(spark, name: str, sf_dir: str) -> float:
         work = tempfile.mkdtemp(prefix=f"scale-{name}-")
         try:
             docs = _docs_stream(spark, sf_dir)
+            if name == "stream_psi_drift":
+                ref_path = _psi_ref_build(spark, sf_dir, work)  # untimed
             t0 = time.monotonic()
-            if name == "stream_bloom_dedup":
+            if name == "stream_psi_drift":
+                q = _psi_drift_twin(spark, sf_dir, work, ref_path)
+            elif name == "stream_bloom_dedup":
                 from kinesis_spark.streaming.bloom_dedup import start_bloom_dedup
 
                 q = start_bloom_dedup(
