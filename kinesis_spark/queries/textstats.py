@@ -1319,3 +1319,69 @@ def t15_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 if t15_ngram_novelty.__doc__:  # absent under python -OO
     t15_ngram_novelty.__doc__ = t15_ngram_novelty.__doc__.format(n=NOV_N)
+
+
+def _t17_oracle() -> str:
+    # compose t7's REGISTERED oracle verbatim (dq6's discipline): the
+    # candidate prefilter and this exact verify can never disagree on
+    # the gram definition
+    from kinesis_spark.queries import REGISTRY
+
+    t7 = REGISTRY["t7_decontamination"].oracle
+    return f"""
+WITH pairs AS ({t7})
+SELECT p.corpus_id, p.bench_id, p.n_shared_grams,
+       CAST(LENGTH(b.text) AS BIGINT) AS bench_chars,
+       contains(c.text, b.text) AS contained
+FROM pairs p
+JOIN documents c ON c.doc_id = p.corpus_id
+JOIN documents b ON b.doc_id = p.bench_id
+"""
+
+
+@register(
+    "t17_exact_containment_decon",
+    oracle=_t17_oracle(),
+    tags=("text", "decontamination", "containment"),
+)
+def t17_exact_containment_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-match decontamination — the strict gate next to t7's
+    n-gram overlap: does a corpus document contain a benchmark document
+    VERBATIM as a substring (the copy-paste contamination that inflates
+    eval scores most; GPT-3/PaLM-style dedup removes exactly these)?
+
+    Spark-first shape: never |corpus| x |bench| substring scans — t7's
+    gram join is the PREFILTER (a verbatim inclusion of a >= 4-token
+    benchmark document necessarily shares its 4-grams, so the candidate
+    set provably contains every true containment), and the exact
+    `contains` verify runs only on candidate pairs, with document texts
+    shipped per-pair through two equi-joins (Catalyst pushes the pair
+    keys down as semi-join filters on both text fetches). The per-pair
+    verify is a row-local JVM substring search. This is the same
+    candidate-then-verify discipline as d10/d17, with t7 as the
+    candidate stage; at 100 TB the gram prefilter hashes its shuffle
+    keys (t7's docstring) and the verify cost stays candidate-bounded.
+    Rows with contained=false are near-misses (shared grams but not
+    verbatim) — the report a pipeline reviews before deciding drop vs
+    keep."""
+    from pyspark.sql.functions import length
+
+    pairs = t7_decontamination(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    c = d.select(F.col("doc_id").alias("corpus_id"), F.col("text").alias("ctext"))
+    b = d.select(
+        F.col("doc_id").alias("bench_id"),
+        F.col("text").alias("btext"),
+        length("text").cast("bigint").alias("bench_chars"),
+    )
+    return (
+        pairs.join(c, "corpus_id")
+        .join(b, "bench_id")
+        .select(
+            "corpus_id",
+            "bench_id",
+            "n_shared_grams",
+            "bench_chars",
+            F.contains("ctext", F.col("btext")).alias("contained"),
+        )
+    )
