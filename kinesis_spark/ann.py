@@ -324,3 +324,179 @@ def ivf_imbalance(spark: SparkSession, index_dir: str) -> float:
     if row is None or not row["mean"]:
         return 0.0
     return float(row["mx"] / row["mean"])
+
+
+def _delete_cell_dirs(spark: SparkSession, cells_dir: str, hot: list) -> None:
+    """Remove the retired `cell=<h>` partition DIRECTORIES (plain
+    layout; the transactional layout retires partitions in the manifest
+    instead). Same Hadoop-FS discipline as erasure.py's emptied-dir
+    removal."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    for h in hot:
+        p = jvm.org.apache.hadoop.fs.Path(f"{cells_dir}/cell={h}")
+        fs = p.getFileSystem(conf)
+        if fs.exists(p):
+            fs.delete(p, True)
+
+
+def rebalance_ivf_cells(
+    spark: SparkSession,
+    index_dir: str,
+    max_cell_factor: float = 2.0,
+) -> dict:
+    """Split HOT cells — the cadence maintenance the append path defers
+    (append_to_ivf_index freezes centroids, so a drifting corpus piles
+    new vectors into whatever cells are nearest today's codebook, and a
+    probe pays for whole cells; faiss et al. rebuild or split for the
+    same reason).
+
+    Every cell larger than ``max_cell_factor`` x the mean occupancy is
+    bisected with a deterministic seeded split: seed A = the member
+    with the smallest match_id, seed B = the member farthest from A
+    (6-dp-rounded d2, match_id tie-break — the ivf_assign discipline),
+    each member joins the nearer seed, and each child's centroid is the
+    exact quantized mean of its members (the _exact_mean_cells kernel,
+    so a rebuilt codebook is engine-deterministic). Children get fresh
+    cell ids above the current max; the hot ids retire.
+
+    Scale shape: only hot-cell partitions are READ (partition-pruned
+    scan) and only they are rewritten; the per-cell split is one
+    seeded-assignment pass + one mean aggregation, grouped by cell —
+    parallel across hot cells, never a corpus rebuild. Ordering keeps
+    probes safe throughout: children cells land first (unknown ids —
+    invisible to probes), then the codebook swaps (probes now rank
+    child centroids; the hot centroid is gone), then the hot
+    directories are removed (plain layout) — on the transactional
+    layout the children+retirement are ONE atomic manifest swap
+    (tx_publish replace_values) before the codebook swap, so probes
+    never see half a split.
+
+    Returns {"split": {hot_cell: [child_a, child_b]}, "moved": n_rows}.
+    A degenerate cell (all members identical) yields one child — the
+    empty sibling drops out of the codebook naturally.
+    """
+    from kinesis_spark.queries.similarity import _d2, _exact_mean_cells
+
+    layout = _read_layout(spark, index_dir)
+    sizes = (
+        _read_cells(spark, index_dir)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row = sizes.agg(
+        (F.sum("n") / F.count(F.lit(1))).alias("mean"), F.max("cell").alias("mx")
+    ).head()
+    if row is None or not row["mean"]:
+        return {"split": {}, "moved": 0}
+    # bounded driver-side collect: one row per HOT cell (<< K)
+    hot = sorted(
+        r["cell"]
+        for r in sizes.filter(
+            F.col("n") > float(max_cell_factor) * float(row["mean"])
+        ).collect()
+    )
+    if not hot:
+        return {"split": {}, "moved": 0}
+    max_cell = row["mx"]
+    child_of = {
+        h: [max_cell + 1 + 2 * i, max_cell + 2 + 2 * i]
+        for i, h in enumerate(hot)
+    }
+
+    members = _read_cells(
+        spark, index_dir, partition_filter={"cell": list(hot)}
+    ).transform(pin)
+    # seed A: smallest match_id per cell; seed B: farthest from A
+    wa = Window.partitionBy("cell").orderBy("match_id")
+    seed_a = (
+        members.withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") == 1)
+        .select("cell", F.col("v").alias("va"))
+    )
+    with_a = members.join(F.broadcast(seed_a), "cell")
+    wb = Window.partitionBy("cell").orderBy(
+        F.desc("d2a"), F.asc("match_id")
+    )
+    seed_b = (
+        with_a.withColumn("d2a", _d2(F.col("v"), F.col("va")))
+        .withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+        .select("cell", F.col("v").alias("vb"))
+    )
+    kids = spark.createDataFrame(
+        [(h, child_of[h][0], child_of[h][1]) for h in hot],
+        "cell long, child_a long, child_b long",
+    )
+    assigned = (
+        with_a.join(F.broadcast(seed_b), "cell")
+        .join(F.broadcast(kids), "cell")
+        .withColumn(
+            "new_cell",
+            F.when(
+                _d2(F.col("v"), F.col("va")) <= _d2(F.col("v"), F.col("vb")),
+                F.col("child_a"),
+            ).otherwise(F.col("child_b")),
+        )
+    )
+    meta_cols = [
+        c
+        for c in members.columns
+        if c not in ("match_id", "v", "cell")
+    ]
+    new_cells = assigned.select(
+        "match_id", "v", F.col("new_cell").alias("cell"), *meta_cols
+    ).transform(pin)
+    moved = new_cells.count()
+
+    # child centroids: exact quantized means (engine-deterministic)
+    exploded = new_cells.select("cell", F.posexplode("v").alias("idx", "comp"))
+    child_cent = (
+        _exact_mean_cells(exploded, ["cell"])
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "c"))).alias("pairs"))
+        .select("cell", F.transform("pairs", lambda p: p["c"]).alias("cv"))
+    )
+
+    cells_root = f"{index_dir}/cells"
+    pmeta = layout["partition_metadata"]
+    parts = ["cell"] + ([pmeta] if pmeta else [])
+    if layout["transactional"]:
+        from kinesis_spark.txstore import tx_current_manifest, tx_publish
+
+        man = tx_current_manifest(spark, cells_root)
+        pcols = man["partition_col"]
+        if isinstance(pcols, list):
+            # multi-level: retire every (hot cell, *) tuple actually present
+            hot_parts = [
+                tuple(r)
+                for r in members.select(*pcols).distinct().collect()
+            ]
+        else:
+            hot_parts = list(hot)
+        tx_publish(
+            spark,
+            cells_root,
+            new_cells,
+            partition_col=pcols,
+            replace_values=hot_parts,
+            expect_version=man["version"],
+        )
+    else:
+        new_cells.write.mode("append").partitionBy(*parts).parquet(cells_root)
+
+    # codebook swap AFTER the cells exist: drop hot ids, add children
+    cb_path = f"{index_dir}/codebook"
+    cent = spark.read.parquet(cb_path)
+    new_cb = (
+        cent.filter(~F.col("cell").isin(list(hot)))
+        .unionByName(child_cent)
+        .transform(pin)
+    )
+    n_cb = new_cb.count()  # materialize through the pin before overwrite
+    assert n_cb > 0
+    new_cb.write.mode("overwrite").parquet(cb_path)
+
+    if not layout["transactional"]:
+        _delete_cell_dirs(spark, cells_root, hot)
+    return {"split": {h: child_of[h] for h in hot}, "moved": moved}

@@ -1,0 +1,124 @@
+"""IVF hot-cell rebalancing (ann.rebalance_ivf_cells): appends freeze
+centroids, so a drifting corpus concentrates into hot cells — the
+split must bound per-cell occupancy while preserving every vector,
+leaving cold cells byte-identical, and keeping probes correct."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from kinesis_spark.ann import (
+    append_to_ivf_index,
+    build_ivf_index,
+    ivf_imbalance,
+    query_ivf_index,
+    rebalance_ivf_cells,
+)
+from kinesis_spark.io import load_table
+
+
+def _skewed_index(spark, sf_dir, d, transactional=False):
+    """Build from the fixture embeddings, then append perturbed clones
+    of one label's vectors so its cell runs hot (the drift the append
+    path defers to a cadence rebuild)."""
+    base = load_table(spark, sf_dir, "embeddings")
+    build_ivf_index(base, d, transactional=transactional)
+    hot_label = base.select("label").groupBy("label").count().orderBy(
+        F.desc("count"), "label"
+    ).first()["label"]
+    clones = (
+        base.filter(F.col("label") == hot_label)
+        .crossJoin(spark.range(4).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("vec_id") + 1_000_000 * (F.col("rep") + 1)).alias("vec_id"),
+            "label",
+            F.transform(
+                "embedding",
+                lambda x: (x + (F.col("rep") + 1).cast("float") * F.lit(1e-4)).cast(
+                    "float"
+                ),
+            ).alias("embedding"),
+        )
+    )
+    append_to_ivf_index(spark, clones, d)
+    return base, hot_label
+
+
+def _check_rebalance(spark, sf_dir, d, transactional):
+    from kinesis_spark.queries.similarity import N_PROBE
+
+    base, hot_label = _skewed_index(spark, sf_dir, d, transactional)
+    n_before = spark.read.parquet(f"{d}/codebook").count()
+    imb_before = ivf_imbalance(spark, d)
+    queries = base.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    top_before = {
+        r.query_id: (r.match_id, r.cos_sim)
+        for r in query_ivf_index(spark, d, queries, top_k=1, n_probe=N_PROBE).collect()
+    }
+    if not transactional:
+        cold = {
+            p: os.path.getmtime(p)
+            for p in glob.glob(f"{d}/cells/cell=*/*.parquet")
+            if f"cell={hot_label}/" not in p
+        }
+
+    out = rebalance_ivf_cells(spark, d, max_cell_factor=2.0)
+    assert hot_label in out["split"], out
+    assert out["moved"] > 0
+
+    # every vector still indexed exactly once; hot ids retired
+    from kinesis_spark.ann import _read_cells
+
+    cells = _read_cells(spark, d)
+    total = cells.count()
+    assert total == cells.select("match_id").distinct().count()
+    assert cells.filter(F.col("cell").isin(list(out["split"]))).count() == 0
+    cb = spark.read.parquet(f"{d}/codebook")
+    assert cb.filter(F.col("cell").isin(list(out["split"]))).count() == 0
+    assert cb.count() >= n_before  # children replace each split parent
+    assert cb.select("cell").distinct().count() == cb.count()
+
+    # occupancy bound actually improved
+    assert ivf_imbalance(spark, d) < imb_before
+
+    if not transactional:
+        # cold cells byte-identical (only hot partitions rewritten)
+        after = {
+            p: os.path.getmtime(p)
+            for p in glob.glob(f"{d}/cells/cell=*/*.parquet")
+        }
+        assert set(cold) <= set(after)
+        assert all(after[p] == m for p, m in cold.items())
+        # retired directory physically removed
+        assert not glob.glob(f"{d}/cells/cell={hot_label}")
+
+    # probes unchanged where it matters: the same top-1 (match, score)
+    # per query as before the split — queries in cold cells see
+    # untouched lists, and the hot-label query's near-identical
+    # neighbors (the appended clones at cos ~1.0) live inside the
+    # children its probes now rank
+    res = query_ivf_index(spark, d, queries, top_k=1, n_probe=N_PROBE)
+    top_after = {r.query_id: (r.match_id, r.cos_sim) for r in res.collect()}
+    assert top_after == top_before
+    assert set(top_after) == {0, 1, 2}
+
+
+def test_rebalance_plain_layout(spark, sf_dir, tmp_path):
+    _check_rebalance(spark, sf_dir, str(tmp_path / "ivf_rb"), False)
+
+
+def test_rebalance_transactional_layout(spark, sf_dir, tmp_path):
+    _check_rebalance(spark, sf_dir, str(tmp_path / "ivf_rb_tx"), True)
+
+
+def test_rebalance_noop_when_balanced(spark, sf_dir, tmp_path):
+    d = str(tmp_path / "ivf_noop")
+    build_ivf_index(load_table(spark, sf_dir, "embeddings"), d)
+    out = rebalance_ivf_cells(spark, d, max_cell_factor=1000.0)
+    assert out == {"split": {}, "moved": 0}
