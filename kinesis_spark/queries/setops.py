@@ -923,3 +923,77 @@ if s16_dsir_reweight.__doc__:  # absent under python -OO
     s16_dsir_reweight.__doc__ = s16_dsir_reweight.__doc__.format(
         n=DSIR_GRAM, B=DSIR_BUCKETS, T=DSIR_TARGET_LANG
     )
+
+
+@register(
+    "s17_interleaved_schedule",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         md5('ilv42:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY k, doc_id)
+              AS BIGINT) AS rank_in_source,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_source
+  FROM keyed
+),
+frac AS (
+  SELECT doc_id, source, rank_in_source, n_source,
+         CAST(rank_in_source AS DOUBLE) / n_source AS progress
+  FROM ranked
+)
+SELECT doc_id, source, rank_in_source, n_source, progress,
+       CAST(ROW_NUMBER() OVER (ORDER BY progress, source, rank_in_source)
+            AS BIGINT) AS global_pos
+FROM frac
+""",
+    tags=("setop", "schedule", "training"),
+)
+def s17_interleaved_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PROPORTIONAL INTERLEAVE of sources into one
+    training order — the data schedule that consumes every source at a
+    rate proportional to its size, so a 10x-bigger source appears 10x
+    as often but every source finishes its epoch at the same moment
+    (the fixed-ratio interleaving heterogeneous-mixture training uses;
+    naive concatenation trains on one source for hours, and per-batch
+    random sampling is not reproducible).
+
+    Mechanics: within each source, documents get a reproducible
+    pseudo-random order (md5(seed || doc_id), s10's append-stable
+    discipline); a document's schedule key is its fractional PROGRESS
+    through its source (rank/n — one exact IEEE division, identical on
+    both engines); the global order sorts by progress with a (source,
+    rank) tie-break, so equal fractions (e.g. 1/2 vs 2/4) interleave
+    deterministically instead of engine-dependently.
+
+    Scale shape: the per-source rank/count windows partition by source
+    (parallel); the global sort IS the product — at 100 TB you
+    materialize it with the range-partitioned ordered export
+    (export.py: file order = global order, no single-partition sort),
+    and global_pos is the file-offset arithmetic the shard writer
+    already does. It is materialized here as a ROW_NUMBER so the
+    oracle can pin the exact schedule."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.concat(F.lit("ilv42:"), F.col("doc_id").cast("string"))).alias("k"),
+    )
+    w_src = Window.partitionBy("source").orderBy("k", "doc_id")
+    ranked = keyed.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w_src).cast("bigint").alias("rank_in_source"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .cast("bigint")
+        .alias("n_source"),
+    )
+    progress = F.col("rank_in_source").cast("double") / F.col("n_source")
+    w_all = Window.orderBy("progress", "source", "rank_in_source")
+    return ranked.withColumn("progress", progress).withColumn(
+        "global_pos", F.row_number().over(w_all).cast("bigint")
+    )
