@@ -489,6 +489,7 @@ REVERIFY_FIRST: tuple[str, ...] = (
     "d13_canonical_selection",
     "d17_containment_overlap",
     "s14_leakage_free_split",
+    "g3_neardup_triangles",
 )
 
 

@@ -302,10 +302,10 @@ if g2_bfs_supply_hops.__doc__:  # absent under python -OO
 
 
 def _tri_oracle() -> str:
-    from kinesis_spark.queries.dedup import _PAIRS_SQL
+    from kinesis_spark.queries.dedup import _CAPPED_PAIRS_SQL
 
     return f"""
-WITH {_PAIRS_SQL},
+WITH {_CAPPED_PAIRS_SQL},
 e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs)
 SELECT e1.a AS doc_a, e1.b AS doc_b, e2.b AS doc_c
 FROM e e1
@@ -319,9 +319,13 @@ JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
     oracle=_tri_oracle(),
     tags=("graph", "triangles", "dedup"),
 )
-def g3_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g3_neardup_triangles(
+    spark: SparkSession, sf_dir: str, candidates: DataFrame | None = None
+) -> DataFrame:
     """Triangle enumeration over the MinHash-LSH near-dup candidate
-    graph (d3's pairs as undirected edges): every doc triple whose three
+    graph (the CAPPED relation since r8, like the rest of the
+    verify/consume family — d9's docstring; pass ``candidates=`` for
+    the uncapped study) as undirected edges: every doc triple whose three
     pairwise edges all exist — the mutually-confirming duplicate cores
     that survive even if any single LSH band collision was a fluke.
     Output: one row per triangle, vertices in ascending doc_id order
@@ -346,10 +350,13 @@ def g3_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the oracle's id-oriented replay (the orientation is a physical
     enumeration strategy, not a semantics change).
     """
-    from kinesis_spark.queries.dedup import d3_minhash_lsh_pairs
+    from kinesis_spark.queries.dedup import d14_capped_lsh_pairs
 
+    pairs = candidates if candidates is not None else d14_capped_lsh_pairs(
+        spark, sf_dir
+    )
     e = (
-        d3_minhash_lsh_pairs(spark, sf_dir)
+        pairs
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .transform(pin)
     )
