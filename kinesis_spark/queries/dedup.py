@@ -443,15 +443,21 @@ def d6_simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_df(spark, sf_dir)
 
 
-@register(
-    "d7_simhash_pairs",
-    oracle=f"""
-WITH sigs AS ({_SIMHASH_ORACLE}),
+# ONE definition of the oracle-side SimHash banding (sigs -> bands)
+# shared by d7 (uncapped detection face) and d20 (capped production
+# face) — the band scheme must never drift between them.
+_SIM_BANDS_SQL = f"""sigs AS ({_SIMHASH_ORACLE}),
 bands AS (
   SELECT doc_id, simhash, b.band_idx,
          (simhash >> (b.band_idx * {SIM_BAND_BITS})) & {(1 << SIM_BAND_BITS) - 1} AS band_val
   FROM sigs, (SELECT unnest(range({SIM_BITS // SIM_BAND_BITS})) AS band_idx) b
-)
+)"""
+
+
+@register(
+    "d7_simhash_pairs",
+    oracle=f"""
+WITH {_SIM_BANDS_SQL}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
 FROM bands a JOIN bands b
@@ -461,12 +467,16 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIM_HAMMING_MAX}
 """,
     tags=("dedup", "simhash", "lsh"),
 )
-def d7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d7_simhash_pairs(
+    spark: SparkSession, sf_dir: str, max_bucket: int | None = None
+) -> DataFrame:
     """SimHash near-dup pairs via banded LSH: 60-bit signatures split into
     4×15-bit bands; docs sharing any band become candidates (equi-join on
     (band_idx, band_val) — never all-pairs), then exact Hamming distance
     filters to ≤ 8 bits. At 100 TB the band join shuffles only
-    (doc_id, simhash, 2 ints) rows."""
+    (doc_id, simhash, 2 ints) rows. ``max_bucket`` drops hot band
+    buckets wholesale before pair expansion — d20 is the registered
+    capped face (d14's argument, SimHash edition)."""
     sigs = _simhash_df(spark, sf_dir)
     n_bands = SIM_BITS // SIM_BAND_BITS
     mask = (1 << SIM_BAND_BITS) - 1
@@ -491,10 +501,13 @@ def d7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # band self-join would run the signature aggregation twice. Buckets
     # carry (doc_id, simhash) structs so the Hamming verify reads both
     # signatures straight out of the pair.
+    keep = F.size("ms") >= 2
+    if max_bucket is not None:
+        keep = keep & (F.size("ms") <= max_bucket)
     buckets = (
         bands.groupBy("band_idx", "band_val")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ms"))
-        .filter(F.size("ms") >= 2)
+        .filter(keep)
     )
     pair_arr = _ordered_pairs(
         F.col("ms"),
@@ -1444,3 +1457,41 @@ if d19_signature_jaccard_estimate.__doc__:  # absent under python -OO
     d19_signature_jaccard_estimate.__doc__ = (
         d19_signature_jaccard_estimate.__doc__.format(n=N_HASHES)
     )
+
+
+SIM_MAX_BUCKET = 32  # SimHash band-bucket cap (d14's argument, 15-bit bands)
+
+
+@register(
+    "d20_capped_simhash_pairs",
+    oracle=f"""
+WITH {_SIM_BANDS_SQL},
+kept AS (
+  SELECT band_idx, band_val FROM bands
+  GROUP BY band_idx, band_val
+  HAVING COUNT(*) BETWEEN 2 AND {SIM_MAX_BUCKET}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM bands a
+JOIN kept k ON a.band_idx = k.band_idx AND a.band_val = k.band_val
+JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIM_HAMMING_MAX}
+""",
+    tags=("dedup", "simhash", "lsh", "capped"),
+)
+def d20_capped_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d7 with the production bucket-size cap — the SimHash edition of
+    d14's argument: a 15-bit band shared by more than SIM_MAX_BUCKET
+    documents is a boilerplate collision carrying no near-dup signal,
+    and its within-bucket pair expansion is exactly the quadratic
+    blowup the 30x harness measured on the uncapped SimHash face
+    (d7: 18.4x wall, SCALE_r07_x30 — output-driven, but unbounded
+    under adversarial duplication). Dropping hot buckets wholesale
+    BEFORE expansion bounds per-bucket work at SIM_MAX_BUCKET**2 while
+    keeping every informative collision; the plan shape (one scan, one
+    band shuffle) is d7's unchanged — the cap is a filter on the same
+    bucket aggregation."""
+    return d7_simhash_pairs(spark, sf_dir, max_bucket=SIM_MAX_BUCKET)

@@ -167,6 +167,11 @@ OPERATORS = [
     # 10-row window; p11 one map-only scan + (lang x source) rollup;
     # mm7c reuses mm7's pair output + a metadata-only scan
     "d19_signature_jaccard_estimate",
+    # d20 vs d7 at scale is the POINT of the pair: the 30x replica
+    # corpus makes every band bucket ~replica-wide, so d7's expansion
+    # grows quadratically while d20's stays cap-bounded once replicas
+    # exceed SIM_MAX_BUCKET
+    "d20_capped_simhash_pairs",
     "dq6_quality_threshold_sweep",
     "p11_tokenizer_fertility",
     "mm7c_phash_recall",

@@ -63,3 +63,45 @@ def test_simhash_locality(spark):
     ham_unrel = bin(sigs[1] ^ sigs[3]).count("1")
     assert ham_edit < ham_unrel, (ham_edit, ham_unrel)
     assert ham_edit <= 12  # one token of 80 flips few majority votes
+
+
+def test_d20_cap_drops_planted_hot_bucket(spark, tmp_path):
+    """Plant a dup group wider than SIM_MAX_BUCKET: d7 (uncapped) pays
+    its quadratic pair expansion; d20 drops the hot buckets wholesale —
+    and keeps every pair from small buckets (the informative ones)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_spark.queries.dedup import (
+        SIM_MAX_BUCKET,
+        d7_simhash_pairs,
+        d20_capped_simhash_pairs,
+    )
+
+    n_hot = SIM_MAX_BUCKET + 8
+    hot = [(i, "the same boilerplate template page body here") for i in range(n_hot)]
+    # a small near-dup pair that must SURVIVE the cap
+    pair = [
+        (1000, "a genuinely unique document about spark engines"),
+        (1001, "a genuinely unique document about spark engines!"),
+    ]
+    rows = [
+        (i, t, "en", "web", len(t)) for i, t in hot + pair
+    ]
+    d = str(tmp_path / "fixture")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    uncapped = {
+        (r.doc_a, r.doc_b) for r in d7_simhash_pairs(spark, d).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in d20_capped_simhash_pairs(spark, d).collect()
+    }
+    assert capped <= uncapped
+    # the planted hot group's pairs are gone...
+    assert not any(a < n_hot and b < n_hot for a, b in capped)
+    assert any(a < n_hot and b < n_hot for a, b in uncapped)
+    # ...but the small informative bucket survives
+    assert (1000, 1001) in capped
