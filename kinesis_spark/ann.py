@@ -364,13 +364,17 @@ def rebalance_ivf_cells(
     scan) and only they are rewritten; the per-cell split is one
     seeded-assignment pass + one mean aggregation, grouped by cell —
     parallel across hot cells, never a corpus rebuild. Ordering keeps
-    probes safe throughout: children cells land first (unknown ids —
-    invisible to probes), then the codebook swaps (probes now rank
-    child centroids; the hot centroid is gone), then the hot
-    directories are removed (plain layout) — on the transactional
-    layout the children+retirement are ONE atomic manifest swap
-    (tx_publish replace_values) before the codebook swap, so probes
-    never see half a split.
+    probes AVAILABLE throughout, on both layouts: (1) children land
+    first (fresh ids no codebook ranks — invisible to probes, hot
+    cells still served), (2) the codebook swaps (probes now rank child
+    centroids; the hot centroid is gone, so the retired rows are never
+    probed even though they still exist), (3) the hot partitions
+    retire — directory removal on the plain layout, an atomic manifest
+    delete (tx_publish delete_values) on the transactional one. A
+    crash between (2) and (3) leaves orphan hot partitions that are
+    double-counted by stats but never probed; the next rebalance
+    self-heals by removing any cells partition absent from the
+    codebook before measuring occupancy.
 
     Returns {"split": {hot_cell: [child_a, child_b]}, "moved": n_rows}.
     A degenerate cell (all members identical) yields one child — the
@@ -379,16 +383,57 @@ def rebalance_ivf_cells(
     from kinesis_spark.queries.similarity import _d2, _exact_mean_cells
 
     layout = _read_layout(spark, index_dir)
+    # codebook cell set drives everything below: orphan partitions (a
+    # prior rebalance crashed between its codebook swap and its
+    # retirement step) are invisible to probes but would skew occupancy
+    # and duplicate match_ids if re-split — heal them first
+    cb_cells = sorted(
+        r["cell"] for r in spark.read.parquet(f"{index_dir}/codebook")
+        .select("cell").collect()
+    )
     sizes = (
         _read_cells(spark, index_dir)
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    known = set(cb_cells)
+    orphans = sorted(
+        r["cell"]
+        for r in sizes.select("cell").collect()
+        if r["cell"] not in known
+    )
+    if orphans:
+        if layout["transactional"]:
+            from kinesis_spark.txstore import tx_current_manifest, tx_publish
+
+            man = tx_current_manifest(spark, f"{index_dir}/cells")
+            pcols = man["partition_col"]
+            if isinstance(pcols, list):
+                dead = [
+                    tuple(r)
+                    for r in _read_cells(
+                        spark, index_dir, partition_filter={"cell": orphans}
+                    ).select(*pcols).distinct().collect()
+                ]
+            else:
+                dead = list(orphans)
+            tx_publish(
+                spark, f"{index_dir}/cells", None,
+                partition_col=pcols, delete_values=dead,
+                expect_version=man["version"],
+            )
+        else:
+            _delete_cell_dirs(spark, f"{index_dir}/cells", orphans)
+        sizes = (
+            _read_cells(spark, index_dir)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
     row = sizes.agg(
         (F.sum("n") / F.count(F.lit(1))).alias("mean"), F.max("cell").alias("mx")
     ).head()
     if row is None or not row["mean"]:
-        return {"split": {}, "moved": 0}
+        return {"split": {}, "moved": 0, "healed": orphans}
     # bounded driver-side collect: one row per HOT cell (<< K)
     hot = sorted(
         r["cell"]
@@ -397,8 +442,11 @@ def rebalance_ivf_cells(
         ).collect()
     )
     if not hot:
-        return {"split": {}, "moved": 0}
-    max_cell = row["mx"]
+        return {"split": {}, "moved": 0, "healed": orphans}
+    # fresh ids above BOTH relations: an ivf_assign centroid can own
+    # zero rows, so max(cells) alone could collide a child with an
+    # existing (empty) codebook id
+    max_cell = max(row["mx"], max(cb_cells))
     child_of = {
         h: [max_cell + 1 + 2 * i, max_cell + 2 + 2 * i]
         for i, h in enumerate(hot)
@@ -461,31 +509,17 @@ def rebalance_ivf_cells(
     cells_root = f"{index_dir}/cells"
     pmeta = layout["partition_metadata"]
     parts = ["cell"] + ([pmeta] if pmeta else [])
+    # (1) children land first — fresh ids no codebook ranks, so probes
+    # keep serving the hot cells untouched in the meantime
     if layout["transactional"]:
-        from kinesis_spark.txstore import tx_current_manifest, tx_publish
+        from kinesis_spark.txstore import tx_append, tx_current_manifest
 
-        man = tx_current_manifest(spark, cells_root)
-        pcols = man["partition_col"]
-        if isinstance(pcols, list):
-            # multi-level: retire every (hot cell, *) tuple actually present
-            hot_parts = [
-                tuple(r)
-                for r in members.select(*pcols).distinct().collect()
-            ]
-        else:
-            hot_parts = list(hot)
-        tx_publish(
-            spark,
-            cells_root,
-            new_cells,
-            partition_col=pcols,
-            replace_values=hot_parts,
-            expect_version=man["version"],
-        )
+        tx_append(spark, cells_root, new_cells)
     else:
         new_cells.write.mode("append").partitionBy(*parts).parquet(cells_root)
 
-    # codebook swap AFTER the cells exist: drop hot ids, add children
+    # (2) codebook swap: drop hot ids, add children — from here probes
+    # rank child centroids and never touch the retired rows
     cb_path = f"{index_dir}/codebook"
     cent = spark.read.parquet(cb_path)
     new_cb = (
@@ -497,6 +531,32 @@ def rebalance_ivf_cells(
     assert n_cb > 0
     new_cb.write.mode("overwrite").parquet(cb_path)
 
-    if not layout["transactional"]:
+    # (3) retire the hot partitions (never probed since step 2; a crash
+    # before this point leaves orphans the next rebalance heals)
+    if layout["transactional"]:
+        from kinesis_spark.txstore import tx_current_manifest, tx_publish
+
+        man = tx_current_manifest(spark, cells_root)
+        pcols = man["partition_col"]
+        if isinstance(pcols, list):
+            # multi-level: retire every (hot cell, *) tuple actually present
+            dead = [
+                tuple(r) for r in members.select(*pcols).distinct().collect()
+            ]
+        else:
+            dead = list(hot)
+        tx_publish(
+            spark,
+            cells_root,
+            None,
+            partition_col=pcols,
+            delete_values=dead,
+            expect_version=man["version"],
+        )
+    else:
         _delete_cell_dirs(spark, cells_root, hot)
-    return {"split": {h: child_of[h] for h in hot}, "moved": moved}
+    return {
+        "split": {h: child_of[h] for h in hot},
+        "moved": moved,
+        "healed": orphans,
+    }

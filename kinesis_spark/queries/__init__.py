@@ -288,7 +288,26 @@ def _query_fingerprint(q: Query) -> str:
             # every fingerprint the moment a query runs in-process
             return
         label = f"{modname}.{name}"
-        if isinstance(val, types.FunctionType):
+        if isinstance(val, types.ModuleType):
+            # a kinesis_spark module referenced AS AN OBJECT (e.g.
+            # `from kinesis_spark import multimodal as _DH` +
+            # `_DH.dhash_images(...)`): attribute calls cannot be paired
+            # to names from code objects, so hash the whole module —
+            # every query that holds the module genuinely depends on it
+            # (helper modules carry shared semantics, not unrelated
+            # registrations, so this is honest coarseness). Excludes the
+            # queries package itself (registration plumbing).
+            mn = getattr(val, "__name__", "") or ""
+            if (
+                mn.startswith("kinesis_spark")
+                and mn != "kinesis_spark.queries"
+                and label not in parts
+            ):
+                try:
+                    parts[label] = inspect.getsource(val)
+                except (OSError, TypeError):
+                    parts[label] = f"<module {mn}>"
+        elif isinstance(val, types.FunctionType):
             if (val.__module__ or "").startswith("kinesis_spark"):
                 expand(val, label)
         elif inspect.isclass(val):

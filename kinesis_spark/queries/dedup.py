@@ -138,7 +138,21 @@ def _minhash_sigs(docs: DataFrame) -> DataFrame:
     )
 
 
-def _lsh_band_buckets(docs: DataFrame, max_bucket: int | None = None) -> DataFrame:
+def _pairs_of(buckets: DataFrame) -> DataFrame:
+    """Within-bucket ordered-pair expansion shared by d3/d14/d19 —
+    one definition of the candidate output shape."""
+    return (
+        buckets.select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
+def _lsh_band_buckets(
+    docs: DataFrame | None,
+    max_bucket: int | None = None,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
     """ONE definition of the MinHash({n})+LSH banding pipeline shared by
     d3 (uncapped) and d14 (capped): tokenize barrier → shingle explode →
     per-doc min-hash signature → band keys → per-bucket SORTED member
@@ -152,7 +166,9 @@ def _lsh_band_buckets(docs: DataFrame, max_bucket: int | None = None) -> DataFra
     band_key shuffles the same key the join would and collects each
     bucket's members for :func:`_ordered_pairs`.
     """
-    bands = _minhash_sigs(docs).select("doc_id", _band_key_expr().alias("band_key"))
+    if sigs is None:
+        sigs = _minhash_sigs(docs)
+    bands = sigs.select("doc_id", _band_key_expr().alias("band_key"))
     keep = F.size("ids") >= 2
     if max_bucket is not None:
         keep = keep & (F.size("ids") <= max_bucket)
@@ -311,12 +327,7 @@ def d3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only (doc_id, 64-B key) pairs — no all-pairs blowup; pipeline and
     pair expansion live in the shared :func:`_lsh_band_buckets` /
     :func:`_ordered_pairs` helpers (one definition for d3 and d14)."""
-    buckets = _lsh_band_buckets(load_table(spark, sf_dir, "documents"))
-    return (
-        buckets.select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    return _pairs_of(_lsh_band_buckets(load_table(spark, sf_dir, "documents")))
 
 
 @register(
@@ -981,13 +992,10 @@ def d14_capped_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation d3 already does, so the plan shape (one scan, one
     band-key shuffle) is unchanged.
     """
-    buckets = _lsh_band_buckets(
-        load_table(spark, sf_dir, "documents"), max_bucket=MAX_BUCKET
-    )
-    return (
-        buckets.select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
+    return _pairs_of(
+        _lsh_band_buckets(
+            load_table(spark, sf_dir, "documents"), max_bucket=MAX_BUCKET
+        )
     )
 
 
@@ -1415,19 +1423,26 @@ def d19_signature_jaccard_estimate(
     d17's containment) whose inputs are the texts themselves.
 
     ``candidates`` defaults to the capped relation (the family default,
-    d9's docstring); the estimate joins the signature relation onto the
-    pair list by doc_id — two equi-shuffles carrying (doc_id, {n}x32-B
-    hashes), bounded by candidate volume. The divisor {n} is a power of
+    d9's docstring), derived from the SAME pinned signature relation the
+    estimate join reads — one signature pass total; the estimate joins
+    signatures onto the pair list by doc_id — two equi-shuffles carrying
+    (doc_id, {n}x32-B hashes), bounded by candidate volume. The divisor {n} is a power of
     two, so est_jaccard = n_agree / {n} is exact in IEEE double and
     bit-identical cross-engine. At 100 TB the signatures come from a
     persisted index (the prep_index discipline: computed once at
     ingest, reused by every probe), making this a signature-store join
     with zero corpus scans.
     """
-    pairs = candidates if candidates is not None else d14_capped_lsh_pairs(
-        spark, sf_dir
+    sigs = pin_shared(_minhash_sigs(load_table(spark, sf_dir, "documents")))
+    # ONE signature pass: the default capped candidates derive from the
+    # SAME pinned relation the estimate join reads (Spark does not share
+    # scans across plan branches — r7 plan-audit note; unshared, the
+    # tokenize -> shingle -> 8-way min-hash stage would run twice)
+    pairs = (
+        candidates
+        if candidates is not None
+        else _pairs_of(_lsh_band_buckets(None, max_bucket=MAX_BUCKET, sigs=sigs))
     )
-    sigs = _minhash_sigs(load_table(spark, sf_dir, "documents"))
     a = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{s}").alias(f"a{s}") for s in range(N_HASHES)],

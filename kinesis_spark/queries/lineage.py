@@ -420,9 +420,15 @@ def psi_bin(value):
     """Bin id for a value under dq4's fixed-width binning (shared with
     the streaming drift face, streaming/drift.py — one binning
     definition, or the monitor silently profiles a different
-    distribution than the batch report)."""
+    distribution than the batch report). Clamped on BOTH ends: bin 0
+    and bin PSI_BINS-1 are open-ended, so a negative value (deltas,
+    log-ratios — the generic monitor accepts any value_col) lands in
+    bin 0 instead of silently vanishing off the 0..N-1 spine."""
     return (
-        F.least(F.floor(value / PSI_BIN_WIDTH), F.lit(PSI_BINS - 1))
+        F.greatest(
+            F.least(F.floor(value / PSI_BIN_WIDTH), F.lit(PSI_BINS - 1)),
+            F.lit(0),
+        )
         .cast("bigint")
     )
 
@@ -481,7 +487,7 @@ def psi_score(filled: DataFrame) -> DataFrame:
     "dq4_psi_drift",
     oracle=f"""
 WITH binned AS (
-  SELECT CAST(LEAST(FLOOR(o_totalprice / {PSI_BIN_WIDTH}), {PSI_BINS - 1}) AS BIGINT)
+  SELECT CAST(GREATEST(LEAST(FLOOR(o_totalprice / {PSI_BIN_WIDTH}), {PSI_BINS - 1}), 0) AS BIGINT)
            AS bin,
          EXTRACT(year FROM o_orderdate) < {PSI_SPLIT_YEAR} AS is_ref
   FROM orders

@@ -13,8 +13,10 @@ query's snapshot round back below its newest green round so
 Only module-coarseness requeues are eligible: a TRUE semantic change
 must go through REVERIFY_FIRST and earn a fresh driver row instead —
 never absolve a query you know behaves differently than when its green
-row was recorded. Queries that fail the local gate are left requeued
-(and reported loudly).
+row was recorded. REVERIFY_FIRST names are therefore EXCLUDED
+mechanically (their oracles moved in lockstep with the code, so the
+local gate would pass and silently bypass the driver). Queries that
+fail the local gate are left requeued (and reported loudly).
 
 Usage: python scripts/absolve_requeues.py [--dry-run]
 """
@@ -31,8 +33,10 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 from kinesis_spark.queries import (  # noqa: E402
     _FP_PATH,
+    REVERIFY_FIRST,
     _driver_verified_names,
     _green_rounds,
+    compute_fingerprints,
     get_registry,
     load_fingerprint_snapshot,
 )
@@ -46,7 +50,15 @@ def main() -> int:
     reg = get_registry()
     green = _green_rounds()
     verified = _driver_verified_names(green)
-    changed = [n for n in reg if n not in verified and n in green]
+    changed = [
+        n
+        for n in reg
+        if n not in verified and n in green and n not in REVERIFY_FIRST
+    ]
+    skipped = [n for n in REVERIFY_FIRST if n in reg and n not in verified]
+    if skipped:
+        print("REVERIFY_FIRST (true semantic changes, driver-gate only):",
+              skipped)
     if not changed:
         print("no drift requeues to absolve")
         return 0
@@ -54,6 +66,10 @@ def main() -> int:
     spark = get_spark("absolve-requeues")
     spark.sparkContext.setLogLevel("ERROR")
     snap = load_fingerprint_snapshot()
+    # record the CURRENT fp: an absolved entry must satisfy BOTH of
+    # _driver_verified_names' conditions (round < green AND fp match) —
+    # keeping a stale fp would make the absolution a silent no-op
+    fps = compute_fingerprints()
     absolved, failed = [], []
     for name in changed:
         q = reg[name]
@@ -69,7 +85,7 @@ def main() -> int:
             else:
                 compare(df, run_oracle(q.oracle, sf), name)
                 print(name, "EXACT MATCH", flush=True)
-            snap[name] = {"fp": snap[name]["fp"], "round": green[name] - 1}
+            snap[name] = {"fp": fps[name], "round": green[name] - 1}
             absolved.append(name)
         except Exception as ex:  # noqa: BLE001 - report, keep requeued
             failed.append(name)

@@ -121,4 +121,32 @@ def test_rebalance_noop_when_balanced(spark, sf_dir, tmp_path):
     d = str(tmp_path / "ivf_noop")
     build_ivf_index(load_table(spark, sf_dir, "embeddings"), d)
     out = rebalance_ivf_cells(spark, d, max_cell_factor=1000.0)
-    assert out == {"split": {}, "moved": 0}
+    assert out == {"split": {}, "moved": 0, "healed": []}
+
+
+def test_rebalance_heals_orphan_partitions(spark, sf_dir, tmp_path):
+    """A crash between the codebook swap and the retirement step leaves
+    hot partitions no codebook entry references (never probed, but
+    double-counted by stats and re-splittable). The next rebalance must
+    remove them BEFORE measuring occupancy."""
+    from kinesis_spark.ann import _read_cells, ivf_index_stats
+
+    d = str(tmp_path / "ivf_heal")
+    base = load_table(spark, sf_dir, "embeddings")
+    build_ivf_index(base, d)
+    # simulate the crash aftermath: drop one cell from the CODEBOOK
+    # while its partition stays on disk — exactly the post-swap state
+    cb = spark.read.parquet(f"{d}/codebook")
+    victim = cb.agg(F.min("cell")).first()[0]
+    kept = cb.filter(F.col("cell") != victim).collect()
+    spark.createDataFrame(kept, cb.schema).write.mode("overwrite").parquet(
+        f"{d}/codebook"
+    )
+    n_orphan = _read_cells(spark, d).filter(F.col("cell") == victim).count()
+    assert n_orphan > 0
+    out = rebalance_ivf_cells(spark, d, max_cell_factor=1000.0)
+    assert out["healed"] == [victim]
+    assert _read_cells(spark, d).filter(F.col("cell") == victim).count() == 0
+    # stats no longer double-count: every remaining cell is in the codebook
+    stats_cells = {r.cell for r in ivf_index_stats(spark, d).collect()}
+    assert victim not in stats_cells

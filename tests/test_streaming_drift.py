@@ -112,3 +112,31 @@ def test_redelivered_batch_overwrites_not_doubles(spark, sf_dir, tmp_path):
         map(tuple, rep2.filter(F.col("batch_id") == last).drop("batch_id").collect())
     )
     assert got == want
+
+
+def test_negative_values_bin_low_not_vanish(spark, tmp_path):
+    """The generic monitor accepts any value_col; a negative value must
+    land in (open-ended) bin 0, not fall off the spine and silently
+    shrink cur_tot."""
+    work = str(tmp_path)
+    ref = spark.range(100).select((F.col("id") * 10000.0).alias("v"))
+    ref_path = os.path.join(work, "ref")
+    write_psi_reference(ref, "v", ref_path)
+    cur = spark.range(50).select((F.col("id") * -1000.0 - 1).alias("v"))
+    cur_path = os.path.join(work, "cur")
+    cur.repartition(1).write.parquet(cur_path)
+    schema = spark.read.parquet(cur_path).schema
+    stream = spark.readStream.schema(schema).parquet(cur_path)
+    q = start_psi_drift_query(
+        stream, ref_path, "v",
+        os.path.join(work, "state"), os.path.join(work, "out"),
+        os.path.join(work, "ckpt"), trigger_available_now=True,
+    )
+    assert q.awaitTermination(300)
+    rep = spark.read.parquet(os.path.join(work, "out"))
+    last = rep.agg(F.max("batch_id")).first()[0]
+    final = rep.filter(F.col("batch_id") == last)
+    # all 50 negative observations counted, all in bin 0
+    assert final.agg(F.sum("cur_cnt")).first()[0] == 50
+    bin0 = final.filter(F.col("bin") == 0).first()
+    assert bin0.cur_cnt == 50
