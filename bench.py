@@ -46,6 +46,42 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Host-speed calibration (VERDICT r8 task 1): round 8 closed with an
+# 11-entry regression tripwire whose dominant cause was the shared
+# host running 1.5-2x slower, but the artifact had no way to show
+# that. Every bench run now times a FIXED data-independent sentinel
+# (pure CPU: hash + shuffle-light aggregate over spark.range — no
+# parquet, no corpus, no plan under test) and reports
+# host_factor = sentinel_seconds / HOST_REF_SECONDS. The regression
+# tripwire normalizes by the ratio of the two runs' sentinel times, so
+# a uniformly slower machine no longer floods the tripwire, while a
+# real plan regression still trips it.
+#
+# HOST_REF_SECONDS is the sentinel's best-of-3 on the r9 reference run
+# of this host class (local[32], idle); it is a UNIT for the ratio, not
+# a target — only host_factor ratios between two artifacts matter.
+HOST_REF_SECONDS = 0.733
+
+
+def measure_host_seconds(spark) -> float:
+    """Best-of-3 fixed sentinel: 30M-row hash + modulo-key aggregate on
+    all cores. Deterministic input (spark.range), no data files, no
+    Python row path — a pure gauge of JVM/CPU/scheduler throughput."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.monotonic()
+        materialize(
+            spark.range(0, 30_000_000, 1, 32)
+            # modulo bounds the per-row term so the ANSI-mode sum can
+            # never overflow long (30M x 1e5 << 2^63)
+            .selectExpr("xxhash64(id) % 100000 AS h", "id % 9973 AS k")
+            .groupBy("k")
+            .agg({"h": "sum"})
+        )
+        best = min(best, time.monotonic() - t0)
+    return round(best, 3)
+
+
 # Untimed warm-up queries, one per major machinery family (agg shuffle,
 # join, window, text tokenize, embedding fold, hash dedup, event-time):
 # they absorb the JVM/JIT/codegen/first-shuffle warm-up that otherwise
@@ -172,29 +208,66 @@ def bench_ingest_soak(spark, seconds: float = 12.0, rows_per_second: int = 100,
     }
 
 
+def _prev_artifact_path() -> str | None:
+    """Newest committed round-stamped artifact (BENCH_full_r*.json),
+    falling back to the unstamped working copy. Round-stamping
+    (VERDICT r8 task 5) keeps the committed baseline immutable: the
+    driver's post-close re-runs rewrite only the gitignored
+    BENCH_full.json, never a committed file."""
+    import glob
+    import re
+
+    stamped = sorted(
+        glob.glob(os.path.join(REPO, "BENCH_full_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
+    )
+    if stamped:
+        return stamped[-1]
+    p = os.path.join(REPO, "BENCH_full.json")
+    return p if os.path.exists(p) else None
+
+
 def find_regressions(
-    prev_path: str, queries: dict[str, float], sf: float
-) -> dict[str, dict]:
+    prev_path: str | None,
+    queries: dict[str, float],
+    sf: float,
+    host_seconds: float = 0.0,
+) -> tuple[dict[str, dict], float]:
     """Per-query regression tripwire (VERDICT r6 task 7): diff this
-    run against the previously committed BENCH_full.json so a slowdown
-    surfaces IN the round, not in the next verdict. A query regresses
-    when it is >30% slower AND >0.5 s absolutely slower (same-HEAD
-    sub-second queries are noisier than their plans — README). Returns
-    {} when the previous file is missing/unreadable or was measured at
-    a different scale factor."""
+    run against the previous committed artifact so a slowdown surfaces
+    IN the round, not in the next verdict. HOST-NORMALIZED (VERDICT r8
+    task 1): both runs carry a fixed-sentinel time; this run's times
+    are deflated by host_ratio = host_now / host_prev before the
+    threshold test, so a uniformly slower shared host no longer floods
+    the tripwire. A query regresses when its normalized time is >30%
+    AND >0.5 s above the previous run. Returns ({} when the previous
+    file is missing/unreadable or at a different scale factor, and the
+    host_ratio used)."""
     try:
         with open(prev_path) as f:
             prev = json.load(f)
-    except (OSError, ValueError):
-        return {}
+    except (OSError, ValueError, TypeError):
+        return {}, 1.0
     if prev.get("sf") != sf:
-        return {}
+        return {}, 1.0
+    host_ratio = 1.0
+    ph = prev.get("host_seconds")
+    if ph and host_seconds:
+        host_ratio = round(host_seconds / ph, 3)
     out: dict[str, dict] = {}
     for name, t in queries.items():
         p = prev.get("queries", {}).get(name)
-        if p and p > 0 and t > 0 and t > p * 1.3 and t - p > 0.5:
-            out[name] = {"prev": p, "now": t, "ratio": round(t / p, 2)}
-    return out
+        if p and p > 0 and t > 0:
+            t_norm = round(t / host_ratio, 3)
+            if t_norm > p * 1.3 and t_norm - p > 0.5:
+                out[name] = {
+                    "prev": p,
+                    "now": t,
+                    "now_host_normalized": t_norm,
+                    "ratio": round(t_norm / p, 2),
+                    "raw_ratio": round(t / p, 2),
+                }
+    return out, host_ratio
 
 
 def main() -> None:
@@ -206,6 +279,7 @@ def main() -> None:
         sf = -1.0  # cosmetic metadata only; never abort the suite over it
     spark = get_spark("kinesis_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    host_seconds = measure_host_seconds(spark)
     queries = bench_queries(spark, sf_dir)
     ingest = bench_ingest_soak(spark)
     # headroom: reference's implied per-writer ceiling (4 MiB buffer /
@@ -222,13 +296,13 @@ def main() -> None:
         + headroom["seconds"],
         3,
     )
-    regressions = find_regressions(
-        os.path.join(REPO, "BENCH_full.json"), queries, sf
+    regressions, host_ratio = find_regressions(
+        _prev_artifact_path(), queries, sf, host_seconds
     )
     for name, r in sorted(regressions.items()):
         print(
             f"bench: REGRESSION {name}: {r['prev']}s -> {r['now']}s "
-            f"({r['ratio']}x)",
+            f"({r['ratio']}x host-normalized, {r['raw_ratio']}x raw)",
             file=sys.stderr,
         )
     payload = json.dumps(
@@ -238,6 +312,9 @@ def main() -> None:
             "unit": "sec",
             "queries": queries,
             "sf": sf,
+            "host_seconds": host_seconds,
+            "host_factor": round(host_seconds / HOST_REF_SECONDS, 3),
+            "host_ratio_vs_prev": host_ratio,
             "ingest": ingest,
             "ingest_headroom": headroom,
             "regressions": regressions,
@@ -245,8 +322,19 @@ def main() -> None:
     )
     print(payload)
     # the driver records only the tail of stdout, which truncates the
-    # front of the (long) queries dict — persist the full line too
+    # front of the (long) queries dict — persist the full line too.
+    # TWO copies: the unstamped working file (gitignored — the driver's
+    # post-close re-runs overwrite it freely) and a round-stamped
+    # committed artifact (round = newest CORRECTNESS round + 1), so the
+    # baseline find_regressions diffs against is immutable history.
     with open(os.path.join(REPO, "BENCH_full.json"), "w") as f:
+        f.write(payload + "\n")
+    from kinesis_spark.queries import _max_round_on_disk
+
+    stamped = os.path.join(
+        REPO, f"BENCH_full_r{_max_round_on_disk() + 1:02d}.json"
+    )
+    with open(stamped, "w") as f:
         f.write(payload + "\n")
     # ... and print a COMPACT digest as the LAST line so the captured
     # tail is always a parseable JSON object in the documented shape:
@@ -274,6 +362,9 @@ def main() -> None:
             "n_queries": len(queries),
             "n_failed": sum(f["failed"] for f in fams.values()),
             "regressions": regressions,
+            "host_seconds": host_seconds,
+            "host_factor": round(host_seconds / HOST_REF_SECONDS, 3),
+            "host_ratio_vs_prev": host_ratio,
             "sf": sf,
             "ingest": ingest,
             "ingest_headroom": headroom,

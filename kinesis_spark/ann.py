@@ -4,8 +4,18 @@ per query run.
 
 Layout on disk (all parquet):
 
-    <index>/codebook/   (cell, cv double[])           — broadcast-sized
-    <index>/cells/      (match_id, v double[]) partitioned by cell
+    <index>/codebook/       (cell, cv double[]) — broadcast-sized (v0)
+    <index>/codebook_v*/    rebuilt codebooks (one dir per version)
+    <index>/codebook_log/   rename-CAS markers naming the live version
+    <index>/cells/          (match_id, v double[]) partitioned by cell
+
+The codebook is swapped ATOMICALLY: a rebuild writes its full
+``codebook_v<N>/`` directory first and then commits an eight-digit
+marker into ``codebook_log/`` with the txstore rename CAS; readers
+resolve the newest marker (``codebook/`` when the log is empty — the
+build-time v0). A crash mid-rebuild leaves the old codebook live and
+an orphan directory the next publish reclaims — there is no window
+where probes see a missing or partial codebook.
 
 Because ``cells/`` is PARTITIONED BY cell, a probe reads only the
 ``nprobe`` matching directories — partition pruning does the cell
@@ -57,6 +67,90 @@ def _read_layout(spark: SparkSession, index_dir: str) -> dict:
         return layout
     except Exception:  # pre-layout index directories
         return {"metadata_cols": [], "partition_metadata": None, "transactional": False}
+
+
+_CB_LOG = "codebook_log"
+
+
+def _codebook_version(spark: SparkSession, index_dir: str) -> int:
+    """Newest COMMITTED codebook version (0 = the build-time
+    ``codebook/`` directory; the log holds one rename-CAS marker per
+    rebuild). Only committed markers count — a fully-written
+    ``codebook_v<N>/`` whose publisher crashed before the marker rename
+    is invisible, which is the whole point of the swap protocol."""
+    import re
+
+    from kinesis_spark.txstore import _fs_list_names
+
+    names = _fs_list_names(spark, f"{index_dir}/{_CB_LOG}")
+    return max(
+        (int(m.group(1)) for n in names if (m := re.fullmatch(r"(\d{8})\.json", n))),
+        default=0,
+    )
+
+
+def codebook_path(spark: SparkSession, index_dir: str) -> str:
+    v = _codebook_version(spark, index_dir)
+    return f"{index_dir}/codebook" if v == 0 else f"{index_dir}/codebook_v{v:08d}"
+
+
+def read_codebook(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The LIVE codebook — every probe/append/rebuild reads through
+    this resolver so a half-written rebuild can never be served."""
+    return spark.read.parquet(codebook_path(spark, index_dir))
+
+
+def _publish_codebook(spark: SparkSession, index_dir: str, cb: DataFrame) -> str:
+    """Atomic codebook swap (ADVICE r8): (a) write the full
+    ``codebook_v<N+1>/`` directory, (b) commit its marker with the
+    txstore rename CAS — one rename is the only mutation readers can
+    observe, so probes see either the old codebook or the complete new
+    one, never a partial/missing directory. The version before the
+    previous one is reclaimed (an in-flight probe may still hold the
+    immediately superseded path; two generations is the same grace the
+    cells manifest gives)."""
+    import json as _json
+
+    from kinesis_spark.txstore import DEFAULT_ARBITER, _fs, _jpath
+
+    v = _codebook_version(spark, index_dir) + 1
+    path = f"{index_dir}/codebook_v{v:08d}"
+    cb.write.mode("overwrite").parquet(path)
+    DEFAULT_ARBITER.commit(
+        spark,
+        f"{index_dir}/{_CB_LOG}",
+        f"{v:08d}.json",
+        _json.dumps({"version": v, "path": path}),
+    )
+    stale = v - 2
+    if stale >= 1:
+        p = _jpath(spark, f"{index_dir}/codebook_v{stale:08d}")
+        fs = _fs(spark, f"{index_dir}")
+        if fs.exists(p):
+            fs.delete(p, True)
+    return path
+
+
+def _swap_codebook(
+    spark: SparkSession, index_dir: str, hot: list, child_cent: DataFrame
+) -> None:
+    """Replace the ``hot`` cells' centroids with ``child_cent`` and
+    publish the result atomically. Refuses an empty rebuild with an
+    explicit raise (not assert — must survive ``python -O``): an empty
+    codebook published live would brick every probe."""
+    cent = read_codebook(spark, index_dir)
+    new_cb = (
+        cent.filter(~F.col("cell").isin(list(hot)))
+        .unionByName(child_cent)
+        .transform(pin)
+    )
+    n_cb = new_cb.count()  # materialize through the pin before the swap
+    if n_cb == 0:
+        raise ValueError(
+            f"rebalance produced an empty codebook for {index_dir}; "
+            "refusing to publish"
+        )
+    _publish_codebook(spark, index_dir, new_cb)
 
 
 def _read_cells(
@@ -179,7 +273,7 @@ def append_to_ivf_index(
         "label",
         *[c for c in metadata_cols if c != "label"],
     )
-    cent = spark.read.parquet(f"{index_dir}/codebook")
+    cent = read_codebook(spark, index_dir)
     batch = (
         _cells_of(e, cent, metadata_cols)
         # materialize once: count + write would otherwise each run the
@@ -225,7 +319,7 @@ def query_ivf_index(
     query set's distinct values pushed into the scan as a literal IN
     list so a partitioned metadata column prunes at file listing just
     like the probed cells. Widen ``n_probe`` to pay for selectivity."""
-    cent = spark.read.parquet(f"{index_dir}/codebook")
+    cent = read_codebook(spark, index_dir)
     # ROUNDED squared distance, matching ivf_assign's build-side argmin
     # (the file-wide 6-dp fp bridge): probe ranking and cell ownership
     # must agree on near-tie centroids or a query can probe a cell its
@@ -388,7 +482,7 @@ def rebalance_ivf_cells(
     # retirement step) are invisible to probes but would skew occupancy
     # and duplicate match_ids if re-split — heal them first
     cb_cells = sorted(
-        r["cell"] for r in spark.read.parquet(f"{index_dir}/codebook")
+        r["cell"] for r in read_codebook(spark, index_dir)
         .select("cell").collect()
     )
     sizes = (
@@ -519,17 +613,12 @@ def rebalance_ivf_cells(
         new_cells.write.mode("append").partitionBy(*parts).parquet(cells_root)
 
     # (2) codebook swap: drop hot ids, add children — from here probes
-    # rank child centroids and never touch the retired rows
-    cb_path = f"{index_dir}/codebook"
-    cent = spark.read.parquet(cb_path)
-    new_cb = (
-        cent.filter(~F.col("cell").isin(list(hot)))
-        .unionByName(child_cent)
-        .transform(pin)
-    )
-    n_cb = new_cb.count()  # materialize through the pin before overwrite
-    assert n_cb > 0
-    new_cb.write.mode("overwrite").parquet(cb_path)
+    # rank child centroids and never touch the retired rows. The swap is
+    # VERSIONED (write codebook_v<N> fully, then rename-CAS the marker):
+    # a crash mid-write leaves the old codebook live, so probes are
+    # genuinely available throughout, and the self-heal path always has
+    # a readable codebook to heal against.
+    _swap_codebook(spark, index_dir, hot, child_cent)
 
     # (3) retire the hot partitions (never probed since step 2; a crash
     # before this point leaves orphans the next rebalance heals)

@@ -67,6 +67,9 @@ def _shingle_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d8_minhash_lsh_mllib",
     oracle=None,  # MLlib hash family is engine-specific; recall pinned in pytest
     tags=("dedup", "minhash", "mllib"),
+    # oracle-exempt: d8c re-verifies these candidate pairs by EXACT
+    # Jaccard with a hash-green DuckDB oracle (queries/companions.py)
+    companion="d8c_mllib_pairs_exact_jaccard",
 )
 def d8_minhash_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via MLlib MinHashLSH.approxSimilarityJoin at
@@ -95,6 +98,9 @@ def d8_minhash_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim5_brp_ann_mllib",
     oracle=None,  # seeded random projections; recall pinned in pytest
     tags=("similarity", "ann", "mllib"),
+    # oracle-exempt: sim5c measures this ANN's recall against the exact
+    # top-k with a hash-green DuckDB oracle (queries/companions.py)
+    companion="sim5c_brp_recall_vs_exact",
 )
 def sim5_brp_ann_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Euclidean ANN via BucketedRandomProjectionLSH: approxSimilarityJoin

@@ -969,13 +969,24 @@ def s17_interleaved_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank) tie-break, so equal fractions (e.g. 1/2 vs 2/4) interleave
     deterministically instead of engine-dependently.
 
-    Scale shape: the per-source rank/count windows partition by source
-    (parallel); the global sort IS the product — at 100 TB you
-    materialize it with the range-partitioned ordered export
-    (export.py: file order = global order, no single-partition sort),
-    and global_pos is the file-offset arithmetic the shard writer
-    already does. It is materialized here as a ROW_NUMBER so the
-    oracle can pin the exact schedule."""
+    Scale shape (VERDICT r8 task 2 — no corpus-global window): the
+    per-source rank/count windows partition by source (parallel), and
+    global_pos is computed ARITHMETICALLY, the same way export.py's
+    range-partitioned ordered export assigns file offsets:
+    ``repartitionByRange`` on the total schedule key (progress, source,
+    rank) splits the key space into disjoint sorted ranges, a
+    per-PARTITION row_number ranks locally (parallel — the window
+    partitions by spark_partition_id), and each partition's global
+    offset is the cumulative count of the partitions before it (one
+    bounded driver-side collect of n_partitions rows, broadcast-joined
+    back). No row ever funnels through a single task; the plan carries
+    no SinglePartition exchange (asserted in tests/test_plans.py). The
+    schedule key is unique per row — (source, rank_in_source) is a
+    key — so global_pos is exact wherever the range boundaries fall.
+    The ranged relation is pinned so the offset-count job and the final
+    plan see identical partitioning."""
+    from kinesis_spark.pins import pin_shared
+
     d = load_table(spark, sf_dir, "documents")
     keyed = d.select(
         "doc_id",
@@ -993,7 +1004,34 @@ def s17_interleaved_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_source"),
     )
     progress = F.col("rank_in_source").cast("double") / F.col("n_source")
-    w_all = Window.orderBy("progress", "source", "rank_in_source")
-    return ranked.withColumn("progress", progress).withColumn(
-        "global_pos", F.row_number().over(w_all).cast("bigint")
+    ranged = pin_shared(
+        ranked.withColumn("progress", progress)
+        .repartitionByRange(32, "progress", "source", "rank_in_source")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    # bounded collect: one row per partition (<= 32), never corpus rows
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off = F.broadcast(
+        ranged.sparkSession.createDataFrame(offsets, "pid int, offset long")
+    )
+    w_local = Window.partitionBy("pid").orderBy(
+        "progress", "source", "rank_in_source"
+    )
+    return (
+        ranged.join(off, "pid")
+        .withColumn(
+            "global_pos",
+            (F.row_number().over(w_local) + F.col("offset")).cast("bigint"),
+        )
+        .select(
+            "doc_id", "source", "rank_in_source", "n_source", "progress",
+            "global_pos",
+        )
     )

@@ -15,6 +15,7 @@ from kinesis_spark.ann import (
     build_ivf_index,
     ivf_imbalance,
     query_ivf_index,
+    read_codebook,
     rebalance_ivf_cells,
 )
 from kinesis_spark.io import load_table
@@ -51,7 +52,7 @@ def _check_rebalance(spark, sf_dir, d, transactional):
     from kinesis_spark.queries.similarity import N_PROBE
 
     base, hot_label = _skewed_index(spark, sf_dir, d, transactional)
-    n_before = spark.read.parquet(f"{d}/codebook").count()
+    n_before = read_codebook(spark, d).count()
     imb_before = ivf_imbalance(spark, d)
     queries = base.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"),
@@ -79,7 +80,7 @@ def _check_rebalance(spark, sf_dir, d, transactional):
     total = cells.count()
     assert total == cells.select("match_id").distinct().count()
     assert cells.filter(F.col("cell").isin(list(out["split"]))).count() == 0
-    cb = spark.read.parquet(f"{d}/codebook")
+    cb = read_codebook(spark, d)
     assert cb.filter(F.col("cell").isin(list(out["split"]))).count() == 0
     assert cb.count() >= n_before  # children replace each split parent
     assert cb.select("cell").distinct().count() == cb.count()
@@ -150,3 +151,50 @@ def test_rebalance_heals_orphan_partitions(spark, sf_dir, tmp_path):
     # stats no longer double-count: every remaining cell is in the codebook
     stats_cells = {r.cell for r in ivf_index_stats(spark, d).collect()}
     assert victim not in stats_cells
+
+
+def test_codebook_swap_is_versioned_and_atomic(spark, sf_dir, tmp_path):
+    """ADVICE r8: the rebuild must never overwrite the live codebook in
+    place. A rebalance publishes codebook_v<N> + a rename-CAS marker;
+    a fully-written version directory WITHOUT a committed marker (the
+    crash-mid-publish state) must stay invisible to readers."""
+    import shutil
+
+    from kinesis_spark.ann import _codebook_version, codebook_path
+
+    d = str(tmp_path / "ivf_cbv")
+    _skewed_index(spark, sf_dir, d)
+    v0 = {r.cell for r in read_codebook(spark, d).collect()}
+    out = rebalance_ivf_cells(spark, d, max_cell_factor=2.0)
+    assert out["moved"] > 0
+    # the swap landed as version 1; the build-time v0 dir is untouched
+    assert _codebook_version(spark, d) == 1
+    assert codebook_path(spark, d).endswith("codebook_v00000001")
+    assert {r.cell for r in spark.read.parquet(f"{d}/codebook").collect()} == v0
+    live = {r.cell for r in read_codebook(spark, d).collect()}
+    assert live != v0
+    # crash-mid-publish: a complete v2 directory with NO marker must not
+    # be served — readers keep resolving the committed v1
+    shutil.copytree(f"{d}/codebook_v00000001", f"{d}/codebook_v00000002")
+    assert codebook_path(spark, d).endswith("codebook_v00000001")
+    assert {r.cell for r in read_codebook(spark, d).collect()} == live
+
+
+def test_swap_refuses_empty_codebook(spark, sf_dir, tmp_path):
+    """The empty-rebuild guard is a raise, not an assert — it must hold
+    under python -O (ADVICE r8) and must fire BEFORE anything is
+    published (the old codebook stays live)."""
+    import pytest
+
+    from kinesis_spark.ann import _codebook_version, _swap_codebook
+
+    d = str(tmp_path / "ivf_empty_guard")
+    build_ivf_index(load_table(spark, sf_dir, "embeddings"), d)
+    cb = read_codebook(spark, d)
+    all_cells = [r.cell for r in cb.select("cell").collect()]
+    no_children = cb.filter(F.lit(False)).select("cell", "cv")
+    with pytest.raises(ValueError, match="empty codebook"):
+        _swap_codebook(spark, d, all_cells, no_children)
+    # nothing was published: still version 0, original codebook intact
+    assert _codebook_version(spark, d) == 0
+    assert read_codebook(spark, d).count() == len(all_cells)

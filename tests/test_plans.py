@@ -1002,3 +1002,18 @@ def test_d19_estimate_joins_signatures_not_texts(plan_of):
     for line in plan.splitlines():
         if ("Exchange" in line or "Broadcast" in line) and "text#" in line:
             raise AssertionError(f"document bodies on the wire: {line}")
+
+
+def test_s17_no_single_partition_exchange(plan_of):
+    """VERDICT r8 task 2: global_pos used to ride a corpus-global
+    empty-partition window (Window.orderBy with no partitionBy) — every
+    row funneled through ONE task. The de-globalized plan range-
+    partitions the schedule key, ranks per-partition, and adds broadcast
+    cumulative offsets: no SinglePartition exchange anywhere, and every
+    Window operator carries a partition spec."""
+    plan = plan_of("s17_interleaved_schedule")
+    assert "SinglePartition" not in plan
+    # the schedule key's range shuffle IS the sort — present by design
+    assert "rangepartitioning" in plan.lower()
+    # offsets join must be broadcast, not a shuffled join
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

@@ -140,3 +140,83 @@ def test_negative_values_bin_low_not_vanish(spark, tmp_path):
     assert final.agg(F.sum("cur_cnt")).first()[0] == 50
     bin0 = final.filter(F.col("bin") == 0).first()
     assert bin0.cur_cnt == 50
+
+
+def test_compaction_bounds_slots_and_preserves_totals(spark, tmp_path):
+    """ADVICE r8: per-trigger cost must not grow with stream age. Drive
+    the slot/roll-up machinery directly through many batch ids and
+    assert (a) cumulative counts are EXACT at every step, (b) the
+    recent-slot count stays bounded, (c) a redelivered pre-watermark
+    slot is ignored, never double-counted."""
+    import glob
+
+    from kinesis_spark.streaming.drift import (
+        COMPACT_EVERY,
+        _compact_batches,
+        _compacted_upto,
+        _current_counts,
+        _slot_ids,
+    )
+
+    state = str(tmp_path / "state")
+    batches = os.path.join(state, "batches")
+
+    def write_slot(i: int, cnt: int) -> None:
+        spark.createDataFrame([(i % 10, cnt)], "bin long, cnt long").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(batches, f"batch_id={i}"))
+
+    def total() -> int:
+        return (
+            _current_counts(spark, state).agg(F.sum("cnt")).first()[0] or 0
+        )
+
+    expected = 0
+    n_batches = COMPACT_EVERY * 3 + 5
+    for i in range(n_batches):
+        write_slot(i, 10 + i)
+        expected += 10 + i
+        upto = _compacted_upto(spark, state)
+        if len([s for s in _slot_ids(spark, batches) if s > upto]) >= COMPACT_EVERY:
+            _compact_batches(spark, state, i)
+        assert total() == expected, f"batch {i}"
+        # bounded: never more than COMPACT_EVERY recent slots on disk
+        upto = _compacted_upto(spark, state)
+        recent = [s for s in _slot_ids(spark, batches) if s > upto]
+        assert len(recent) < COMPACT_EVERY + 1
+
+    # three compactions happened; exactly one roll-up dir remains
+    assert _compacted_upto(spark, state) >= COMPACT_EVERY * 2
+    assert len(glob.glob(os.path.join(state, "compacted", "upto=*"))) == 1
+
+    # redelivery below the watermark: rewrite an already-folded slot —
+    # the reader must ignore it (counts live in the roll-up)
+    write_slot(0, 10)
+    assert total() == expected
+    # ... and the next compaction reclaims the orphan
+    for i in range(n_batches, n_batches + COMPACT_EVERY):
+        write_slot(i, 1)
+        expected += 1
+    _compact_batches(spark, state, n_batches + COMPACT_EVERY - 1)
+    assert total() == expected
+    assert 0 not in _slot_ids(spark, batches)
+
+
+def test_compaction_crash_before_marker_is_invisible(spark, tmp_path):
+    """A fully-written roll-up directory with NO committed marker (the
+    crash-mid-compaction state) must not change what readers see."""
+    from kinesis_spark.streaming.drift import _current_counts
+
+    state = str(tmp_path / "state")
+    batches = os.path.join(state, "batches")
+    for i in range(4):
+        spark.createDataFrame([(i, 100)], "bin long, cnt long").write.parquet(
+            os.path.join(batches, f"batch_id={i}")
+        )
+    before = sorted(map(tuple, _current_counts(spark, state).collect()))
+    # simulate the crash: roll-up dir exists, marker never landed
+    spark.createDataFrame([(0, 999999)], "bin long, cnt long").write.parquet(
+        os.path.join(state, "compacted", "upto=3")
+    )
+    after = sorted(map(tuple, _current_counts(spark, state).collect()))
+    assert after == before
