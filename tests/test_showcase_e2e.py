@@ -309,3 +309,110 @@ def test_production_pipeline_end_to_end(spark, sf_dir, tmp_path):
         read_split(spark, out1, s).count() for s in ("train", "val", "test")
     )
     assert total == len(expected)
+
+
+@pytest.mark.streaming
+def test_drift_monitor_rides_the_intake_stream(spark, sf_dir, tmp_path):
+    """VERDICT r8 task 6: the always-on PSI monitor composed into the
+    production intake path — the SAME spool-backed consumer stream the
+    admission sink drains also feeds the drift monitor (its own lease
+    scope + checkpoint, the standard second-consumer pattern). The
+    reference profile is captured once from the commissioning window's
+    arrivals; the monitor must stay SILENT through an in-distribution
+    wave and FIRE on a planted drifted batch — which the gate/dedup
+    path meanwhile admits normally (drift is a statistical property of
+    arrivals, not an admission failure)."""
+    from kinesis_spark.pipeline import _consumer_stream
+    from kinesis_spark.streaming.drift import (
+        start_psi_drift_query,
+        write_psi_reference,
+    )
+
+    work = str(tmp_path)
+    spool = f"{work}/spool"
+    rows = _corpus_rows(spark, sf_dir)
+    wave1, wave2 = rows[:80], rows[80:]
+    # planted drift: gate-passing (keep-lang, >=10 tokens) but far
+    # SHORTER than the corpus (ref lengths ~190-560 chars; these ~75) —
+    # unique texts so admission dedup is not in play
+    wave3 = [
+        {
+            "doc_id": 2_000_000 + i,
+            "text": ("drift" + str(i) + " ") * 12,
+            "lang": "en",
+            "source": "crawl",
+        }
+        for i in range(60)
+    ]
+
+    cfg = IntakeConfig(
+        spool_dir=spool, stream=STREAM, work_dir=work,
+        consumer_id="A", lease_ttl_s=30.0,
+    )
+    _put_docs(spool, wave1)
+    audit_a = run_intake(spark, cfg)
+    assert audit_a.count() > 0
+
+    # reference: the commissioning window's arrival lengths (x1000 so
+    # the 47-560 char corpus spans dq4's 50k-wide bins)
+    ref_path = f"{work}/psi-ref"
+    write_psi_reference(
+        spark.createDataFrame(
+            [(float(len(r["text"])) * 1000.0,) for r in wave1], "v double"
+        ),
+        "v",
+        ref_path,
+    )
+
+    # the monitor is a SECOND consumer of the same stream: own lease
+    # scope (no shard contention with the intake consumer), own
+    # checkpoint (resumes across drains), same spool
+    mon_cfg = takeover(cfg, "MON", lease_dir=f"{work}/mon-leases")
+    mon_out = f"{work}/psi-out"
+
+    def drain_monitor() -> None:
+        stream = (
+            _consumer_stream(spark, mon_cfg)
+            .select(
+                F.from_json(
+                    F.col("data").cast("string"), mon_cfg.doc_schema
+                ).alias("j")
+            )
+            .select((F.length("j.text").cast("double") * 1000.0).alias("v"))
+        )
+        q = start_psi_drift_query(
+            stream, ref_path, "v",
+            f"{work}/psi-state", mon_out, f"{work}/psi-ckpt",
+            trigger_available_now=True,
+        )
+        assert q.awaitTermination(300), "monitor drain exceeded 300s"
+
+    def latest_alert() -> bool:
+        rep = spark.read.parquet(mon_out)
+        last = rep.agg(F.max("batch_id")).first()[0]
+        vals = {
+            bool(r.drift_alert)
+            for r in rep.filter(F.col("batch_id") == last).collect()
+        }
+        assert len(vals) == 1
+        return vals.pop()
+
+    drain_monitor()  # sees wave 1 — the reference window itself
+    assert latest_alert() is False
+
+    # in-distribution wave: intake admits, monitor stays silent
+    _put_docs(spool, wave2)
+    cfg_b = takeover(cfg, "B")
+    run_intake(spark, cfg_b)
+    drain_monitor()
+    assert latest_alert() is False
+
+    # planted drifted batch: intake keeps admitting (unique, gate-
+    # passing), the monitor fires
+    _put_docs(spool, wave3)
+    audit_c = run_intake(spark, takeover(cfg_b, "C"))
+    corpus = tx_read(spark, cfg.corpus)
+    assert corpus.filter(F.col("doc_id") >= 2_000_000).count() == len(wave3)
+    assert audit_c.count() > 0
+    drain_monitor()
+    assert latest_alert() is True
