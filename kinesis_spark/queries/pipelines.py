@@ -1177,3 +1177,105 @@ def p11_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token"
         ),
     )
+
+
+from kinesis_spark.queries.textstats import STOPWORDS as _T2_STOPWORDS
+
+
+@register(
+    "p12_curriculum_interleave",
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(text, '{WS_RE}')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(regexp_split_to_array(text, '{WS_RE}'),
+                   t -> list_contains({list(_T2_STOPWORDS)!r}, t))) AS BIGINT) AS n_stop,
+         CAST(len(list_distinct(regexp_split_to_array(text, '{WS_RE}')))
+              AS BIGINT) AS n_unique
+  FROM documents
+),
+q AS (
+  SELECT doc_id, source,
+         0.4 * (CAST(n_stop AS DOUBLE) / n_tokens)
+           + 0.4 * (CAST(n_unique AS DOUBLE) / n_tokens)
+           + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS quality_score
+  FROM f
+),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+rk AS (
+  SELECT q.*, ROW_NUMBER() OVER (ORDER BY quality_score DESC, doc_id) AS grank
+  FROM q
+),
+ph AS (
+  SELECT rk.*, CAST(FLOOR((grank - 1) * 3.0 / n) + 1 AS BIGINT) AS phase
+  FROM rk, nn
+),
+keyed AS (
+  SELECT ph.*, md5('cur42:' || CAST(doc_id AS VARCHAR)) AS k FROM ph
+),
+ranked AS (
+  SELECT keyed.*,
+         CAST(ROW_NUMBER() OVER (PARTITION BY phase, source ORDER BY k, doc_id)
+              AS BIGINT) AS ris,
+         CAST(COUNT(*) OVER (PARTITION BY phase, source) AS BIGINT) AS nsrc
+  FROM keyed
+),
+fin AS (SELECT ranked.*, CAST(ris AS DOUBLE) / nsrc AS progress FROM ranked)
+SELECT doc_id, source, quality_score, phase,
+       CAST(ROW_NUMBER() OVER (ORDER BY phase, progress, source, ris)
+            AS BIGINT) AS global_pos
+FROM fin
+""",
+    tags=("pipeline", "curriculum", "training", "schedule"),
+)
+def p12_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY CURRICULUM over the corpus: t2's quality score splits the
+    documents into three equal phases (phase 1 = cleanest third), and
+    within each phase the sources interleave proportionally (s17's
+    schedule), so training consumes clean data first without ever
+    starving a source — the standard curriculum+mixture composition.
+
+    Both global orders (the quality tertile rank and the final schedule
+    position) ride :func:`kinesis_spark.ordering.global_row_number` —
+    range-partition, per-partition rank, broadcast offsets — so the
+    plan has NO single-partition exchange (tests/test_plans.py), unlike
+    the naive NTILE/ROW_NUMBER-over-everything formulation the oracle
+    uses to pin the exact same output. The corpus count feeding the
+    tertile arithmetic is one bounded scalar job.
+
+    Scale shape: one scored scan + one (doc_id)-keyed equi-join of the
+    (doc_id, source) projection, two range shuffles, per-(phase,source)
+    windows — all parallel; shuffles carry ids, scores, and source
+    labels, never document bodies."""
+    from kinesis_spark.ordering import global_row_number
+    from kinesis_spark.queries.textstats import t2_quality_score
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    n = d.count()  # bounded scalar: the tertile denominator
+    scored = t2_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    base = d.join(scored, "doc_id").withColumn(
+        "nq", -F.col("quality_score")
+    )
+    g = global_row_number(base, ["nq", "doc_id"], "grank")
+    ph = g.withColumn(
+        "phase",
+        (F.floor((F.col("grank") - 1) * 3.0 / F.lit(float(n))) + 1).cast("bigint"),
+    )
+    keyed = ph.withColumn(
+        "k", F.md5(F.concat(F.lit("cur42:"), F.col("doc_id").cast("string")))
+    )
+    w_src = Window.partitionBy("phase", "source").orderBy("k", "doc_id")
+    ranked = (
+        keyed.withColumn("ris", F.row_number().over(w_src).cast("bigint"))
+        .withColumn(
+            "nsrc",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("phase", "source"))
+            .cast("bigint"),
+        )
+        .withColumn("progress", F.col("ris").cast("double") / F.col("nsrc"))
+    )
+    return global_row_number(
+        ranked, ["phase", "progress", "source", "ris"], "global_pos"
+    ).select("doc_id", "source", "quality_score", "phase", "global_pos")

@@ -971,21 +971,14 @@ def s17_interleaved_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape (VERDICT r8 task 2 — no corpus-global window): the
     per-source rank/count windows partition by source (parallel), and
-    global_pos is computed ARITHMETICALLY, the same way export.py's
-    range-partitioned ordered export assigns file offsets:
-    ``repartitionByRange`` on the total schedule key (progress, source,
-    rank) splits the key space into disjoint sorted ranges, a
-    per-PARTITION row_number ranks locally (parallel — the window
-    partitions by spark_partition_id), and each partition's global
-    offset is the cumulative count of the partitions before it (one
-    bounded driver-side collect of n_partitions rows, broadcast-joined
-    back). No row ever funnels through a single task; the plan carries
-    no SinglePartition exchange (asserted in tests/test_plans.py). The
+    global_pos rides :func:`kinesis_spark.ordering.global_row_number` —
+    range-partition on the total schedule key, per-partition local
+    rank, broadcast cumulative offsets (one bounded 32-row collect).
+    No row ever funnels through a single task; the plan carries no
+    SinglePartition exchange (asserted in tests/test_plans.py). The
     schedule key is unique per row — (source, rank_in_source) is a
-    key — so global_pos is exact wherever the range boundaries fall.
-    The ranged relation is pinned so the offset-count job and the final
-    plan see identical partitioning."""
-    from kinesis_spark.pins import pin_shared
+    key — so global_pos is exact wherever the range boundaries fall."""
+    from kinesis_spark.ordering import global_row_number
 
     d = load_table(spark, sf_dir, "documents")
     keyed = d.select(
@@ -1004,34 +997,11 @@ def s17_interleaved_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_source"),
     )
     progress = F.col("rank_in_source").cast("double") / F.col("n_source")
-    ranged = pin_shared(
-        ranked.withColumn("progress", progress)
-        .repartitionByRange(32, "progress", "source", "rank_in_source")
-        .withColumn("pid", F.spark_partition_id())
-    )
-    # bounded collect: one row per partition (<= 32), never corpus rows
-    counts = {
-        r["pid"]: r["cnt"]
-        for r in ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    offsets, acc = [], 0
-    for pid in sorted(counts):
-        offsets.append((pid, acc))
-        acc += counts[pid]
-    off = F.broadcast(
-        ranged.sparkSession.createDataFrame(offsets, "pid int, offset long")
-    )
-    w_local = Window.partitionBy("pid").orderBy(
-        "progress", "source", "rank_in_source"
-    )
-    return (
-        ranged.join(off, "pid")
-        .withColumn(
-            "global_pos",
-            (F.row_number().over(w_local) + F.col("offset")).cast("bigint"),
-        )
-        .select(
-            "doc_id", "source", "rank_in_source", "n_source", "progress",
-            "global_pos",
-        )
+    return global_row_number(
+        ranked.withColumn("progress", progress),
+        ["progress", "source", "rank_in_source"],
+        "global_pos",
+    ).select(
+        "doc_id", "source", "rank_in_source", "n_source", "progress",
+        "global_pos",
     )

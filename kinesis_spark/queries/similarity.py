@@ -2169,3 +2169,169 @@ def sim18_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(float(N_QUERIES))
         ).alias("mrr"),
     )
+
+
+NPROBE_SWEEP = (1, 2, 4)  # probe widths evaluated by sim19
+_MAX_NPROBE = max(NPROBE_SWEEP)
+
+
+@register(
+    "sim19_nprobe_recall_sweep",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+centroids AS (
+  SELECT label, list(mc ORDER BY idx) AS cv
+  FROM (
+    SELECT label, CAST(i AS BIGINT) AS idx,
+           CAST(SUM(CAST(FLOOR(CAST(comp AS DOUBLE) * 1073741824.0) AS DECIMAL(38,0)))
+                AS DOUBLE) / 1073741824.0 / COUNT(*) AS mc
+    FROM (
+      SELECT label, CAST(i AS BIGINT) AS i, embedding[CAST(i AS INT)] AS comp
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ) q GROUP BY label, i
+  ) m GROUP BY label
+),
+assign AS (
+  SELECT e.vec_id, e.v, c.label AS cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY ROUND(list_sum(list_transform(
+                                range(1, len(e.v) + 1),
+                                i -> (e.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)])
+                                   * (e.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))), 6),
+                            c.label) AS crk
+  FROM e CROSS JOIN centroids c
+),
+cells AS (SELECT vec_id, v, cell FROM assign WHERE crk = 1),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, cell, crk AS probe_rank
+  FROM assign WHERE vec_id < {N_QUERIES} AND crk <= {_MAX_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, c.vec_id AS match_id, p.probe_rank,
+         ROUND(list_cosine_similarity(p.qv, c.v), 6) AS cos_sim
+  FROM probes p JOIN cells c ON c.cell = p.cell
+  WHERE c.vec_id != p.query_id
+),
+nps AS (SELECT * FROM (VALUES {", ".join(f"({np})" for np in NPROBE_SWEEP)}) AS t(n_probe)),
+c2 AS (
+  SELECT n.n_probe, cand.query_id, cand.match_id, cand.cos_sim
+  FROM cand JOIN nps n ON cand.probe_rank <= n.n_probe
+),
+topk AS (
+  SELECT n_probe, query_id, match_id FROM (
+    SELECT n_probe, query_id, match_id,
+           ROW_NUMBER() OVER (PARTITION BY n_probe, query_id
+                              ORDER BY cos_sim DESC, match_id) AS rk
+    FROM c2
+  ) WHERE rk <= {TOP_K}
+),
+ex AS (
+  SELECT query_id, match_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6) DESC,
+                        c.vec_id) AS rank
+    FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id
+  ) WHERE rank <= {TOP_K}
+),
+agg AS (
+  SELECT n_probe, CAST(COUNT(*) AS BIGINT) AS n_candidates
+  FROM c2 GROUP BY n_probe
+),
+h AS (
+  SELECT t.n_probe, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM topk t JOIN ex ON t.query_id = ex.query_id AND t.match_id = ex.match_id
+  GROUP BY t.n_probe
+)
+SELECT CAST(a.n_probe AS BIGINT) AS n_probe,
+       a.n_candidates,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {N_QUERIES * TOP_K} AS mean_recall,
+       CAST(a.n_candidates AS DOUBLE) / {N_QUERIES} AS mean_candidates
+FROM agg a LEFT JOIN h ON a.n_probe = h.n_probe
+""",
+    tags=("similarity", "ann", "ivf", "evaluation", "tuning"),
+)
+def sim19_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF TUNING CURVE: recall@{TOP_K} and candidate volume at
+    probe widths {NPROBE_SWEEP} in one pass — the table a deployment
+    reads to pick n_probe (recall rises with probes, so does the
+    fraction of the corpus each query scans; the knee is the serving
+    config). sim6 serves ONE width; sim18 evaluates ONE retriever;
+    this sweeps the width against the exact top-{TOP_K} baseline
+    (sim1's machinery) without re-assigning or re-scoring per width.
+
+    Scale shape: ONE codebook, ONE assignment pass (pinned, crk <=
+    {_MAX_NPROBE}), ONE candidate relation scored at the WIDEST probe
+    setting; the narrower widths are probe_rank filters over it (a
+    3-row broadcast), so sweep cost ≈ widest-width cost, not the sum.
+    Exactness: integer hit/candidate counts, single int/int divisions.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cent = ivf_codebook(e)
+    assign = pin_shared(
+        ivf_assign(e, cent)
+        .filter(F.col("crk") <= _MAX_NPROBE)
+        .withColumn("norm", _norm(F.col("v")))
+    )
+    cells = assign.filter(F.col("crk") == 1).select(
+        F.col("vec_id").alias("match_id"), F.col("v").alias("cv_vec"),
+        F.col("norm").alias("cnorm"), "cell",
+    )
+    probes = assign.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"), "cell",
+        F.col("crk").alias("probe_rank"),
+    )
+    cand = pin_shared(
+        probes.join(cells, "cell")
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id", "match_id", "probe_rank",
+            _cosine_pre(
+                F.col("qv"), F.col("cv_vec"), F.col("qnorm"), F.col("cnorm")
+            ).alias("cos_sim"),
+        )
+    )
+    nps = F.broadcast(
+        spark.createDataFrame([(np,) for np in NPROBE_SWEEP], "n_probe int")
+    )
+    c2 = cand.join(nps, F.col("probe_rank") <= F.col("n_probe"))
+    w = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.desc("cos_sim"), F.asc("match_id")
+    )
+    topk = (
+        c2.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("n_probe", "query_id", "match_id")
+    )
+    ex = sim1_topk_cosine(spark, sf_dir).select("query_id", "match_id")
+    hits = topk.join(ex, ["query_id", "match_id"]).groupBy("n_probe").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    cands = c2.groupBy("n_probe").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    return cands.join(hits, "n_probe", "left").select(
+        F.col("n_probe").cast("bigint").alias("n_probe"),
+        "n_candidates",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+            / F.lit(float(N_QUERIES * TOP_K))
+        ).alias("mean_recall"),
+        (F.col("n_candidates").cast("double") / F.lit(float(N_QUERIES))).alias(
+            "mean_candidates"
+        ),
+    )
+
+
+if sim19_nprobe_recall_sweep.__doc__:  # absent under python -OO
+    sim19_nprobe_recall_sweep.__doc__ = sim19_nprobe_recall_sweep.__doc__.format(
+        TOP_K=TOP_K, NPROBE_SWEEP=NPROBE_SWEEP, _MAX_NPROBE=_MAX_NPROBE
+    )

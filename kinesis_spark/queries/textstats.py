@@ -1385,3 +1385,63 @@ def t17_exact_containment_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.contains("ctext", F.col("btext")).alias("contained"),
         )
     )
+
+
+@register(
+    "t18_vocab_growth",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, doc_id, t.tok
+  FROM documents, UNNEST(regexp_split_to_array(text, '{WS_RE}')) AS t(tok)
+),
+agg AS (
+  SELECT source,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab
+  FROM toks GROUP BY source
+)
+SELECT source, n_docs, n_tokens, vocab,
+       CAST(vocab AS DOUBLE) / n_tokens AS ttr,
+       ROUND(LN(CAST(vocab AS DOUBLE)), 6)
+         / ROUND(LN(CAST(n_tokens AS DOUBLE)), 6) AS herdan_c
+FROM agg
+""",
+    tags=("text", "vocabulary", "statistics"),
+)
+def t18_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source VOCABULARY GROWTH profile — the Heaps'-law corpus
+    statistic a data curator reads before mixing sources: total tokens,
+    distinct vocabulary, type-token ratio, and Herdan's C
+    (ln V / ln N — the log-log slope estimate; C near 1 means the
+    source keeps minting new types, i.e. noisy/unnormalized text,
+    C well below 1 means a saturating vocabulary).
+
+    Determinism: counts are exact; ttr is one int/int division; the
+    log ratio rides the file-wide 6-dp ln bridge (both engines round
+    their correctly-rounded-to-double ln to 6 dp before the division,
+    so near-ulp ln differences cannot surface).
+
+    Scale shape: one corpus scan, explode to (source, token), ONE
+    partial-aggregated shuffle keyed by source with two count-distincts
+    (Spark plans count_distinct as expand + two-phase agg — the
+    distinct sets shuffle as bounded-length token strings and 8-byte
+    ids, never document bodies). Output is source-count-sized."""
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "source", "doc_id", F.explode(F.split("text", WS_RE)).alias("tok")
+    )
+    agg = toks.groupBy("source").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.count_distinct("tok").cast("bigint").alias("vocab"),
+    )
+    ln6 = lambda c: F.round(F.log(c.cast("double")), 6)  # noqa: E731
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "vocab",
+        (F.col("vocab").cast("double") / F.col("n_tokens")).alias("ttr"),
+        (ln6(F.col("vocab")) / ln6(F.col("n_tokens"))).alias("herdan_c"),
+    )

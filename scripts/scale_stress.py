@@ -175,6 +175,19 @@ OPERATORS = [
     "dq6_quality_threshold_sweep",
     "p11_tokenizer_fertility",
     "mm7c_phash_recall",
+    # r9 (VERDICT r8 task 2): s17's global_pos is now range-partition +
+    # per-partition rank + broadcast offsets — two source-partitioned
+    # windows, one range shuffle, one 32-row collect; should be ~linear
+    "s17_interleaved_schedule",
+    # r9 newcomers: t18 is one explode + one source-keyed two-distinct
+    # aggregate (~linear); p12 is two global_row_number passes + one
+    # scored scan (~linear, same plan family as s17); sim19 pins one
+    # widest-probe candidate relation whose volume grows with cell
+    # occupancy (like sim6's probe side — expect superlinear candidates
+    # with linear per-candidate work on the replica corpus)
+    "t18_vocab_growth",
+    "p12_curriculum_interleave",
+    "sim19_nprobe_recall_sweep",
 ]
 
 

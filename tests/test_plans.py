@@ -1017,3 +1017,23 @@ def test_s17_no_single_partition_exchange(plan_of):
     assert "rangepartitioning" in plan.lower()
     # offsets join must be broadcast, not a shuffled join
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_p12_no_single_partition_exchange(plan_of):
+    """p12's TWO global orders (quality tertile rank + final schedule
+    position) both ride ordering.global_row_number — no corpus-global
+    window, no SinglePartition exchange, offsets broadcast."""
+    plan = plan_of("p12_curriculum_interleave")
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_sim19_one_assignment_feeds_all_widths(plan_of):
+    """The sweep must not re-run the assignment crossJoin per probe
+    width: the candidate relation is pinned and the widths arrive as a
+    broadcast 3-row join, so the plan carries the codebook
+    BroadcastNestedLoop ONCE (inside the cached subtree) and reuses it
+    via InMemoryTableScan."""
+    plan = plan_of("sim19_nprobe_recall_sweep")
+    assert "InMemoryTableScan" in plan
+    assert "SinglePartition" not in plan
