@@ -1510,3 +1510,153 @@ def d20_capped_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band shuffle) is d7's unchanged — the cap is a filter on the same
     bucket aggregation."""
     return d7_simhash_pairs(spark, sf_dir, max_bucket=SIM_MAX_BUCKET)
+
+
+# ---- d21: LSH S-curve calibration ------------------------------------------
+
+# Analytic band-collision probability at each Jaccard-bin midpoint:
+# P(candidate | jaccard = s) = 1 - (1 - s^BAND_ROWS)^(N_HASHES/BAND_ROWS).
+# Computed ONCE here in Python and embedded as the same literal doubles
+# in both engines, so no cross-engine pow() is ever evaluated.
+_D21_CURVE = [
+    (
+        b,
+        (b + 0.5) / 10.0,
+        1.0 - (1.0 - ((b + 0.5) / 10.0) ** BAND_ROWS) ** (N_HASHES // BAND_ROWS),
+    )
+    for b in range(10)
+]
+
+_D21_SUBSET = 200  # bounded all-pairs calibration sample: exact Jaccard on all pairs
+
+_D21_CURVE_SQL = ", ".join(
+    f"({b}, {mid!r}, {prob!r})" for b, mid, prob in _D21_CURVE
+)
+
+
+@register(
+    "d21_lsh_calibration",
+    oracle=f"""
+WITH documents50 AS (
+  SELECT * FROM documents WHERE doc_id < {_D21_SUBSET}
+),
+{_SIGS_BANDS_SQL.replace("FROM documents", "FROM documents50")},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS shingles
+  FROM documents50
+  WHERE len(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+')) >= 3
+),
+ap AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_distinct(list_intersect(a.shingles, b.shingles)))
+              AS BIGINT) AS n_inter,
+         CAST(len(a.shingles) + len(b.shingles)
+              - len(list_distinct(list_intersect(a.shingles, b.shingles)))
+              AS BIGINT) AS n_union
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+),
+binned AS (
+  SELECT ap.doc_a, ap.doc_b,
+         LEAST(CAST(FLOOR((CAST(n_inter AS DOUBLE) / n_union) * 10.0)
+                    AS BIGINT), 9) AS jac_bin,
+         CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+  FROM ap LEFT JOIN cand c
+    ON ap.doc_a = c.doc_a AND ap.doc_b = c.doc_b
+),
+agg AS (
+  SELECT jac_bin,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(is_cand) AS BIGINT) AS n_candidates
+  FROM binned GROUP BY jac_bin
+),
+curve(jac_bin, bin_mid, analytic_prob) AS (VALUES {_D21_CURVE_SQL})
+SELECT a.jac_bin, CAST(c.bin_mid AS DOUBLE) AS bin_mid,
+       a.n_pairs, a.n_candidates,
+       CAST(a.n_candidates AS DOUBLE) / a.n_pairs AS candidate_rate,
+       CAST(c.analytic_prob AS DOUBLE) AS analytic_prob
+FROM agg a JOIN curve c ON a.jac_bin = c.jac_bin
+""",
+    tags=("dedup", "minhash", "lsh", "calibration", "evaluation"),
+)
+def d21_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH S-CURVE CALIBRATION — the measurement that justifies the
+    banding parameters every near-dup query in this repo shares
+    (MinHash {n} hashes, {r}-row bands): on a bounded subset with ALL
+    exact pairwise Jaccards known (d4's discipline, doc_id <
+    {subset}), bucket pairs into 0.1-wide Jaccard bins and compare the
+    MEASURED candidate rate per bin against the analytic banding
+    probability 1-(1-s^{r})^{bands} at the bin midpoint. A healthy
+    curve hugs the analytic S; a gap at high Jaccard = missed near-dups
+    (band too wide), a gap at low Jaccard = wasted verify work. The
+    analytic curve is precomputed in Python and embedded as identical
+    literals in both engines — no cross-engine pow().
+
+    Scale shape: candidacy reuses the shared signature/banding pipeline
+    (one definition with d3/d14); the all-pairs exact-Jaccard side is
+    deliberately SUBSET-bounded — at 100 TB you calibrate on a sampled
+    few thousand documents (all-pairs there is trivial), never the
+    corpus, exactly like recall evaluation (sim18) runs on a query
+    sample. Candidacy is a pairwise property of two signatures, so
+    subset banding equals corpus banding restricted to the subset."""
+    docs50 = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _D21_SUBSET
+    )
+    cand = _pairs_of(_lsh_band_buckets(docs50)).withColumn(
+        "is_cand", F.lit(1)
+    )
+    tokd = _tokens_barrier(docs50, min_words=3)
+    sh = tokd.select("doc_id", _shingles_of(F.col("toks")).alias("shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    n_inter = F.size(
+        F.array_distinct(
+            F.array_intersect(F.col("a.shingles"), F.col("b.shingles"))
+        )
+    ).cast("bigint")
+    n_union = (
+        F.size(F.col("a.shingles")) + F.size(F.col("b.shingles"))
+    ).cast("bigint") - n_inter
+    ap = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        n_inter.alias("n_inter"),
+        n_union.alias("n_union"),
+    )
+    binned = ap.join(cand, ["doc_a", "doc_b"], "left").select(
+        F.least(
+            F.floor((F.col("n_inter").cast("double") / F.col("n_union")) * 10.0),
+            F.lit(9),
+        )
+        .cast("bigint")
+        .alias("jac_bin"),
+        F.coalesce(F.col("is_cand"), F.lit(0)).alias("is_cand"),
+    )
+    agg = binned.groupBy("jac_bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("is_cand").cast("bigint").alias("n_candidates"),
+    )
+    curve = F.broadcast(
+        spark.createDataFrame(
+            _D21_CURVE, "jac_bin long, bin_mid double, analytic_prob double"
+        )
+    )
+    return agg.join(curve, "jac_bin").select(
+        "jac_bin",
+        "bin_mid",
+        "n_pairs",
+        "n_candidates",
+        (F.col("n_candidates").cast("double") / F.col("n_pairs")).alias(
+            "candidate_rate"
+        ),
+        "analytic_prob",
+    )
+
+
+if d21_lsh_calibration.__doc__:  # absent under python -OO
+    d21_lsh_calibration.__doc__ = d21_lsh_calibration.__doc__.format(
+        n=N_HASHES, r=BAND_ROWS, bands=N_HASHES // BAND_ROWS, subset=_D21_SUBSET
+    )

@@ -684,7 +684,12 @@ def t11_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation of the bigram stream (c2, map-side partials shrink it
     to vocabulary size) — c1 and the vocab scalar fold out of c2's
     vocabulary-sized result, so the corpus tokenizes twice (model +
-    scoring), not four times. Scoring re-joins the stream to the model
+    scoring), not four times. Pinning the bigram stream to halve those
+    two passes was MEASURED SLOWER at sf0.1 (replayed 1.98-2.53 s vs
+    pinned 2.08-3.02 s, best-of-2 A/B, r9): caching the corpus-scale
+    exploded pairs costs more than re-running the row-local split, so
+    the replay stays until the tokenizer itself dominates (e.g. a UDF
+    tokenizer). Scoring re-joins the stream to the model
     on token equi-keys. Head-token skew in the c1 join is the classic
     AQE-skew-split case. Nothing broadcasts with corpus cardinality —
     the only broadcast is the 1-row vocab scalar.
