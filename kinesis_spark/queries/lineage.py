@@ -847,3 +847,68 @@ def dq6_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").over(w_desc).cast("double") / F.sum("n").over(w_all)
         ).alias("keep_rate"),
     )
+
+
+from kinesis_spark.queries.dedup import _CAPPED_PAIRS_SQL as _D14_PAIRS_SQL
+
+
+@register(
+    "dq7_neardup_rate_by_source",
+    # shares dedup's capped-pair CTE verbatim: a BAND_ROWS/N_HASHES
+    # change re-bands this report in lockstep with the dedup family
+    oracle=f"""
+WITH {_D14_PAIRS_SQL},
+flagged AS (
+  SELECT d.source, CAST(COUNT(DISTINCT f.doc_id) AS BIGINT) AS n_flagged
+  FROM (
+    SELECT doc_a AS doc_id FROM pairs
+    UNION ALL SELECT doc_b AS doc_id FROM pairs
+  ) f JOIN documents d ON f.doc_id = d.doc_id
+  GROUP BY d.source
+),
+totals AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+)
+SELECT t.source, t.n_docs,
+       CAST(COALESCE(fl.n_flagged, 0) AS BIGINT) AS n_flagged,
+       CAST(COALESCE(fl.n_flagged, 0) AS DOUBLE) / t.n_docs AS neardup_rate
+FROM totals t LEFT JOIN flagged fl ON t.source = fl.source
+""",
+    tags=("quality", "dedup", "report"),
+)
+def dq7_neardup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source NEAR-DUP CONTAMINATION report — the number a curator
+    reads before weighting a source in the mix: how many of a source's
+    documents sit in at least one capped-LSH candidate pair (d14's
+    relation, the same one the verify/consume family rides), and the
+    rate against the source's document count. A source at 30% near-dup
+    incidence needs dedup before mixing; one at 0.5% doesn't.
+
+    Scale shape: the candidate relation is capped-bucket-bounded
+    (d14); flagged docs come from ONE explode of the pair list; the
+    rate join is (source)-keyed against a source-count-sized rollup.
+    Document bodies never shuffle — pairs are id-pairs, the join keys
+    are ids and source labels."""
+    from kinesis_spark.queries.dedup import d14_capped_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = d14_capped_lsh_pairs(spark, sf_dir)
+    flagged = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .distinct()
+        .join(d, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_flagged"))
+    )
+    totals = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return totals.join(flagged, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("n_flagged", F.lit(0)).cast("bigint").alias("n_flagged"),
+        (
+            F.coalesce("n_flagged", F.lit(0)).cast("double") / F.col("n_docs")
+        ).alias("neardup_rate"),
+    )

@@ -188,6 +188,11 @@ OPERATORS = [
     "t18_vocab_growth",
     "p12_curriculum_interleave",
     "sim19_nprobe_recall_sweep",
+    # d21 is subset-bounded by construction (all-pairs on a fixed 200-doc
+    # sample; only the pushed-down doc_id<200 scan grows) — expect ~1.0x;
+    # dq7 rides d14's capped candidates + a source-keyed rollup
+    "d21_lsh_calibration",
+    "dq7_neardup_rate_by_source",
 ]
 
 

@@ -195,13 +195,23 @@ def test_bench_regression_tripwire(tmp_path):
     p.write_text(json.dumps(prev))
     now = {"q_slow": 3.0, "q_noise": 0.4, "q_ok": 2.2, "q_failed": -1.0,
            "q_new": 5.0}
-    got = find_regressions(str(p), now, 0.1)
+    got, host_ratio = find_regressions(str(p), now, 0.1)
+    assert host_ratio == 1.0  # prev artifact predates the host sentinel
     assert set(got) == {"q_slow"}
-    assert got["q_slow"] == {"prev": 2.0, "now": 3.0, "ratio": 1.5}
+    assert got["q_slow"] == {"prev": 2.0, "now": 3.0,
+                             "now_host_normalized": 3.0,
+                             "ratio": 1.5, "raw_ratio": 1.5}
     # different sf: no comparison
-    assert find_regressions(str(p), now, 0.01) == {}
+    assert find_regressions(str(p), now, 0.01) == ({}, 1.0)
     # missing file: no comparison
-    assert find_regressions(str(tmp_path / "nope.json"), now, 0.1) == {}
+    assert find_regressions(str(tmp_path / "nope.json"), now, 0.1) == ({}, 1.0)
+    # host-normalization (VERDICT r8 task 1): the same +50% raw slowdown
+    # is NOT a regression when the sentinel says the host is 1.5x slower
+    prev2 = dict(prev, host_seconds=1.0)
+    p2 = tmp_path / "BENCH_prev2.json"
+    p2.write_text(json.dumps(prev2))
+    got2, hr2 = find_regressions(str(p2), now, 0.1, host_seconds=1.5)
+    assert hr2 == 1.5 and got2 == {}
 
 
 def test_cli_stream_named_intake_still_produces(tmp_path):
