@@ -1450,3 +1450,99 @@ def t18_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vocab").cast("double") / F.col("n_tokens")).alias("ttr"),
         (ln6(F.col("vocab")) / ln6(F.col("n_tokens"))).alias("herdan_c"),
     )
+
+
+ZIPF_TOP = 30  # rank-frequency fit depth per language
+
+
+@register(
+    "t19_zipf_slope",
+    oracle=f"""
+WITH toks AS (
+  SELECT lang, t.tok
+  FROM documents, UNNEST(regexp_split_to_array(text, '{WS_RE}')) AS t(tok)
+),
+counts AS (
+  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM toks GROUP BY lang, tok
+),
+ranked AS (
+  SELECT lang, tok, freq,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY freq DESC, tok) AS BIGINT) AS rnk
+  FROM counts
+),
+top AS (SELECT * FROM ranked WHERE rnk <= {ZIPF_TOP}),
+xy AS (
+  SELECT lang,
+         CAST(ROUND(LN(CAST(rnk AS DOUBLE)), 6) AS DECIMAL(12,6)) AS x,
+         CAST(ROUND(LN(CAST(freq AS DOUBLE)), 6) AS DECIMAL(12,6)) AS y
+  FROM top
+),
+s AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_terms,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x * y AS DECIMAL(26,12))) AS sxy,
+         SUM(CAST(x * x AS DECIMAL(26,12))) AS sxx
+  FROM xy GROUP BY lang
+)
+SELECT lang, n_terms,
+       (n_terms * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (n_terms * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         AS zipf_slope
+FROM s
+""",
+    tags=("text", "statistics", "zipf"),
+)
+def t19_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language ZIPF FIT: the least-squares slope of ln(frequency)
+    against ln(rank) over each language's top-{K} tokens — natural text
+    sits near -1; a flat slope (toward 0) means templated/synthetic
+    token salad, a steep one means a degenerate head (boilerplate) —
+    one more corpus-health gauge next to t18's Heaps profile.
+
+    Determinism: x/y are 6-dp-ln-bridge decimals, their products widen
+    to DECIMAL(26,12), and all four sums are exact and
+    order-independent; the cross-terms and the final division then run
+    in DOUBLE on those identical exact inputs (decimal cross-products
+    would overflow precision 38 and round engine-differently), so
+    partial-aggregation order can never move a bit. Rank ties break on the token string in both engines.
+
+    Scale shape: one corpus scan exploded to (lang, token), one
+    partial-aggregated count shuffle, a lang-partitioned top-{K} window
+    over the vocabulary-sized count relation, and a lang-keyed 4-sum
+    aggregate over {K}-row groups — nothing wider than the vocabulary
+    ever shuffles."""
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    toks = d.select("lang", F.explode(F.split("text", WS_RE)).alias("tok"))
+    counts = toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), F.asc("tok"))
+    top = counts.withColumn(
+        "rnk", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rnk") <= ZIPF_TOP)
+    x = F.round(F.log(F.col("rnk").cast("double")), 6).cast("decimal(12,6)")
+    y = F.round(F.log(F.col("freq").cast("double")), 6).cast("decimal(12,6)")
+    xy = top.select("lang", x.alias("x"), y.alias("y"))
+    s = xy.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(26,12)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(26,12)")).alias("sxx"),
+    )
+    # cross terms in DOUBLE over the exact decimal sums: decimal
+    # multiplication here would overflow precision 38 and round
+    # differently per engine; double ops on identical exact inputs are
+    # IEEE-deterministic on both
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy_d, sxx_d = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    num = F.col("n_terms") * sxy_d - sx_d * sy_d
+    den = F.col("n_terms") * sxx_d - sx_d * sx_d
+    return s.select("lang", "n_terms", (num / den).alias("zipf_slope"))
+
+
+if t19_zipf_slope.__doc__:  # absent under python -OO
+    t19_zipf_slope.__doc__ = t19_zipf_slope.__doc__.format(K=ZIPF_TOP)

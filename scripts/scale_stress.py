@@ -193,6 +193,9 @@ OPERATORS = [
     # dq7 rides d14's capped candidates + a source-keyed rollup
     "d21_lsh_calibration",
     "dq7_neardup_rate_by_source",
+    # t19: one count shuffle + lang-partitioned top-30 window over the
+    # vocabulary-sized relation — ~linear in tokens
+    "t19_zipf_slope",
 ]
 
 

@@ -220,3 +220,43 @@ def test_compaction_crash_before_marker_is_invisible(spark, tmp_path):
     )
     after = sorted(map(tuple, _current_counts(spark, state).collect()))
     assert after == before
+
+
+def test_compaction_fires_in_stream_and_preserves_parity(spark, sf_dir, tmp_path):
+    """End-to-end: a drain long enough to cross COMPACT_EVERY batches
+    must actually compact inside the foreachBatch sink (roll-up dir +
+    marker present, recent slots bounded) while the final report stays
+    bit-exact with the batch dq4 — the layout change must never move a
+    count."""
+    import glob
+
+    from kinesis_spark.streaming.drift import COMPACT_EVERY, _compacted_upto
+
+    work = str(tmp_path)
+    o = load_table(spark, sf_dir, "orders")
+    ref = o.filter(F.year("o_orderdate") < PSI_SPLIT_YEAR)
+    cur = o.filter(F.year("o_orderdate") >= PSI_SPLIT_YEAR)
+    ref_path = os.path.join(work, "ref")
+    write_psi_reference(ref, "o_totalprice", ref_path)
+    cur_path = os.path.join(work, "cur")
+    n_files = COMPACT_EVERY + 4  # one file per micro-batch
+    cur.repartition(n_files).write.parquet(cur_path)
+
+    out = _drain(spark, cur_path, ref_path, work, "compact")
+    rep = spark.read.parquet(out)
+    last = rep.agg(F.max("batch_id")).first()[0]
+    assert last >= COMPACT_EVERY  # enough batches to trigger compaction
+
+    state = os.path.join(work, "state-compact")
+    upto = _compacted_upto(spark, state)
+    assert upto >= 0, "compaction never fired inside the stream"
+    assert glob.glob(os.path.join(state, "compacted", "upto=*"))
+    recent = glob.glob(os.path.join(state, "batches", "batch_id=*"))
+    assert len(recent) < COMPACT_EVERY + 1
+
+    # parity with the batch report is unaffected by the layout change
+    final = rep.filter(F.col("batch_id") == last).drop("batch_id")
+    batch = dq4_psi_drift(spark, sf_dir)
+    assert sorted(map(tuple, final.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
