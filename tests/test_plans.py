@@ -1037,3 +1037,13 @@ def test_sim19_one_assignment_feeds_all_widths(plan_of):
     plan = plan_of("sim19_nprobe_recall_sweep")
     assert "InMemoryTableScan" in plan
     assert "SinglePartition" not in plan
+
+
+def test_d21_subset_filter_pushes_to_scan(plan_of):
+    """d21's calibration sample is doc_id < 200: the bound must reach
+    the parquet reader as a pushed filter (at 100 TB the all-pairs side
+    reads a few hundred rows, not the corpus)."""
+    plan = plan_of("d21_lsh_calibration")
+    assert "LessThan(doc_id,200)" in plan.replace(" ", "") or (
+        "PushedFilters" in plan and "doc_id" in plan
+    )

@@ -345,9 +345,13 @@ def test_drift_monitor_rides_the_intake_stream(spark, sf_dir, tmp_path):
         for i in range(60)
     ]
 
+    # short intake-lease TTL + explicit lapse sleeps between consumers:
+    # leases are NOT released at query stop (KCL semantics — takeover
+    # happens by TTL expiry), so a successor with an unexpired
+    # predecessor claims zero shards and silently drains nothing
     cfg = IntakeConfig(
         spool_dir=spool, stream=STREAM, work_dir=work,
-        consumer_id="A", lease_ttl_s=30.0,
+        consumer_id="A", lease_ttl_s=0.5,
     )
     _put_docs(spool, wave1)
     audit_a = run_intake(spark, cfg)
@@ -401,14 +405,17 @@ def test_drift_monitor_rides_the_intake_stream(spark, sf_dir, tmp_path):
     assert latest_alert() is False
 
     # in-distribution wave: intake admits, monitor stays silent
+    __import__("time").sleep(0.8)  # A's leases lapse
     _put_docs(spool, wave2)
     cfg_b = takeover(cfg, "B")
-    run_intake(spark, cfg_b)
+    audit_b = run_intake(spark, cfg_b)
+    assert audit_b.count() > 0
     drain_monitor()
     assert latest_alert() is False
 
     # planted drifted batch: intake keeps admitting (unique, gate-
     # passing), the monitor fires
+    __import__("time").sleep(0.8)  # B's leases lapse
     _put_docs(spool, wave3)
     audit_c = run_intake(spark, takeover(cfg_b, "C"))
     corpus = tx_read(spark, cfg.corpus)
