@@ -45,3 +45,33 @@ def test_export_plan_uses_range_partitioning(spark, sf_dir):
     plan = shaped._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan
     assert "SinglePartition" not in plan
+
+
+def test_curriculum_order_materializes_via_sorted_export(spark, sf_dir, tmp_path):
+    """The production face of p12: the curriculum schedule is
+    MATERIALIZED with the range-partitioned ordered export (file order
+    = global training order, no single-task sort), and reading the
+    files back in name order reproduces p12's global_pos exactly —
+    the registered query's ROW_NUMBER face and the export's
+    file-offset arithmetic are the same order."""
+    import glob
+
+    from kinesis_spark.export import sorted_export
+    from kinesis_spark.pins import release_shared_pins
+    from kinesis_spark.queries import get_registry
+
+    sched = get_registry()["p12_curriculum_interleave"].spark_fn(spark, sf_dir)
+    want = [r.doc_id for r in sched.orderBy("global_pos").collect()]
+
+    out = str(tmp_path / "curriculum")
+    sorted_export(sched, ["global_pos"], out, n_files=8)
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) > 1  # genuinely multi-file, order spans files
+    got = []
+    for f in files:
+        got.extend(
+            r.doc_id
+            for r in spark.read.parquet(f).orderBy("global_pos").collect()
+        )
+    assert got == want
+    release_shared_pins()
