@@ -14,9 +14,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kinesis_spark.ingest.limits import (
+    SHARD_BYTES_RATE_LIMIT,
+    SHARD_RECORDS_RATE_LIMIT,
+)
 from kinesis_spark.ingest.rechunk import unframed_rechunk
 from kinesis_spark.io import load_table
 from kinesis_spark.queries import register
+
+# i5's assumed drain window: the fixture corpus offered over one
+# reference flush period (FLUSH_PERIOD_S = 1 s, kinesis/kinesis.go:56)
+_DRAIN_WINDOW_S = 1
 
 CHUNK = 64  # shrunk RecordSizeLimit − len(partition_key) analog
 BATCH = 50  # shrunk PutRecordsLimit analog
@@ -162,4 +170,94 @@ def i4_unframed_rechunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = unframed_rechunk(d, RECHUNK, "doc_id")
     return out.select(
         "chunk_id", F.col("chunk").cast("string").alias("chunk"), "chunk_bytes"
+    )
+
+
+@register(
+    "i5_shard_throttle_projection",
+    oracle=f"""
+WITH keyed AS (
+  SELECT 'shard-' || CAST(user_id % 8 AS VARCHAR) AS partition_key,
+         COUNT(*) AS n_records,
+         CAST(SUM(LENGTH(props)) AS BIGINT) AS total_bytes
+  FROM events
+  GROUP BY 1
+)
+SELECT partition_key, n_records, total_bytes,
+       CAST(n_records AS DOUBLE) / {_DRAIN_WINDOW_S} AS records_per_s,
+       CAST(total_bytes AS DOUBLE) / {_DRAIN_WINDOW_S} AS bytes_per_s,
+       (CAST(n_records AS DOUBLE) / {_DRAIN_WINDOW_S}
+          > {SHARD_RECORDS_RATE_LIMIT})
+         OR (CAST(total_bytes AS DOUBLE) / {_DRAIN_WINDOW_S}
+          > {SHARD_BYTES_RATE_LIMIT}) AS would_throttle,
+       GREATEST(
+         CAST(CEIL(CAST(n_records AS DOUBLE)
+                   / {_DRAIN_WINDOW_S} / {SHARD_RECORDS_RATE_LIMIT}) AS BIGINT),
+         CAST(CEIL(CAST(total_bytes AS DOUBLE)
+                   / {_DRAIN_WINDOW_S} / {SHARD_BYTES_RATE_LIMIT}) AS BIGINT),
+         1) AS min_shards
+FROM keyed
+""",
+    tags=("ingest", "partition-key", "throttle", "capacity"),
+)
+def i5_shard_throttle_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPACITY PLANNING against the reference's DECLARED per-shard
+    service limits — the dead constants (kinesis/kinesis.go:25,28;
+    SURVEY §1.3) turned into the report a stream operator actually
+    needs: project each partition key's load over a {W}-second drain
+    window onto the 1000 records/s and 1 MiB/s per-shard envelope,
+    flag keys that would throttle, and size the minimum shard count per
+    key (the split decision Kinesis resharding automates — our
+    resharding consumer, tests/test_resharding.py, is the read side of
+    exactly this). Runs over the EVENTS stream keyed the i3 way: at
+    the driver's sf0.01 gate each synthetic key carries ~1250
+    records/s, genuinely over the 1000/s record limit, so the report
+    shows real True flags and min_shards=2 — not a vacuous all-clear.
+    The reference pins ONE key per writer, so its whole stream is a
+    single `min_shards` row — the worst case i3 profiles.
+
+    Exactness: integer counts/sums; one division each by the literal
+    window; CEIL of exact-input doubles; the throttle flag compares the
+    same doubles both engines computed identically."""
+    from kinesis_spark.ingest.limits import (
+        SHARD_BYTES_RATE_LIMIT as _B,
+        SHARD_RECORDS_RATE_LIMIT as _R,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    keyed = (
+        e.select(
+            F.concat(F.lit("shard-"), (F.col("user_id") % 8).cast("string")).alias(
+                "partition_key"
+            ),
+            F.length("props").alias("n_bytes"),
+        )
+        .groupBy("partition_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        )
+    )
+    rps = F.col("n_records").cast("double") / F.lit(float(_DRAIN_WINDOW_S))
+    bps = F.col("total_bytes").cast("double") / F.lit(float(_DRAIN_WINDOW_S))
+    return keyed.select(
+        "partition_key",
+        "n_records",
+        "total_bytes",
+        rps.alias("records_per_s"),
+        bps.alias("bytes_per_s"),
+        ((rps > F.lit(float(_R))) | (bps > F.lit(float(_B)))).alias(
+            "would_throttle"
+        ),
+        F.greatest(
+            F.ceil(rps / F.lit(float(_R))).cast("bigint"),
+            F.ceil(bps / F.lit(float(_B))).cast("bigint"),
+            F.lit(1).cast("bigint"),
+        ).alias("min_shards"),
+    )
+
+
+if i5_shard_throttle_projection.__doc__:  # absent under python -OO
+    i5_shard_throttle_projection.__doc__ = (
+        i5_shard_throttle_projection.__doc__.format(W=_DRAIN_WINDOW_S)
     )
