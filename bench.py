@@ -334,8 +334,23 @@ def main() -> None:
     stamped = os.path.join(
         REPO, f"BENCH_full_r{_max_round_on_disk() + 1:02d}.json"
     )
-    with open(stamped, "w") as f:
-        f.write(payload + "\n")
+    # WRITE-ONCE: the stamped artifact is the round's committed record;
+    # the driver re-runs bench after the close commit (with the round
+    # counter unchanged), and overwriting here would dirty a committed
+    # file — the exact failure round-stamping exists to prevent.
+    # Deliberate refreshes inside a round set SPARK_GRAFT_BENCH_STAMP=force.
+    if (
+        not os.path.exists(stamped)
+        or os.environ.get("SPARK_GRAFT_BENCH_STAMP") == "force"
+    ):
+        with open(stamped, "w") as f:
+            f.write(payload + "\n")
+    else:
+        print(
+            f"bench: {os.path.basename(stamped)} exists; stamped copy "
+            "left untouched (set SPARK_GRAFT_BENCH_STAMP=force to refresh)",
+            file=sys.stderr,
+        )
     # ... and print a COMPACT digest as the LAST line so the captured
     # tail is always a parseable JSON object in the documented shape:
     # "queries" aggregated per family (sim/d/t/q/...) instead of the
