@@ -569,11 +569,16 @@ R1_VERIFIED: frozenset[str] = frozenset(
 # unchanged behavior). Self-clearing: once a query earns a green row
 # after its snapshot round, it leaves the changed tier entirely.
 REVERIFY_FIRST: tuple[str, ...] = (
-    # r9: no curated semantic changes — s17's de-globalized global_pos
-    # is plan-only (bit-identical output, same oracle), so it re-enters
-    # through the ordinary drift tier, not this one. The r8 entries
-    # (capped-candidate default family) all earned green rows in
-    # CORRECTNESS_r08.json and left the tier on their own.
+    # r10 (VERDICT r9 task 1): the registered d3/d7 faces flipped from
+    # uncapped to CAPPED pair expansion — oracle AND Spark semantics
+    # changed together (hot buckets now drop wholesale), so their green
+    # r09 rows validate the old uncapped faces.
+    "d3_minhash_lsh_pairs",
+    "d7_simhash_pairs",
+    # r10 (ADVICE r9): i5 now projects against octet_length (bytes),
+    # not length (characters) — same on the ASCII fixtures, different
+    # semantics.
+    "i5_shard_throttle_projection",
 )
 
 

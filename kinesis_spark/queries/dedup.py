@@ -34,6 +34,7 @@ BAND_ROWS = 2  # rows per LSH band → 4 bands
 SIM_BITS = 60  # simhash width: 15 md5 hex chars → fits signed int64 exactly
 SIM_BAND_BITS = 15  # 4 bands of 15 bits for simhash LSH
 SIM_HAMMING_MAX = 8  # near-dup threshold on 60-bit signatures
+SIM_MAX_BUCKET = 32  # SimHash band-bucket cap (d14's argument, 15-bit bands)
 
 
 def _tokens_barrier(d: DataFrame, min_words: int | None = None) -> DataFrame:
@@ -278,16 +279,6 @@ bands AS (
   FROM sigs
 )"""
 
-_PAIRS_SQL = (
-    _SIGS_BANDS_SQL
-    + """,
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-)"""
-)
-
 MAX_BUCKET = 4  # LSH bucket-size cap: bigger buckets are dropped wholesale
 
 # The CAPPED candidate CTE (d14's semantics): hot band keys are dropped
@@ -316,18 +307,34 @@ pairs AS (
 @register(
     "d3_minhash_lsh_pairs",
     oracle=f"""
-WITH {_PAIRS_SQL}
+WITH {_CAPPED_PAIRS_SQL}
 SELECT doc_a, doc_b FROM pairs
 """,
-    tags=("dedup", "minhash", "lsh"),
+    tags=("dedup", "minhash", "lsh", "capped"),
 )
-def d3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d3_minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, uncapped: bool = False
+) -> DataFrame:
     """MinHash(8) + LSH banding (4 bands × 2 rows): candidate near-dup
     pairs = docs sharing at least one band. The band grouping shuffles
     only (doc_id, 64-B key) pairs — no all-pairs blowup; pipeline and
     pair expansion live in the shared :func:`_lsh_band_buckets` /
-    :func:`_ordered_pairs` helpers (one definition for d3 and d14)."""
-    return _pairs_of(_lsh_band_buckets(load_table(spark, sf_dir, "documents")))
+    :func:`_ordered_pairs` helpers (one definition for d3 and d14).
+
+    The REGISTERED face is CAPPED (VERDICT r9 task 1): hot band buckets
+    (> MAX_BUCKET members — boilerplate collisions carrying no near-dup
+    signal) are dropped wholesale BEFORE pair expansion, bounding
+    per-bucket work at MAX_BUCKET². The uncapped form measured 19.6×
+    wall at a 30× duplicate-heavy corpus (SCALE_r08_x30, d9 docstring) —
+    a user running the registered query verbatim must not hit that.
+    ``uncapped=True`` is the explicitly-diagnostic escape hatch (bucket
+    contrast studies, d21-style calibration on bounded samples)."""
+    return _pairs_of(
+        _lsh_band_buckets(
+            load_table(spark, sf_dir, "documents"),
+            max_bucket=None if uncapped else MAX_BUCKET,
+        )
+    )
 
 
 @register(
@@ -465,29 +472,55 @@ bands AS (
 )"""
 
 
-@register(
-    "d7_simhash_pairs",
-    oracle=f"""
-WITH {_SIM_BANDS_SQL}
+# ONE definition of the CAPPED SimHash-pair oracle (bands sharing a
+# 15-bit value with 2..SIM_MAX_BUCKET members expand; hotter buckets
+# drop wholesale) — shared verbatim by d7 (registered default face since
+# r10, VERDICT r9 task 1) and d20 (the original capped registration).
+_SIM_CAPPED_PAIRS_ORACLE = f"""
+WITH {_SIM_BANDS_SQL},
+kept AS (
+  SELECT band_idx, band_val FROM bands
+  GROUP BY band_idx, band_val
+  HAVING COUNT(*) BETWEEN 2 AND {SIM_MAX_BUCKET}
+)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
-FROM bands a JOIN bands b
+FROM bands a
+JOIN kept k ON a.band_idx = k.band_idx AND a.band_val = k.band_val
+JOIN bands b
   ON a.band_idx = b.band_idx AND a.band_val = b.band_val
      AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIM_HAMMING_MAX}
-""",
-    tags=("dedup", "simhash", "lsh"),
+"""
+
+
+@register(
+    "d7_simhash_pairs",
+    oracle=_SIM_CAPPED_PAIRS_ORACLE,
+    tags=("dedup", "simhash", "lsh", "capped"),
 )
 def d7_simhash_pairs(
-    spark: SparkSession, sf_dir: str, max_bucket: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_bucket: int | None = SIM_MAX_BUCKET,
+    uncapped: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs via banded LSH: 60-bit signatures split into
     4×15-bit bands; docs sharing any band become candidates (equi-join on
     (band_idx, band_val) — never all-pairs), then exact Hamming distance
     filters to ≤ 8 bits. At 100 TB the band join shuffles only
-    (doc_id, simhash, 2 ints) rows. ``max_bucket`` drops hot band
-    buckets wholesale before pair expansion — d20 is the registered
-    capped face (d14's argument, SimHash edition)."""
+    (doc_id, simhash, 2 ints) rows.
+
+    The REGISTERED face is CAPPED since r10 (VERDICT r9 task 1):
+    ``max_bucket`` defaults to SIM_MAX_BUCKET, dropping hot band buckets
+    wholesale before pair expansion — the uncapped form measured 22.5×
+    wall AND a driver OOM at the default 8 GiB heap on a 30×
+    duplicate-heavy corpus (SCALE_r09_x30). ``uncapped=True`` is the
+    explicitly-diagnostic escape hatch (contrast studies on bounded
+    inputs, e.g. tests/test_simhash_props.py's planted-hot-bucket
+    case)."""
+    if uncapped:
+        max_bucket = None
     sigs = _simhash_df(spark, sf_dir)
     n_bands = SIM_BITS // SIM_BAND_BITS
     mask = (1 << SIM_BAND_BITS) - 1
@@ -630,7 +663,7 @@ def d9_dedup_components(
 
     ``candidates`` is the (doc_a, doc_b) edge source; the default is the
     CAPPED relation (d14 — hot LSH buckets dropped wholesale before pair
-    expansion). The uncapped graph (pass ``d3_minhash_lsh_pairs(...)``)
+    expansion). The uncapped graph (pass ``d3_minhash_lsh_pairs(..., uncapped=True)``)
     grows quadratically in dup-group width: at a 30x duplicate-heavy
     corpus the downstream verify/select stages measured 19-32x wall
     (SCALE_r07_x30), and at 100 TB a hot template bucket alone can
@@ -737,7 +770,7 @@ def d10_edit_distance_verify(
 
     ``candidates`` defaults to the CAPPED relation (d14): this operator
     BROADCASTS the melted pair list, so its hard bound is the candidate
-    count — the uncapped graph (pass ``d3_minhash_lsh_pairs(...)`` for
+    count — the uncapped graph (pass ``d3_minhash_lsh_pairs(..., uncapped=True)`` for
     oracle-parity studies) grows quadratically in dup-group width and
     measured 31.9x wall at a 30x duplicate-heavy corpus
     (SCALE_r07_x30); past ~8 GiB it is a broadcast-ceiling job failure,
@@ -1185,7 +1218,7 @@ def d17_containment_overlap(
 
     Plan shape: ``candidates`` defaults to the CAPPED banded LSH (d14 —
     hot buckets dropped before pair expansion, so candidate volume is
-    duplicate-density-proof; pass ``d3_minhash_lsh_pairs(...)`` for the
+    duplicate-density-proof; pass ``d3_minhash_lsh_pairs(..., uncapped=True)`` for the
     uncapped study); the shingle relation joins onto the pair list by
     doc_id twice — two equi-shuffles keyed on doc ids, shipping shingle
     arrays ONLY for documents that appear in some candidate pair
@@ -1474,27 +1507,9 @@ if d19_signature_jaccard_estimate.__doc__:  # absent under python -OO
     )
 
 
-SIM_MAX_BUCKET = 32  # SimHash band-bucket cap (d14's argument, 15-bit bands)
-
-
 @register(
     "d20_capped_simhash_pairs",
-    oracle=f"""
-WITH {_SIM_BANDS_SQL},
-kept AS (
-  SELECT band_idx, band_val FROM bands
-  GROUP BY band_idx, band_val
-  HAVING COUNT(*) BETWEEN 2 AND {SIM_MAX_BUCKET}
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
-FROM bands a
-JOIN kept k ON a.band_idx = k.band_idx AND a.band_val = k.band_val
-JOIN bands b
-  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-     AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIM_HAMMING_MAX}
-""",
+    oracle=_SIM_CAPPED_PAIRS_ORACLE,
     tags=("dedup", "simhash", "lsh", "capped"),
 )
 def d20_capped_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1508,7 +1523,9 @@ def d20_capped_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE expansion bounds per-bucket work at SIM_MAX_BUCKET**2 while
     keeping every informative collision; the plan shape (one scan, one
     band shuffle) is d7's unchanged — the cap is a filter on the same
-    bucket aggregation."""
+    bucket aggregation. Since r10 the cap IS d7's registered default
+    (VERDICT r9 task 1); d20 remains as the named capped face whose
+    green history spans r8+ and whose oracle text d7 now shares."""
     return d7_simhash_pairs(spark, sf_dir, max_bucket=SIM_MAX_BUCKET)
 
 

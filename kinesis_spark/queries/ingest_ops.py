@@ -179,7 +179,7 @@ def i4_unframed_rechunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH keyed AS (
   SELECT 'shard-' || CAST(user_id % 8 AS VARCHAR) AS partition_key,
          COUNT(*) AS n_records,
-         CAST(SUM(LENGTH(props)) AS BIGINT) AS total_bytes
+         CAST(SUM(OCTET_LENGTH(ENCODE(props))) AS BIGINT) AS total_bytes
   FROM events
   GROUP BY 1
 )
@@ -216,6 +216,11 @@ def i5_shard_throttle_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     The reference pins ONE key per writer, so its whole stream is a
     single `min_shards` row — the worst case i3 profiles.
 
+    Byte-denominated (ADVICE r9): the service limit is 1 MiB/s of
+    BYTES, so payload size is octet_length (Spark) /
+    octet_length(encode(...)) (DuckDB) — LENGTH counts characters and
+    under-projects bytes_per_s/min_shards on non-ASCII payloads.
+
     Exactness: integer counts/sums; one division each by the literal
     window; CEIL of exact-input doubles; the throttle flag compares the
     same doubles both engines computed identically."""
@@ -230,7 +235,7 @@ def i5_shard_throttle_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("shard-"), (F.col("user_id") % 8).cast("string")).alias(
                 "partition_key"
             ),
-            F.length("props").alias("n_bytes"),
+            F.octet_length("props").alias("n_bytes"),
         )
         .groupBy("partition_key")
         .agg(

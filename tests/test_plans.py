@@ -338,6 +338,27 @@ def test_d17_rides_capped_candidates(plan_of):
     assert re.search(rf"size\(ids#\d+[^)]*\) <= {MAX_BUCKET}", plan)
 
 
+def test_d3_d7_registered_faces_are_capped(plan_of):
+    """VERDICT r9 task 1: the REGISTERED d3/d7 faces are capped — the
+    uncapped pair expansion is a scale-killer a user could run verbatim
+    (d7 measured 22.5x wall + driver OOM at the 30x duplicate-heavy
+    corpus, SCALE_r09_x30). The cap shows up as the bucket-size upper
+    bound in the aggregation filter; the uncapped forms survive only as
+    explicit ``uncapped=True`` diagnostic calls."""
+    import re
+
+    from kinesis_spark.queries.dedup import MAX_BUCKET, SIM_MAX_BUCKET
+
+    plan = plan_of("d3_minhash_lsh_pairs")
+    assert re.search(rf"size\(ids#\d+[^)]*\) <= {MAX_BUCKET}", plan), (
+        "d3's registered face lost the hot-bucket cap:\n" + plan[:800]
+    )
+    plan = plan_of("d7_simhash_pairs")
+    assert re.search(rf"size\(ms#\d+[^)]*\) <= {SIM_MAX_BUCKET}", plan), (
+        "d7's registered face lost the hot-bucket cap:\n" + plan[:800]
+    )
+
+
 def test_d9_sizes_join_not_hint_broadcast(plan_of):
     """`sizes` is one row per component — corpus-order at scale. The
     final join must not carry a broadcast hint; AQE may still broadcast

@@ -93,7 +93,8 @@ def test_d20_cap_drops_planted_hot_bucket(spark, tmp_path):
     ).write.parquet(f"{d}/documents.parquet")
 
     uncapped = {
-        (r.doc_a, r.doc_b) for r in d7_simhash_pairs(spark, d).collect()
+        (r.doc_a, r.doc_b)
+        for r in d7_simhash_pairs(spark, d, uncapped=True).collect()
     }
     capped = {
         (r.doc_a, r.doc_b)
