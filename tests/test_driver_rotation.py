@@ -281,3 +281,29 @@ def test_fingerprint_sees_function_local_imports(tmp_path):
         assert fp1 != fp2, "function-local import invisible to fingerprint"
     finally:
         sys.modules.pop(mod_name, None)
+
+
+def test_companion_names_are_validated():
+    """ADVICE r9: a typo'd companion string must raise at registry load,
+    not silently park the exempt query with no companion coverage."""
+    import pytest
+
+    from kinesis_spark.queries import REGISTRY, Query, _validate_companions
+
+    get_registry()  # ensure modules are loaded and current names validate
+    _validate_companions()
+
+    bogus = Query(name="zz_bogus_exempt", spark_fn=lambda s, d: None,
+                  oracle=None, companion="zz_no_such_query")
+    REGISTRY[bogus.name] = bogus
+    try:
+        with pytest.raises(ValueError, match="not a registered query"):
+            _validate_companions()
+        # companion exists but is itself oracle-less -> also invalid
+        REGISTRY[bogus.name] = Query(
+            name=bogus.name, spark_fn=lambda s, d: None,
+            oracle=None, companion="d8_minhash_lsh_mllib")
+        with pytest.raises(ValueError, match="no oracle"):
+            _validate_companions()
+    finally:
+        del REGISTRY[bogus.name]

@@ -1034,8 +1034,12 @@ def test_s17_no_single_partition_exchange(plan_of):
     Window operator carries a partition spec."""
     plan = plan_of("s17_interleaved_schedule")
     assert "SinglePartition" not in plan
-    # the schedule key's range shuffle IS the sort — present by design
-    assert "rangepartitioning" in plan.lower()
+    # the schedule key's range shuffle IS the sort — it runs inside the
+    # localCheckpoint materialization job (ADVICE r9: checkpoint, not
+    # persist, so lost blocks fail loudly instead of recomputing under
+    # resampled range boundaries), so the RETURNED plan reads the
+    # checkpointed partitions back as an RDD scan
+    assert "Scan ExistingRDD" in plan
     # offsets join must be broadcast, not a shuffled join
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
@@ -1046,7 +1050,9 @@ def test_p12_no_single_partition_exchange(plan_of):
     window, no SinglePartition exchange, offsets broadcast."""
     plan = plan_of("p12_curriculum_interleave")
     assert "SinglePartition" not in plan
-    assert "rangepartitioning" in plan.lower()
+    # both range shuffles run inside global_row_number's localCheckpoint
+    # jobs (see test_s17 above); the returned plan reads them back
+    assert "Scan ExistingRDD" in plan
 
 
 def test_sim19_one_assignment_feeds_all_widths(plan_of):
