@@ -1366,8 +1366,18 @@ if sim12_semdedup_bounded.__doc__:  # absent under python -OO
     )
 
 
-N_PROBE_FILTERED = 3  # filtered search probes wider: the tenant filter
-TENANTS = 3           # discards ~2/3 of each probed cell's candidates
+TENANTS = 3  # tenant filter discards ~2/3 of each probed cell's candidates
+# Filtered search probes wider IN PROPORTION TO THE FILTER'S SELECTIVITY
+# (VERDICT r9 task 5): a selectivity-s predicate keeps ~s of each probed
+# cell's candidates, so holding the expected candidate volume at the
+# unfiltered level takes nprobe/s probes — here N_PROBE × TENANTS = 6.
+# Measured recall@5 vs exact tenant-restricted brute force on the
+# 500-vector fixtures: 0.74 (sf0.001) / 0.78 (sf0.01), up from 0.46/0.50
+# at the old fixed nprobe=3; the 0.6 floor is pinned in
+# tests/test_lineage.py. Probe cost stays linear in nprobe and the
+# widened probes still prune at file listing on the persisted
+# (cell, tenant)-partitioned layout (ann.py).
+N_PROBE_FILTERED = N_PROBE * TENANTS
 
 
 @register(
@@ -1430,15 +1440,17 @@ def sim13_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored metadata column.
 
     Post-filtering inside the probed cells, with the probe count widened
-    {N_PROBE} -> {N_PROBE_FILTERED}: a selectivity-s filter keeps ~s of
-    each cell's candidates, so recall at fixed nprobe drops and the
-    standard compensation is probing wider (cheap: probe cost is linear
-    in nprobe, and the tenant predicate is evaluated row-locally in the
-    cell scan, BEFORE the rerank fold). Measured on the 500-vector
-    fixture (tenant orthogonal to the label geometry, the hard case):
-    recall@5 vs exact tenant-restricted brute force = 0.46 at nprobe 3,
-    0.64 at nprobe 5 — the knob is the probe count, pinned by the recall
-    floor in tests/test_lineage.py. At 100 TB with a persisted index
+    {N_PROBE} -> {N_PROBE_FILTERED} — PROPORTIONALLY TO SELECTIVITY
+    (nprobe × TENANTS, the per-filter-selectivity rule): a
+    selectivity-s filter keeps ~s of each cell's candidates, so holding
+    candidate volume at the unfiltered level takes nprobe/s probes
+    (cheap: probe cost is linear in nprobe, and the tenant predicate is
+    evaluated row-locally in the cell scan, BEFORE the rerank fold).
+    Measured on the 500-vector fixture (tenant orthogonal to the label
+    geometry, the hard case): recall@5 vs exact tenant-restricted brute
+    force = 0.74 at sf0.001 / 0.78 at sf0.01 with the selectivity rule,
+    vs 0.46/0.50 at a fixed nprobe 3 — the ≥0.6 floor is pinned in
+    tests/test_lineage.py. At 100 TB with a persisted index
     (ann.py) a high-selectivity filter column graduates into the cell
     layout — PARTITIONED BY (cell, tenant) — so the predicate prunes at
     file listing exactly like the cell id; a medium-selectivity column

@@ -58,10 +58,12 @@ def test_diff_by_key_classifies_and_survives_null_payloads(spark):
 def test_sim13_filtered_ann_respects_tenant_and_recall(spark, sf_dir):
     """Every returned match must share its query's tenant (hard
     guarantee), and aggregate recall@5 vs the exact tenant-restricted
-    brute force must hold the measured floor (0.46 at nprobe=3 on the
-    500-vector fixture with tenant orthogonal to the cell geometry —
-    the deterministic pipeline makes the measurement reproducible, so a
-    quantizer/probe regression moves it)."""
+    brute force must hold the production floor of 0.6 (VERDICT r9 task
+    5): with the selectivity-proportional probe width (N_PROBE × TENANTS
+    = 6) the measured recall is 0.74 on the sf0.001 500-vector fixture
+    with tenant orthogonal to the cell geometry — the deterministic
+    pipeline makes the measurement reproducible, so a quantizer/probe
+    regression moves it)."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -108,7 +110,7 @@ def test_sim13_filtered_ann_respects_tenant_and_recall(spark, sf_dir):
         if r.match_id in truth.get(r.query_id, set()):
             hits[r.query_id] += 1
     total_truth = sum(len(v) for v in truth.values())
-    assert sum(hits.values()) >= 0.4 * total_truth, hits
+    assert sum(hits.values()) >= 0.6 * total_truth, hits
 
 
 def test_diff_by_key_matches_python_reference_on_random_snapshots(spark):
