@@ -89,3 +89,51 @@ def test_no_bare_backslash_s_in_any_oracle():
             assert r"\s" not in q.oracle, (
                 f"{q.name}: oracle uses bare \\s; use WS_RE/WS_CHARS"
             )
+
+
+def test_shared_oracle_constant_semantic_edit_reenters_dependents():
+    """VERDICT r9 task 7: the fingerprint must see a SEMANTIC edit to a
+    shared oracle-SQL constant through every dependent query, including
+    dependents in OTHER modules (lineage's dq7 imports dedup's capped
+    CTE). The mechanism under test: oracle f-strings bake the shared
+    constant's text in at registration, so an edit re-resolves every
+    dependent's oracle, and ``_query_fingerprint`` hashes the resolved
+    oracle — each dependent drifts and re-enters the driver window
+    (re-entry on drift is itself pinned by
+    test_driver_rotation.test_changed_since_verified_reenters_the_window).
+    This test proves both links of that chain for the two banding CTEs."""
+    import dataclasses
+
+    from kinesis_spark.queries import _query_fingerprint, get_registry
+    from kinesis_spark.queries.dedup import (
+        _CAPPED_PAIRS_SQL,
+        _SIM_CAPPED_PAIRS_ORACLE,
+    )
+
+    reg = get_registry()
+    for shared, min_deps, min_mods in (
+        (_CAPPED_PAIRS_SQL, 4, 2),       # d3/d9/d13/d14/d17/s14/dq7...
+        (_SIM_CAPPED_PAIRS_ORACLE, 2, 1),  # d7/d20
+    ):
+        deps = {
+            n: q for n, q in reg.items()
+            if q.oracle is not None and shared in q.oracle
+        }
+        # link 0: the constant IS shared — several dependents, and for
+        # the minhash CTE across more than one module (the blind spot)
+        assert len(deps) >= min_deps, sorted(deps)
+        mods = {q.spark_fn.__module__ for q in deps.values()}
+        assert len(mods) >= min_mods, mods
+
+        # link 1: a semantic edit (tighten the bucket-cap bound) changes
+        # every dependent's RESOLVED oracle text verbatim
+        edited = shared.replace("BETWEEN 2 AND", "BETWEEN 3 AND")
+        assert edited != shared
+        for n, q in deps.items():
+            new_oracle = q.oracle.replace(shared, edited)
+            assert new_oracle != q.oracle, n
+            # link 2: the fingerprint hashes the resolved oracle, so the
+            # edit drifts every dependent's fingerprint
+            assert _query_fingerprint(
+                dataclasses.replace(q, oracle=new_oracle)
+            ) != _query_fingerprint(q), n
