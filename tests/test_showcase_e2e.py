@@ -423,3 +423,188 @@ def test_drift_monitor_rides_the_intake_stream(spark, sf_dir, tmp_path):
     assert audit_c.count() > 0
     drain_monitor()
     assert latest_alert() is True
+
+
+@pytest.mark.streaming
+def test_full_chaos_showcase(spark, sf_dir, tmp_path):
+    """VERDICT r9 task 6: all four failure modes in ONE run —
+
+    1. a shard is SPLIT mid-stream (topology cutover; later puts route
+       to the children),
+    2. consumer A is killed (its leases simply lapse — KCL semantics),
+    3. survivor B fails over from the shared lease table, replaying
+       A's never-checkpointed tail plus producer re-puts
+       (at-least-once, proven DELIVERED then deduplicated),
+    4. a drifted batch lands while the PSI monitor — a second consumer
+       of the same stream — is watching.
+
+    End state: the corpus equals a pure-Python greedy admission oracle
+    replayed over the OBSERVED per-batch arrival order (delivery order
+    across the split is pinned separately by test_resharding's
+    parent-before-child asserts), contains no duplicate ids or texts
+    (exactly-once through every replay), the training-shard export is
+    byte-deterministic, and the monitor stayed silent through the
+    in-distribution waves and fired on the drifted one."""
+    import time
+
+    from kinesis_spark.ingest.leases import ShardLeases
+    from kinesis_spark.ingest.resharding import (
+        init_topology,
+        load_topology,
+        split_shard,
+    )
+    from kinesis_spark.pipeline import _consumer_stream
+    from kinesis_spark.shards import write_training_shards
+    from kinesis_spark.streaming.drift import (
+        start_psi_drift_query,
+        write_psi_reference,
+    )
+
+    work = str(tmp_path)
+    spool = f"{work}/spool"
+    rows = _corpus_rows(spark, sf_dir)
+    wave1, wave2 = rows[:80], rows[80:]
+    reput = wave1[:3]
+    wave3 = [  # drift: gate-passing but far shorter than the corpus
+        {
+            "doc_id": 2_000_000 + i,
+            "text": ("drift" + str(i) + " ") * 12,
+            "lang": "en",
+            "source": "crawl",
+        }
+        for i in range(60)
+    ]
+    by_id = {r["doc_id"]: r for r in rows + wave3}
+
+    # explicit 4-shard topology so the mid-stream split is observable
+    init_topology(spool, 4)
+
+    cfg = IntakeConfig(
+        spool_dir=spool, stream=STREAM, work_dir=work,
+        consumer_id="A", lease_ttl_s=0.5,
+    )
+    _put_docs(spool, wave1)
+    sink = IntakeSink(spark, cfg)
+    audit_a = run_intake(spark, cfg, sink=sink)
+    assert audit_a.count() > 0
+    n_after_a = len(sink.seen_doc_ids)
+
+    # PSI monitor: reference = the commissioning window's arrivals
+    ref_path = f"{work}/psi-ref"
+    write_psi_reference(
+        spark.createDataFrame(
+            [(float(len(r["text"])) * 1000.0,) for r in wave1], "v double"
+        ),
+        "v",
+        ref_path,
+    )
+    mon_cfg = takeover(cfg, "MON", lease_dir=f"{work}/mon-leases")
+    mon_out = f"{work}/psi-out"
+
+    def drain_monitor() -> None:
+        stream = (
+            _consumer_stream(spark, mon_cfg)
+            .select(
+                F.from_json(
+                    F.col("data").cast("string"), mon_cfg.doc_schema
+                ).alias("j")
+            )
+            .select((F.length("j.text").cast("double") * 1000.0).alias("v"))
+        )
+        q = start_psi_drift_query(
+            stream, ref_path, "v",
+            f"{work}/psi-state", mon_out, f"{work}/psi-ckpt",
+            trigger_available_now=True,
+        )
+        assert q.awaitTermination(300), "monitor drain exceeded 300s"
+
+    def latest_alert() -> bool:
+        rep = spark.read.parquet(mon_out)
+        last = rep.agg(F.max("batch_id")).first()[0]
+        vals = {
+            bool(r.drift_alert)
+            for r in rep.filter(F.col("batch_id") == last).collect()
+        }
+        assert len(vals) == 1
+        return vals.pop()
+
+    drain_monitor()  # commissioning window itself
+    assert latest_alert() is False
+
+    # ---- failure 1: split a live shard mid-stream ----------------------
+    topo = load_topology(spool, 4)
+    parent = topo.generations[-1].route("pk0")
+    c1, c2 = split_shard(spool, parent, n_shards_default=4)
+    topo2 = load_topology(spool, 4)
+    infos = {s.shard_id: s for s in topo2.shard_infos()}
+    assert infos[parent].closed
+    assert not infos[c1].closed and not infos[c2].closed
+    # the cutover is real: pk0's keyspace now routes to a child
+    assert topo2.generations[-1].route("pk0") in (c1, c2)
+
+    # ---- failure 2: kill A (leases lapse), land wave 2 + re-puts -------
+    time.sleep(0.8)
+    _put_docs(spool, wave2 + reput)
+
+    # ---- failure 3: B fails over from the lease table ------------------
+    # drain to quiescence: the split's children are gated until the
+    # parent's consumed-through is recorded, and each availableNow
+    # restart releases the next lineage layer — loop until a drain
+    # delivers nothing new (bounded; 2 drains in the common case)
+    cfg_b = takeover(cfg, "B", lease_ttl_s=30.0)
+
+    def drain_b_until_quiet(max_drains: int = 4) -> None:
+        for _ in range(max_drains):
+            before = sum(len(b) for b in sink.seen_doc_ids)
+            run_intake(spark, cfg_b, sink=sink)
+            if sum(len(b) for b in sink.seen_doc_ids) == before:
+                return
+        raise AssertionError("intake never quiesced")
+
+    drain_b_until_quiet()
+    b_seen = (
+        set().union(*sink.seen_doc_ids[n_after_a:])
+        if len(sink.seen_doc_ids) > n_after_a
+        else set()
+    )
+    # at-least-once proven: the re-puts were DELIVERED to B again
+    assert {r["doc_id"] for r in reput} <= b_seen
+    # B consumed the split's children and checkpointed them in the
+    # SHARED lease table (the failover record a later claimant reads)
+    leases_b = ShardLeases(cfg_b.leases, owner="B", ttl_s=30.0)
+    assert any(leases_b.last_checkpoint(STREAM, c) for c in (c1, c2))
+
+    drain_monitor()  # in-distribution wave: silent
+    drain_monitor()  # (restart releases children for the monitor too)
+    drain_monitor()
+    assert latest_alert() is False
+
+    # ---- failure 4: the drifted batch lands -----------------------------
+    _put_docs(spool, wave3)
+    drain_b_until_quiet()
+    drain_monitor()
+    assert latest_alert() is True
+
+    # ---- end state: exactly-once, oracle-exact, byte-deterministic -----
+    corpus = tx_read(spark, cfg.corpus)
+    got_ids = sorted(r.doc_id for r in corpus.select("doc_id").collect())
+    assert len(got_ids) == len(set(got_ids))  # no double admission
+    texts = [r.text for r in corpus.select("text").collect()]
+    assert len(texts) == len(set(texts))  # exact dedup held through chaos
+
+    # greedy oracle over the OBSERVED arrival order (batch by batch)
+    waves = [
+        [by_id[i] for i in sorted(batch)]
+        for batch in sink.seen_doc_ids
+        if batch
+    ]
+    expected = _oracle_admitted(spark, waves)
+    assert got_ids == sorted(expected)
+    assert corpus.filter(F.col("doc_id") >= 2_000_000).count() == len(wave3)
+
+    # byte-determinism through the whole chaos: two exports, equal bytes
+    out1, out2 = f"{work}/shards1", f"{work}/shards2"
+    write_training_shards(corpus, out1, n_shards=2)
+    write_training_shards(corpus, out2, n_shards=2)
+    d1, d2 = _shard_digest(out1), _shard_digest(out2)
+    assert d1 and d1 == d2
