@@ -208,6 +208,57 @@ def bench_ingest_soak(spark, seconds: float = 12.0, rows_per_second: int = 100,
     }
 
 
+def capacity_check(spark, sf_dir: str, soaks: dict[str, dict]) -> dict:
+    """VERDICT r9 task 8: exercise i5's throttle projection, don't just
+    render it. Two layers:
+
+    1. Run the registered ``i5_shard_throttle_projection`` query and
+       assert its rows are internally consistent with the declared
+       per-shard envelope (kinesis/kinesis.go:25,28): ``min_shards``
+       really covers the projected load, and ``would_throttle`` is
+       exactly "one shard is not enough".
+    2. Project each measured soak through the SAME limits and assert
+       the projected shard count × envelope >= the measured rate —
+       the capacity report applied to real pipeline throughput.
+
+    Raises AssertionError on violation (caught by main(), which marks
+    the bench line ``capacity.ok: false`` instead of aborting the
+    suite)."""
+    import math
+
+    from kinesis_spark.ingest.limits import (
+        SHARD_BYTES_RATE_LIMIT as B_LIM,
+        SHARD_RECORDS_RATE_LIMIT as R_LIM,
+    )
+    from kinesis_spark.queries import get_registry
+
+    rows = get_registry()["i5_shard_throttle_projection"].spark_fn(
+        spark, sf_dir
+    ).collect()
+    assert rows, "i5 projection returned no keys"
+    over = 0
+    for r in rows:
+        assert r.min_shards * R_LIM >= r.records_per_s, r
+        assert r.min_shards * B_LIM >= r.bytes_per_s, r
+        assert r.would_throttle == (
+            r.records_per_s > R_LIM or r.bytes_per_s > B_LIM
+        ), r
+        assert r.would_throttle == (r.min_shards > 1), r
+        over += int(r.would_throttle)
+
+    out: dict[str, object] = {"i5_keys": len(rows), "i5_over_envelope": over}
+    for name, s in soaks.items():
+        if not s["seconds"]:
+            continue
+        rps = s["records_put"] / s["seconds"]
+        bps = s["kib_per_s"] * 1024.0
+        shards = max(math.ceil(rps / R_LIM), math.ceil(bps / B_LIM), 1)
+        assert shards * R_LIM >= rps and shards * B_LIM >= bps, (name, s)
+        out[f"{name}_min_shards"] = shards
+    out["ok"] = True
+    return out
+
+
 def _current_round() -> int:
     """The round number to stamp artifacts with, read from the
     committed ROUND marker at the repo root (VERDICT r9 task 3: the
@@ -262,10 +313,17 @@ def find_regressions(
     task 1): both runs carry a fixed-sentinel time; this run's times
     are deflated by host_ratio = host_now / host_prev before the
     threshold test, so a uniformly slower shared host no longer floods
-    the tripwire. A query regresses when its normalized time is >30%
-    AND >0.5 s above the previous run. Returns ({} when the previous
-    file is missing/unreadable or at a different scale factor, and the
-    host_ratio used)."""
+    the tripwire. A query regresses when BOTH its raw and normalized
+    times are >30% AND >0.5 s above the previous run: when the host is
+    SLOWER (ratio > 1) the raw time is inflated and the normalized time
+    is the honest one (and raw >= normalized, so the joint test equals
+    the normalized test); when the host is FASTER (ratio < 1) the
+    sentinel — pure CPU — overstates how much of a query's fixed
+    overhead sped up, and dividing flat raw times by the ratio
+    manufactured 8 phantom 1.3-1.5x entries with raw ratios of ~1.0 in
+    the r10 run; the raw time is the honest floor there. Returns ({}
+    when the previous file is missing/unreadable or at a different
+    scale factor, and the host_ratio used)."""
     try:
         with open(prev_path) as f:
             prev = json.load(f)
@@ -282,7 +340,8 @@ def find_regressions(
         p = prev.get("queries", {}).get(name)
         if p and p > 0 and t > 0:
             t_norm = round(t / host_ratio, 3)
-            if t_norm > p * 1.3 and t_norm - p > 0.5:
+            t_floor = min(t, t_norm)  # the honest view in either regime
+            if t_floor > p * 1.3 and t_floor - p > 0.5:
                 out[name] = {
                     "prev": p,
                     "now": t,
@@ -311,6 +370,13 @@ def main() -> None:
         spark, rows_per_second=512, payload_bytes=8192, num_partitions=4,
         name="bench_headroom",
     )
+    try:
+        capacity = capacity_check(
+            spark, sf_dir, {"soak": ingest, "headroom": headroom}
+        )
+    except AssertionError as exc:
+        print(f"bench: CAPACITY CHECK FAILED: {exc}", file=sys.stderr)
+        capacity = {"ok": False, "error": str(exc)[:300]}
     # steady-state suite time: per-query bests + the soak durations (NOT
     # wall-clock of the double-run loop, which would double-count)
     total = round(
@@ -340,6 +406,7 @@ def main() -> None:
             "host_ratio_vs_prev": host_ratio,
             "ingest": ingest,
             "ingest_headroom": headroom,
+            "capacity": capacity,
             "regressions": regressions,
         }
     )
@@ -402,6 +469,7 @@ def main() -> None:
             "sf": sf,
             "ingest": ingest,
             "ingest_headroom": headroom,
+            "capacity": capacity,
             "full": "BENCH_full.json",
         }
     )

@@ -287,6 +287,68 @@ def _build_rel(spark, out_dir: str, replicas: int, rebuild: bool = False) -> Non
     )
 
 
+def _build_star(spark, out_dir: str, replicas: int, rebuild: bool = False) -> None:
+    """Full-star replication for ``--all`` (VERDICT r9 task 4): every
+    relational table as ``replicas`` DISJOINT key-offset copies so the
+    whole registry — q*/j*/w*/e*/a*, not just the document families —
+    has an honest linear-scale corpus. Offsets come from the DIMENSION
+    key domains (max(c_custkey)+1, not max(o_custkey)+1: customers
+    without orders would otherwise misalign the FK shift between the
+    two sides), the same offset is applied on both sides of every FK,
+    and region/nation copy verbatim (customer/supplier nationkeys stay
+    valid). Supersedes _build_rel's orders/lineitem in the same dirs —
+    identical disjoint-copy structure, so g* timings stay comparable."""
+    marker = os.path.join(out_dir, "_STAR_OK")
+    if not rebuild and os.path.exists(marker):
+        return
+    rep = spark.range(replicas).select(F.col("id").alias("replica"))
+
+    def offs(df, col):
+        return df.agg(F.max(col)).first()[0] + 1
+
+    c = load_table(spark, SF_SRC, "customer")
+    s = load_table(spark, SF_SRC, "supplier")
+    p = load_table(spark, SF_SRC, "part")
+    o = load_table(spark, SF_SRC, "orders")
+    li = load_table(spark, SF_SRC, "lineitem")
+    ev = load_table(spark, SF_SRC, "events")
+    mc, ms, mp = offs(c, "c_custkey"), offs(s, "s_suppkey"), offs(p, "p_partkey")
+    mo, mu, me = offs(o, "o_orderkey"), offs(ev, "user_id"), offs(ev, "event_id")
+
+    def write(df, shifted: dict[str, int], name: str) -> None:
+        (
+            df.crossJoin(rep)
+            .select(
+                *[
+                    (F.col(col) + F.col("replica") * F.lit(shifted[col])).alias(col)
+                    if col in shifted
+                    else F.col(col)
+                    for col in df.columns
+                ]
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"{name}.parquet"))
+        )
+
+    write(c, {"c_custkey": mc}, "customer")
+    write(s, {"s_suppkey": ms}, "supplier")
+    write(p, {"p_partkey": mp}, "part")
+    write(o, {"o_orderkey": mo, "o_custkey": mc}, "orders")
+    write(
+        li,
+        {"l_orderkey": mo, "l_partkey": mp, "l_suppkey": ms},
+        "lineitem",
+    )
+    write(ev, {"event_id": me, "user_id": mu}, "events")
+    for t in ("region", "nation"):  # tiny dims: copy verbatim
+        load_table(spark, SF_SRC, t).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{t}.parquet")
+        )
+    with open(marker, "w") as f:
+        f.write(f"replicas={replicas}\n")
+
+
 def time_warm(spark, name: str, sf_dir: str) -> float:
     fn = get_registry()[name].spark_fn
     best = float("inf")
@@ -502,8 +564,13 @@ def main() -> None:
         _build(spark, SF1X, 1)
     if "--rebuild" in sys.argv or not _complete(SF10X):
         _build(spark, SF10X, REPLICAS)
-    _build_rel(spark, SF1X, 1, rebuild="--rebuild" in sys.argv)
-    _build_rel(spark, SF10X, REPLICAS, rebuild="--rebuild" in sys.argv)
+    run_all = "--all" in sys.argv  # VERDICT r9 task 4: the whole registry
+    if run_all:
+        _build_star(spark, SF1X, 1, rebuild="--rebuild" in sys.argv)
+        _build_star(spark, SF10X, REPLICAS, rebuild="--rebuild" in sys.argv)
+    else:
+        _build_rel(spark, SF1X, 1, rebuild="--rebuild" in sys.argv)
+        _build_rel(spark, SF10X, REPLICAS, rebuild="--rebuild" in sys.argv)
     for d in (SF1X, SF10X):  # warm footers
         load_table(spark, d, "documents").count()
         load_table(spark, d, "embeddings").count()
@@ -514,7 +581,11 @@ def main() -> None:
             raise SystemExit("usage: scale_stress.py --only name1,name2[,tx]")
         only = set(sys.argv[i].split(","))
     out = {}
-    for name in OPERATORS:
+    # --all: every registered query, name-sorted (bench.py's canonical
+    # order) — the registry-wide scale table SCALE_FULL.md is built from
+    # this run. The curated OPERATORS list remains the per-round default.
+    op_list = sorted(get_registry()) if run_all else OPERATORS
+    for name in op_list:
         if only is not None and name not in only:
             continue
         x1 = time_warm(spark, name, SF1X)
