@@ -606,6 +606,15 @@ REVERIFY_FIRST: tuple[str, ...] = (
     # wide (nprobe 3 -> 6), lifting recall@5 from 0.46 to 0.74 — probe
     # set and therefore result set changed on both engines.
     "sim13_filtered_ann",
+    # r10 (SCALE_FULL's first catch): d5's registered face now
+    # sub-buckets its label blocks adaptively (32.3x -> 2.0x at 10x) —
+    # blocking semantics changed on both engines (output-identical at
+    # the fixture scales, where every label fits one block).
+    "d5_embedding_near_dup",
+    # r10 (SCALE_D30's catch): d8c verifies the MLlib machinery on a
+    # fixed 200-doc subset (40.3x -> 0.9x at the 30x corpus) — input
+    # scope changed on both engines.
+    "d8c_mllib_pairs_exact_jaccard",
 )
 
 

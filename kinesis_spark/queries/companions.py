@@ -38,6 +38,12 @@ from kinesis_spark.io import load_table
 from kinesis_spark.queries import register
 from kinesis_spark.queries.dedup import _SHINGLES_SQL, _shingles_of, _tokens_barrier
 
+# Fixed deterministic corpus bound for the d8c instrument (the d21
+# discipline): verifies the MLlib machinery exactly at a fixed cost —
+# the uncapped corpus-wide form was the d-family's one superlinear
+# 30x row (40.3x, SCALE_D30).
+D8C_SUBSET = 200
+
 
 @register(
     "d8c_mllib_pairs_exact_jaccard",
@@ -45,7 +51,8 @@ from kinesis_spark.queries.dedup import _SHINGLES_SQL, _shingles_of, _tokens_bar
 WITH sh AS (
   SELECT doc_id, {_SHINGLES_SQL} AS shingles
   FROM documents
-  WHERE len(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+')) >= 3
+  WHERE doc_id < {D8C_SUBSET}
+    AND len(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+')) >= 3
 ),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -63,16 +70,30 @@ WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.4
 )
 def d8c_mllib_pairs_exact_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """d8's MinHashLSH candidates re-verified by exact word-3-shingle
-    Jaccard (the d4 pattern applied to d8's candidate set). The exact
-    rescoring touches only candidate pairs — LSH did the pruning — so the
-    Spark side never goes all-pairs; the oracle's all-pairs join is the
-    DuckDB-side cost of checkability, not the operator's shape."""
+    Jaccard (the d4 pattern applied to d8's candidate set), on a FIXED
+    deterministic {D8C_SUBSET}-document subset (r10 — the d21
+    discipline): the companion is a correctness INSTRUMENT for the
+    MLlib machinery, and MLlib's uncapped 1-row bands made the
+    corpus-wide form the d-family's one superlinear 30x row (40.3x,
+    SCALE_D30 — candidate volume quadratic in dup-group width with no
+    cap available through the MLlib API). Bounding the instrument's
+    input keeps the verification exact and the cost fixed; the
+    DETECTION face (d8) stays corpus-wide with its scale caveat
+    documented. The exact rescoring touches only candidate pairs — LSH
+    did the pruning — so the Spark side never goes all-pairs; the
+    oracle's subset all-pairs join is the DuckDB-side cost of
+    checkability, not the operator's shape."""
     from kinesis_spark.queries.mllib_lsh import d8_minhash_lsh_mllib
 
-    cand = d8_minhash_lsh_mllib(spark, sf_dir).select("doc_a", "doc_b")
-    sh = _tokens_barrier(load_table(spark, sf_dir, "documents"), min_words=3).select(
-        "doc_id", _shingles_of(F.col("toks")).alias("sh")
+    cand = d8_minhash_lsh_mllib(spark, sf_dir, max_doc_id=D8C_SUBSET).select(
+        "doc_a", "doc_b"
     )
+    sh = _tokens_barrier(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < D8C_SUBSET
+        ),
+        min_words=3,
+    ).select("doc_id", _shingles_of(F.col("toks")).alias("sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     scored = (
@@ -89,6 +110,12 @@ def d8c_mllib_pairs_exact_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn("jaccard", F.col("n_inter").cast("double") / F.col("n_union"))
     )
     return scored.filter(F.col("jaccard") >= 0.4)
+
+
+if d8c_mllib_pairs_exact_jaccard.__doc__:  # absent under python -OO
+    d8c_mllib_pairs_exact_jaccard.__doc__ = (
+        d8c_mllib_pairs_exact_jaccard.__doc__.format(D8C_SUBSET=D8C_SUBSET)
+    )
 
 
 @register(

@@ -571,24 +571,57 @@ def d7_simhash_pairs(
     )
 
 
+D5_TARGET = 64  # target block population for d5's adaptive sub-bucketing
+
+
 @register(
     "d5_embedding_near_dup",
-    oracle="""
-WITH e AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    oracle=f"""
+WITH e0 AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         list_aggregate(list_transform(range(1, 65),
+             i -> CASE WHEN embedding[CAST(i AS INT)] >= 0 THEN '1' ELSE '0' END),
+             'string_agg', '') AS signs
+  FROM embeddings
+),
+e AS (
+  SELECT vec_id, label, v,
+         substring(signs, 1,
+                   CASE WHEN m <= 1 THEN 0
+                        ELSE LEAST(length(bin(m - 1)), 64) END) AS bucket
+  FROM (
+    SELECT *, CAST(CEIL(COUNT(*) OVER (PARTITION BY label) / {D5_TARGET}.0)
+                   AS BIGINT) AS m
+    FROM e0
+  )
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
        ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
-FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM e a JOIN e b
+  ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.3
 """,
-    tags=("dedup", "embedding"),
+    tags=("dedup", "embedding", "capped"),
 )
-def d5_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup, blocked on the label column: pairs are
-    only formed within a block (at scale: block on a coarse quantization /
-    cluster id, same shape). Cosine = sequential double fold — verified
-    bit-identical to DuckDB's list_cosine_similarity."""
+def d5_embedding_near_dup(
+    spark: SparkSession, sf_dir: str, unbounded: bool = False
+) -> DataFrame:
+    """Embedding-cosine near-dup with BOUNDED blocks (r10 — caught by
+    the registry-wide scale table, SCALE_FULL.md: the bare-label
+    blocking measured 32.3× at 10× data, the one superlinear entry in
+    the whole registry, because within-block pairs grow quadratically
+    with block population). Same mitigation as sim9/d14: within each
+    label block, vectors sub-bucket by their first ``nbits`` component
+    signs where nbits = length(bin(ceil(n_label/{T})-1)) — block
+    population stays ~{T} however large a label grows, so the pair
+    stage is corpus-linear. Integer-exact bit count on both engines; at
+    the fixture scales every label holds ≤{T} vectors, so nbits = 0
+    and the bounded face is output-identical to the old one. Near pairs
+    straddling a sign bit escape detection — the standard LSH recall
+    trade (d3's banding makes the same one); ``unbounded=True`` is the
+    exact-within-label diagnostic escape hatch. Cosine = sequential
+    double fold — verified bit-identical to DuckDB's
+    list_cosine_similarity."""
     v = F.transform("embedding", lambda x: x.cast("double")).alias("v")
     # norm per ROW (2k evaluations), not per pair (200k at sf0.1): the
     # projection sits below the self-join, so each side computes its norm
@@ -597,6 +630,28 @@ def d5_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", v
     )
+    if unbounded:
+        e = e.withColumn("bucket", F.lit(""))
+    else:
+        signs = F.array_join(
+            F.transform("v", lambda x: F.when(x >= 0, "1").otherwise("0")), ""
+        )
+        m = F.ceil(
+            F.count(F.lit(1)).over(Window.partitionBy("label"))
+            / F.lit(float(D5_TARGET))
+        ).cast("bigint")
+        e = (
+            e.withColumn("signs", signs)
+            .withColumn("m", m)
+            .withColumn(
+                "nbits",
+                F.when(F.col("m") <= 1, F.lit(0)).otherwise(
+                    F.least(F.length(F.bin(F.col("m") - 1)), F.lit(64))
+                ),
+            )
+            .withColumn("bucket", F.expr("substring(signs, 1, nbits)"))
+            .drop("signs", "m", "nbits")
+        )
     e = e.withColumn(
         "norm",
         F.sqrt(
@@ -617,6 +672,7 @@ def d5_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
@@ -626,6 +682,12 @@ def d5_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos.alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.3)
+    )
+
+
+if d5_embedding_near_dup.__doc__:  # absent under python -OO
+    d5_embedding_near_dup.__doc__ = d5_embedding_near_dup.__doc__.format(
+        T=D5_TARGET
     )
 
 

@@ -26,7 +26,9 @@ from kinesis_spark.queries import register
 SEED = 42
 
 
-def _shingle_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingle_vectors(
+    spark: SparkSession, sf_dir: str, max_doc_id: int | None = None
+) -> DataFrame:
     """documents → sparse HashingTF vectors over word 3-shingles (binary,
     because MinHash is a set sketch).
 
@@ -39,6 +41,8 @@ def _shingle_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF
 
     d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    if max_doc_id is not None:
+        d = d.filter(F.col("doc_id") < max_doc_id)
     toks = d.select(
         "doc_id", F.explode(F.array(F.split("text", r"[ \t\n\f\r\x0B]+"))).alias("toks")
     ).filter(F.size("toks") >= 3)
@@ -71,13 +75,23 @@ def _shingle_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Jaccard with a hash-green DuckDB oracle (queries/companions.py)
     companion="d8c_mllib_pairs_exact_jaccard",
 )
-def d8_minhash_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d8_minhash_lsh_mllib(
+    spark: SparkSession, sf_dir: str, max_doc_id: int | None = None
+) -> DataFrame:
     """Near-dup pairs via MLlib MinHashLSH.approxSimilarityJoin at
     Jaccard distance < 0.6 over word-3-shingle sets (MLlib's join is
-    STRICT: a pair at exactly 0.6 is excluded)."""
+    STRICT: a pair at exactly 0.6 is excluded).
+
+    Scale caveat (SCALE_FULL.md): MLlib's hash tables are 1-row bands
+    with NO bucket-size cap, so candidate volume grows quadratically in
+    duplicate-group width (7.1x at the 10x replica corpus) — this is
+    the MLlib DETECTION face; the production near-dup path is the
+    capped portable pipeline (d14/d3). ``max_doc_id`` bounds the corpus
+    for instrument-grade uses (d8c verifies machinery on a fixed
+    deterministic subset)."""
     from pyspark.ml.feature import MinHashLSH
 
-    vecs = _shingle_vectors(spark, sf_dir)
+    vecs = _shingle_vectors(spark, sf_dir, max_doc_id=max_doc_id)
     # 4 tables: at this corpus's similarity profile, 8 tables finds the
     # identical pair set at ~3x the join cost (measured at sf0.1)
     mh = MinHashLSH(inputCol="features", outputCol="hashes",
