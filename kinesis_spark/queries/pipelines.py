@@ -1279,3 +1279,114 @@ def p12_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_row_number(
         ranked, ["phase", "progress", "source", "ris"], "global_pos"
     ).select("doc_id", "source", "quality_score", "phase", "global_pos")
+
+
+_P13_WINDOWS = (256, 1024, 4096)  # context windows priced by p13
+
+
+@register(
+    "p13_packing_policy_table",
+    oracle=f"""
+WITH toks AS (
+  SELECT source,
+         CAST(len(regexp_split_to_array(text, '{WS_RE}')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+win AS (SELECT UNNEST([{", ".join(str(w) for w in _P13_WINDOWS)}]) AS context_window),
+perdoc AS (
+  SELECT t.source, w.context_window, t.n_tokens,
+         (t.n_tokens + w.context_window - 1) // w.context_window AS pad_seqs
+  FROM toks t CROSS JOIN win w
+),
+agg AS (
+  SELECT source, CAST(context_window AS BIGINT) AS context_window,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         CAST(SUM(pad_seqs) AS BIGINT) AS pad_sequences
+  FROM perdoc
+  GROUP BY source, context_window
+)
+SELECT source, context_window, n_docs, sum_tokens,
+       CAST((sum_tokens + context_window - 1) // context_window AS BIGINT)
+         AS pack_sequences,
+       CAST(((sum_tokens + context_window - 1) // context_window)
+            * context_window - sum_tokens AS BIGINT) AS pack_waste,
+       CAST(sum_tokens AS DOUBLE)
+         / (((sum_tokens + context_window - 1) // context_window)
+            * context_window) AS pack_efficiency,
+       pad_sequences,
+       CAST(pad_sequences * context_window - sum_tokens AS BIGINT)
+         AS pad_waste,
+       CAST(sum_tokens AS DOUBLE) / (pad_sequences * context_window)
+         AS pad_efficiency
+FROM agg
+""",
+    tags=("pipeline", "training", "packing"),
+)
+def p13_packing_policy_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BATCHING-POLICY decision table (r10): for every (source,
+    context window) cell, the token budget both standard policies would
+    spend — PACK (p2's concat-and-split: sequences = ceil(total/W),
+    waste < W per source) vs PAD (document-per-sequence, long docs
+    split first: sequences = sum(ceil(n_i/W)), waste grows with the
+    short-document tail) — with exact sequence counts, wasted tokens,
+    and efficiency ratios. p4 prices one bucketing layout; this table
+    prices the policy CHOICE across window sizes, which is the first
+    decision a training-data pipeline makes and directly multiplies
+    100 TB-scale compute cost.
+
+    Exactness: per-doc ceilings and all sums are BIGINT on both engines
+    (integer DIV, never float); the efficiency columns are one double
+    division of identical exact integers. Scale shape: ONE map-only
+    tokenize scan, a broadcast 3-row window relation, and a
+    (source x window)-keyed partial aggregation — the shuffle carries
+    ~|sources|x{n} aggregate buffers regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.size(F.split("text", WS_RE)).cast("bigint").alias("n_tokens")
+    )
+    win = F.broadcast(
+        spark.createDataFrame(
+            [(w,) for w in _P13_WINDOWS], "context_window long"
+        )
+    )
+    perdoc = toks.crossJoin(win).withColumn(
+        "pad_seqs",
+        F.expr("(n_tokens + context_window - 1) DIV context_window"),
+    )
+    agg = perdoc.groupBy("source", "context_window").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.sum("pad_seqs").cast("bigint").alias("pad_sequences"),
+    )
+    pack_seq = F.expr(
+        "(sum_tokens + context_window - 1) DIV context_window"
+    ).cast("bigint")
+    return agg.select(
+        "source",
+        "context_window",
+        "n_docs",
+        "sum_tokens",
+        pack_seq.alias("pack_sequences"),
+        (pack_seq * F.col("context_window") - F.col("sum_tokens"))
+        .cast("bigint")
+        .alias("pack_waste"),
+        (
+            F.col("sum_tokens").cast("double")
+            / (pack_seq * F.col("context_window"))
+        ).alias("pack_efficiency"),
+        "pad_sequences",
+        (F.col("pad_sequences") * F.col("context_window") - F.col("sum_tokens"))
+        .cast("bigint")
+        .alias("pad_waste"),
+        (
+            F.col("sum_tokens").cast("double")
+            / (F.col("pad_sequences") * F.col("context_window"))
+        ).alias("pad_efficiency"),
+    )
+
+
+if p13_packing_policy_table.__doc__:  # absent under python -OO
+    p13_packing_policy_table.__doc__ = p13_packing_policy_table.__doc__.format(
+        n=len(_P13_WINDOWS)
+    )

@@ -2347,3 +2347,153 @@ if sim19_nprobe_recall_sweep.__doc__:  # absent under python -OO
     sim19_nprobe_recall_sweep.__doc__ = sim19_nprobe_recall_sweep.__doc__.format(
         TOP_K=TOP_K, NPROBE_SWEEP=NPROBE_SWEEP, _MAX_NPROBE=_MAX_NPROBE
     )
+
+
+SIM20_POOL = 25  # stage-1 coarse candidate pool per query (rerank input)
+
+
+@register(
+    "sim20_two_stage_rerank",
+    oracle=f"""
+WITH e0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         CAST(127 AS DOUBLE) / list_max(list_transform(v, x -> abs(x))) AS scale
+  FROM e0
+  WHERE list_max(list_transform(v, x -> abs(x))) > 0
+),
+q AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(greatest(-127, least(127,
+           floor(x * scale + 0.5))) AS BIGINT)) AS qv
+  FROM s
+),
+coarse AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+         a.v AS qv_full, b.v AS cv_full,
+         CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+              i -> a.qv[CAST(i AS INT)] * b.qv[CAST(i AS INT)])) AS DOUBLE)
+           / (a.scale * b.scale) AS approx_score
+  FROM q a JOIN q b ON b.vec_id != a.vec_id
+  WHERE a.vec_id < {N_QUERIES}
+),
+pool AS (
+  SELECT query_id, match_id, qv_full, cv_full
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY approx_score DESC, match_id) AS crk
+    FROM coarse
+  ) WHERE crk <= {SIM20_POOL}
+)
+SELECT query_id, match_id, cos_sim, rank
+FROM (
+  SELECT query_id, match_id,
+         ROUND(list_cosine_similarity(qv_full, cv_full), 6) AS cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY ROUND(list_cosine_similarity(qv_full, cv_full), 6) DESC,
+                       match_id) AS BIGINT) AS rank
+  FROM pool
+)
+WHERE rank <= {TOP_K}
+""",
+    tags=("similarity", "ann", "quantization", "rerank"),
+)
+def sim20_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-STAGE retrieval (r10) — the standard production serving
+    shape sim7/sim10 priced but nothing composed end-to-end: stage 1
+    scores every candidate with the CHEAP representation (per-vector
+    symmetric int8, sim7's quantizer — integer dot products, 4 bytes/
+    dim cheaper to scan and exact BIGINT math on both engines) and
+    keeps a top-{R} pool per query; stage 2 re-scores only the pool
+    with exact full-precision cosine and emits the top-{K}. At 100 TB
+    stage 1 is the only corpus-wide pass (int8 cuts scan bytes 4x and
+    the dot to integer SIMD), and stage-2 cost is query-count x {R} —
+    corpus-independent. Composes with the IVF index (ann.py) by running
+    stage 1 inside probed cells only.
+
+    Determinism: the coarse score is an exact integer dot cast to
+    double and divided by the two stored scales — identical IEEE ops in
+    both engines — with match_id tiebreaks on both windows; stage-2
+    cosine is the proven sequential-fold/list_cosine_similarity parity
+    pair rounded to 6 dp."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    maxabs = F.array_max(F.transform("v", lambda x: F.abs(x)))
+    e = (
+        e.withColumn("maxabs", maxabs)
+        .filter(F.col("maxabs") > 0)
+        .withColumn("scale", F.lit(127.0) / F.col("maxabs"))
+        .withColumn(
+            "qv",
+            F.transform(
+                "v",
+                lambda x: F.greatest(
+                    F.lit(-127.0),
+                    F.least(F.lit(127.0), F.floor(x * F.col("scale") + 0.5)),
+                ).cast("bigint"),
+            ),
+        )
+        .withColumn("norm", _norm(F.col("v")))
+        .drop("maxabs")
+    )
+    qs = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv_full"),
+        F.col("qv").alias("q_int"),
+        F.col("scale").alias("q_scale"),
+        F.col("norm").alias("q_norm"),
+    )
+    cand = e.select(
+        F.col("vec_id").alias("match_id"),
+        F.col("v").alias("cv_full"),
+        F.col("qv").alias("c_int"),
+        F.col("scale").alias("c_scale"),
+        F.col("norm").alias("c_norm"),
+    )
+    int_dot = F.aggregate(
+        F.zip_with("q_int", "c_int", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    coarse = (
+        F.broadcast(qs)
+        .join(cand, F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "match_id",
+            "qv_full",
+            "cv_full",
+            "q_norm",
+            "c_norm",
+            (int_dot.cast("double") / (F.col("q_scale") * F.col("c_scale"))).alias(
+                "approx_score"
+            ),
+        )
+    )
+    w_coarse = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_score"), F.asc("match_id")
+    )
+    pool = coarse.withColumn("crk", F.row_number().over(w_coarse)).filter(
+        F.col("crk") <= SIM20_POOL
+    )
+    cos = _cosine_pre(
+        F.col("qv_full"), F.col("cv_full"), F.col("q_norm"), F.col("c_norm")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("match_id")
+    )
+    return (
+        pool.select("query_id", "match_id", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+if sim20_two_stage_rerank.__doc__:  # absent under python -OO
+    sim20_two_stage_rerank.__doc__ = sim20_two_stage_rerank.__doc__.format(
+        R=SIM20_POOL, K=TOP_K
+    )
