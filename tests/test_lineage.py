@@ -143,3 +143,54 @@ def test_diff_by_key_matches_python_reference_on_random_snapshots(spark):
     df_b = spark.createDataFrame(list(b.items()), "k int, text string")
     got = {r.k: r.status for r in diff_by_key(df_a, df_b, "k", F.md5("text")).collect()}
     assert got == ref()
+
+
+def test_sim20_pool_recall_vs_exact(spark, sf_dir):
+    """The int8 coarse stage must not lose the true neighbors: sim20's
+    final top-5 per query, produced from the 25-candidate coarse pool,
+    must match the exact brute-force top-5 (sim1's tier) with recall@5
+    >= 0.9 aggregate — on the fixtures the int8 ranking is faithful
+    enough that the pool contains the full exact top-5 for every query,
+    so any drop below 1.0 flags quantizer or pool-width drift."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from kinesis_spark.io import load_table
+    from kinesis_spark.queries.similarity import (
+        N_QUERIES,
+        TOP_K,
+        _cosine_pre,
+        _norm,
+        sim20_two_stage_rerank,
+    )
+
+    got = sim20_two_stage_rerank(spark, sf_dir).collect()
+    by_q: dict[int, set[int]] = {}
+    for r in got:
+        by_q.setdefault(r.query_id, set()).add(r.match_id)
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    ).withColumn("norm", _norm(F.col("v")))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    exact = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("match_id"),
+            _cosine_pre(F.col("qv"), F.col("v"), F.col("qnorm"), F.col("norm")).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("match_id"))
+    truth: dict[int, set[int]] = {}
+    for r in exact.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= TOP_K
+    ).collect():
+        truth.setdefault(r.query_id, set()).add(r.match_id)
+    hits = sum(len(by_q.get(k, set()) & v) for k, v in truth.items())
+    total = sum(len(v) for v in truth.values())
+    assert hits >= 0.9 * total, (hits, total)

@@ -1074,3 +1074,26 @@ def test_d21_subset_filter_pushes_to_scan(plan_of):
     assert "LessThan(doc_id,200)" in plan.replace(" ", "") or (
         "PushedFilters" in plan and "doc_id" in plan
     )
+
+
+def test_p13_single_scan_partial_agg(plan_of):
+    """p13: ONE documents scan, the 3-row window relation broadcast
+    (never shuffled against the corpus), and the (source, window)
+    aggregation partially aggregates map-side so the exchange carries
+    aggregate buffers, not per-document rows."""
+    plan = plan_of("p13_packing_policy_table")
+    assert plan.count("documents.parquet") == 1
+    assert "BroadcastExchange" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sim20_broadcast_queries_no_smj(plan_of):
+    """sim20: the fixed query set broadcasts against the corpus scan
+    (stage 1 is the only corpus-wide pass) — no sort-merge join
+    anywhere, and the corpus side is scanned at most twice (query
+    projection + candidate projection of the same small relation)."""
+    plan = plan_of("sim20_two_stage_rerank")
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("embeddings.parquet") <= 2
