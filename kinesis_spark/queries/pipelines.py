@@ -1390,3 +1390,94 @@ if p13_packing_policy_table.__doc__:  # absent under python -OO
     p13_packing_policy_table.__doc__ = p13_packing_policy_table.__doc__.format(
         n=len(_P13_WINDOWS)
     )
+
+
+@register(
+    "p14_temperature_mixture",
+    oracle=f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(regexp_split_to_array(text, '{WS_RE}'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per_src),
+shares AS (
+  SELECT p.source, p.n_docs, p.n_tokens, t.total_tokens,
+         CAST(p.n_tokens AS DOUBLE) / t.total_tokens AS token_share,
+         CAST(ROUND(SQRT(CAST(p.n_tokens AS DOUBLE) / t.total_tokens), 6)
+              AS DECIMAL(12,6)) AS w6
+  FROM per_src p CROSS JOIN tot t
+),
+norm AS (SELECT CAST(SUM(w6) AS DECIMAL(22,6)) AS sum_w FROM shares)
+SELECT s.source, s.n_docs, s.n_tokens, s.token_share,
+       CAST(s.w6 AS DOUBLE) / CAST(n.sum_w AS DOUBLE) AS mix_weight,
+       (CAST(s.w6 AS DOUBLE) / CAST(n.sum_w AS DOUBLE))
+         * CAST(s.total_tokens AS DOUBLE) AS expected_tokens,
+       ((CAST(s.w6 AS DOUBLE) / CAST(n.sum_w AS DOUBLE))
+         * CAST(s.total_tokens AS DOUBLE)) / s.n_tokens AS epochs
+FROM shares s CROSS JOIN norm n
+""",
+    tags=("pipeline", "mixture", "sampling", "training"),
+)
+def p14_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SCALED SOURCE MIXTURE — the sampling-weight table a
+    multi-source pretraining run is configured from: each source's raw
+    token share is flattened with temperature T=2 (weight proportional
+    to share^(1/T) = sqrt(share), the multilingual-pretraining
+    convention that upsamples small sources without letting any one
+    source dominate), then normalized into mixture weights. The report
+    prices the consequence per source: expected tokens drawn per epoch
+    of the mixed stream and the implied per-source epoch multiplier
+    (epochs > 1 = the source repeats; large values warn of memorization
+    risk on tiny sources before a run is launched).
+
+    Determinism: per-source counts are exact BIGINTs from one partial
+    aggregation; token_share is one correctly-rounded bigint/bigint
+    double division; sqrt is IEEE-correctly-rounded on both engines and
+    rides the file-wide 6-dp bridge into DECIMAL(12,6), so the
+    normalizer is an EXACT decimal sum (order-independent — a plain
+    double sum here would expose both engines' aggregation order);
+    the final weights/epochs are double ops on identical inputs in one
+    fixed parenthesization, written identically in both engines.
+
+    Scale shape: ONE corpus scan — the source-count-sized per-source
+    relation is pinned (checkpoints.pin) before the plan forks into the
+    total/normalizer branches, so the downstream one-row broadcasts and
+    the final join all read the tiny pinned relation, not the corpus
+    (three lineage branches would otherwise each replay the scan). The
+    one shuffle carries (source, two counts), never text; no
+    SinglePartition window over the data. Output is source-count-sized.
+    At 100 TB this is a scan plus two scalar reductions."""
+    from kinesis_spark.checkpoints import pin
+
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", WS_RE)))
+        .cast("bigint")
+        .alias("n_tokens"),
+    ).transform(pin)
+    tot = per_src.agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens")
+    )
+    shares = per_src.crossJoin(F.broadcast(tot)).withColumn(
+        "token_share",
+        F.col("n_tokens").cast("double") / F.col("total_tokens"),
+    ).withColumn(
+        "w6",
+        F.round(F.sqrt(F.col("token_share")), 6).cast("decimal(12,6)"),
+    )
+    norm = shares.agg(F.sum("w6").cast("decimal(22,6)").alias("sum_w"))
+    weight = F.col("w6").cast("double") / F.col("sum_w").cast("double")
+    expected = weight * F.col("total_tokens").cast("double")
+    return shares.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "token_share",
+        weight.alias("mix_weight"),
+        expected.alias("expected_tokens"),
+        (expected / F.col("n_tokens")).alias("epochs"),
+    )

@@ -1546,3 +1546,103 @@ def t19_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 if t19_zipf_slope.__doc__:  # absent under python -OO
     t19_zipf_slope.__doc__ = t19_zipf_slope.__doc__.format(K=ZIPF_TOP)
+
+CHUNK_TOKENS = 64  # t20 window width (tokens per training chunk)
+CHUNK_STRIDE = 48  # t20 stride (64 - 48 = 16 tokens of overlap)
+
+
+@register(
+    "t20_doc_chunking",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(text, '{WS_RE}') AS toks
+  FROM documents
+),
+spec AS (
+  SELECT doc_id, toks,
+         1 + GREATEST(
+               0, (CAST(len(toks) AS BIGINT) - {CHUNK_TOKENS}
+                   + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}) AS n_chunks
+  FROM base
+),
+chunks AS (
+  SELECT doc_id, CAST(g.i AS BIGINT) AS chunk_idx,
+         list_slice(toks, g.i * {CHUNK_STRIDE} + 1,
+                    g.i * {CHUNK_STRIDE} + {CHUNK_TOKENS}) AS ctoks
+  FROM spec, UNNEST(generate_series(0, n_chunks - 1)) AS g(i)
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(ctoks) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(ctoks, ' ') AS chunk_text,
+       md5(array_to_string(ctoks, ' ')) AS chunk_hash
+FROM chunks
+""",
+    tags=("text", "chunking", "pretraining", "rag"),
+)
+def t20_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-WINDOW DOCUMENT CHUNKING — the step that turns a curated
+    corpus into training sequences (or RAG index units): each document's
+    whitespace-token stream is cut into windows of {W} tokens advancing
+    by a stride of {S} ({O}-token overlap, so no boundary context is
+    lost), and every chunk carries its md5 content hash so the d-family
+    exact dedup composes directly on chunk granularity (cross-document
+    boilerplate collapses to one hash group even when the parent
+    documents differ elsewhere).
+
+    Chunk schedule: offsets 0, {S}, 2*{S}, ... — the chunk count is
+    1 + max(0, ceil((n_tokens - {W}) / {S})) in EXACT integer
+    arithmetic ((a + b - 1) // b on both engines; floor division agrees
+    on the negative short-document case because both floor toward
+    -infinity and the max(0, .) clamp absorbs it), so a document
+    shorter than one window still emits exactly one (possibly short)
+    chunk and the final window is truncated, never padded. Both
+    engines' 1-based inclusive array slices clamp identically at the
+    token-stream tail.
+
+    Determinism: tokenization is the file-wide WS_RE split (identical
+    cross-engine, same as t1), slicing/joining are exact string ops,
+    md5 is md5.
+
+    Scale shape: map-only — split, a Generate (explode of the
+    per-document offset sequence), slice, hash; NO shuffle, NO window,
+    nothing driver-side, so it pipelines with the parquet scan and
+    parallelism is the scan's. Output is O(corpus x {W}/{S}) rows by
+    construction (the operator's contract, not an expansion bug);
+    chunk bodies stream straight to the consumer without ever being
+    exchange-partitioned."""
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    toks = F.split("text", WS_RE)
+    n = F.size(toks).cast("bigint")
+    n_chunks = F.lit(1) + F.greatest(
+        F.lit(0).cast("bigint"),
+        F.floor(
+            (n - F.lit(CHUNK_TOKENS) + F.lit(CHUNK_STRIDE - 1))
+            / F.lit(CHUNK_STRIDE)
+        ).cast("bigint"),
+    )
+    base = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    ctoks = F.slice(
+        F.col("toks"),
+        (F.col("chunk_idx") * CHUNK_STRIDE + 1).cast("int"),
+        CHUNK_TOKENS,
+    )
+    chunk_text = F.array_join(ctoks, " ")
+    return base.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(ctoks).cast("bigint").alias("n_chunk_tokens"),
+        chunk_text.alias("chunk_text"),
+        F.md5(chunk_text).alias("chunk_hash"),
+    )
+
+
+if t20_doc_chunking.__doc__:  # absent under python -OO
+    t20_doc_chunking.__doc__ = t20_doc_chunking.__doc__.format(
+        W=CHUNK_TOKENS, S=CHUNK_STRIDE, O=CHUNK_TOKENS - CHUNK_STRIDE
+    )

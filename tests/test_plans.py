@@ -1097,3 +1097,29 @@ def test_sim20_broadcast_queries_no_smj(plan_of):
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("embeddings.parquet") <= 2
+
+
+def test_t20_map_only_no_shuffle(plan_of):
+    """t20: chunking is a pure map — one pruned documents scan
+    (doc_id + text only) feeding Generate/slice/hash with NO exchange
+    beyond the house min-partitions round-robin, no join, no
+    aggregation; the operator pipelines with the scan at any scale."""
+    plan = plan_of("t20_doc_chunking")
+    assert plan.count("documents.parquet") == 1
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "Generate" in plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "HashAggregate",
+               "Window", "SinglePartition"):
+        assert op not in plan, op
+
+
+def test_p14_single_scan_pinned_broadcast(plan_of):
+    """p14: the corpus is scanned ONCE (the per-source relation is
+    pinned before the plan forks into total/normalizer branches — the
+    executed plan reads Scan ExistingRDD, never the parquet file), the
+    two scalar relations broadcast, and no sort-merge join appears."""
+    plan = plan_of("p14_temperature_mixture")
+    assert plan.count("documents.parquet") == 0  # pinned upstream
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
