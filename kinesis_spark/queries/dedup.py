@@ -1739,3 +1739,106 @@ if d21_lsh_calibration.__doc__:  # absent under python -OO
     d21_lsh_calibration.__doc__ = d21_lsh_calibration.__doc__.format(
         n=N_HASHES, r=BAND_ROWS, bands=N_HASHES // BAND_ROWS, subset=_D21_SUBSET
     )
+
+
+def _d22_oracle() -> str:
+    from kinesis_spark.queries.textstats import CHUNK_STRIDE, CHUNK_TOKENS
+
+    W, S = CHUNK_TOKENS, CHUNK_STRIDE
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, regexp_split_to_array(text, '{WS_RE}') AS toks
+  FROM documents
+),
+spec AS (
+  SELECT doc_id, source, toks,
+         1 + GREATEST(
+               0, (CAST(len(toks) AS BIGINT) - {W} + {S} - 1) // {S})
+           AS n_chunks
+  FROM base
+),
+chunks AS (
+  SELECT doc_id, source, CAST(g.i AS BIGINT) AS chunk_idx,
+         CAST(len(list_slice(toks, g.i * {S} + 1, g.i * {S} + {W}))
+              AS BIGINT) AS n_chunk_tokens,
+         md5(array_to_string(
+               list_slice(toks, g.i * {S} + 1, g.i * {S} + {W}), ' '))
+           AS chunk_hash
+  FROM spec, UNNEST(generate_series(0, n_chunks - 1)) AS g(i)
+),
+ranked AS (
+  SELECT chunks.*,
+         ROW_NUMBER() OVER (PARTITION BY chunk_hash
+                            ORDER BY doc_id, chunk_idx) AS occ
+  FROM chunks
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_chunks,
+       CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS dup_rate,
+       CAST(SUM(n_chunk_tokens) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN occ > 1 THEN n_chunk_tokens ELSE 0 END) AS BIGINT)
+         AS tokens_dropped,
+       CAST(SUM(CASE WHEN occ > 1 THEN n_chunk_tokens ELSE 0 END) AS DOUBLE)
+         / SUM(n_chunk_tokens) AS tokens_dropped_rate
+FROM ranked GROUP BY source
+"""
+
+
+@register(
+    "d22_chunk_dedup_report",
+    oracle=_d22_oracle(),
+    tags=("dedup", "chunking", "exact", "report"),
+)
+def d22_chunk_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-GRANULARITY exact dedup report — the reason pipelines chunk
+    BEFORE deduplicating: whole-document hashing (d1/d2) misses the
+    boilerplate a corpus shares at sub-document granularity, while t20's
+    64-token windows expose it. Every chunk's md5 keys a global
+    first-occurrence selection (order: doc_id, chunk_idx — the earliest
+    occurrence is canonical, every later one is a duplicate), rolled up
+    per source: chunk counts, duplicate rate, and the token volume the
+    chunk-level dedup would drop — the number that prices whether
+    chunk-dedup is worth its index for a given source mix.
+
+    Composition: rides textstats.chunk_relation (t20's schedule) with
+    ``text=False`` — chunk BODIES are never materialized, only the
+    16-byte hash, the token count, and the attribution columns exist
+    past the map stage.
+
+    Determinism: counts/sums are exact BIGINTs; the two rates are
+    single int-sum/int-sum double divisions; first-occurrence ranking
+    is total-ordered by (doc_id, chunk_idx) within a hash, so ties are
+    impossible.
+
+    Scale shape: one corpus scan (map-only chunking, same plan as t20)
+    -> ONE shuffle keyed by chunk_hash carrying (hash, ids, token
+    count) — never text -> per-hash window (linear: one pass per
+    group, no pair expansion at ANY duplication level, unlike banding
+    candidates) -> a source-keyed partial aggregation of window flags.
+    Duplicate-heavy corpora grow hash-group depth, not output or
+    intermediate width."""
+    from kinesis_spark.queries.textstats import chunk_relation
+
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    chunks = chunk_relation(
+        d.select("doc_id", "source", "text"), carry=("source",), text=False
+    )
+    w = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    ranked = chunks.withColumn("occ", F.row_number().over(w))
+    dup = F.when(F.col("occ") > 1, F.lit(1)).otherwise(F.lit(0))
+    dup_toks = F.when(F.col("occ") > 1, F.col("n_chunk_tokens")).otherwise(
+        F.lit(0)
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(dup).cast("bigint").alias("dup_chunks"),
+        (F.sum(dup).cast("double") / F.count(F.lit(1))).alias("dup_rate"),
+        F.sum("n_chunk_tokens").cast("bigint").alias("tokens_total"),
+        F.sum(dup_toks).cast("bigint").alias("tokens_dropped"),
+        (F.sum(dup_toks).cast("double") / F.sum("n_chunk_tokens")).alias(
+            "tokens_dropped_rate"
+        ),
+    )

@@ -1610,7 +1610,21 @@ def t20_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (the operator's contract, not an expansion bug);
     chunk bodies stream straight to the consumer without ever being
     exchange-partitioned."""
-    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return chunk_relation(
+        ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def chunk_relation(
+    d: DataFrame, carry: tuple[str, ...] = (), text: bool = True
+) -> DataFrame:
+    """t20's chunk schedule as a reusable relation: one row per
+    (doc_id, chunk_idx) with the chunk's token count, body (unless
+    ``text=False`` — consumers that only need the hash, like d22, must
+    not materialize bodies they immediately drop), and md5 content
+    hash, plus any ``carry`` columns projected through from the input
+    (e.g. ``source`` for attribution reports). Pure map — callers keep
+    the no-shuffle property as long as they don't re-key on bodies."""
     toks = F.split("text", WS_RE)
     n = F.size(toks).cast("bigint")
     n_chunks = F.lit(1) + F.greatest(
@@ -1622,6 +1636,7 @@ def t20_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = d.select(
         "doc_id",
+        *carry,
         toks.alias("toks"),
         F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias(
             "chunk_idx"
@@ -1635,9 +1650,10 @@ def t20_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk_text = F.array_join(ctoks, " ")
     return base.select(
         "doc_id",
+        *carry,
         "chunk_idx",
         F.size(ctoks).cast("bigint").alias("n_chunk_tokens"),
-        chunk_text.alias("chunk_text"),
+        *((chunk_text.alias("chunk_text"),) if text else ()),
         F.md5(chunk_text).alias("chunk_hash"),
     )
 

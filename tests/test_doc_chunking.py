@@ -91,3 +91,17 @@ def test_p14_conservation(spark):
         if abs(share - uniform) > 1e-6:
             assert lo - 1e-9 < r.mix_weight < hi + 1e-9, r.source
         assert abs(r.epochs - r.expected_tokens / r.n_tokens) < 1e-9
+
+
+def test_d22_consistent_with_t20(spark):
+    """d22's per-source chunk counts tie out against t20's chunk
+    relation exactly; duplicate token volume never exceeds the total;
+    and the replica-built fixture corpus (near-dup groups) must show a
+    nonzero chunk-level dup rate somewhere — otherwise the report is
+    vacuous on the data it exists for."""
+    t20 = REGISTRY["t20_doc_chunking"].spark_fn(spark, SF)
+    rep = REGISTRY["d22_chunk_dedup_report"].spark_fn(spark, SF).collect()
+    assert sum(r.n_chunks for r in rep) == t20.count()
+    assert all(0 <= r.tokens_dropped <= r.tokens_total for r in rep)
+    assert all(0.0 <= r.dup_rate <= 1.0 for r in rep)
+    assert any(r.dup_chunks > 0 for r in rep)

@@ -1123,3 +1123,17 @@ def test_p14_single_scan_pinned_broadcast(plan_of):
     assert "Scan ExistingRDD" in plan
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_d22_bodies_never_leave_map_stage(plan_of):
+    """d22: one documents scan; chunk BODIES exist only inside the
+    map-stage md5 expression — no chunk_text column anywhere in the
+    plan, so the chunk_hash shuffle and the per-hash window carry
+    16-byte hashes + ids, never text; source rollup partially
+    aggregates map-side; no sort-merge join."""
+    plan = plan_of("d22_chunk_dedup_report")
+    assert plan.count("documents.parquet") == 1
+    assert "chunk_text" not in plan
+    assert "Window" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "SortMergeJoin" not in plan
