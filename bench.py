@@ -37,6 +37,7 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+from kinesis_spark.ordering import release_checkpoints  # noqa: E402
 from kinesis_spark.pins import release_shared_pins  # noqa: E402
 from kinesis_spark.queries import get_registry  # noqa: E402
 from kinesis_spark.session import get_spark  # noqa: E402
@@ -110,6 +111,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         if name in reg:
             try:
                 release_shared_pins()
+                release_checkpoints()
                 spark.catalog.clearCache()
                 materialize(reg[name].spark_fn(spark, sf_dir))
             except Exception:
@@ -133,7 +135,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                 # in-sequence vs 2.5 s isolated). Clearing per attempt
                 # measures each query cold-cache and reproducibly —
                 # a query's own persist still helps within its run.
+                # release_checkpoints drains global_row_number's
+                # localCheckpoint blocks (s17/p12) — block-manager RDD
+                # storage that clearCache can't see (ADVICE r10).
                 release_shared_pins()
+                release_checkpoints()
                 spark.catalog.clearCache()
                 t0 = time.monotonic()
                 materialize(q.spark_fn(spark, sf_dir))
@@ -240,10 +246,15 @@ def capacity_check(spark, sf_dir: str, soaks: dict[str, dict]) -> dict:
     for r in rows:
         assert r.min_shards * R_LIM >= r.records_per_s, r
         assert r.min_shards * B_LIM >= r.bytes_per_s, r
-        assert r.would_throttle == (
-            r.records_per_s > R_LIM or r.bytes_per_s > B_LIM
-        ), r
         assert r.would_throttle == (r.min_shards > 1), r
+        # float form only away from the envelope boundary (ADVICE r10):
+        # a rate within one ulp of the limit can make rate > LIMIT true
+        # while ceil(rate/LIMIT) still lands on 1 — the min_shards
+        # derivation above is the canonical one, the float re-derivation
+        # is asserted only where the two cannot diverge by rounding.
+        rel = max(r.records_per_s / R_LIM, r.bytes_per_s / B_LIM)
+        if abs(rel - 1.0) > 1e-9:
+            assert r.would_throttle == (rel > 1.0), r
         over += int(r.would_throttle)
 
     out: dict[str, object] = {"i5_keys": len(rows), "i5_over_envelope": over}

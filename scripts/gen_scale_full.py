@@ -107,6 +107,14 @@ LINEAR_NOTE = (
 )
 
 
+def _xn(r: dict) -> float:
+    """High-replica timing of one entry. New artifacts emit the
+    replica-agnostic "xN" key; pre-r11 artifacts used a hardcoded "x10"
+    even for 30-replica runs (ADVICE r10) — accept both so old and
+    merged artifacts keep rendering."""
+    return r["xN"] if "xN" in r else r["x10"]
+
+
 def main() -> None:
     if len(sys.argv) < 2:
         raise SystemExit(__doc__)
@@ -115,9 +123,12 @@ def main() -> None:
     replicas = data.get("replicas", 10)
     rows = data["queries"]
     d30 = {}
+    d30_replicas = 30
     if len(sys.argv) > 2:
         with open(sys.argv[2]) as f:
-            d30 = json.load(f).get("queries", {})
+            d30_data = json.load(f)
+        d30 = d30_data.get("queries", {})
+        d30_replicas = d30_data.get("replicas", 30)
 
     flagged = {n: r for n, r in rows.items() if r["ratio"] > 2.0}
     superlinear = {
@@ -161,7 +172,7 @@ def main() -> None:
         else:
             note = ""
         out.append(
-            f"| {name} | {r['x1']} | {r['x10']} | {r['ratio']} | {note} |"
+            f"| {name} | {r['x1']} | {_xn(r)} | {r['ratio']} | {note} |"
         )
     out.append("")
     out.append("`L` = " + LINEAR_NOTE + ".")
@@ -181,11 +192,11 @@ def main() -> None:
             "driver OOM, d8c 40.3x."
         )
         out.append("")
-        out.append("| query | x1 s | x30 s | ratio |")
+        out.append(f"| query | x1 s | x{d30_replicas} s | ratio |")
         out.append("|---|---|---|---|")
         for name in sorted(d30):
             r = d30[name]
-            out.append(f"| {name} | {r['x1']} | {r['x10']} | {r['ratio']} |")
+            out.append(f"| {name} | {r['x1']} | {_xn(r)} | {r['ratio']} |")
     print("\n".join(out))
 
 

@@ -20,7 +20,10 @@ mm*'s doc_id % 3 modality) scale with the corpus instead of being pruned
 away by parquet min/max stats.
 
 Usage:  python scripts/scale_stress.py [--rebuild]
-Output: one JSON line {"queries": {name: {"x1": s, "x10": s}}, ...}
+Output: one JSON line {"replicas": N, "queries": {name: {"x1": s,
+"xN": s}}, ...} — "xN" is the high-replica timing at whatever
+SCALE_STRESS_REPLICAS was (the top-level "replicas" field says which;
+ADVICE r10: a hardcoded "x10" key silently mislabeled x30 runs).
 Scaled parquet lives under .scale/{x1,x10}/ (gitignored, ~120 MB).
 """
 
@@ -590,14 +593,14 @@ def main() -> None:
             continue
         x1 = time_warm(spark, name, SF1X)
         x10 = time_warm(spark, name, SF10X)
-        out[name] = {"x1": x1, "x10": x10, "ratio": round(x10 / max(x1, 1e-9), 1)}
+        out[name] = {"x1": x1, "xN": x10, "ratio": round(x10 / max(x1, 1e-9), 1)}
         print(f"# {name}: {x1}s -> {x10}s ({out[name]['ratio']}x)", file=sys.stderr)
     for name in STREAMING_TWINS:
         if only is not None and name not in only:
             continue
         x1 = time_streaming_twin(spark, name, SF1X)
         x10 = time_streaming_twin(spark, name, SF10X)
-        out[name] = {"x1": x1, "x10": x10, "ratio": round(x10 / max(x1, 1e-9), 1)}
+        out[name] = {"x1": x1, "xN": x10, "ratio": round(x10 / max(x1, 1e-9), 1)}
         print(f"# {name}: {x1}s -> {x10}s ({out[name]['ratio']}x)", file=sys.stderr)
     if only is not None and not {"tx_append", "tx_diff", "tx_restore",
                                  "tx_compact_partitions", "tx"} & only:
@@ -609,7 +612,7 @@ def main() -> None:
     for name in tx1:
         out[name] = {
             "x1": tx1[name],
-            "x10": tx10[name],
+            "xN": tx10[name],
             "ratio": round(tx10[name] / max(tx1[name], 1e-9), 1),
         }
         print(

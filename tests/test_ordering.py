@@ -58,6 +58,30 @@ def test_skewed_key_distribution(spark):
     _check(spark, df, ["k", "tie"], 16)
 
 
+def test_release_checkpoints_frees_block_storage(spark):
+    """ADVICE r10: localCheckpoint blocks live as block-manager RDD
+    storage — clearCache/unpersist never touch them, and waiting for
+    driver GC is not a storage budget. release_checkpoints must free
+    them deterministically once the consumer has materialized."""
+    from kinesis_spark.ordering import release_checkpoints
+
+    release_checkpoints()  # drain pins left by earlier tests
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    df = spark.range(5000).select(
+        (F.col("id") * 13 % 5000).alias("k"), F.col("id").alias("tie")
+    )
+    out = global_row_number(df, ["k", "tie"], "pos", num_partitions=8)
+    assert out.count() == 5000
+    stored = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert stored > before, "checkpoint blocks should be pinned"
+    assert release_checkpoints(blocking=True) >= 1
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after < stored, "release must drop the checkpointed RDD"
+    # idempotent and safe when empty
+    assert release_checkpoints() == 0
+    release_shared_pins()
+
+
 def test_no_single_partition_exchange(spark):
     import contextlib
     import io
