@@ -592,29 +592,15 @@ R1_VERIFIED: frozenset[str] = frozenset(
 # unchanged behavior). Self-clearing: once a query earns a green row
 # after its snapshot round, it leaves the changed tier entirely.
 REVERIFY_FIRST: tuple[str, ...] = (
-    # r10 (VERDICT r9 task 1): the registered d3/d7 faces flipped from
-    # uncapped to CAPPED pair expansion — oracle AND Spark semantics
-    # changed together (hot buckets now drop wholesale), so their green
-    # r09 rows validate the old uncapped faces.
-    "d3_minhash_lsh_pairs",
-    "d7_simhash_pairs",
-    # r10 (ADVICE r9): i5 now projects against octet_length (bytes),
-    # not length (characters) — same on the ASCII fixtures, different
-    # semantics.
-    "i5_shard_throttle_projection",
-    # r10 (VERDICT r9 task 5): sim13 probes selectivity-proportionally
-    # wide (nprobe 3 -> 6), lifting recall@5 from 0.46 to 0.74 — probe
-    # set and therefore result set changed on both engines.
-    "sim13_filtered_ann",
-    # r10 (SCALE_FULL's first catch): d5's registered face now
-    # sub-buckets its label blocks adaptively (32.3x -> 2.0x at 10x) —
-    # blocking semantics changed on both engines (output-identical at
-    # the fixture scales, where every label fits one block).
+    # r11 (VERDICT r10 finding 1): sim20's stage 1 now shuffles only
+    # (query_id, match_id, approx_score) and stage 2 re-fetches
+    # vectors through the broadcast pool — output-identical by design
+    # (oracle unchanged), but the executed plan is new end-to-end.
+    "sim20_two_stage_rerank",
+    # r11 (ADVICE r10): d5's oracle derives its sign-string length
+    # from the actual vector dimension instead of a hardcoded 64 —
+    # output-identical on the 64-dim fixtures, different contract.
     "d5_embedding_near_dup",
-    # r10 (SCALE_D30's catch): d8c verifies the MLlib machinery on a
-    # fixed 200-doc subset (40.3x -> 0.9x at the 30x corpus) — input
-    # scope changed on both engines.
-    "d8c_mllib_pairs_exact_jaccard",
 )
 
 

@@ -579,7 +579,11 @@ D5_TARGET = 64  # target block population for d5's adaptive sub-bucketing
     oracle=f"""
 WITH e0 AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
-         list_aggregate(list_transform(range(1, 65),
+         -- sign string spans the ACTUAL vector dimension (ADVICE r10:
+         -- a hardcoded range(1, 65) silently padded/truncated at 64
+         -- and would diverge from Spark's size(v)-derived signs if the
+         -- fixture dimension ever changed)
+         list_aggregate(list_transform(range(1, len(embedding) + 1),
              i -> CASE WHEN embedding[CAST(i AS INT)] >= 0 THEN '1' ELSE '0' END),
              'string_agg', '') AS signs
   FROM embeddings

@@ -2413,6 +2413,18 @@ def sim20_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-independent. Composes with the IVF index (ann.py) by running
     stage 1 inside probed cells only.
 
+    Exchange discipline (VERDICT r10 finding 1): the stage-1 top-{R}
+    window shuffles ONLY ``(query_id, match_id, approx_score)`` — 24
+    bytes/row — never the full-precision vectors (carrying them through
+    the queries x corpus candidate exchange would move ~1 KB/row, the
+    exact bandwidth the int8 scan exists to save). Stage 2 re-fetches
+    vectors by broadcasting the corpus-INDEPENDENT pool (<= queries x
+    {R} ids) against the embeddings relation: one more corpus-resident
+    scan, but scans are the cheap axis (pruned columnar read, no
+    network) and the query-side fetches push ``vec_id < {NQ}`` down to
+    the reader. Asserted in tests/test_plans.py: no array column in any
+    shuffle exchange's input.
+
     Determinism: the coarse score is an exact integer dot cast to
     double and divided by the two stored scales — identical IEEE ops in
     both engines — with match_id tiebreaks on both windows; stage-2
@@ -2423,7 +2435,7 @@ def sim20_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
     maxabs = F.array_max(F.transform("v", lambda x: F.abs(x)))
-    e = (
+    quant = (
         e.withColumn("maxabs", maxabs)
         .filter(F.col("maxabs") > 0)
         .withColumn("scale", F.lit(127.0) / F.col("maxabs"))
@@ -2437,38 +2449,32 @@ def sim20_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("bigint"),
             ),
         )
-        .withColumn("norm", _norm(F.col("v")))
-        .drop("maxabs")
+        .select("vec_id", "qv", "scale")
     )
-    qs = e.filter(F.col("vec_id") < N_QUERIES).select(
+    qs = quant.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv_full"),
         F.col("qv").alias("q_int"),
         F.col("scale").alias("q_scale"),
-        F.col("norm").alias("q_norm"),
     )
-    cand = e.select(
+    cand = quant.select(
         F.col("vec_id").alias("match_id"),
-        F.col("v").alias("cv_full"),
         F.col("qv").alias("c_int"),
         F.col("scale").alias("c_scale"),
-        F.col("norm").alias("c_norm"),
     )
     int_dot = F.aggregate(
         F.zip_with("q_int", "c_int", lambda x, y: x * y),
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
+    # the int vectors die HERE, in the map-side projection: only the
+    # 24-byte (query_id, match_id, approx_score) triple reaches the
+    # top-pool window's exchange below
     coarse = (
         F.broadcast(qs)
         .join(cand, F.col("match_id") != F.col("query_id"))
         .select(
             "query_id",
             "match_id",
-            "qv_full",
-            "cv_full",
-            "q_norm",
-            "c_norm",
             (int_dot.cast("double") / (F.col("q_scale") * F.col("c_scale"))).alias(
                 "approx_score"
             ),
@@ -2477,8 +2483,28 @@ def sim20_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_coarse = Window.partitionBy("query_id").orderBy(
         F.desc("approx_score"), F.asc("match_id")
     )
-    pool = coarse.withColumn("crk", F.row_number().over(w_coarse)).filter(
-        F.col("crk") <= SIM20_POOL
+    pool = (
+        coarse.withColumn("crk", F.row_number().over(w_coarse))
+        .filter(F.col("crk") <= SIM20_POOL)
+        .select("query_id", "match_id")
+    )
+    # stage 2: fetch full-precision vectors for the <= queries x POOL
+    # surviving ids — the pool broadcasts (corpus-independent), the
+    # query side pushes vec_id < N_QUERIES to the parquet reader
+    full = e.withColumn("norm", _norm(F.col("v")))
+    qfull = full.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv_full"),
+        F.col("norm").alias("q_norm"),
+    )
+    stage2 = (
+        full.select(
+            F.col("vec_id").alias("match_id"),
+            F.col("v").alias("cv_full"),
+            F.col("norm").alias("c_norm"),
+        )
+        .join(F.broadcast(pool), "match_id")
+        .join(F.broadcast(qfull), "query_id")
     )
     cos = _cosine_pre(
         F.col("qv_full"), F.col("cv_full"), F.col("q_norm"), F.col("c_norm")
@@ -2487,7 +2513,7 @@ def sim20_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("cos_sim"), F.asc("match_id")
     )
     return (
-        pool.select("query_id", "match_id", cos.alias("cos_sim"))
+        stage2.select("query_id", "match_id", cos.alias("cos_sim"))
         .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
         .filter(F.col("rank") <= TOP_K)
     )
@@ -2495,5 +2521,5 @@ def sim20_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 if sim20_two_stage_rerank.__doc__:  # absent under python -OO
     sim20_two_stage_rerank.__doc__ = sim20_two_stage_rerank.__doc__.format(
-        R=SIM20_POOL, K=TOP_K
+        R=SIM20_POOL, K=TOP_K, NQ=N_QUERIES
     )

@@ -1091,12 +1091,36 @@ def test_p13_single_scan_partial_agg(plan_of):
 def test_sim20_broadcast_queries_no_smj(plan_of):
     """sim20: the fixed query set broadcasts against the corpus scan
     (stage 1 is the only corpus-wide pass) — no sort-merge join
-    anywhere, and the corpus side is scanned at most twice (query
-    projection + candidate projection of the same small relation)."""
+    anywhere; at most two FULL corpus passes (stage-1 int8 candidates
+    + stage-2 vector fetch) plus two vec_id<N_QUERIES-pruned query
+    fetches (4 scan nodes total)."""
     plan = plan_of("sim20_two_stage_rerank")
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
-    assert plan.count("embeddings.parquet") <= 2
+    assert plan.count("embeddings.parquet") <= 4
+
+
+def test_sim20_no_array_crosses_shuffle(plan_of):
+    """VERDICT r10 finding 1: sim20's stage-1 top-pool window must
+    shuffle ONLY (query_id, match_id, approx_score) — full-precision
+    (and int8) vectors die in the map-side projection, and stage 2
+    re-fetches them via the broadcast pool. Every SHUFFLE exchange
+    (hashpartitioning — broadcasts of the <= N_QUERIES-row query set
+    are exempt) must carry exactly the three narrow columns; Spark
+    additionally prunes candidates map-side (WindowGroupLimit) before
+    the exchange."""
+    import re
+
+    plan = plan_of("sim20_two_stage_rerank")
+    blocks = re.findall(
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan
+    )
+    assert blocks, "expected at least one shuffle exchange in the plan"
+    allowed = {"query_id", "match_id", "approx_score", "cos_sim"}
+    for cols in blocks:
+        names = {c.strip().split("#")[0] for c in cols.split(",")}
+        assert names <= allowed, f"wide column crossed a shuffle: {names}"
+    assert "WindowGroupLimit" in plan
 
 
 def test_t20_map_only_no_shuffle(plan_of):
