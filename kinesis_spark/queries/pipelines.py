@@ -1481,3 +1481,113 @@ def p14_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected.alias("expected_tokens"),
         (expected / F.col("n_tokens")).alias("epochs"),
     )
+
+
+def _p15_oracle() -> str:
+    from kinesis_spark.queries.textstats import CHUNK_STRIDE, CHUNK_TOKENS
+
+    W, S = CHUNK_TOKENS, CHUNK_STRIDE
+    spec = (
+        "1 + GREATEST(0, (CAST(len(toks) AS BIGINT) - "
+        f"{W} + {S} - 1) // {S})"
+    )
+    return f"""
+WITH corpus_toks AS (
+  SELECT doc_id, regexp_split_to_array(text, '{WS_RE}') AS toks
+  FROM documents WHERE doc_id % 10 != 0
+),
+corpus_spec AS (
+  SELECT doc_id, toks, {spec} AS n_chunks FROM corpus_toks
+),
+corpus_hashes AS (
+  SELECT DISTINCT md5(array_to_string(
+           list_slice(toks, g.i * {S} + 1, g.i * {S} + {W}), ' '))
+         AS chunk_hash
+  FROM corpus_spec, UNNEST(generate_series(0, n_chunks - 1)) AS g(i)
+),
+batch_toks AS (
+  SELECT doc_id, regexp_split_to_array(text, '{WS_RE}') AS toks
+  FROM documents WHERE doc_id % 10 = 0
+),
+batch_spec AS (
+  SELECT doc_id, toks, {spec} AS n_chunks FROM batch_toks
+),
+scored AS (
+  SELECT doc_id, CAST(g.i AS BIGINT) AS chunk_idx,
+         CAST(len(list_slice(toks, g.i * {S} + 1, g.i * {S} + {W}))
+              AS BIGINT) AS n_chunk_tokens,
+         array_to_string(list_slice(toks, g.i * {S} + 1, g.i * {S} + {W}),
+                         ' ') AS chunk_text,
+         md5(array_to_string(
+               list_slice(toks, g.i * {S} + 1, g.i * {S} + {W}), ' '))
+           AS chunk_hash
+  FROM batch_spec, UNNEST(generate_series(0, n_chunks - 1)) AS g(i)
+),
+ranked AS (
+  SELECT scored.*,
+         ROW_NUMBER() OVER (PARTITION BY chunk_hash
+                            ORDER BY doc_id, chunk_idx) AS rn
+  FROM scored
+),
+flagged AS (
+  SELECT *, (rn > 1 OR chunk_hash IN (SELECT chunk_hash FROM corpus_hashes))
+            AS dup
+  FROM ranked
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(n_chunk_tokens) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN dup THEN n_chunk_tokens ELSE 0 END) AS BIGINT)
+         AS tokens_dropped,
+       md5(COALESCE(string_agg(CASE WHEN NOT dup THEN chunk_text END,
+                               chr(10) ORDER BY chunk_idx), ''))
+         AS clean_md5
+FROM flagged GROUP BY doc_id
+"""
+
+
+@register(
+    "p15_chunk_dedup_rewrite",
+    oracle=_p15_oracle(),
+    tags=("pipeline", "incremental", "dedup", "chunking", "index"),
+)
+def p15_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d22's chunk-granularity dedup EXECUTED the production way
+    (VERDICT r10 task 3) — d22 prices what chunk dedup would drop; this
+    face drops it: the corpus's distinct chunk hashes live in a
+    PERSISTED index (prep_index.build_chunk_index, bootstrapped once
+    per documents (path, mtime)); each new batch (doc_id % 10 == 0,
+    the p3/p9 split) is chunked on t20's schedule, a batch chunk is
+    dropped when the corpus already owns its hash or it repeats within
+    the batch (first (doc_id, chunk_idx) occurrence kept), and every
+    batch document is rebuilt as its surviving chunk stream with a
+    byte-pinning clean_md5 (d18's discipline, newline-joined chunk
+    bodies in chunk order).
+
+    Scale shape: zero corpus scans on the recurring path (the corpus
+    enters only through the 16 B/chunk index, scanned single-column and
+    confirmed via a batch-scale broadcast semi-join), and — stricter
+    than p9 — chunk BODIES never cross an exchange: the dup decision
+    runs on the hash-only chunk relation, and bodies are re-derived
+    map-side from each batch document's own row after the narrow
+    drop-list joins back. Both properties plan-asserted in
+    tests/test_chunk_rewrite.py. See prep_index.chunk_dedup_rewrite
+    for the full shape."""
+    from kinesis_spark.prep_index import (
+        build_chunk_index,
+        chunk_dedup_rewrite,
+        ensure_local_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = ensure_local_index(
+        sf_dir,
+        "kinesis_chunk_index",
+        lambda scratch: build_chunk_index(
+            spark, d.filter(F.col("doc_id") % 10 != 0), scratch
+        ),
+    )
+    return chunk_dedup_rewrite(
+        spark, d.filter(F.col("doc_id") % 10 == 0), idx
+    )
