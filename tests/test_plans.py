@@ -1123,6 +1123,20 @@ def test_sim20_no_array_crosses_shuffle(plan_of):
     assert "WindowGroupLimit" in plan
 
 
+def test_sim21_probe_prunes_cell_partitions(spark, plan_of):
+    """sim21's serving path reads ONLY the probed cells of the
+    persisted chunk IVF index: the cell scan must carry a
+    PartitionFilters entry on the cell id (file-listing-level pruning —
+    at 100 TB the probe reads ~nprobe/n_cells of the index, never all
+    of it). The query-side vec_id < 10 scan sits inside the pinned
+    probe subtree (already materialized), so it cannot appear here —
+    its pushdown is covered by the ann-index test suite."""
+    plan = plan_of("sim21_chunk_retrieval")
+    assert "PartitionFilters: [" in plan
+    seg = plan[plan.index("PartitionFilters: [") :].split("]")[0]
+    assert "cell" in seg
+
+
 def test_t20_map_only_no_shuffle(plan_of):
     """t20: chunking is a pure map — one pruned documents scan
     (doc_id + text only) feeding Generate/slice/hash with NO exchange
