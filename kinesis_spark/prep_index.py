@@ -304,7 +304,10 @@ def build_chunk_index(
 
 
 def chunk_dedup_rewrite(
-    spark: SparkSession, batch_docs: DataFrame, index_dir: str
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    index_dir: str | None = None,
+    store: DataFrame | None = None,
 ) -> DataFrame:
     """d22's chunk-granularity dedup EXECUTED, the incremental way
     (VERDICT r10 "what's missing" 3): a new batch lands against the
@@ -346,7 +349,12 @@ def chunk_dedup_rewrite(
     # tokens for the same reason)
     b = pin_shared(batch_docs.select("doc_id", "text"))
     narrow = chunk_relation(b, text=False)
-    store = spark.read.parquet(os.path.join(index_dir, "chunks"))
+    # ``store`` injection (streaming/chunk_dedup.py): the always-on
+    # maintainer excludes a replayed batch's OWN per-batch subdirectory
+    # before handing the store over — same probe shape either way
+    if store is None:
+        store = spark.read.parquet(os.path.join(index_dir, "chunks"))
+    store = store.select("chunk_hash")
     batch_keys = narrow.select("chunk_hash").distinct()
     # .distinct(): append_chunk_index's crash-redo may duplicate stored
     # hashes (same confirm shape as the gram/hash stores)
