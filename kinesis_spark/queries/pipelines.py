@@ -1591,3 +1591,127 @@ def p15_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup_rewrite(
         spark, d.filter(F.col("doc_id") % 10 == 0), idx
     )
+
+
+def _p16_oracle() -> str:
+    from kinesis_spark.queries.textstats import CHUNK_STRIDE, CHUNK_TOKENS
+
+    W, S, C = CHUNK_TOKENS, CHUNK_STRIDE, _CTX_TOKENS
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(text, '{WS_RE}') AS toks
+  FROM documents
+),
+spec AS (
+  SELECT doc_id, source, toks,
+         1 + GREATEST(0, (CAST(len(toks) AS BIGINT) - {W} + {S} - 1) // {S})
+           AS n_chunks
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id, source, CAST(g.i AS BIGINT) AS chunk_idx,
+         CAST(len(list_slice(toks, g.i * {S} + 1, g.i * {S} + {W}))
+              AS BIGINT) AS n_chunk_tokens,
+         md5(array_to_string(
+               list_slice(toks, g.i * {S} + 1, g.i * {S} + {W}), ' '))
+           AS chunk_hash
+  FROM spec, UNNEST(generate_series(0, n_chunks - 1)) AS g(i)
+),
+ranked AS (
+  SELECT chunks.*,
+         ROW_NUMBER() OVER (PARTITION BY chunk_hash
+                            ORDER BY doc_id, chunk_idx) AS occ
+  FROM chunks
+),
+agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS kept_chunks,
+         CAST(SUM(n_chunk_tokens) AS BIGINT) AS tokens_total,
+         CAST(SUM(CASE WHEN occ = 1 THEN n_chunk_tokens ELSE 0 END)
+              AS BIGINT) AS tokens_kept
+  FROM ranked GROUP BY source
+)
+SELECT source, n_chunks, kept_chunks, tokens_total, tokens_kept,
+       (tokens_total + {C} - 1) // {C} AS windows_raw,
+       (tokens_kept + {C} - 1) // {C} AS windows_deduped,
+       (tokens_total + {C} - 1) // {C} - (tokens_kept + {C} - 1) // {C}
+         AS windows_saved,
+       CAST((tokens_total + {C} - 1) // {C}
+            - (tokens_kept + {C} - 1) // {C} AS DOUBLE)
+         / ((tokens_total + {C} - 1) // {C}) AS save_rate
+FROM agg
+"""
+
+
+@register(
+    "p16_dedup_packing_savings",
+    oracle=_p16_oracle(),
+    tags=("pipeline", "packing", "dedup", "chunking"),
+)
+def p16_dedup_packing_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHAT CHUNK DEDUP BUYS AT TRAINING TIME — the composition d22 and
+    p2 exist for, in one table: the corpus is chunked on t20's
+    schedule, the global first-occurrence rule keeps one copy per chunk
+    md5 (d22's selection), and both the raw and the deduplicated chunk
+    streams are priced in {C}-token packed context windows (p2's
+    layout) per source: windows_raw vs windows_deduped is the number of
+    training batches the dedup removes from every epoch, save_rate is
+    the fraction of compute it returns. The table that justifies (or
+    kills) running p15 on a given source mix — d22 prices droppable
+    tokens, this prices droppable TRAINING WINDOWS, the unit the
+    cluster bill is denominated in.
+
+    Determinism: exact BIGINT counts and ceiling divisions
+    ((a + C - 1) // C on both engines over nonnegative ints);
+    save_rate is one double division of identical exact integers.
+
+    Scale shape: ONE corpus scan (map-only chunking, hash + token
+    count + source only — bodies never materialize, d22's discipline)
+    -> ONE 16 B/row shuffle keyed by chunk_hash for the global
+    first-occurrence window (linear at any duplication depth: hash
+    groups deepen, nothing pair-expands) -> a source-keyed partial
+    aggregation carrying four BIGINT buffers. Output is
+    source-count-sized; at 100 TB this is d22's exact plan plus four
+    integer columns."""
+    from pyspark.sql.window import Window
+
+    from kinesis_spark.queries.textstats import chunk_relation
+
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    chunks = chunk_relation(
+        d.select("doc_id", "source", "text"), carry=("source",), text=False
+    )
+    w = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    ranked = chunks.withColumn("occ", F.row_number().over(w))
+    kept = F.when(F.col("occ") == 1, F.lit(1)).otherwise(F.lit(0))
+    kept_toks = F.when(F.col("occ") == 1, F.col("n_chunk_tokens")).otherwise(
+        F.lit(0)
+    )
+    agg = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(kept).cast("bigint").alias("kept_chunks"),
+        F.sum("n_chunk_tokens").cast("bigint").alias("tokens_total"),
+        F.sum(kept_toks).cast("bigint").alias("tokens_kept"),
+    )
+    C = _CTX_TOKENS
+    wraw = F.expr(f"(tokens_total + {C} - 1) div {C}")
+    wded = F.expr(f"(tokens_kept + {C} - 1) div {C}")
+    return agg.select(
+        "source",
+        "n_chunks",
+        "kept_chunks",
+        "tokens_total",
+        "tokens_kept",
+        wraw.alias("windows_raw"),
+        wded.alias("windows_deduped"),
+        (wraw - wded).alias("windows_saved"),
+        ((wraw - wded).cast("double") / wraw).alias("save_rate"),
+    )
+
+
+if p16_dedup_packing_savings.__doc__:  # absent under python -OO
+    p16_dedup_packing_savings.__doc__ = (
+        p16_dedup_packing_savings.__doc__.format(C=_CTX_TOKENS)
+    )

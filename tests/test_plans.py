@@ -1137,6 +1137,18 @@ def test_sim21_probe_prunes_cell_partitions(spark, plan_of):
     assert "cell" in seg
 
 
+def test_p16_bodies_never_materialize_partial_agg(plan_of):
+    """p16: one documents scan, chunk bodies exist only inside the
+    map-stage md5 expression (no chunk_text column anywhere — d22's
+    discipline), the hash-keyed window shuffle carries narrow rows,
+    and the source aggregation partially aggregates map-side."""
+    plan = plan_of("p16_dedup_packing_savings")
+    assert plan.count("documents.parquet") == 1
+    assert "chunk_text" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "SortMergeJoin" not in plan and "SinglePartition" not in plan
+
+
 def test_t20_map_only_no_shuffle(plan_of):
     """t20: chunking is a pure map — one pruned documents scan
     (doc_id + text only) feeding Generate/slice/hash with NO exchange
