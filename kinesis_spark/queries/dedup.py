@@ -125,18 +125,20 @@ def _minhash_sigs(docs: DataFrame) -> DataFrame:
     """(doc_id, mh0..mh{{N_HASHES-1}}) — ONE definition of the MinHash
     signature relation shared by the banding pipeline (d3/d14 via
     :func:`_lsh_band_buckets`) and signature-space estimation (d19).
-    Tokenize barrier → shingle explode → per-doc min-hash per seed; the
-    groupBy shuffles only (doc_id, 32-B hash) partial mins."""
+    Tokenize barrier → shingle barrier → per-doc ``array_min`` over the
+    bound shingle array per seed (p1's ``_minhash_sig_spark``): the
+    whole signature is ROW-LOCAL, so the relation needs no Exchange at
+    all — the previous explode→groupBy form shuffled a doc-count-scale
+    (doc_id, 8×32-B hash) relation (~300 B/doc: ~300 GB of network at a
+    10^9-doc corpus) and measured 2× slower at sf0.1 (0.74 s → 0.37 s,
+    OPTIMIZATION_r11.md). min-over-md5 is associative and the shingle
+    set identical, so the signature bytes are unchanged (pair-set diff
+    asserted 0 at sf0.1 before the swap)."""
     tokd = _tokens_barrier(docs, min_words=3)
-    exploded = tokd.select(
-        "doc_id", F.explode(_shingles_of(F.col("toks"))).alias("s")
+    shb = tokd.select(
+        "doc_id", F.explode(F.array(_shingles_of(F.col("toks")))).alias("shb")
     )
-    return exploded.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{seed}#"), F.col("s")))).alias(f"mh{seed}")
-            for seed in range(N_HASHES)
-        ]
-    )
+    return shb.select("doc_id", *_minhash_sig_spark(F.col("shb")))
 
 
 def _pairs_of(buckets: DataFrame) -> DataFrame:
@@ -761,10 +763,18 @@ def d9_dedup_components(
         .withColumnsRenamed({"doc_a": "src", "doc_b": "dst"})
         .transform(pin)
     )
-    vertices = _tokens_barrier(
-        load_table(spark, sf_dir, "documents"), min_words=3
-    ).select("doc_id")
-    labels = vertices.withColumn("component", F.col("doc_id")).transform(pin)
+    # Iterate over the CANDIDATE SUBGRAPH only (OPTIMIZATION r11): a
+    # label can change only on a node that has an edge, so the loop's
+    # state is the edge-endpoint set — candidate-scale, a small fraction
+    # of the corpus — instead of every >=3-token document. The previous
+    # corpus-wide form shuffled and pinned the full vertex relation
+    # every round (corpus-scale per-iteration state at 100 TB); now the
+    # corpus appears exactly once, in the final singleton anti-join.
+    # Output is identical: propagation never crosses an edge boundary,
+    # so untouched docs are singleton components (component = doc_id,
+    # size = 1) by definition — measured 2.6 s -> 1.3 s at sf0.1.
+    touched = edges.select(F.col("src").alias("doc_id")).distinct()
+    labels = touched.withColumn("component", F.col("doc_id")).transform(pin)
     for _ in range(MAX_CC_ITERS):
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -806,9 +816,20 @@ def d9_dedup_components(
     # corpus-order at 100 TB (most docs are singleton components). A
     # shuffle join on `component` is correct at any scale, and AQE will
     # still broadcast it at runtime when it genuinely fits.
-    return labels.join(sizes, "component").select(
+    clustered = labels.join(sizes, "component").select(
         "doc_id", "component", "component_size"
     )
+    singles = (
+        _tokens_barrier(load_table(spark, sf_dir, "documents"), min_words=3)
+        .select("doc_id")
+        .join(touched, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.col("doc_id").alias("component"),
+            F.lit(1).cast("bigint").alias("component_size"),
+        )
+    )
+    return clustered.unionAll(singles)
 
 
 @register(
