@@ -168,19 +168,36 @@ def g1_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "src")
         .transform(pin)
     )
-    nodes = ed.select(F.col("src").alias("id")).distinct().transform(pin)
-    n = nodes.count()
-    ranks = nodes.select("id", F.lit(1.0 / n).alias("r"))
-    for _ in range(PR_ITERS):
-        contrib = (
-            ed.join(ranks, ed["src"] == ranks["id"])
-            .select(
+    # N comes straight off the pinned edge relation — the former
+    # separate `nodes` relation (distinct + its own pin) duplicated
+    # what `ed` already holds and paid one more checkpoint
+    # materialization (OPTIMIZATION r11).
+    n = ed.select("src").distinct().count()
+    ranks = None
+    for it in range(PR_ITERS):
+        if it == 0:
+            # Round 1's rank relation is the CONSTANT 1/n — joining it
+            # in is a no-op join (every probe hits, every value equal).
+            # Inlining the constant removes one edges-scale shuffle
+            # join of the {PR_ITERS} (OPTIMIZATION r11: 4.3 s -> see
+            # OPTIMIZATION_r11.md); bit-identical because `r` was
+            # literally lit(1.0/n) for every row.
+            contrib = ed.select(
                 "dst",
-                F.floor(F.col("r") / F.col("d") * float(_PR_SCALE))
+                F.floor(F.lit(1.0 / n) / F.col("d") * float(_PR_SCALE))
                 .cast("decimal(38,0)")
                 .alias("fl"),
             )
-        )
+        else:
+            contrib = (
+                ed.join(ranks, ed["src"] == ranks["id"])
+                .select(
+                    "dst",
+                    F.floor(F.col("r") / F.col("d") * float(_PR_SCALE))
+                    .cast("decimal(38,0)")
+                    .alias("fl"),
+                )
+            )
         sums = contrib.groupBy("dst").agg(F.sum("fl").alias("s"))
         # NO damping re-join onto the node set: the symmetrized graph
         # gives every node an in-edge (edges = pairs ∪ reversed(pairs),
@@ -196,7 +213,12 @@ def g1_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(PR_DAMP)
                 * (F.col("s").cast("double") / F.lit(float(_PR_SCALE)))
             ).alias("r"),
-        ).transform(pin)
+        )
+        # pin intermediate rounds only: the LAST round's ranks are
+        # consumed exactly once by the final projection, so its
+        # checkpoint materialization bought nothing (OPTIMIZATION r11)
+        if it < PR_ITERS - 1:
+            ranks = ranks.transform(pin)
     return ranks.select(
         F.when(F.col("id") % 2 == 0, F.lit("customer"))
         .otherwise(F.lit("supplier"))

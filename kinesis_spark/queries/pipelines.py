@@ -576,6 +576,7 @@ def p3_incremental_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     from kinesis_spark.bloom import build_bloom, densify_bloom, probe_bloom_dense
+    from kinesis_spark.checkpoints import pin
 
     d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     base = _gated_base(d)
@@ -598,11 +599,25 @@ def p3_incremental_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("in_corpus", F.lit(True))
     )
-    flagged = probed.join(F.broadcast(confirmed), "h", "left").select(
-        "doc_id", "lang", "source", "toks", "n_toks",
-        ((F.col("rn") > 1) | F.coalesce("in_corpus", F.lit(False))).alias(
-            "exact_dup"
-        ),
+    # `flagged` is consumed three times (the near-dup probe, its report
+    # join, and the rollup); Spark replays a forked subtree per consumer
+    # — the unpinned plan scanned the documents parquet 22 TIMES
+    # (plans/r11/p3_incremental_prep_before.txt), re-running the gate,
+    # the batch window, the bloom build AND the corpus confirm join per
+    # replay. Pinning the BATCH-SCALE flag relation (doc_id + gate
+    # columns + toks, one row per batch doc — small by the incremental
+    # contract, corpus never pinned) runs that subtree once; every
+    # consumer reads the checkpoint (guide §3.3/§5: materialise the
+    # intermediate to stop duplicated subtrees).
+    flagged = (
+        probed.join(F.broadcast(confirmed), "h", "left")
+        .select(
+            "doc_id", "lang", "source", "toks", "n_toks",
+            ((F.col("rn") > 1) | F.coalesce("in_corpus", F.lit(False))).alias(
+                "exact_dup"
+            ),
+        )
+        .transform(pin)
     )
 
     rem = flagged.filter(~F.col("exact_dup"))

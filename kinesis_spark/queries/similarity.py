@@ -872,8 +872,15 @@ def sim10_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p"),
     ).select("vec_id", "p.s", "p.sv")
 
-    cb = subs.filter(F.col("vec_id") < PQ_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), "s", F.col("sv").alias("cv")
+    # the codebook subtree (embeddings scan w/ pushed vec_id<16 filter +
+    # subspace explode) fed BOTH cb_arr and lut and was replayed per
+    # consumer; a shared pin of the 64-row relation runs it once
+    # (OPTIMIZATION r11, guide §2.4 — sim10's plan drops one scan, and
+    # sim10c, which composes sim10, drops two)
+    cb = pin_shared(
+        subs.filter(F.col("vec_id") < PQ_CENTROIDS).select(
+            F.col("vec_id").alias("cid"), "s", F.col("sv").alias("cv")
+        )
     )
     # per-subspace codebook as ONE array column → row-local argmin below
     cb_arr = cb.groupBy("s").agg(

@@ -591,16 +591,20 @@ def test_j10_prefilter_is_rowlocal_before_join(plan_of):
 
 
 def test_p3_corpus_never_broadcast(plan_of):
-    """Incremental prep: the corpus side collapses to the fixed bloom
-    bitmap (partial_bit_or map-side) and a distinct band-key index; the
-    only broadcasts are the bitmap and batch-scale key sets — a
-    BroadcastExchange carrying document text would be the corpus OOM
-    this pipeline exists to avoid."""
+    """Incremental prep: the batch flag relation is PINNED once
+    (OPTIMIZATION r11 — the unpinned plan replayed the gate + bloom +
+    confirm subtree per consumer, 11 documents scans), so the visible
+    plan reads the checkpoint (Scan ExistingRDD) plus exactly ONE
+    corpus scan for the band index; the bloom build's map-side
+    partial_bit_or shape is asserted on d15, which shares the
+    machinery unpinned. A BroadcastExchange carrying document text
+    would be the corpus OOM this pipeline exists to avoid."""
     import re
 
     plan = plan_of("p3_incremental_prep")
-    assert "partial_bit_or" in plan
-    assert "LeftSemi" in plan  # band-index + hash-verify semi joins
+    assert "Scan ExistingRDD" in plan  # the pinned batch flag relation
+    assert plan.count("documents.parquet") == 1  # band index only
+    assert "LeftSemi" in plan  # band-index semi join
     for cols in re.findall(
         r"\(\d+\) BroadcastExchange\nInput \[\d+\]: \[([^\]]*)\]", plan
     ):
