@@ -1074,18 +1074,26 @@ def d13_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     labels = d9_dedup_components(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    ranked = labels.join(d, "doc_id").withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("component").orderBy(
-                F.col("n_chars").desc(), F.col("doc_id")
-            )
-        ),
-    )
-    return ranked.groupBy("component").agg(
-        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("canonical_doc"),
-        F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("canonical_chars"),
-        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+    # ONE partial-aggregating max instead of the former row_number
+    # window + rollup (OPTIMIZATION r11, guide §2.3 "aggregate before
+    # you shuffle"): max over (n_chars, -doc_id) structs is exactly the
+    # window's rank-1 pick (longest text, lowest doc_id tie-break) —
+    # lexicographic struct max — but it combines map-side, so the
+    # component shuffle carries one candidate struct per partition
+    # instead of every member row sorted per cluster.
+    best = F.max(
+        F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nd"))
+    ).alias("s")
+    return (
+        labels.join(d, "doc_id")
+        .groupBy("component")
+        .agg(best, F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .select(
+            "component",
+            (-F.col("s.nd")).alias("canonical_doc"),
+            F.col("s.n_chars").alias("canonical_chars"),
+            "n_members",
+        )
     )
 
 

@@ -370,9 +370,15 @@ def test_d9_sizes_join_not_hint_broadcast(plan_of):
         assert "component_size" not in m.group(1), m.group(1)
 
 
-def test_d13_ranking_window_is_partitioned(plan_of):
+def test_d13_canonical_pick_partial_aggregates(plan_of):
+    """The canonical pick is ONE map-side-combining max over
+    (n_chars, -doc_id) structs (OPTIMIZATION r11 — formerly a
+    row_number window that sorted every cluster's members); the plan
+    must show a partial aggregate on the max and never a
+    single-partition exchange."""
     plan = plan_of("d13_canonical_selection")
-    assert "Window" in plan
+    assert "partial_max" in plan
+    assert "Window" not in plan  # the sort-per-cluster window is gone
     assert "SinglePartition" not in plan
 
 
