@@ -114,11 +114,19 @@ def incremental_prep_indexed(
         .distinct()
         .withColumn("in_corpus", F.lit(True))
     )
-    flagged = probed.join(F.broadcast(confirmed), "h", "left").select(
-        "doc_id", "lang", "source", "toks", "n_toks",
-        ((F.col("rn") > 1) | F.coalesce("in_corpus", F.lit(False))).alias(
-            "exact_dup"
-        ),
+    # `flagged` is consumed three times (near-dup probe, report join,
+    # rollup) and its subtree replays the batch gate + hash window +
+    # bloom probe + index reads per consumer (the unpinned plan held 11
+    # scans, plans/r11/p7_incremental_prep_indexed_before.txt). Pin the
+    # BATCH-SCALE flag relation — same discipline as p3 (OPTIMIZATION
+    # r11 §3); the index relations are never pinned.
+    flagged = pin_shared(
+        probed.join(F.broadcast(confirmed), "h", "left").select(
+            "doc_id", "lang", "source", "toks", "n_toks",
+            ((F.col("rn") > 1) | F.coalesce("in_corpus", F.lit(False))).alias(
+                "exact_dup"
+            ),
+        )
     )
 
     rem = flagged.filter(~F.col("exact_dup"))
