@@ -755,7 +755,13 @@ def d9_dedup_components(
     # pin (eager; reliable checkpoint under a checkpoint dir, else
     # localCheckpoint): materializes AND truncates lineage, so
     # iteration N's plan doesn't replay iterations 0..N-1 (lineage growth
-    # is the classic iterative-DataFrame trap)
+    # is the classic iterative-DataFrame trap). A persist-based
+    # pin_shared here (the g1/g2 static-relation change, OPTIMIZATION
+    # r11) was MEASURED SLOWER in a same-session A/B (+42% at x10,
+    # best-of-2): unlike g1/g2's repartitioned-by-src edge relation,
+    # this candidate relation isn't key-partitioned for the per-round
+    # join, so persist only swaps block reads for a columnar cache scan
+    # and loses — the checkpoint stays.
     edges = (
         pairs.union(
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))

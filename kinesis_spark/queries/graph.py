@@ -4,9 +4,12 @@ components (d9) — the other classic iterative message-passing shape.
 
 Scale design (the d9/sim11 iterative discipline):
 - The edge list is derived from one orders⋈lineitem equi-join and
-  pinned ONCE (checkpoints.pin: reliable checkpoint when a checkpoint
-  dir is configured — survives executor loss — else localCheckpoint);
-  every iteration replays nothing upstream.
+  materialized ONCE. The STATIC edge relation uses pins.pin_shared
+  (persist: keeps partitioning + size stats visible to every round's
+  join, keeps lineage so executor loss recomputes); the MUTABLE
+  per-round rank state uses checkpoints.pin (reliable checkpoint when
+  a checkpoint dir is configured — survives executor loss — else
+  localCheckpoint). Every iteration replays nothing upstream.
 - One iteration = one shuffle: edges join ranks on src (both sides
   partitioned by node id), partial-agg sum of contributions on dst.
   Nothing corpus-sized broadcasts or collects; the only driver-side
@@ -34,6 +37,7 @@ from pyspark.sql.window import Window
 
 from kinesis_spark.checkpoints import pin
 from kinesis_spark.io import load_table
+from kinesis_spark.pins import pin_shared
 from kinesis_spark.queries import register
 
 PR_ITERS = 3
@@ -137,8 +141,9 @@ def g1_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled replay every round — see the module header.
 
     At 100 TB the state per round is 16 B/node and the edge relation is
-    reused from checkpoint storage; iteration count is fixed, so total
-    cost is {ITERS} equi-join shuffles. The same loop body serves any
+    reused from cache storage (persisted WITH its src layout and size
+    stats — see the pin_shared comment below); iteration count is
+    fixed, so total cost is {ITERS} equi-join shuffles. The same loop body serves any
     edge set — swap `pairs` for d3's near-dup candidates to rank
     duplication hubs.
 
@@ -161,12 +166,22 @@ def g1_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PRE-PARTITIONED on src: every iteration's edges⋈ranks then reuses
     # this side's layout and shuffles only the (node, rank) relation —
     # measured 7.3 s -> 4.3 s at sf0.1 (the classic Pregel layout: park
-    # the big static relation, move the small mutable one)
+    # the big static relation, move the small mutable one).
+    # pin_shared (persist), NOT checkpoints.pin, for the STATIC side
+    # (OPTIMIZATION r11): a checkpoint surfaces as `Scan ExistingRDD,
+    # UnknownPartitioning` under AQE, so every round re-Exchanged the
+    # edge relation and planned blind SMJs — the InMemoryRelation keeps
+    # the repartition's layout and real size stats visible to each
+    # round's join (x30: 43.9 s -> 27.7 s best-of-2). Fault story is
+    # unchanged-or-better: the mutable per-round ranks keep reliable
+    # checkpoints; the static edge relation keeps its full lineage, so
+    # an executor loss recomputes it instead of dying on lost
+    # unreplicated checkpoint blocks.
     ed = (
         edges.join(deg, "src")
         .select("src", "dst", "d")
         .repartition(spark.sparkContext.defaultParallelism, "src")
-        .transform(pin)
+        .transform(pin_shared)
     )
     # N comes straight off the pinned edge relation — the former
     # separate `nodes` relation (distinct + its own pin) duplicated
@@ -288,11 +303,14 @@ def g2_bfs_supply_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     message every round).
     """
     # pre-partitioned on src for the same reason as g1: each round's
-    # frontier relaxation reuses the parked edge layout
+    # frontier relaxation reuses the parked edge layout. pin_shared
+    # (persist) like g1's edge relation — a checkpoint would hide the
+    # layout and stats behind UnknownPartitioning (OPTIMIZATION r11);
+    # the mutable dist/frontier chain below keeps reliable pins.
     edges = (
         _trade_edges(spark, sf_dir)
         .repartition(spark.sparkContext.defaultParallelism, "src")
-        .transform(pin)
+        .transform(pin_shared)
     )
     dist = (
         edges.agg(F.min("src").alias("id"))
@@ -377,6 +395,12 @@ def g3_neardup_triangles(
     pairs = candidates if candidates is not None else d14_capped_lsh_pairs(
         spark, sf_dir
     )
+    # checkpoints.pin, NOT the persist-based pin_shared: the g1/g2
+    # static-relation persist change was A/B'd here too and measured
+    # +18% at x10 (same-session best-of-2) — e/directed feed plain
+    # rebroadcast-or-shuffle joins with no reusable key layout, so the
+    # columnar cache scan loses to checkpoint block reads (OPTIMIZATION
+    # r11; same verdict as d9/sim12)
     e = (
         pairs
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))

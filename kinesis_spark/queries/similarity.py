@@ -1306,7 +1306,11 @@ def sim12_semdedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "v", F.col("cluster").alias("coarse")
     )
     # corpus-scale intermediate reused by seeds + every fine round: pin
-    # it once (the d9/sim11 lineage-truncation discipline)
+    # it once (the d9/sim11 lineage-truncation discipline). The
+    # persist-based pin_shared (g1/g2's static-relation change,
+    # OPTIMIZATION r11) was A/B'd here and measured +6% at x10 — the
+    # wide 64-double vector column makes the columnar cache scan dearer
+    # than checkpoint block reads, so the checkpoint stays.
     coarse = coarse.transform(pin)
 
     w_cnt = Window.partitionBy("coarse")

@@ -71,10 +71,13 @@ def test_g1_pagerank_survivable_checkpoints(spark, sf_dir, tmp_path):
         assert "ReliableCheckpointRDD" in dbg
         assert "LocalCheckpointRDD" not in dbg
         got = sorted(map(tuple, out.collect()))
-        # ed parked once; intermediate rounds' ranks pinned (the last
-        # round is consumed exactly once and deliberately unpinned, and
-        # N derives from ed — no separate nodes pin; OPTIMIZATION r11)
-        assert _ckpt_rdd_count(d) >= 1 + (PR_ITERS - 1)
+        # the MUTABLE state only: intermediate rounds' ranks pinned (the
+        # last round is consumed exactly once and deliberately unpinned).
+        # The STATIC edge relation is pin_shared (persist) — recomputable
+        # from its full lineage on executor loss, so it must NOT burn a
+        # checkpoint; N derives from it, no separate nodes pin
+        # (OPTIMIZATION r11).
+        assert _ckpt_rdd_count(d) >= PR_ITERS - 1
     assert got == baseline
 
 
