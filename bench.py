@@ -405,15 +405,35 @@ def main() -> None:
             f"({r['ratio']}x host-normalized, {r['raw_ratio']}x raw)",
             file=sys.stderr,
         )
+    # Self-normalizing artifact (VERDICT r11 task 2): the r11 round-over-
+    # round comparison was dominated by an 18% host swing that only the
+    # artifact-internal sentinel revealed — PERF compared raw seconds.
+    # Publish per-query seconds DEFLATED to the reference host speed
+    # (raw / host_factor, where host_factor = sentinel / HOST_REF_SECONDS)
+    # so two artifacts compare directly without a matched-host rerun.
+    # ADDITIONS ONLY: raw fields are unchanged, failed queries stay -1.0.
+    host_factor = round(host_seconds / HOST_REF_SECONDS, 3)
+    queries_norm = {
+        name: (round(t / host_factor, 3) if t > 0 else t)
+        for name, t in queries.items()
+    }
+    total_norm = round(
+        sum(t for t in queries_norm.values() if t > 0)
+        + ingest["seconds"]
+        + headroom["seconds"],
+        3,
+    )
     payload = json.dumps(
         {
             "metric": "suite_seconds",
             "value": total,
             "unit": "sec",
             "queries": queries,
+            "queries_host_normalized": queries_norm,
+            "value_host_normalized": total_norm,
             "sf": sf,
             "host_seconds": host_seconds,
-            "host_factor": round(host_seconds / HOST_REF_SECONDS, 3),
+            "host_factor": host_factor,
             "host_ratio_vs_prev": host_ratio,
             "ingest": ingest,
             "ingest_headroom": headroom,
@@ -458,10 +478,13 @@ def main() -> None:
     fams: dict[str, dict] = {}
     for name, t in queries.items():
         fam = re.match(r"[a-z]+", name).group(0)
-        f = fams.setdefault(fam, {"n": 0, "sec": 0.0, "failed": 0})
+        f = fams.setdefault(fam, {"n": 0, "sec": 0.0, "sec_host_normalized": 0.0, "failed": 0})
         f["n"] += 1
         if t > 0:
             f["sec"] = round(f["sec"] + t, 3)
+            f["sec_host_normalized"] = round(
+                f["sec_host_normalized"] + queries_norm[name], 3
+            )
         else:
             f["failed"] += 1
     digest = json.dumps(
@@ -470,12 +493,16 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": {k: v["sec"] for k, v in sorted(fams.items())},
+            "queries_host_normalized": {
+                k: v["sec_host_normalized"] for k, v in sorted(fams.items())
+            },
+            "value_host_normalized": total_norm,
             "families": fams,
             "n_queries": len(queries),
             "n_failed": sum(f["failed"] for f in fams.values()),
             "regressions": regressions,
             "host_seconds": host_seconds,
-            "host_factor": round(host_seconds / HOST_REF_SECONDS, 3),
+            "host_factor": host_factor,
             "host_ratio_vs_prev": host_ratio,
             "sf": sf,
             "ingest": ingest,

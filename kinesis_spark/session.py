@@ -175,6 +175,23 @@ def get_spark(app_name: str = "kinesis_spark", master: str | None = None) -> Spa
             )
             .config("spark.sql.session.timeZone", "UTC")
             .config("spark.ui.enabled", "false")
+            # Long-session Python-worker hygiene (VERDICT r11 task 1): a
+            # 30-minute 16k-stage pytest session accumulated reused
+            # Python workers until several were killed at once ("Python
+            # worker exited unexpectedly (crashed)", no traceback).
+            # faulthandler makes any future worker death diagnosable;
+            # the idle timeout reaps workers that sat unused for 60 s
+            # (worker respawn is ~50 ms — negligible next to the memory
+            # a 32-worker pool pins across a long session), and the
+            # idle-pool cap bounds how many reaped-able workers a
+            # 32-core stage can leave behind in the first place.
+            .config("spark.python.worker.faulthandler.enabled", "true")
+            .config(
+                "spark.sql.execution.pyspark.udf.faulthandler.enabled", "true"
+            )
+            .config("spark.python.worker.idleTimeoutSeconds", "60")
+            .config("spark.python.worker.killOnIdleTimeout", "true")
+            .config("spark.python.factory.idleWorkerMaxPoolSize", "8")
         )
         # opt-in default provider for every streaming query in the
         # session (a submit script sets SPARK_GRAFT_STATE_STORE=rocksdb);
