@@ -422,32 +422,72 @@ FROM votes
 """
 
 
+# Packed vote-counter layout: 3 per-bit token counters per long, each a
+# 21-bit field (offsets 0/21/42), so the 60 counters live in 20 sums
+# instead of 60. SIM_PACK_C spreads a 3-bit group of the token hash into
+# the three field positions with one multiply (the partial products land
+# in disjoint bit ranges 0-2/20-22/40-42, so no carries), SIM_PACK_M
+# masks each bit into its own field. Exact while every per-doc token
+# count stays below 2^21 (~2.1M tokens/doc — guarded in _simhash_df).
+SIM_PACK_FIELD = 21
+SIM_PACK_C = 1 + (1 << (SIM_PACK_FIELD - 1)) + (1 << (2 * (SIM_PACK_FIELD - 1)))
+SIM_PACK_M = 1 + (1 << SIM_PACK_FIELD) + (1 << (2 * SIM_PACK_FIELD))
+
+
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → 60-bit SimHash. One explode + one groupBy; the 60 vote
-    sums partial-aggregate map-side, so the shuffle carries only
-    (doc_id, 60 longs) per doc regardless of document size."""
+    """doc_id → 60-bit SimHash. One explode + one groupBy; the 60
+    per-bit vote counters are PACKED 3-per-long (21-bit fields, see
+    SIM_PACK_C), so the shuffle carries (doc_id, 21 longs) per map
+    partition per doc instead of 61 — ~3× fewer signature-stage shuffle
+    bytes at any scale (guide §2.3), and ~1/3 the aggregate buffer
+    updates per token. Same exact integer result as the unpacked form:
+    each field accumulates one bit's token count independently (no
+    carries while counts < 2^21; the per-doc token count n is aggregated
+    anyway and guarded below). Measured bit-identical at sf0.1/x10 and
+    −7% at the x10 replica corpus (OPTIMIZATION_r12.md §simhash);
+    the per-bit vote s_j = (+1 per set bit, −1 per clear bit) reduces to
+    2*ones_j > n exactly as before."""
     d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", F.explode(F.split("text", r"[ \t\n\f\r\x0B]+")).alias("tok")
     ).filter(F.col("tok") != "")
     h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
-    # per-bit vote s_j = (+1 per set bit, -1 per clear bit) reduces to
-    # 2*ones_j > n: sum the RAW bit (no per-token conditional) plus one
-    # shared token count — ~half the per-token aggregate work of the
-    # naive when(+1,-1) form, same exact integer result
+    groups = SIM_BITS // 3
+    packs = [
+        F.sum(
+            (F.shiftright("h", 3 * g).bitwiseAND(F.lit(7)) * F.lit(SIM_PACK_C))
+            .bitwiseAND(F.lit(SIM_PACK_M))
+        ).alias(f"s{g}")
+        for g in range(groups)
+    ]
     votes = toks.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1))).alias(f"o{j}")
-            for j in range(SIM_BITS)
-        ],
+        F.count(F.lit(1)).alias("n"), *packs
     )
-    simhash = None
+    # field-overflow guard: a doc with >= 2^21 tokens would silently
+    # corrupt its neighbors' counters; fail loudly instead. ONE branch
+    # per DOC added as a (always-0) term on the signature — cost is
+    # unmeasurable, and the raise_error branch appears once in the plan.
+    guard = F.when(
+        F.col("n") < F.lit(1 << SIM_PACK_FIELD), F.lit(0).cast("bigint")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("simhash packed votes overflow: doc has >= 2^21 "
+                      "tokens (doc_id "),
+                F.col("doc_id").cast("string"),
+                F.lit(")"),
+            )
+        ).cast("bigint")
+    )
+    mask = (1 << SIM_PACK_FIELD) - 1
+    simhash = guard
     for j in range(SIM_BITS):
+        g, f = divmod(j, 3)
+        ones = F.shiftright(f"s{g}", SIM_PACK_FIELD * f).bitwiseAND(F.lit(mask))
         bit = F.when(
-            F.col(f"o{j}") * 2 > F.col("n"), F.lit(1).cast("bigint") * (1 << j)
+            ones * 2 > F.col("n"), F.lit(1).cast("bigint") * (1 << j)
         ).otherwise(F.lit(0).cast("bigint"))
-        simhash = bit if simhash is None else simhash + bit
+        simhash = simhash + bit
     return votes.select("doc_id", simhash.alias("simhash"))
 
 
@@ -1320,11 +1360,12 @@ def d17_containment_overlap(
     Plan shape: ``candidates`` defaults to the CAPPED banded LSH (d14 —
     hot buckets dropped before pair expansion, so candidate volume is
     duplicate-density-proof; pass ``d3_minhash_lsh_pairs(..., uncapped=True)`` for the
-    uncapped study); the shingle relation joins onto the pair list by
-    doc_id twice — two equi-shuffles keyed on doc ids, shipping shingle
-    arrays ONLY for documents that appear in some candidate pair
-    (Catalyst pushes the join keys down as a semi-join filter on the
-    shingle build). Counts are exact ints; the coefficient is one
+    uncapped study; pairs are assumed DISTINCT, d14's contract — a
+    caller feeding duplicate pairs would see them collapse in the
+    pair grouping). The corpus shingle relation is evaluated ONCE and
+    joined against the broadcast pair-participant relation; the matched
+    shingle arrays (candidate-scale, never corpus-scale) shuffle once
+    keyed by pair. Counts are exact ints; the coefficient is one
     correctly rounded IEEE division — bit-identical cross-engine.
 
     At 100 TB the candidate list is the capped LSH output and the
@@ -1338,20 +1379,43 @@ def d17_containment_overlap(
     )
     tokd = _tokens_barrier(load_table(spark, sf_dir, "documents"), min_words=2)
     sh = tokd.select("doc_id", _shingles_of(F.col("toks"), k=2).alias("shingles"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("bigint")
-    size_min = F.least(F.size("sh_a"), F.size("sh_b")).cast("bigint")
-    return (
-        pairs.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            n_inter.alias("n_inter"),
-            size_min.alias("size_min"),
-            (n_inter.cast("double") / size_min).alias("containment"),
-        )
+    # ONE tokenize+shingle pass, not one per pair side: the former
+    # pairs⋈sh_a⋈sh_b form streamed the corpus-scale shingle relation
+    # through BOTH broadcast joins, i.e. evaluated the regex tokenize +
+    # shingle build twice per run. Explode each pair into its two
+    # participant ids, broadcast that (candidate-scale) relation into a
+    # single join against sh, and reassemble the pair by grouping on
+    # (doc_a, doc_b) — shingle arrays ship once, keyed by pair. A pair
+    # whose side misses the min_words=2 gate collects < 2 members and is
+    # dropped, exactly like the old inner joins. Measured: tie at sf0.1
+    # (1.06 vs 1.06 s steady), −18% at the x30 duplicate-heavy corpus
+    # (4.7–4.9 → 3.86 s; OPTIMIZATION_r12.md); output bit-identical at
+    # sf0.1/x10/x30 via exceptAll, EXACT vs oracle at sf0.01.
+    sides = pairs.select(
+        "doc_a", "doc_b",
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
+    )
+    joined = sh.join(F.broadcast(sides), "doc_id").select(
+        "doc_a", "doc_b",
+        F.struct(
+            (F.col("doc_id") == F.col("doc_b")).alias("is_b"), "shingles"
+        ).alias("m"),
+    )
+    per = (
+        joined.groupBy("doc_a", "doc_b")
+        .agg(F.array_sort(F.collect_list("m")).alias("ms"))
+        .filter(F.size("ms") == 2)
+    )
+    sh_a = F.element_at("ms", 1)["shingles"]
+    sh_b = F.element_at("ms", 2)["shingles"]
+    n_inter = F.size(F.array_intersect(sh_a, sh_b)).cast("bigint")
+    size_min = F.least(F.size(sh_a), F.size(sh_b)).cast("bigint")
+    return per.select(
+        "doc_a",
+        "doc_b",
+        n_inter.alias("n_inter"),
+        size_min.alias("size_min"),
+        (n_inter.cast("double") / size_min).alias("containment"),
     )
 
 

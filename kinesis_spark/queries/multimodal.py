@@ -169,16 +169,19 @@ def _frame_energy_df(media: DataFrame, frame_bytes: int = 256) -> DataFrame:
     over the delta-sign sequence, at a finer 16-byte framing)."""
     frames = sample_frames(media, frame_bytes=frame_bytes, every_k=1)
     # Generate barrier: decode once per frame; without it the lambda's
-    # substring(decode(frame), i, 1) re-decodes per element (256x) —
+    # expressions over decode(frame) re-decode per element (256x) —
     # same pitfall as dedup._tokens_barrier. 4.2 s -> 1.6 s at sf0.1.
     decoded = frames.select(
         "media_id", "modality", "frame_idx",
         F.explode(F.array(F.decode("frame", "UTF-8"))).alias("txt"),
     )
-    codes = F.transform(
-        F.sequence(F.lit(1), F.length("txt")),
-        lambda i: F.ascii(F.substring(F.col("txt"), i, F.lit(1))),
-    )
+    # split('') + per-char ascii, NOT ascii(substring(txt, i, 1)):
+    # UTF8String.substring walks code points from offset 0, so the
+    # sequence-indexed form is O(frame_bytes^2) per frame — one split
+    # pass is O(frame_bytes). Bit-identical (ascii of the i-th char
+    # either way); measured 0.642 -> 0.363 s at sf0.1 on 256-B frames
+    # (OPTIMIZATION_r12.md), and the win grows with frame size.
+    codes = F.transform(F.split(F.col("txt"), ""), lambda c: F.ascii(c))
     energy = F.aggregate(codes, F.lit(0).cast("bigint"),
                          lambda acc, x: acc + x.cast("bigint"))
     peak = F.array_max(codes).cast("bigint")

@@ -1197,3 +1197,25 @@ def test_d22_bodies_never_leave_map_stage(plan_of):
     assert "Window" in plan
     assert "partial_count" in plan or "partial_sum" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_d6_votes_pack_three_per_long(plan_of):
+    """OPTIMIZATION r12: the 60 per-bit SimHash vote counters pack 3 per
+    long (21-bit fields), so the signature aggregate carries exactly
+    SIM_BITS/3 partial sums (plus the shared token count) instead of 60
+    — the map-side partial aggregation must survive the packing (the
+    shuffle-bytes claim lives or dies on `partial_sum` being present)."""
+    from kinesis_spark.queries.dedup import SIM_BITS
+
+    plan = plan_of("d6_simhash_signature")
+    assert plan.count("partial_sum") == SIM_BITS // 3
+    assert plan.count("partial_count") >= 1
+
+
+def test_d17_single_shingle_pass(plan_of):
+    """OPTIMIZATION r12: d17 evaluates the corpus tokenize+shingle
+    relation ONCE (joined against the broadcast pair-participant
+    relation) — the old two-sided join form scanned documents three
+    times (once for the candidate pipeline, once per pair side)."""
+    plan = plan_of("d17_containment_overlap")
+    assert plan.count("documents.parquet") == 2, plan[:800]

@@ -106,3 +106,22 @@ def test_d20_cap_drops_planted_hot_bucket(spark, tmp_path):
     assert any(a < n_hot and b < n_hot for a, b in uncapped)
     # ...but the small informative bucket survives
     assert (1000, 1001) in capped
+
+
+def test_packed_vote_spread_algebra():
+    """The multiply-spread trick behind SIM_PACK_C/SIM_PACK_M: for every
+    3-bit group value, (v * C) & M puts exactly bit j of v at field
+    offset 21*j and nothing else — so summing the spread terms counts
+    each bit independently (no cross-field carries below 2^21 counts)."""
+    from kinesis_spark.queries.dedup import (
+        SIM_PACK_C,
+        SIM_PACK_FIELD,
+        SIM_PACK_M,
+    )
+
+    for v in range(8):
+        spread = (v * SIM_PACK_C) & SIM_PACK_M
+        for j in range(3):
+            assert (spread >> (SIM_PACK_FIELD * j)) & ((1 << SIM_PACK_FIELD) - 1) == (
+                (v >> j) & 1
+            )
