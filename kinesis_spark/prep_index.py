@@ -91,7 +91,16 @@ def incremental_prep_indexed(
     near-dup drop, per (lang, source) exact BIGINT report) with zero
     corpus scans: the only inputs are ``batch_docs`` and the three
     index relations. Column-for-column equal to p3's report when the
-    index was built from p3's corpus split (tested)."""
+    index was built from p3's corpus split (tested).
+
+    Pin lifecycle (ADVICE r11): each call registers ONE batch-scale
+    persist (the ``flagged`` relation) in the session-global pin
+    registry; callers looping over crawl batches must drain it between
+    batches via ``kinesis_spark.pins.release_shared_pins()`` once the
+    returned report is materialized — otherwise one cached batch-scale
+    relation accumulates per call and competes with shuffle memory.
+    (bench.py, the verify sweeps and the driver adapter already drain;
+    this is the obligation on an external long-lived driver.)"""
     base = _gated(batch_docs)
     wh = Window.partitionBy("h").orderBy("doc_id")
     bh = base.select(

@@ -31,6 +31,15 @@ from kinesis_spark.queries import WS_RE, register
 
 N_HASHES = 8  # minhash signature length
 BAND_ROWS = 2  # rows per LSH band → 4 bands
+MINHASH_SHINGLE_K = 3  # word-k-gram width of the minhash shingles
+MINHASH_MIN_WORDS = 3  # token gate on the signature relation
+# ADVICE r11: _minhash_sigs' row-local array_min emits null mh columns
+# on an empty shingle array, and null signatures would collapse into one
+# shared band bucket of false-positive pairs. The gate >= the shingle
+# width guarantees every gated doc has >= 1 shingle; keep the coupling
+# explicit so a retune of either constant trips this instead of
+# silently minting a null-signature mega-bucket.
+assert MINHASH_MIN_WORDS >= MINHASH_SHINGLE_K
 SIM_BITS = 60  # simhash width: 15 md5 hex chars → fits signed int64 exactly
 SIM_BAND_BITS = 15  # 4 bands of 15 bits for simhash LSH
 SIM_HAMMING_MAX = 8  # near-dup threshold on 60-bit signatures
@@ -133,10 +142,23 @@ def _minhash_sigs(docs: DataFrame) -> DataFrame:
     10^9-doc corpus) and measured 2× slower at sf0.1 (0.74 s → 0.37 s,
     OPTIMIZATION_r11.md). min-over-md5 is associative and the shingle
     set identical, so the signature bytes are unchanged (pair-set diff
-    asserted 0 at sf0.1 before the swap)."""
-    tokd = _tokens_barrier(docs, min_words=3)
+    asserted 0 at sf0.1 before the swap).
+
+    Empty-shingle invariant (ADVICE r11): this row-local form emits one
+    row per gated doc unconditionally, and ``array_min`` over an EMPTY
+    shingle array would yield null mh columns that _band_key_expr's
+    concat_ws would collapse into one shared false-positive band
+    bucket. Unreachable because the min_words gate below equals the
+    shingle width k (a doc passing the gate has >= 1 k-gram) — made
+    EXPLICIT by MINHASH_MIN_WORDS/MINHASH_SHINGLE_K and the module
+    assert next to them, so a future retune cannot silently decouple
+    them."""
+    tokd = _tokens_barrier(docs, min_words=MINHASH_MIN_WORDS)
     shb = tokd.select(
-        "doc_id", F.explode(F.array(_shingles_of(F.col("toks")))).alias("shb")
+        "doc_id",
+        F.explode(
+            F.array(_shingles_of(F.col("toks"), k=MINHASH_SHINGLE_K))
+        ).alias("shb"),
     )
     return shb.select("doc_id", *_minhash_sig_spark(F.col("shb")))
 
@@ -778,6 +800,13 @@ def d9_dedup_components(
     produce more pairs than the cluster can shuffle. The cap bounds
     per-bucket work at MAX_BUCKET**2 while keeping every informative
     collision — the standard web-scale MinHash practice (d14 docstring).
+    Contract (ADVICE r11): candidate endpoints are assumed to come from
+    the >= 3-token document set (d14's universe). The candidate-subgraph
+    iteration takes its touched set from the EDGES, so an external
+    caller passing pairs whose endpoints lie outside that set gets them
+    included as component members — the pre-r11 corpus-vertex form
+    silently dropped them instead. Deliberate: edges name real
+    documents; dropping an endpoint would corrupt its component's size.
 
     Each iteration is one join + one aggregation (label[v] :=
     min(label[v], min over neighbors)); the driver loop only checks a
