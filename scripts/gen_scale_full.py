@@ -127,7 +127,10 @@ D30_NOTES: dict[str, str] = {
     ),
     "d17_containment_overlap": (
         "containment hit volume grows with duplication (30-deep "
-        "groups); capped candidate relation bounds the pair stage"
+        "groups); capped candidate relation bounds the pair stage; "
+        "r12 single-shingle-pass verify cut x30 from 3.8x to ~2.5x — "
+        "the residual growth is the per-pair |A|+|B| intersect work, "
+        "which IS the query's output (further caps change results)"
     ),
     "d3_minhash_lsh_pairs": (
         "capped (MAX_BUCKET=4): hot buckets drop wholesale; was 19.6x "
