@@ -129,7 +129,7 @@ D30_NOTES: dict[str, str] = {
         "containment hit volume grows with duplication (30-deep "
         "groups); capped candidate relation bounds the pair stage; "
         "r12 single-shingle-pass verify cut x30 from 3.8x to ~2.5x — "
-        "the residual growth is the per-pair |A|+|B| intersect work, "
+        "the residual growth is the per-pair intersect work (size A + size B), "
         "which IS the query's output (further caps change results)"
     ),
     "d3_minhash_lsh_pairs": (
