@@ -127,24 +127,39 @@ def p1_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # id, rollup key).
     base = _gated_base(d)
 
-    # exact dedup: first doc_id per content hash (window, not agg+join);
-    # the shuffle carries toks (needed downstream) but drops text
+    # exact dedup: first doc_id per content hash (window, not agg+join).
+    # MinHash signatures are computed ROW-LOCALLY (shingle barrier + 8
+    # array_min columns) BEFORE the hash exchange, so the shuffle
+    # carries (ids, stats, h, 8x32-B hashes) instead of every
+    # survivor's full token array — at 100 TB the former form moved
+    # ~corpus bytes through the exact-dedup exchange just to band the
+    # winners afterwards (guide §8: decide with small rows). Dup losers
+    # now compute signatures they don't use (rn > 1 rows are filtered),
+    # a row-local cost that measured FAR below the shuffled-toks cost:
+    # sf0.1 alternating A/B 1.93 -> 1.09 s steady (−27..−43% across 3
+    # blocks), bit-identical output (OPTIMIZATION_r12.md).
+    carry = ["lang", "source", "n_toks", "n_chars"]
+    pre = base.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size("toks").cast("bigint").alias("n_toks"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.sha2("text", 256).alias("h"),
+        # explode-of-one-element-array = the shingle barrier (see
+        # dedup._tokens_barrier): the 8 per-seed lambdas below bind one
+        # computed array instead of re-running the shingle transform
+        F.explode(F.array(_shingles_of(F.col("toks")))).alias("shb"),
+    )
+    sigs_rel = pre.select(
+        "doc_id", *carry, "h", *_minhash_sig_spark(F.col("shb"))
+    )
     wh = Window.partitionBy("h").orderBy("doc_id")
-    exact = (
-        base.select(
-            "doc_id",
-            "lang",
-            "source",
-            "toks",
-            F.size("toks").cast("bigint").alias("n_toks"),
-            F.length("text").cast("bigint").alias("n_chars"),
-            F.sha2("text", 256).alias("h"),
-        )
-        .withColumn("rn", F.row_number().over(wh))
-        .filter(F.col("rn") == 1)
+    exact = sigs_rel.withColumn("rn", F.row_number().over(wh)).filter(
+        F.col("rn") == 1
     )
 
-    bands = _band_keys_of(exact, "lang", "source", "n_toks", "n_chars")
+    bands = exact.select("doc_id", *carry, _band_key_expr().alias("band_key"))
     # near-dup drop: a doc survives iff it is the minimal member of
     # EVERY bucket it lands in (same keep-lowest-id contract as the
     # oracle's a.doc_id < b.doc_id drop set)
@@ -306,30 +321,37 @@ FROM stages
         )
 
         gate_ok = F.col("lang_ok") & F.col("len_ok") & F.col("q_ok")
+        # MinHash signatures ROW-LOCAL before the hash exchange (p1's
+        # r12 change, guide §8): the shuffle carries 8x32-B hashes
+        # instead of every gate survivor's token array. Exact-dup
+        # losers compute signatures whose band keys are later replaced
+        # by their "x-" singleton key — exactly as the former form
+        # replaced the keys it computed from their placeholder sigs —
+        # so the output is identical while the exchange payload drops
+        # from ~corpus bytes to ~330 B/doc. sf0.1 alternating A/B:
+        # 3.57 -> 2.68 s steady (−20..−25% across 3 blocks).
+        shb = F.when(gate_ok, _shingles_of(F.col("toks"))).otherwise(
+            F.array(F.lit(""))
+        )
         hashed = flags.select(
             "doc_id", "n_toks", "lang_ok", "len_ok", "q_ok",
-            # null out gated-out docs' token arrays BEFORE the hash
-            # exchange: toks is the widest column and is provably never
-            # read for them (shb gates on eligibility below) — at harsh
-            # gate rates the shuffle payload shrinks to gate survivors
-            F.when(gate_ok, F.col("toks")).alias("toks"),
             F.when(gate_ok, F.sha2("text", 256))
             .otherwise(F.concat(F.lit("ng-"), F.col("doc_id")))
             .alias("h"),
+            *_minhash_sig_spark(shb),
         )
         wh = Window.partitionBy("h").orderBy("doc_id")
         ranked = hashed.withColumn("rn", F.row_number().over(wh))
-        # ONE eligibility expression feeds BOTH the shingle gate and the
-        # band-key gate — if they ever drifted apart, non-entrants would
-        # keep real band keys computed from the placeholder signature
-        # (all identical!) and collapse into a single mega-bucket
+        # eligibility gates the BAND KEY, not the signature: every
+        # non-entrant (gated-out doc OR exact-dup loser) gets its
+        # computed band keys replaced by a per-doc-unique "x-" key, so
+        # it forms singleton band partitions and contributes nothing to
+        # real buckets — identical verdicts to the former form, which
+        # gated the shingle build instead (that required toks to
+        # survive the hash exchange)
         eligible = gate_ok & (F.col("rn") == 1)  # the band-stage entrants
-        shb = F.when(eligible, _shingles_of(F.col("toks"))).otherwise(
-            F.array(F.lit(""))
-        )
         carry = ["doc_id", "n_toks", "lang_ok", "len_ok", "q_ok", "rn"]
-        sigs = ranked.select(*carry, *_minhash_sig_spark(shb))
-        banded = sigs.select(
+        banded = ranked.select(
             *carry,
             _band_key_expr().alias("band_key"),
         ).withColumn(
